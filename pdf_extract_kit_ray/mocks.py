@@ -1,0 +1,244 @@
+"""Deterministic mock model backends (sandbox stand-ins for the GPU models).
+
+The real engine's stateful stages (layout detector, formula detector MFD,
+formula recognizer MFR, OCR, table parser — SURVEY.md §2.2 M1-M6) load
+weights once per actor and run batched inference.  This container has no
+vision/OCR libraries, so each backend is a *deterministic pure function of
+the page payload* with the same interface the real backend would have.  The
+Ray-side plumbing (actor pools, batch gather/scatter, crop-frame transforms,
+keyed merge-back) is real and identical either way.
+
+A raw page payload is a list of "raw detection" dicts parsed from the input
+table (see sources/corpus.py for the encoding):
+``{"kind", "x0","y0","x1","y1", "score", "text", "media_ref"}``.
+
+* ``mock_layout``  — emits block detections for the 10 layout classes in raw
+  emission order (the class vocabulary of
+  /root/reference/pdf_extract_kit/tasks/layout_detection/models/yolo.py:18-29,
+  coords int-truncated and scores rounded to 2dp like
+  project/pdf2markdown/scripts/pdf2markdown.py:83-96).
+* ``mock_mfd``     — emits 'inline'/'isolated' formula detections
+  (tasks/formula_detection/models/yolo.py:22-25).
+* ``mock_mfr``     — "recognizes" the LaTeX of a formula crop (the raw text
+  of the formula element whose box best matches the crop).
+* ``mock_ocr``     — full det→merge→mask→rec emulation over a padded region
+  crop, using the reference's exact box algebra; recognition reads the chars
+  whose grid-cell centers fall inside each final det box, and drops results
+  scoring below ``drop_score`` (tasks/ocr/models/paddle_ocr.py:442-447).
+* ``mock_table``   — table crop -> deterministic HTML; honors a per-row time
+  cap analog (tasks/table_parsing/models/struct_eqtable.py:21-22): payloads
+  marked as stragglers yield an empty result instead of hanging the stage.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .functions.geometry import (
+    bbox_page_to_crop,
+    bbox_to_quad,
+    crop_frame,
+    mask_quads_with_formulas,
+    merge_det_quads,
+    quad_crop_to_page,
+    quad_to_bbox,
+    sort_quads_reading_order,
+)
+
+# Raw corpus kind -> reference layout class name.  'isolated_formula' is
+# deliberately absent: the MFD 'isolated' detection becomes the
+# isolate_formula block during assembly (pdf2markdown.py:283-285), and this
+# mock layout model does not emit a duplicate class-8 box for the same region.
+LAYOUT_KIND_MAP = {
+    "title": "title",
+    "plain_text": "plain text",
+    "abandon": "abandon",
+    "figure": "figure",
+    "figure_caption": "figure_caption",
+    "table": "table",
+    "table_caption": "table_caption",
+    "table_footnote": "table_footnote",
+    "formula_caption": "formula_caption",
+}
+
+# Raw corpus kind -> MFD class name (2 classes).
+MFD_KIND_MAP = {"inline_formula": "inline", "isolated_formula": "isolated"}
+
+# Layout classes routed to OCR: ids {0,1,2,4,6,7} of the 10-class vocabulary
+# (pdf2markdown.py:209).
+OCR_CLASSES = {"title", "plain text", "abandon",
+               "figure_caption", "table_caption", "table_footnote"}
+TABLE_CLASSES = {"table"}
+
+DROP_SCORE = 0.5
+
+
+def _det(kind: str, raw: dict, text: str = "", media_ref: str = "") -> dict:
+    return {
+        "kind": kind,
+        "x0": float(int(raw["x0"])), "y0": float(int(raw["y0"])),
+        "x1": float(int(raw["x1"])), "y1": float(int(raw["y1"])),
+        "score": round(float(raw["score"]), 2),
+        "text": text,
+        "media_ref": media_ref,
+    }
+
+
+def mock_layout(raw_dets: Sequence[dict]) -> List[dict]:
+    """Layout detector: one detection per block-level raw element, in raw
+    emission order (the model's output order is the block-consumption order
+    downstream, so it is part of the contract)."""
+    out = []
+    for raw in raw_dets:
+        cls = LAYOUT_KIND_MAP.get(raw["kind"])
+        if cls is None:
+            continue
+        media = raw["media_ref"] if cls in ("figure", "table") else ""
+        out.append(_det(cls, raw, media_ref=media))
+    return out
+
+
+def mock_mfd(raw_dets: Sequence[dict]) -> List[dict]:
+    """Formula detector: inline/isolated boxes with empty text (LaTeX is
+    filled by the MFR stage)."""
+    return [_det(MFD_KIND_MAP[raw["kind"]], raw)
+            for raw in raw_dets if raw["kind"] in MFD_KIND_MAP]
+
+
+def formula_crop_payload(raw_dets: Sequence[dict], det: dict) -> List[dict]:
+    """The "crop" an MFR actor receives: raw elements intersecting the
+    formula box (stands in for the cropped pixel region)."""
+    return [raw for raw in raw_dets
+            if not (raw["x1"] <= det["x0"] or raw["x0"] >= det["x1"]
+                    or raw["y1"] <= det["y0"] or raw["y0"] >= det["y1"])]
+
+
+def mock_mfr(crop_payload: Sequence[dict], det: dict) -> str:
+    """Formula recognizer: return the raw (pre-normalization) LaTeX of the
+    formula element whose box best overlaps the crop; '' when none."""
+    best, best_overlap = "", -1.0
+    for raw in crop_payload:
+        if raw["kind"] not in MFD_KIND_MAP:
+            continue
+        ox = min(raw["x1"], det["x1"]) - max(raw["x0"], det["x0"])
+        oy = min(raw["y1"], det["y1"]) - max(raw["y0"], det["y0"])
+        overlap = max(ox, 0.0) * max(oy, 0.0)
+        if overlap > best_overlap:
+            best, best_overlap = raw["text"], overlap
+    return best
+
+
+def _visible_lines(raw_dets: Sequence[dict], region: Tuple[float, float, float, float]):
+    """text_line elements visible in an unpadded crop region: center inside
+    the region, bbox clipped to it (a region crop only "sees" its pixels)."""
+    rx0, ry0, rx1, ry1 = region
+    visible = []
+    for raw in raw_dets:
+        if raw["kind"] != "text_line":
+            continue
+        cx = (raw["x0"] + raw["x1"]) / 2.0
+        cy = (raw["y0"] + raw["y1"]) / 2.0
+        if not (rx0 <= cx <= rx1 and ry0 <= cy <= ry1):
+            continue
+        clip = [max(raw["x0"], rx0), max(raw["y0"], ry0),
+                min(raw["x1"], rx1), min(raw["y1"], ry1)]
+        if clip[2] <= clip[0] or clip[3] <= clip[1]:
+            continue
+        visible.append((raw, clip))
+    return visible
+
+
+def mock_ocr(raw_dets: Sequence[dict], frame: dict,
+             formula_bboxes_crop: Sequence[Sequence[float]],
+             drop_score: float = DROP_SCORE) -> List[Tuple[list, Tuple[str, float]]]:
+    """OCR a padded region crop.
+
+    Emulates ModifiedPaddleOCR.ocr (paddle_ocr.py:388-450): detect line
+    boxes -> ``sorted_boxes`` -> ``merge_det_boxes`` -> ``update_det_boxes``
+    with the adjusted formula boxes -> recognize each final box -> drop
+    low-score results.  Returns ``[(quad_in_crop_frame, (text, score)), ...]``.
+
+    Recognition model: each visible text_line maps its characters onto a
+    uniform x-grid over its bbox; a final det box captures the characters
+    whose cell centers fall inside it (in page-frame coordinates).
+    """
+    region = (frame["x0"], frame["y0"], frame["x1"], frame["y1"])
+    visible = _visible_lines(raw_dets, region)
+    if not visible:
+        return []
+
+    quads = []
+    for _raw, clip in visible:
+        crop_bbox = bbox_page_to_crop(clip, frame)
+        if crop_bbox is not None:
+            quads.append(bbox_to_quad(crop_bbox))
+
+    quads = sort_quads_reading_order(quads)
+    quads = merge_det_quads(quads)
+    quads = mask_quads_with_formulas(quads, formula_bboxes_crop)
+
+    results = []
+    for quad in quads:
+        page_bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
+        qx0, qy0, qx1, qy1 = page_bbox
+        captured: List[Tuple[float, int, str]] = []
+        scores: List[float] = []
+        for li, (raw, clip) in enumerate(visible):
+            text = raw["text"]
+            if not text:
+                continue
+            width = raw["x1"] - raw["x0"]
+            if width <= 0:
+                continue
+            cy = (raw["y0"] + raw["y1"]) / 2.0
+            if not (qy0 <= cy <= qy1):
+                continue
+            cell = width / len(text)
+            contributed = False
+            for i, ch in enumerate(text):
+                cx = raw["x0"] + (i + 0.5) * cell
+                if qx0 <= cx <= qx1 and clip[0] <= cx <= clip[2]:
+                    captured.append((cx, li, ch))
+                    contributed = True
+            if contributed:
+                scores.append(raw["score"])
+        if not captured:
+            continue
+        captured.sort(key=lambda c: (c[0], c[1]))
+        text = "".join(ch for _cx, _li, ch in captured)
+        raw_score = min(scores)
+        if raw_score < drop_score:  # drop BEFORE rounding (paddle_ocr.py:442-447)
+            continue
+        results.append((quad, (text, round(raw_score, 2))))
+    return results
+
+
+def mock_table(crop_payload: Sequence[dict], det: dict,
+               max_time_exceeded: bool = False) -> str:
+    """Table parser: deterministic HTML from the crop's table element; an
+    over-cap ("straggler") payload yields '' — the max_time analog."""
+    if max_time_exceeded:
+        return ""
+    for raw in crop_payload:
+        if raw["kind"] == "table":
+            return "<table><tr><td>%s</td></tr></table>" % raw["media_ref"]
+    return ""
+
+
+def make_ocr_region_frame(det: dict) -> dict:
+    """Padded crop frame for an OCR region (pad 25px both axes,
+    pdf2markdown.py:217)."""
+    from .schemas import det_to_poly
+    return crop_frame(det_to_poly(det), pad_x=25, pad_y=25)
+
+
+def adjusted_formula_bboxes(formula_dets: Sequence[dict], frame: dict) -> List[list]:
+    """Translate page-frame formula boxes into an OCR crop's frame, dropping
+    boxes fully outside the canvas (pdf2markdown.py:219-234)."""
+    out = []
+    for det in formula_dets:
+        bbox = [int(det["x0"]), int(det["y0"]), int(det["x1"]), int(det["y1"])]
+        adj = bbox_page_to_crop(bbox, frame)
+        if adj is not None:
+            out.append(adj)
+    return out

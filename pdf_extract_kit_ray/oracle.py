@@ -1,0 +1,97 @@
+"""Straight-line, single-process extraction oracle.
+
+Re-implements the reference flagship's exact order of operations
+(project/pdf2markdown/scripts/pdf2markdown.py:99-260 ``process_single_pdf``
+and :268-324 ``convert2md`` — SURVEY.md §3.2):
+
+* Pass A (per page): layout detections, then MFD detections appended; every
+  formula crop queued doc-wide.
+* Pass B (whole doc): batched formula recognition, LaTeX whitespace
+  compaction, fill-back — here by explicit (page, det) index instead of the
+  reference's positional-zip-over-aliased-dicts, which is the same mapping.
+* Pass C (per page): route detections; per OCR region crop with 25px padding,
+  adjust formula boxes into the crop frame, OCR, restore coordinates, append
+  text detections.
+* Assembly (per page): convert to ordered spans; document result is the page
+  concatenation with dense global offsets.
+
+The Ray pipeline (pipelines/extract.py) must produce byte-identical span
+sequences while composing the same primitives as distributed, shuffle-safe
+stages — this oracle is the correctness bar for that composition and is what
+generates the golden tables (sources/corpus.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from .functions.assemble import page_spans_from_dets
+from .functions.geometry import quad_crop_to_page, quad_to_bbox
+from .functions.textnorm import latex_compact
+from .mocks import (
+    OCR_CLASSES,
+    adjusted_formula_bboxes,
+    formula_crop_payload,
+    make_ocr_region_frame,
+    mock_layout,
+    mock_mfd,
+    mock_mfr,
+    mock_ocr,
+)
+from .sources.corpus import split_pages
+
+
+def extract_document(raw_spans: List[dict]) -> List[Dict]:
+    """One raw document's span stream -> the golden extracted span sequence
+    ``[{kind, text, media_ref, offset}, ...]`` with dense offsets."""
+    pages = split_pages(raw_spans)
+
+    # Pass A: layout + MFD per page; queue formula crops doc-wide.
+    page_dets: List[List[dict]] = []
+    fill_keys: List[tuple] = []
+    crops: List[tuple] = []
+    for p_idx, page in enumerate(pages):
+        dets = mock_layout(page)
+        for det in mock_mfd(page):
+            dets.append(det)
+            fill_keys.append((p_idx, len(dets) - 1))
+            crops.append((formula_crop_payload(page, det), det))
+        page_dets.append(dets)
+
+    # Pass B: batched MFR + normalization, filled back by key.
+    for (p_idx, d_idx), (payload, det) in zip(fill_keys, crops):
+        page_dets[p_idx][d_idx]["text"] = latex_compact(mock_mfr(payload, det))
+
+    # Pass C: OCR per region, text dets appended in region order.
+    for p_idx, page in enumerate(pages):
+        dets = page_dets[p_idx]
+        formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
+        regions = [d for d in dets if d["kind"] in OCR_CLASSES]
+        for region in regions:
+            frame = make_ocr_region_frame(region)
+            adjusted = adjusted_formula_bboxes(formula_dets, frame)
+            for quad, (text, score) in mock_ocr(page, frame, adjusted):
+                bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
+                dets.append({
+                    "kind": "text",
+                    "x0": bbox[0], "y0": bbox[1], "x1": bbox[2], "y1": bbox[3],
+                    "score": score, "text": text, "media_ref": "",
+                })
+
+    # Assembly: per-page ordered spans, concatenated with global offsets.
+    out: List[Dict] = []
+    for dets in page_dets:
+        for span in page_spans_from_dets(dets):
+            out.append(dict(span, offset=len(out)))
+    return out
+
+
+def span_sequence_equal(actual: List[dict], expected: List[dict]) -> bool:
+    """The per-row invariant: element-wise (kind, text, media_ref) equality
+    in offset order (FIXTURES.md F2)."""
+    a = sorted(actual, key=lambda s: s["offset"])
+    b = sorted(expected, key=lambda s: s["offset"])
+    if len(a) != len(b):
+        return False
+    return all(x["kind"] == y["kind"] and x["text"] == y["text"]
+               and x["media_ref"] == y["media_ref"] for x, y in zip(a, b))

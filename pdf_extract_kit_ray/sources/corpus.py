@@ -1,0 +1,320 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md F1/F2).
+
+The input table matches BASELINE.json's ``input_hint`` exactly:
+``(doc_id: string, spans: list<struct<kind, text, media_ref, offset:int32>>)``.
+
+A *raw* document is the un-extracted state — one span per page element
+(blocks, text lines, formulas), **seeded-shuffled within each page** so that
+correctness requires actually reconstructing reading order.  Geometry rides
+in the ``media_ref`` field with a parseable ``geom://`` encoding (the raw
+table is the "rendered PDF" analog: it carries positions the way a PDF
+carries glyph coordinates):
+
+* non-media element: ``geom://x0,y0,x1,y1/score``
+* figure/table:      ``media://{doc_id}/{n}|geom://x0,y0,x1,y1/score``
+
+``offset`` on the raw side is the page-local emission index; a new page
+starts at every ``offset == 0``.  The golden table is computed by the
+straight-line oracle (oracle.py) — never hand-written.
+
+Raw span kinds (12): the 10 layout classes (snake_case), plus
+``inline_formula`` and ``text_line`` (SURVEY.md §1.2 vocabularies).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..schemas import DOC_SCHEMA
+
+PAGE_W, PAGE_H = 1654, 2339
+
+_EN_WORDS = (
+    "the quick brown fox jumps over lazy dog data span block merge line "
+    "page model layout table figure formula text order offset stream batch "
+    "actor shuffle arrow vector kernel index golden oracle corpus engine "
+    "read write scale node worker cluster queue cache spill lineage "
+).split()
+_SPECIALS = ["*", "$", "~", "`", "%", "&", "#"]
+_ZH_CHARS = "文档提取引擎分布式数据流水线页面布局公式表格图片标题正文阅读顺序确定性测试基准吞吐量扩展效率"
+_LATEX_FRAGS = [
+    "\\alpha", "\\beta", "\\gamma", "\\lambda", "x", "y", "n", "k", "2", "3",
+    "+", "-", "=", "^", "_", "(", ")", "\\frac", "{", "}", "\\sum", "\\int",
+    "\\operatorname {lim}", "\\mathrm {d}", "\\text {if}", "\\mathbf {v}",
+]
+
+
+# ---------------------------------------------------------------------------
+# geom:// encoding
+# ---------------------------------------------------------------------------
+
+def encode_geom(x0: int, y0: int, x1: int, y1: int, score: float,
+                media_ref: str = "") -> str:
+    geom = "geom://%d,%d,%d,%d/%.4f" % (x0, y0, x1, y1, score)
+    return ("%s|%s" % (media_ref, geom)) if media_ref else geom
+
+
+def parse_raw_span(span: dict) -> dict:
+    """Raw table span -> raw detection dict (the page-payload element)."""
+    ref = span["media_ref"]
+    media = ""
+    if "|" in ref:
+        media, ref = ref.split("|", 1)
+    coords, score = ref[len("geom://"):].split("/")
+    x0, y0, x1, y1 = (int(v) for v in coords.split(","))
+    return {
+        "kind": span["kind"],
+        "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+        "score": float(score),
+        "text": span["text"],
+        "media_ref": media,
+    }
+
+
+def split_pages(raw_spans: Iterable[dict]) -> List[List[dict]]:
+    """Partition a raw span stream into pages: a page starts at offset==0.
+    Elements keep their within-page emission order."""
+    pages: List[List[dict]] = []
+    for span in raw_spans:
+        if span["offset"] == 0 or not pages:
+            pages.append([])
+        pages[-1].append(parse_raw_span(span))
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# generation
+# ---------------------------------------------------------------------------
+
+def _score(rng: random.Random) -> float:
+    # ~10% below the 0.5 drop threshold to exercise the rec-score filter.
+    return round(rng.uniform(0.42, 0.99), 4)
+
+
+def _words(rng: random.Random, lo: int, hi: int) -> str:
+    n = rng.randint(lo, hi)
+    toks = [rng.choice(_EN_WORDS) for _ in range(n)]
+    if rng.random() < 0.15:
+        toks[rng.randrange(len(toks))] += rng.choice(_SPECIALS)
+    return " ".join(toks)
+
+
+def _zh_text(rng: random.Random, lo: int, hi: int) -> str:
+    return "".join(rng.choice(_ZH_CHARS) for _ in range(rng.randint(lo, hi)))
+
+
+def _line_text(rng: random.Random, lo: int = 3, hi: int = 9) -> str:
+    return _zh_text(rng, 6, 18) if rng.random() < 0.2 else _words(rng, lo, hi)
+
+
+def _latex(rng: random.Random) -> str:
+    n = rng.randint(3, 10)
+    out = []
+    for _ in range(n):
+        out.append(rng.choice(_LATEX_FRAGS))
+        out.append(rng.choice(["", " ", "  ", " "]))
+    return "".join(out).strip()
+
+
+class _PageBuilder:
+    def __init__(self, rng: random.Random, doc_id: str, media_counter: List[int]):
+        self.rng = rng
+        self.doc_id = doc_id
+        self.media_counter = media_counter
+        self.els: List[dict] = []
+
+    def add(self, kind: str, bbox: Tuple[int, int, int, int],
+            text: str = "", media: bool = False) -> dict:
+        media_ref = ""
+        if media:
+            media_ref = "media://%s/%d" % (self.doc_id, self.media_counter[0])
+            self.media_counter[0] += 1
+        el = {"kind": kind, "bbox": bbox, "score": _score(self.rng),
+              "text": text, "media_ref": media_ref}
+        self.els.append(el)
+        return el
+
+    def text_block(self, kind: str, x0: int, y: int, width: int,
+                   nlines: int, allow_formula: bool = False) -> int:
+        """Block + its text_line (and optional inline_formula) elements.
+        Returns the y just below the block."""
+        rng = self.rng
+        line_h, gap, pad = 30, 6, 8
+        height = pad * 2 + nlines * line_h + (nlines - 1) * gap
+        self.add(kind, (x0, y, x0 + width, y + height))
+        cy = y + pad
+        for _ in range(nlines):
+            lw = int((width - 16) * rng.uniform(0.62, 0.98))
+            lx0 = x0 + 8
+            if allow_formula and rng.random() < 0.3:
+                left = _line_text(rng, 2, 5)
+                right = _line_text(rng, 2, 5)
+                k = rng.randint(4, 10)
+                total = len(left) + k + len(right)
+                cell = lw / total
+                fx0 = int(lx0 + len(left) * cell)
+                fx1 = int(lx0 + (len(left) + k) * cell)
+                self.add("text_line", (lx0, cy, lx0 + lw, cy + line_h),
+                         text=left + " " * k + right)
+                self.add("inline_formula", (fx0, cy + 2, fx1, cy + line_h - 2),
+                         text=_latex(rng))
+            else:
+                self.add("text_line", (lx0, cy, lx0 + lw, cy + line_h),
+                         text=_line_text(rng))
+            cy += line_h + gap
+        return y + height
+
+    def build(self) -> List[dict]:
+        rng = self.rng
+        margin_x = 127
+        full_w = PAGE_W - 2 * margin_x
+        if rng.random() < 0.5:
+            self.add("abandon", (600, 30, 1054, 62))
+            self.add("text_line", (610, 34, 1044, 58), text=_words(rng, 2, 4))
+        y = rng.randint(90, 130)
+        nblocks = rng.randint(3, 8)
+        for _ in range(nblocks):
+            if y > PAGE_H - 420:
+                break
+            roll = rng.random()
+            if roll < 0.12:
+                y = self.text_block("title", margin_x, y,
+                                    rng.randint(400, full_w), 1)
+            elif roll < 0.55:
+                y = self.text_block("plain_text", margin_x, y, full_w,
+                                    rng.randint(1, 4), allow_formula=True)
+            elif roll < 0.63:
+                # two-column pair: same y0 exercises the x tiebreak of the
+                # ymin*3000+xmin reading-order key.
+                col_w = (full_w - 80) // 2
+                n1, n2 = rng.randint(1, 3), rng.randint(1, 3)
+                y1 = self.text_block("plain_text", margin_x, y, col_w, n1,
+                                     allow_formula=True)
+                y2 = self.text_block("plain_text", margin_x + col_w + 80, y,
+                                     col_w, n2, allow_formula=True)
+                y = max(y1, y2)
+            elif roll < 0.74:
+                h = rng.randint(180, 360)
+                self.add("figure", (margin_x + 100, y, PAGE_W - margin_x - 100,
+                                    y + h), media=True)
+                y = self.text_block("figure_caption", margin_x + 60, y + h + 14,
+                                    full_w - 120, rng.randint(1, 2))
+            elif roll < 0.84:
+                y = self.text_block("table_caption", margin_x + 60, y,
+                                    full_w - 120, 1)
+                h = rng.randint(150, 300)
+                self.add("table", (margin_x + 80, y + 10,
+                                   PAGE_W - margin_x - 80, y + 10 + h),
+                         media=True)
+                y = self.text_block("table_footnote", margin_x + 60,
+                                    y + h + 24, full_w - 120, 1)
+            else:
+                fh = 56
+                self.add("isolated_formula",
+                         (427, y, 1227, y + fh), text=_latex(rng))
+                if rng.random() < 0.3:
+                    self.add("formula_caption", (1270, y + 10, 1430, y + 46))
+                    self.add("text_line", (1278, y + 14, 1422, y + 42),
+                             text="(%d)" % rng.randint(1, 99))
+                y += fh
+            y += rng.randint(20, 60)
+        self.add("abandon", (margin_x, 2280, PAGE_W - margin_x, 2310))
+        self.add("text_line", (760, 2284, 900, 2306), text=_words(rng, 1, 2))
+        return self.els
+
+
+def page_count(rng: random.Random, max_pages: int = 40) -> int:
+    """Skewed page-count distribution: 90% of docs 1-5 pages, long tail."""
+    if rng.random() < 0.9:
+        return rng.randint(1, 5)
+    return min(6 + int(rng.expovariate(0.12)), max_pages)
+
+
+def generate_raw_document(doc_id: str, seed: int, n_pages: Optional[int] = None,
+                          max_pages: int = 40) -> List[dict]:
+    """Raw span stream of one document (all pages, shuffled per page)."""
+    doc_rng = random.Random("%d/%s" % (seed, doc_id))
+    if n_pages is None:
+        n_pages = page_count(doc_rng, max_pages)
+    spans: List[dict] = []
+    media_counter = [0]
+    for page_no in range(n_pages):
+        rng = random.Random("%d/%s/%d" % (seed, doc_id, page_no))
+        els = _PageBuilder(rng, doc_id, media_counter).build()
+        rng.shuffle(els)
+        for offset, el in enumerate(els):
+            x0, y0, x1, y1 = el["bbox"]
+            spans.append({
+                "kind": el["kind"],
+                "text": el["text"],
+                "media_ref": encode_geom(x0, y0, x1, y1, el["score"],
+                                         el["media_ref"]),
+                "offset": offset,
+            })
+    return spans
+
+
+def generate_corpus(num_docs: int, seed: int = 0, max_pages: int = 40,
+                    with_golden: bool = True) -> Tuple[pa.Table, Optional[pa.Table]]:
+    """Build (raw_table, golden_table); golden via the straight-line oracle."""
+    from ..oracle import extract_document  # local import: avoid cycle
+
+    raw_rows, golden_rows = [], []
+    for i in range(num_docs):
+        doc_id = "doc-%08d" % i
+        raw_spans = generate_raw_document(doc_id, seed, max_pages=max_pages)
+        raw_rows.append({"doc_id": doc_id, "spans": raw_spans})
+        if with_golden:
+            golden_rows.append({"doc_id": doc_id,
+                                "spans": extract_document(raw_spans)})
+    raw = pa.Table.from_pylist(raw_rows, schema=DOC_SCHEMA)
+    golden = pa.Table.from_pylist(golden_rows, schema=DOC_SCHEMA) if with_golden else None
+    return raw, golden
+
+
+def write_corpus(out_dir: str, num_docs: int, seed: int = 0,
+                 max_pages: int = 40, with_golden: bool = True,
+                 docs_per_file: int = 512) -> Tuple[str, Optional[str]]:
+    """Write raw (and golden) corpus parquet under ``out_dir``; returns the
+    (raw_path, golden_path) file paths.  Files are chunked so large corpora
+    read as multiple blocks."""
+    import os
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    raw_dir = os.path.join(out_dir, "raw")
+    golden_dir = os.path.join(out_dir, "golden")
+    os.makedirs(raw_dir, exist_ok=True)
+    if with_golden:
+        os.makedirs(golden_dir, exist_ok=True)
+    from ..oracle import extract_document
+
+    part = 0
+    raw_rows, golden_rows = [], []
+
+    def flush():
+        nonlocal part, raw_rows, golden_rows
+        if not raw_rows:
+            return
+        pq.write_table(pa.Table.from_pylist(raw_rows, schema=DOC_SCHEMA),
+                       os.path.join(raw_dir, "part-%05d.parquet" % part))
+        if with_golden:
+            pq.write_table(pa.Table.from_pylist(golden_rows, schema=DOC_SCHEMA),
+                           os.path.join(golden_dir, "part-%05d.parquet" % part))
+        part += 1
+        raw_rows, golden_rows = [], []
+
+    for i in range(num_docs):
+        doc_id = "doc-%08d" % i
+        raw_spans = generate_raw_document(doc_id, seed, max_pages=max_pages)
+        raw_rows.append({"doc_id": doc_id, "spans": raw_spans})
+        if with_golden:
+            golden_rows.append({"doc_id": doc_id,
+                                "spans": extract_document(raw_spans)})
+        if len(raw_rows) >= docs_per_file:
+            flush()
+    flush()
+    return raw_dir, (golden_dir if with_golden else None)

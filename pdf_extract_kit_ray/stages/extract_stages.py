@@ -1,0 +1,255 @@
+"""Ray Data stages of the flagship extraction pipeline.
+
+Dataflow (SURVEY.md §3.2 restatement):
+
+    docs ──explode──> pages ──Layout──> ──MFD──> ──MFR──> ──OCR──>
+         ──assemble──> page spans ──groupby(doc_id)──> docs (ordered spans)
+
+Every stage is a ``map_batches`` transform over Arrow batches.  The model
+stages are callable classes so they run on **actor pools**
+(``concurrency=N``): the backend is constructed once per actor in
+``__init__`` (the weights-load analog) and only ``__call__`` runs per batch.
+In this sandbox the backends are the deterministic mocks (mocks.py); the
+stage plumbing — batch gather/scatter for MFR, per-region crop frames and
+coordinate restores for OCR, explicit (page, det) keying instead of the
+reference's positional zip — is the real engine.
+
+Scale notes:
+* The unit of parallelism is the PAGE (not the document), so multi-hundred
+  page documents do not create stragglers (SURVEY.md §4.2 skew row).
+* ``raw_dets`` is the page payload (the encoded-image analog); it is carried
+  only as far as the OCR stage and projected out at assembly, so the
+  reassembly shuffle moves only small span rows.
+* The only all-to-all exchange is the final ``groupby(doc_id)``; ordering is
+  carried by explicit ``(page_no, block_idx)`` keys, never by block order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pyarrow as pa
+
+from ..functions.assemble import page_spans_from_dets
+from ..functions.geometry import quad_crop_to_page, quad_to_bbox
+from ..functions.textnorm import latex_compact
+from ..mocks import (
+    OCR_CLASSES,
+    TABLE_CLASSES,
+    adjusted_formula_bboxes,
+    formula_crop_payload,
+    make_ocr_region_frame,
+    mock_layout,
+    mock_mfd,
+    mock_mfr,
+    mock_ocr,
+    mock_table,
+)
+from ..schemas import (
+    DET_TYPE,
+    DOC_SCHEMA,
+    PAGE_DETS_SCHEMA,
+    PAGE_SCHEMA,
+    PAGE_SPANS_SCHEMA,
+    RAW_DET_TYPE,
+    SPAN_TYPE,
+)
+from ..sources.corpus import split_pages
+
+
+# ---------------------------------------------------------------------------
+# doc -> page explode (stateless task)
+# ---------------------------------------------------------------------------
+
+def explode_pages(batch: pa.Table) -> pa.Table:
+    """One doc row -> N page rows carrying the parsed page payload."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans").to_pylist()
+    out = {"doc_id": [], "page_no": [], "width": [], "height": [], "raw_dets": []}
+    for doc_id, spans in zip(doc_ids, spans_col):
+        for page_no, page in enumerate(split_pages(spans)):
+            out["doc_id"].append(doc_id)
+            out["page_no"].append(page_no)
+            out["width"].append(1654)
+            out["height"].append(2339)
+            out["raw_dets"].append(page)
+    return pa.Table.from_pydict(out, schema=PAGE_SCHEMA)
+
+
+def _pages_out(batch_cols: dict, dets_lists: List[List[dict]]) -> pa.Table:
+    cols = dict(batch_cols)
+    cols["dets"] = dets_lists
+    return pa.Table.from_pydict(cols, schema=PAGE_DETS_SCHEMA)
+
+
+def _batch_pages(batch: pa.Table):
+    cols = {name: batch.column(name).to_pylist() for name in batch.column_names}
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# model stages (actor pools)
+# ---------------------------------------------------------------------------
+
+class LayoutStage:
+    """Layout detector (M1/M2 analog).  Emits the page's block detections.
+    Backend loaded once per actor; pluggable (mock in sandbox)."""
+
+    def __init__(self, backend: str = "mock"):
+        if backend != "mock":
+            raise NotImplementedError(
+                "real layout backends (DocLayout-YOLO / LayoutLMv3) need GPU "
+                "weights not present in this sandbox")
+        self._detect = mock_layout
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = _batch_pages(batch)
+        dets = [self._detect(page) for page in cols["raw_dets"]]
+        return _pages_out(cols, dets)
+
+
+class MFDStage:
+    """Formula detector (M3 analog): appends inline/isolated detections with
+    empty LaTeX, AFTER the layout detections (stage order is part of the
+    span-pool order contract, SURVEY.md §2.4 G1)."""
+
+    def __init__(self, backend: str = "mock"):
+        self._detect = mock_mfd
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = _batch_pages(batch)
+        dets = []
+        for page, page_dets in zip(cols["raw_dets"], cols["dets"]):
+            dets.append(list(page_dets) + self._detect(page))
+        return _pages_out(cols, dets)
+
+
+class MFRStage:
+    """Formula recognizer (M4 analog).
+
+    Gathers every formula crop across the batch's pages into one inference
+    batch (the reference's cross-page batch-128 optimization,
+    pdf2markdown.py:176-190) and scatters the normalized LaTeX back by
+    explicit (page_index, det_index) key — the shuffle-safe replacement for
+    the reference's positional zip over aliased dicts (the #1 semantics trap
+    of distribution, SURVEY.md §2.4 G2)."""
+
+    def __init__(self, backend: str = "mock"):
+        self._recognize = mock_mfr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = _batch_pages(batch)
+        keys, payloads = [], []
+        for p_idx, (page, dets) in enumerate(zip(cols["raw_dets"], cols["dets"])):
+            for d_idx, det in enumerate(dets):
+                if det["kind"] in ("inline", "isolated"):
+                    keys.append((p_idx, d_idx))
+                    payloads.append((formula_crop_payload(page, det), det))
+        # one "batched inference" call over all crops
+        latexes = [latex_compact(self._recognize(payload, det))
+                   for payload, det in payloads]
+        for (p_idx, d_idx), latex in zip(keys, latexes):
+            cols["dets"][p_idx][d_idx] = dict(cols["dets"][p_idx][d_idx],
+                                              text=latex)
+        return _pages_out({k: cols[k] for k in
+                           ("doc_id", "page_no", "width", "height", "raw_dets")},
+                          cols["dets"])
+
+
+class OCRStage:
+    """OCR (M5 analog): per OCR-class region, build the padded crop frame,
+    adjust formula boxes into it, run det→merge→mask→rec, restore coordinates
+    to the page frame, append text detections in region order."""
+
+    def __init__(self, backend: str = "mock", drop_score: float = 0.5):
+        self._ocr = mock_ocr
+        self.drop_score = drop_score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = _batch_pages(batch)
+        out_dets = []
+        for page, dets in zip(cols["raw_dets"], cols["dets"]):
+            dets = list(dets)
+            formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
+            regions = [d for d in dets if d["kind"] in OCR_CLASSES]
+            for region in regions:
+                frame = make_ocr_region_frame(region)
+                adjusted = adjusted_formula_bboxes(formula_dets, frame)
+                for quad, (text, score) in self._ocr(page, frame, adjusted,
+                                                     drop_score=self.drop_score):
+                    bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
+                    dets.append({"kind": "text",
+                                 "x0": bbox[0], "y0": bbox[1],
+                                 "x1": bbox[2], "y1": bbox[3],
+                                 "score": score, "text": text, "media_ref": ""})
+            out_dets.append(dets)
+        return _pages_out(cols, out_dets)
+
+
+class TableStage:
+    """Table parser (M6 analog): parses table-region crops to HTML source on
+    an actor pool, with the reference's ``max_time`` straggler cap re-expressed
+    as a per-row cutoff (a payload flagged over-cap yields an empty result and
+    a counted metric instead of stalling the stage).  Output is a side column;
+    table text does not enter the golden span sequence (the reference's md
+    emitter skips tables)."""
+
+    def __init__(self, backend: str = "mock", max_elements: int = 10_000):
+        self._parse = mock_table
+        self.max_elements = max_elements
+        self.timeouts = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = _batch_pages(batch)
+        tables = []
+        for page, dets in zip(cols["raw_dets"], cols["dets"]):
+            page_tables = []
+            for det in dets:
+                if det["kind"] not in TABLE_CLASSES:
+                    continue
+                payload = formula_crop_payload(page, det)
+                over_cap = len(payload) > self.max_elements
+                if over_cap:
+                    self.timeouts += 1
+                page_tables.append(self._parse(payload, det,
+                                               max_time_exceeded=over_cap))
+            tables.append(page_tables)
+        out = _batch_pages(batch)
+        table = _pages_out(out, cols["dets"])
+        return table.append_column("table_sources",
+                                   pa.array(tables, type=pa.list_(pa.string())))
+
+
+# ---------------------------------------------------------------------------
+# assembly (stateless) + document reassembly (the one shuffle)
+# ---------------------------------------------------------------------------
+
+def assemble_page_spans(batch: pa.Table) -> pa.Table:
+    """Per-page ordered span records; projects out the page payload so the
+    doc_id shuffle moves only small rows."""
+    cols = _batch_pages(batch)
+    out = {"doc_id": [], "page_no": [], "block_idx": [],
+           "kind": [], "text": [], "media_ref": []}
+    for doc_id, page_no, dets in zip(cols["doc_id"], cols["page_no"], cols["dets"]):
+        for block_idx, span in enumerate(page_spans_from_dets(dets)):
+            out["doc_id"].append(doc_id)
+            out["page_no"].append(page_no)
+            out["block_idx"].append(block_idx)
+            out["kind"].append(span["kind"])
+            out["text"].append(span["text"])
+            out["media_ref"].append(span["media_ref"])
+    return pa.Table.from_pydict(out, schema=PAGE_SPANS_SCHEMA)
+
+
+def reassemble_document(group: pa.Table) -> pa.Table:
+    """groupby(doc_id) group -> one doc row: sort rows by the explicit
+    (page_no, block_idx) key and assign dense global offsets."""
+    group = group.sort_by([("page_no", "ascending"), ("block_idx", "ascending")])
+    doc_id = group.column("doc_id")[0].as_py()
+    spans = [{"kind": k, "text": t, "media_ref": m, "offset": i}
+             for i, (k, t, m) in enumerate(zip(
+                 group.column("kind").to_pylist(),
+                 group.column("text").to_pylist(),
+                 group.column("media_ref").to_pylist()))]
+    return pa.Table.from_pydict({"doc_id": [doc_id], "spans": [spans]},
+                                schema=DOC_SCHEMA)
