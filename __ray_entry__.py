@@ -1,44 +1,187 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on a deterministic
+interleaved corpus derived from sf0.001; ``queries()`` exposes every
+implemented operator/pipeline (SURVEY.md §2 + the training-data ops);
+``oracle_sql()`` gives the DuckDB twin for each SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
+# corpus sizes per scale factor for the extraction queries (deterministic,
+# cached on disk keyed by size+seed)
+_CORPUS_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 800}
+_CORPUS_SEED = 42
+
+
+def _corpus_path(sf_dir: str, with_golden: bool = False) -> str:
+    """Generate (once) and return the raw-corpus parquet dir for a test
+    scale.  Cached under /tmp keyed by (docs, seed)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    num_docs = _CORPUS_DOCS.get(name, 60)
+    tag = "g" if with_golden else "r"
+    out = f"/tmp/pek_corpus/{name}-{num_docs}-{_CORPUS_SEED}{tag}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        from pdf_extract_kit_ray.sources.corpus import write_corpus
+        write_corpus(out, num_docs, seed=_CORPUS_SEED, with_golden=with_golden)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(out, "raw")
+
+
+def _extract(sf_dir: str):
+    import ray
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_documents,
+                                                       read_corpus)
+    raw_path = _corpus_path(sf_dir)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_corpus(raw_path)
+    return extract_documents(ds, ExtractConfig.for_cpus(cpus))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline on the sf0.001-scale corpus."""
+    return _extract(SF0001)
+
+
+def _span_kind_counts(sf_dir: str):
+    """Flagship output rolled up: spans per (kind) across the corpus —
+    a stable, schema-fixed summary of the extraction result."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        kinds = []
+        for spans in batch.column("spans").to_pylist():
+            kinds.extend(s["kind"] for s in spans)
+        t = pa.table({"kind": pa.array(kinds, pa.string())})
+        g = t.group_by("kind").aggregate([([], "count_all")])
+        return g.rename_columns(["kind", "partial_n"])
+
+    return (_extract(sf_dir)
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("kind").aggregate(Sum("partial_n", alias_name="n_spans")))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_extract_kit_ray.pipelines import dedup, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship extraction (non-SQL; driver rows-only check) ---
+        "extract_flagship": _extract,
+        "extract_kind_counts": _span_kind_counts,
+        # --- relational operators (SQL twins below) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "orders_per_nation": relational.orders_per_nation,
+        "events_hourly": relational.events_hourly,
+        "top_users": relational.top_users,
+        # --- text analysis ---
+        "doc_stats": text.doc_stats,
+        "lang_profile": text.lang_profile,
+        "doc_fingerprints": text.doc_fingerprints,
+        # --- dedup ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
+        "simhash_dedup": dedup.simhash_dedup,      # non-SQL
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk,
+        "embedding_neardup": similarity.embedding_neardup,
+        "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fp_expr = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+    alpha_expr = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+    tokens_expr = ("CASE WHEN trim(text) = '' THEN 0 "
+                   "ELSE length(string_split_regex(trim(text), '\\s+')) END")
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity*100.0) AS BIGINT))/100.0 AS sum_qty,
+                   sum(CAST(floor(l_extendedprice*100.0) AS BIGINT))/100.0 AS sum_base_price,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0) AS BIGINT))/100.0 AS sum_disc_price,
+                   (sum(CAST(floor(l_quantity*100.0) AS BIGINT))/100.0)
+                       / CAST(count(*) AS DOUBLE) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_per_nation": """
+            SELECT n_name AS nation, count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice*100.0) AS BIGINT))/100.0 AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value*100.0) AS BIGINT))/100.0 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_users": """
+            SELECT user_id,
+                   sum(CAST(floor(value*100.0) AS BIGINT))/100.0 AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC LIMIT 20
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   {tokens_expr} AS n_tokens,
+                   {alpha_expr} AS n_alpha,
+                   round((CASE WHEN length(text) > 0
+                               THEN CAST({alpha_expr} AS DOUBLE)/CAST(length(text) AS DOUBLE)
+                               ELSE 0.0 END) * 0.6
+                         + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
+                         6) AS quality
+            FROM documents
+        """,
+        "lang_profile": """
+            SELECT source,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        ELSE 'en' END AS lang_guess,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "doc_fingerprints": f"SELECT doc_id, {fp_expr} AS fp FROM documents",
+        "exact_dedup": f"""
+            SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8)
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS score
+            FROM q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                         e.vec_id ASC) <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 1000 AND b.vec_id < 1000
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2
+        """,
+    }

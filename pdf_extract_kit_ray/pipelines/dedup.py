@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB shapes):
+
+* **exact** — fingerprint inside ``map_batches`` (no text leaves the read
+  stage), then ONE hash shuffle on the fingerprint with ``groupby`` keeping
+  the minimum doc_id per group.  O(total bytes) map + small shuffle rows.
+* **MinHash+LSH** — signature per doc (vectorized numpy, deterministic crc32
+  shingle hashing — never Python ``hash()``, which is per-process salted),
+  exploded to (band, band_hash, doc_id) rows, ONE shuffle grouping band
+  buckets, candidate pairs emitted per bucket against the bucket's minimum
+  doc_id (linear in bucket size, not quadratic), then a verification join
+  that re-reads only candidate docs (hash-partitioned on doc_id at scale; the
+  candidate set is orders of magnitude smaller than the corpus).
+* **SimHash** — 64-bit signature, split into 4×16-bit bands for Hamming≤3
+  candidate generation (pigeonhole: any pair within distance 3 shares an
+  exact band), same bucket-groupby shape.
+
+Every signature function is deterministic across workers and runs.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Set, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from .text import fingerprint_batch
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def word_shingles(text: str, k: int = 3) -> Set[str]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.array([0], dtype=np.uint64)
+    return np.fromiter((zlib.crc32(s.encode("utf-8")) for s in sh),
+                       dtype=np.uint64, count=len(sh))
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
+                      k: int = 3) -> np.ndarray:
+    """num_perm 32-bit minhash values via universal hashing over crc32
+    shingle hashes (outer product vectorized)."""
+    h = _shingle_hashes(text, k)
+    # (num_perm, n_shingles) universal hashes, min over shingles
+    vals = (np.outer(a, h) + b[:, None]) % _MERSENNE & _MAX_HASH
+    return vals.min(axis=1).astype(np.uint32)
+
+
+def simhash64(text: str, k: int = 2) -> int:
+    """64-bit SimHash over word k-shingles (crc32 seeds spread to 64 bits by
+    a splitmix-style mix, vectorized over all shingles; uint64 wraparound is
+    the intended hashing arithmetic)."""
+    sh = word_shingles(text, k)
+    if not sh:
+        return 0
+    x = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in sh),
+                    dtype=np.uint64, count=len(sh))
+    x = x * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    bits = (x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = np.where(bits == 1, 1, -1).sum(axis=0)
+    sig = 0
+    for i in range(64):
+        if votes[i] > 0:
+            sig |= 1 << i
+    return sig
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = word_shingles(text_a, k), word_shingles(text_b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Group by content fingerprint; keep the minimum doc_id per group.
+    Returns (fp, keep_id, n) — the canonical doc and duplicate count per
+    distinct content."""
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({"fp": fingerprint_batch(batch),
+                         "doc_id": batch.column("doc_id")})
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (ds.map_batches(fp, batch_format="pyarrow")
+              .groupby("fp")
+              .aggregate(Min("doc_id", alias_name="keep_id"),
+                         Count(alias_name="n")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+def _candidate_pairs_ds(ds: "ray.data.Dataset", text_col: str,
+                        id_col: str, num_perm: int, bands: int,
+                        shingle_k: int) -> "ray.data.Dataset":
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out = {"band_id": [], "band_hash": [], id_col: []}
+        for doc_id, text in zip(ids, texts):
+            sig = minhash_signature(text, a, b, shingle_k)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                out["band_id"].append(band)
+                out["band_hash"].append(zlib.crc32(chunk.tobytes()))
+                out[id_col].append(doc_id)
+        return pa.table({"band_id": pa.array(out["band_id"], pa.int32()),
+                         "band_hash": pa.array(out["band_hash"], pa.int64()),
+                         id_col: pa.array(out[id_col])})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column(id_col).to_pylist())
+        if len(ids) < 2:
+            return pa.table({"keep_id": pa.array([], pa.int64()),
+                             "dup_id": pa.array([], pa.int64())})
+        rep = ids[0]
+        return pa.table({"keep_id": pa.array([rep] * (len(ids) - 1), pa.int64()),
+                         "dup_id": pa.array(ids[1:], pa.int64())})
+
+    return (ds.map_batches(signatures, batch_format="pyarrow")
+              .groupby(["band_id", "band_hash"])
+              .map_groups(bucket_pairs, batch_format="pyarrow"))
+
+
+def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                  shingle_k: int = 3, threshold: float = 0.5,
+                  table: str = "documents") -> "ray.data.Dataset":
+    """Near-duplicate pairs (keep_id < dup_id) whose verified word-shingle
+    Jaccard similarity is >= threshold.
+
+    Verification strategy: the LSH candidate set is tiny relative to the
+    corpus, so candidates are collected (they are (id,id) pairs, bytes each)
+    and the involved documents' shingle sets are re-read with a pushed-down
+    ``doc_id IN candidates`` filter — never the full corpus.  At cluster
+    scale the same shape is a hash-partitioned semi-join on doc_id.
+    """
+    path = f"{sf_dir}/{table}.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    cand = _candidate_pairs_ds(ds, "text", "doc_id", num_perm, bands, shingle_k)
+    pairs = {(r["keep_id"], r["dup_id"]) for r in cand.take_all()}
+    if not pairs:
+        return ray.data.from_arrow(pa.table({
+            "keep_id": pa.array([], pa.int64()),
+            "dup_id": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    involved = sorted({i for p in pairs for i in p})
+    import pyarrow.dataset as pads
+    texts_tbl = pads.dataset(path).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(involved))
+    texts = dict(zip(texts_tbl.column("doc_id").to_pylist(),
+                     texts_tbl.column("text").to_pylist()))
+    verified = [(kid, did, round(jaccard(texts[kid], texts[did], shingle_k), 6))
+                for kid, did in sorted(pairs)]
+    verified = [v for v in verified if v[2] >= threshold]
+    return ray.data.from_arrow(pa.table({
+        "keep_id": pa.array([v[0] for v in verified], pa.int64()),
+        "dup_id": pa.array([v[1] for v in verified], pa.int64()),
+        "jaccard": pa.array([v[2] for v in verified], pa.float64())}))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+def simhash_dedup(sf_dir: str, max_hamming: int = 3,
+                  table: str = "documents") -> "ray.data.Dataset":
+    """Near-duplicate pairs by 64-bit SimHash Hamming distance <= max_hamming,
+    candidates via 4×16-bit band buckets (pigeonhole-complete for distance 3)."""
+    path = f"{sf_dir}/{table}.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            sig = simhash64(text)
+            for band in range(4):
+                out["band_id"].append(band)
+                out["band_hash"].append((sig >> (16 * band)) & 0xFFFF)
+                out["doc_id"].append(doc_id)
+                out["sig"].append(sig)
+        return pa.table({"band_id": pa.array(out["band_id"], pa.int32()),
+                         "band_hash": pa.array(out["band_hash"], pa.int32()),
+                         "doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "sig": pa.array(out["sig"], pa.uint64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group.column("doc_id").to_pylist(),
+                          group.column("sig").to_pylist()))
+        keep, dup, dist = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin(rows[i][1] ^ rows[j][1]).count("1")
+                if d <= max_hamming:
+                    keep.append(rows[i][0]); dup.append(rows[j][0]); dist.append(d)
+        return pa.table({"keep_id": pa.array(keep, pa.int64()),
+                         "dup_id": pa.array(dup, pa.int64()),
+                         "hamming": pa.array(dist, pa.int32())})
+
+    pairs = (ds.map_batches(signatures, batch_format="pyarrow")
+               .groupby(["band_id", "band_hash"])
+               .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # distinct pairs (a pair can surface from several bands)
+    return pairs.groupby(["keep_id", "dup_id"]).aggregate(
+        Min("hamming", alias_name="hamming"))

@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``ann_topk`` — brute-force cosine top-k: the query matrix is broadcast once
+  via ``ray.put`` (read inside every task, never re-shipped per batch), each
+  batch computes a vectorized (batch × queries) matmul and emits only its
+  PARTIAL top-k per query, and a final tiny ``groupby(query_id)`` reduces the
+  partials.  Shuffle volume is O(num_queries · k · num_blocks), independent
+  of corpus size.
+* ``embedding_neardup`` — pair scan over an id-bounded subset with the
+  normalized matrix broadcast; emits (a, b, cosine) for cosine > threshold.
+* ``ivf_topk`` — the scale path: k-means-style coarse quantizer (deterministic
+  seeded init, few Lloyd iterations on a sample), then probe only the nearest
+  ``nprobe`` partitions per query.  Exactness is traded for touching
+  nlist/nprobe-th of the data; falls back to exact ranking inside probed
+  cells.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _embedding_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _load_queries(sf_dir: str, num_queries: int) -> pa.Table:
+    import pyarrow.dataset as pads
+    return pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < num_queries)
+
+
+def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 8) -> "ray.data.Dataset":
+    """(query_id, neighbor_id, score): cosine top-k over the whole embedding
+    table for each of the first ``num_queries`` vectors (self included).
+    Deterministic tie-break: higher score first, then lower neighbor_id."""
+    qt = _load_queries(sf_dir, num_queries)
+    q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    q_mat = _normalize(np.asarray(
+        [list(v) for v in qt.column("embedding").to_pylist()], dtype=np.float64))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(q_ref)
+        x = _normalize(_embedding_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        sims = x @ qm.T                      # (batch, num_queries)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, len(vec_ids))
+        for qi in range(len(ids)):
+            s = sims[:, qi]
+            # partial top-k with (score desc, neighbor_id asc) tie-break
+            order = np.lexsort((vec_ids, -s))[:kk]
+            out_q.extend([ids[qi]] * len(order))
+            out_n.extend(vec_ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "raw_score": pa.array(out_s, pa.float64())})
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        n = np.asarray(group.column("neighbor_id").to_pylist(), dtype=np.int64)
+        s = np.asarray(group.column("raw_score").to_pylist(), dtype=np.float64)
+        order = np.lexsort((n, -s))[:k]
+        return pa.table({"query_id": pa.array([qid] * len(order), pa.int64()),
+                         "neighbor_id": pa.array(n[order], pa.int64()),
+                         "score": pa.array(np.round(s[order], 4), pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return (ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+              .groupby("query_id")
+              .map_groups(final_topk, batch_format="pyarrow"))
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.2,
+                      max_id: int = 1000) -> "ray.data.Dataset":
+    """Pairs (a < b) of vectors with cosine similarity > threshold within the
+    vec_id < max_id subset.  The subset matrix is broadcast once; each batch
+    scans its rows against the full subset and keeps only b > a pairs."""
+    sub = _load_queries(sf_dir, max_id)
+    all_ids = np.asarray(sub.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = _normalize(np.asarray(
+        [list(v) for v in sub.column("embedding").to_pylist()], dtype=np.float64))
+    ref = ray.put((all_ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m = ray.get(ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        keep = vec_ids < max_id
+        vec_ids = vec_ids[keep]
+        if len(vec_ids) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        x = _normalize(_embedding_matrix(batch))[keep]
+        sims = x @ m.T
+        rows, cols = np.nonzero(sims > threshold)
+        a = vec_ids[rows]; b = ids_all[cols]; s = sims[rows, cols]
+        mask = a < b
+        return pa.table({"a": pa.array(a[mask], pa.int64()),
+                         "b": pa.array(b[mask], pa.int64()),
+                         "score": pa.array(np.round(s[mask], 4), pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096)
+
+
+def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
+             nlist: int = 16, nprobe: int = 4,
+             sample_size: int = 2048, iters: int = 5) -> "ray.data.Dataset":
+    """IVF-style approximate top-k: coarse centroids from a seeded sample
+    (driver-side k-means on a few thousand vectors — small by construction),
+    then each batch ranks only rows whose nearest centroid is among the
+    query's ``nprobe`` probed cells."""
+    import pyarrow.dataset as pads
+    sample = pads.dataset(f"{sf_dir}/embeddings.parquet").head(sample_size)
+    smat = _normalize(np.asarray(
+        [list(v) for v in sample.column("embedding").to_pylist()],
+        dtype=np.float64))
+    rng = np.random.RandomState(0)
+    cent = smat[rng.choice(len(smat), size=min(nlist, len(smat)), replace=False)]
+    for _ in range(iters):
+        assign = (smat @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = smat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+
+    qt = _load_queries(sf_dir, num_queries)
+    q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    q_mat = _normalize(np.asarray(
+        [list(v) for v in qt.column("embedding").to_pylist()], dtype=np.float64))
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, cent, probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qm, c, pr = ray.get(ref)
+        x = _normalize(_embedding_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        cell = (x @ c.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids)):
+            mask = np.isin(cell, pr[qi])
+            if not mask.any():
+                continue
+            s = x[mask] @ qm[qi]
+            sub_ids = vec_ids[mask]
+            order = np.lexsort((sub_ids, -s))[:k]
+            out_q.extend([ids[qi]] * len(order))
+            out_n.extend(sub_ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "raw_score": pa.array(out_s, pa.float64())})
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        n = np.asarray(group.column("neighbor_id").to_pylist(), dtype=np.int64)
+        s = np.asarray(group.column("raw_score").to_pylist(), dtype=np.float64)
+        order = np.lexsort((n, -s))[:k]
+        return pa.table({"query_id": pa.array([qid] * len(order), pa.int64()),
+                         "neighbor_id": pa.array(n[order], pa.int64()),
+                         "score": pa.array(np.round(s[order], 4), pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+              .groupby("query_id")
+              .map_groups(final_topk, batch_format="pyarrow"))

@@ -1,0 +1,94 @@
+"""Text-analysis operators over a document table (training-data pipeline ops).
+
+All hot paths are vectorized Arrow (`pyarrow.compute` kernels) inside
+``map_batches``; reads prune to the needed columns.  Each operator has an
+exact DuckDB-SQL twin in ``__ray_entry__.oracle_sql`` — the expressions are
+written so both engines compute bit-identical doubles (same operation order,
+rounded to 6dp at the end).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_CJK_PATTERN = "[一-鿿]"
+
+
+def _read_docs(sf_dir: str, columns) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _token_count(text: pa.ChunkedArray) -> pa.Array:
+    """Python-str.split() semantics: runs of whitespace, no empty tokens.
+    SQL twin: CASE WHEN trim(text)='' THEN 0 ELSE
+    length(string_split_regex(trim(text), '\\s+')) END."""
+    trimmed = pc.utf8_trim_whitespace(text)
+    counts = pc.list_value_length(pc.utf8_split_whitespace(trimmed))
+    return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), counts)
+
+
+def doc_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc: n_chars, n_tokens, n_alpha, quality score."""
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.utf8_length(text)
+        n_tokens = _token_count(text)
+        n_alpha = pc.count_substring_regex(text, "[a-zA-Z]")
+        alpha_ratio = pc.if_else(
+            pc.greater(n_chars, 0),
+            pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(n_chars, pa.float64())),
+            pa.scalar(0.0))
+        tokens_norm = pc.divide(
+            pc.cast(pc.min_element_wise(n_tokens, 100), pa.float64()), 100.0)
+        quality = pc.round(
+            pc.add(pc.multiply(alpha_ratio, 0.6), pc.multiply(tokens_norm, 0.4)),
+            ndigits=6)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_alpha": pc.cast(n_alpha, pa.int64()),
+            "quality": quality,
+        })
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
+
+
+def lang_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Language-ID heuristic (CJK n-gram presence -> zh, else en) rolled up
+    per (source, lang_guess) with a partial combine inside map_batches so the
+    shuffle moves only (source, lang, count) partials."""
+    def partial(batch: pa.Table) -> pa.Table:
+        has_cjk = pc.greater(
+            pc.count_substring_regex(batch.column("text"), _CJK_PATTERN), 0)
+        lang = pc.if_else(has_cjk, "zh", "en")
+        t = pa.table({"source": batch.column("source"), "lang_guess": lang})
+        return t.group_by(["source", "lang_guess"]).aggregate([([], "count_all")]) \
+                .rename_columns(["source", "lang_guess", "partial_n"])
+    partials = _read_docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    return partials.groupby(["source", "lang_guess"]).aggregate(
+        Sum("partial_n", alias_name="n_docs"))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Array:
+    """md5 of whitespace-collapsed, lowercased text (the SQL-twinnable
+    document fingerprint; rolling-hash shingle fingerprints live in
+    dedup.py)."""
+    norm = pc.utf8_lower(
+        pc.replace_substring_regex(batch.column(text_col), r"\s+", " "))
+    return pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                     for s in norm.to_pylist()], pa.string())
+
+
+def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": fingerprint_batch(batch)})
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow")

@@ -1,0 +1,144 @@
+"""Per-partition checkpoint / lineage manifests and resumable output.
+
+North-rule requirement: the 10^12-doc job must be resumable from checkpoint
+with per-partition lineage + metrics.  Layout:
+
+    out_dir/
+      part=00017/data.parquet     # docs of partition 17, sorted by doc_id
+      part=00017/_MANIFEST.json   # lineage: counts, checksum, partition spec
+
+* ``partition_of(doc_id)`` is a deterministic content hash (crc32 % P) — the
+  same doc lands in the same partition in every run, on every worker.
+* A partition is COMPLETE iff its manifest exists; the data file is written
+  to a temp name and renamed before the manifest, so a crash mid-partition
+  leaves no manifest and the partition is redone idempotently.
+* The doc checksum combines per-doc crc32s with XOR — commutative, so the
+  partition checksum is independent of processing order.
+* Resume = filter the input against the completed-partition set (broadcast
+  once), re-run only incomplete partitions; output is byte-identical because
+  per-partition files are sorted by doc_id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import List, Set
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..schemas import DOC_SCHEMA
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+MANIFEST_SCHEMA = pa.schema([
+    ("partition_id", pa.int32()),
+    ("n_docs", pa.int64()),
+    ("n_spans", pa.int64()),
+    ("checksum", pa.int64()),
+    ("path", pa.string()),
+])
+
+
+def partition_of(doc_id: str, num_partitions: int) -> int:
+    return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
+
+
+def _doc_checksum(doc_id: str, spans: List[dict]) -> int:
+    h = zlib.crc32(doc_id.encode("utf-8"))
+    for s in spans:
+        h = zlib.crc32(
+            ("%s\x00%s\x00%s\x00%d" % (s["kind"], s["text"], s["media_ref"],
+                                       s["offset"])).encode("utf-8"), h)
+    return h
+
+
+def completed_partitions(out_dir: str) -> Set[int]:
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("part=") and \
+                os.path.exists(os.path.join(out_dir, name, MANIFEST_NAME)):
+            done.add(int(name.split("=")[1]))
+    return done
+
+
+def filter_completed(ds: "ray.data.Dataset", out_dir: str,
+                     num_partitions: int) -> "ray.data.Dataset":
+    """Drop docs whose output partition is already complete (the resume
+    anti-join; the completed set is broadcast in the task closure)."""
+    done = completed_partitions(out_dir)
+    if not done:
+        return ds
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = [partition_of(d, num_partitions) not in done
+                for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def write_partitioned(docs: "ray.data.Dataset", out_dir: str,
+                      num_partitions: int = 32) -> "ray.data.Dataset":
+    """Write extracted docs as resumable partitioned parquet; returns the
+    manifest Dataset (one small row per partition).
+
+    Implemented as groupby(partition_id).map_groups so each partition is
+    written exactly once by one task (atomic rename + manifest-last); the
+    manifest rows double as the lineage/metrics roll-up."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pids = pa.array([partition_of(d, num_partitions)
+                         for d in batch.column("doc_id").to_pylist()],
+                        pa.int32())
+        return batch.append_column("partition_id", pids)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        pid = group.column("partition_id")[0].as_py()
+        group = group.sort_by("doc_id").drop_columns(["partition_id"])
+        group = group.cast(DOC_SCHEMA)
+        part_dir = os.path.join(out_dir, "part=%05d" % pid)
+        os.makedirs(part_dir, exist_ok=True)
+        data_path = os.path.join(part_dir, "data.parquet")
+        tmp_path = data_path + ".tmp"
+        pq.write_table(group, tmp_path)
+        os.replace(tmp_path, data_path)
+        checksum = 0
+        n_spans = 0
+        for row in group.to_pylist():
+            checksum ^= _doc_checksum(row["doc_id"], row["spans"])
+            n_spans += len(row["spans"])
+        manifest = {"partition_id": pid, "n_docs": len(group),
+                    "n_spans": n_spans, "checksum": checksum,
+                    "path": data_path}
+        with open(os.path.join(part_dir, MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f)
+        return pa.Table.from_pylist([manifest], schema=MANIFEST_SCHEMA)
+
+    return (docs.map_batches(tag, batch_format="pyarrow")
+                .groupby("partition_id")
+                .map_groups(write_group, batch_format="pyarrow"))
+
+
+def rollup_metrics(manifests: "ray.data.Dataset") -> dict:
+    """Tiny global lineage roll-up from the per-partition manifest rows."""
+    rows = manifests.take_all()
+    return {
+        "n_partitions": len(rows),
+        "n_docs": sum(r["n_docs"] for r in rows),
+        "n_spans": sum(r["n_spans"] for r in rows),
+        "checksum": _xor_all(r["checksum"] for r in rows),
+    }
+
+
+def _xor_all(values) -> int:
+    acc = 0
+    for v in values:
+        acc ^= v
+    return acc

@@ -1,0 +1,71 @@
+"""Driver-contract mirror: every queries() entry with an oracle_sql() twin
+must match DuckDB exactly (row count, schema names, values) at sf0.001 —
+the same comparison the driver runs at sf0.01."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(ray_session, name):
+    ray_result = _canon(_to_pandas(entrymod.queries()[name](SF)))
+    oracle = _canon(_duck(entrymod.oracle_sql()[name]))
+    assert list(ray_result.columns) == list(oracle.columns), \
+        f"{name}: columns {list(ray_result.columns)} != {list(oracle.columns)}"
+    assert len(ray_result) == len(oracle), \
+        f"{name}: {len(ray_result)} rows != {len(oracle)}"
+    for col in oracle.columns:
+        a, b = ray_result[col], oracle[col]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float),
+                               rtol=0, atol=1e-12, equal_nan=True), f"{name}.{col}"
+        else:
+            mismatch = (a.astype(str).values != b.astype(str).values)
+            assert not mismatch.any(), \
+                f"{name}.{col}: first diff {a[mismatch].head(3).tolist()} vs {b[mismatch].head(3).tolist()}"
+
+
+def test_non_sql_queries_run(ray_session):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in sorted(set(qs) - set(oracles)):
+        if name.startswith("extract"):
+            continue  # covered by test_entry_smoke / e2e suite
+        df = _to_pandas(qs[name](SF))
+        assert df is not None and len(df.columns) > 0, name
+
+
+def test_entry_smoke(ray_session):
+    res = _to_pandas(entrymod.entry())
+    assert len(res) >= 0 and list(res.columns) == ["doc_id", "spans"]
