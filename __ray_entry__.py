@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    fp_expr = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+    fp_expr = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
     alpha_expr = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
     tokens_expr = ("CASE WHEN trim(text) = '' THEN 0 "
                    "ELSE length(string_split_regex(trim(text), '\\s+')) END")

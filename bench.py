@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Default mode times every headline pipeline over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in one Ray session with
+``num_cpus=int($RAY_GRAFT_CPUS or 32)``.
+
+``--scaling`` runs the flagship extraction twice in FRESH subprocesses at two
+parallelism levels (8 and 32 CPUs by default) on the same input and reports
+throughput at both plus scaling efficiency = T(4N) / (4 * T(N)) — the
+sandbox stand-in for the N-node vs 4N-node cluster criterion (BASELINE.md).
+
+This script OWNS its Ray session (init+shutdown); the library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "extract_flagship",
+    "q1_pricing_summary",
+    "orders_per_nation",
+    "events_hourly",
+    "top_users",
+    "doc_stats",
+    "lang_profile",
+    "doc_fingerprints",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ann_topk",
+    "embedding_neardup",
+    "ivf_topk",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def _extract_stats(sf_dir: str):
+    """(n_docs, n_pages) of the bench corpus, for throughput reporting."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+    import __ray_entry__ as em
+    raw = em._corpus_path(sf_dir)
+    t = pads.dataset(raw).to_table(columns=["spans"])
+    pages = 0
+    for spans in t.column("spans").to_pylist():
+        pages += sum(1 for s in spans if s["offset"] == 0)
+    return t.num_rows, pages
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    import __ray_entry__ as em
+    em._corpus_path(sf_dir)          # generate the corpus outside the timings
+    n_docs, n_pages = _extract_stats(sf_dir)
+    queries = em.queries()
+    timings, extras = {}, {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        rows = _consume(queries[name](sf_dir))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        if name == "extract_flagship":
+            extras["extract_docs_per_sec"] = round(n_docs / dt, 2)
+            extras["extract_pages_per_sec"] = round(n_pages / dt, 2)
+            extras["extract_rows"] = rows
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline pipeline wall time (extraction + training-data ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def run_inner_extract(sf_dir: str, num_cpus: int) -> dict:
+    """One fresh-process extraction run; used by --scaling."""
+    ray = _init_ray(num_cpus)
+    import __ray_entry__ as em
+    em._corpus_path(sf_dir)
+    n_docs, n_pages = _extract_stats(sf_dir)
+    t0 = time.time()
+    rows = _consume(em.queries()["extract_flagship"](sf_dir))
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"elapsed": round(dt, 3), "docs": n_docs, "pages": n_pages,
+            "rows": rows, "num_cpus": num_cpus,
+            "docs_per_sec": round(n_docs / dt, 2),
+            "pages_per_sec": round(n_pages / dt, 2)}
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    results = {}
+    for cpus in (low, high):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner",
+             "--sf-dir", sf_dir, "--num-cpus", str(cpus)],
+            capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_low, t_high = results[low]["elapsed"], results[high]["elapsed"]
+    factor = high / low
+    efficiency = round(t_low / (factor * t_high), 3)
+    report = {
+        "metric": "extraction scaling efficiency (fresh processes, "
+                  f"num_cpus={low} vs {high})",
+        "value": efficiency,
+        "unit": "efficiency",
+        "queries": {f"extract@{low}cpus": t_low, f"extract@{high}cpus": t_high},
+        "sf": sf_dir,
+        "num_cpus": high,
+        "throughput_low_pps": results[low]["pages_per_sec"],
+        "throughput_high_pps": results[high]["pages_per_sec"],
+        "target": 0.8,
+    }
+    _record_scaling(report)
+    return report
+
+
+def _record_scaling(report: dict) -> None:
+    """Append/refresh the measured-results section of BASELINE.md."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    marker = "\n## Measured scaling results (written by bench.py --scaling)\n"
+    try:
+        text = open(path).read()
+    except FileNotFoundError:
+        text = ""
+    if marker in text:
+        text = text.split(marker)[0]
+    lo, hi = [k for k in report["queries"]]
+    text += marker + (
+        f"\n- input: flagship extraction corpus at `{report['sf']}` scale\n"
+        f"- `{lo}`: {report['queries'][lo]} s "
+        f"({report['throughput_low_pps']} pages/s)\n"
+        f"- `{hi}`: {report['queries'][hi]} s "
+        f"({report['throughput_high_pps']} pages/s)\n"
+        f"- **scaling efficiency = {report['value']}** "
+        f"(target >= {report['target']})\n")
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-low", type=int, default=8)
+    ap.add_argument("--scaling-high", type=int, default=32)
+    ap.add_argument("--inner", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    if args.inner:
+        print(json.dumps(run_inner_extract(args.sf_dir, args.num_cpus)))
+    elif args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir, args.scaling_low,
+                                     args.scaling_high)))
+    else:
+        print(json.dumps(run_bench(args.sf_dir, args.num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,8 +80,8 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Array:
     """md5 of whitespace-collapsed, lowercased text (the SQL-twinnable
     document fingerprint; rolling-hash shingle fingerprints live in
     dedup.py)."""
-    norm = pc.utf8_lower(
-        pc.replace_substring_regex(batch.column(text_col), r"\s+", " "))
+    norm = pc.utf8_lower(pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(batch.column(text_col), r"\s+", " ")))
     return pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
                      for s in norm.to_pylist()], pa.string())
 

@@ -1,0 +1,123 @@
+"""Correctness of dedup and similarity operators on corpora with PLANTED
+structure (the testdata documents are near-dup-free, so queries() on them is
+exercised separately by the oracle tests)."""
+
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from pdf_extract_kit_ray.pipelines import dedup, similarity
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _make_docs_table(tmpdir: str, with_dups: bool = True) -> str:
+    rng = random.Random(5)
+    rows = []
+    for i in range(80):
+        text = " ".join(rng.choice(WORDS) for _ in range(60))
+        rows.append({"doc_id": i, "text": text})
+    if with_dups:
+        # exact dup
+        rows.append({"doc_id": 100, "text": rows[0]["text"]})
+        # near dup: change 3 of 60 words
+        toks = rows[1]["text"].split()
+        for j in (5, 20, 40):
+            toks[j] = "CHANGED%d" % j
+        rows.append({"doc_id": 101, "text": " ".join(toks)})
+        # whitespace-variant dup (same fingerprint after normalization)
+        rows.append({"doc_id": 102, "text": "  " + rows[2]["text"].replace(" ", "  ")})
+    os.makedirs(tmpdir, exist_ok=True)
+    path = os.path.join(tmpdir, "documents.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+    return tmpdir
+
+
+def test_exact_dedup_finds_planted(ray_session, tmp_path):
+    sf_dir = _make_docs_table(str(tmp_path))
+    res = dedup.exact_dedup(sf_dir).to_pandas()
+    dups = res[res["n"] > 1]
+    # doc 100 == doc 0 exactly; doc 102 == doc 2 modulo whitespace
+    assert set(dups["keep_id"]) == {0, 2}
+    assert (dups["n"] == 2).all()
+
+
+def test_minhash_dedup_finds_near_dup(ray_session, tmp_path):
+    sf_dir = _make_docs_table(str(tmp_path))
+    res = dedup.minhash_dedup(sf_dir, threshold=0.5).to_pandas()
+    pairs = set(zip(res["keep_id"], res["dup_id"]))
+    assert (1, 101) in pairs          # planted near dup
+    assert (0, 100) in pairs          # exact dup is trivially near
+    # verified jaccard is real (not just bucket collision)
+    assert (res["jaccard"] >= 0.5).all()
+
+
+def test_minhash_no_false_pairs_without_dups(ray_session, tmp_path):
+    sf_dir = _make_docs_table(str(tmp_path / "nodup"), with_dups=False)
+    res = dedup.minhash_dedup(sf_dir, threshold=0.5).to_pandas()
+    assert len(res) == 0
+
+
+def test_simhash_dedup_finds_near_dup(ray_session, tmp_path):
+    sf_dir = _make_docs_table(str(tmp_path))
+    res = dedup.simhash_dedup(sf_dir, max_hamming=3).to_pandas()
+    pairs = set(zip(res["keep_id"], res["dup_id"]))
+    assert (0, 100) in pairs          # identical text -> hamming 0
+    zero = res[(res["keep_id"] == 0) & (res["dup_id"] == 100)]
+    assert (zero["hamming"] == 0).all()
+
+
+def test_jaccard_function():
+    assert dedup.jaccard("a b c d", "a b c d") == 1.0
+    assert dedup.jaccard("a b c d", "x y z w") == 0.0
+    assert dedup.jaccard("", "") == 1.0
+
+
+def _make_embeddings(tmpdir: str, n: int = 200, dim: int = 16) -> str:
+    rng = np.random.RandomState(9)
+    mat = rng.randn(n, dim).astype(np.float32)
+    mat[50] = mat[3] + 0.01 * rng.randn(dim).astype(np.float32)  # planted neighbor
+    os.makedirs(tmpdir, exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }), os.path.join(tmpdir, "embeddings.parquet"))
+    return tmpdir
+
+
+def test_ann_topk_exact_vs_numpy(ray_session, tmp_path):
+    sf_dir = _make_embeddings(str(tmp_path))
+    res = similarity.ann_topk(sf_dir, k=5, num_queries=4).to_pandas()
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.asarray([list(v) for v in t.column("embedding").to_pylist()],
+                     dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in range(4):
+        sims = mat @ mat[qid]
+        expect = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = res[res["query_id"] == qid].sort_values(
+            ["score", "neighbor_id"], ascending=[False, True])
+        assert got["neighbor_id"].tolist() == expect.tolist()
+
+
+def test_ann_finds_planted_neighbor(ray_session, tmp_path):
+    sf_dir = _make_embeddings(str(tmp_path))
+    res = similarity.ann_topk(sf_dir, k=2, num_queries=4).to_pandas()
+    q3 = res[res["query_id"] == 3].sort_values("score", ascending=False)
+    assert q3["neighbor_id"].tolist()[:2] == [3, 50]
+
+
+def test_ivf_recall_on_planted(ray_session, tmp_path):
+    sf_dir = _make_embeddings(str(tmp_path))
+    res = similarity.ivf_topk(sf_dir, k=2, num_queries=4, nlist=8,
+                              nprobe=4).to_pandas()
+    q3 = res[res["query_id"] == 3].sort_values("score", ascending=False)
+    # a near-identical vector lands in the same/adjacent cell -> recalled
+    assert 50 in q3["neighbor_id"].tolist()
