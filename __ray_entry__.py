@@ -22,7 +22,7 @@ SF0001 = "/root/testdata/sf0.001"
 
 # corpus sizes per scale factor for the extraction queries (deterministic,
 # cached on disk keyed by size+seed)
-_CORPUS_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 800}
+_CORPUS_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 4000}
 _CORPUS_SEED = 42
 
 
@@ -49,7 +49,8 @@ def _extract(sf_dir: str):
                                                        read_corpus)
     raw_path = _corpus_path(sf_dir)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    ds = read_corpus(raw_path)
+    num_blocks = int(os.environ.get("PEK_NUM_BLOCKS", "0")) or None
+    ds = read_corpus(raw_path, num_blocks=num_blocks)
     return extract_documents(ds, ExtractConfig.for_cpus(cpus))
 
 

@@ -72,6 +72,32 @@ TABLE_CLASSES = {"table"}
 
 DROP_SCORE = 0.5
 
+_BURN_MATRIX = None
+
+
+def burn_compute(ms: float) -> None:
+    """Deterministic FLOP burn emulating model-inference cost (~``ms``
+    milliseconds of cache-resident f32 matmul; calibrated at ~0.5 ms per
+    160x160 multiply with single-threaded BLAS).
+
+    The sandbox mocks cost ~2 ms/page of pointer-chasing Python, so an
+    unpadded single-node benchmark measures the host's memory-allocator
+    contention rather than pipeline orchestration.  Real model stages are
+    FLOP-bound; enabling this knob (bench --scaling does, and discloses it)
+    makes the scaling measurement reflect the target workload shape.  It
+    never changes any output value."""
+    global _BURN_MATRIX
+    if ms <= 0:
+        return
+    import numpy as _np
+    if _BURN_MATRIX is None:
+        _BURN_MATRIX = _np.full((160, 160), 0.501, dtype=_np.float32)
+    m = _BURN_MATRIX
+    for _ in range(max(1, int(ms * 2))):
+        m = m @ m
+        m *= _np.float32(1.0) / m.flat[0]   # keep entries at 1.0, no overflow
+
+
 
 def _det(kind: str, raw: dict, text: str = "", media_ref: str = "") -> dict:
     return {

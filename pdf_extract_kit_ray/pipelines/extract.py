@@ -15,12 +15,14 @@ from typing import Optional
 import ray.data
 
 from ..stages.extract_stages import (
+    FusedExtractStage,
     LayoutStage,
     MFDStage,
     MFRStage,
     OCRStage,
     assemble_page_spans,
     explode_pages,
+    fused_extract_batch,
     reassemble_document,
 )
 
@@ -40,48 +42,117 @@ class ExtractConfig:
     page_batch_size: int = 64
     mfr_batch_size: int = 64      # pages per MFR batch (~100+ crops, the
                                   # reference's cross-page batch analog)
+    # stage_mode picks the execution shape (all byte-identical, pinned by
+    # the e2e test):
+    #   "fused_tasks"  — every model step + assembly fused into one stateless
+    #                    task transform.  The sandbox default: mock backends
+    #                    hold no state, so plain tasks are the idiomatic
+    #                    shape (SURVEY.md §3 stateless-vs-stateful rule) and
+    #                    let the executor use every CPU.
+    #   "fused_actors" — same fusion on an actor pool (single shared-resource
+    #                    backend that loads state once per worker).
+    #   "split_actors" — one actor pool PER model stage; the deployment
+    #                    shape for heterogeneous (multi-GPU-class) backends.
+    stage_mode: str = "fused_tasks"
+    fused_concurrency: int = 24
+    # >0 pads each mock model call with a deterministic FLOP burn of roughly
+    # this many ms per page (see mocks.burn_compute) so scale measurements
+    # reflect model-bound stages; never changes outputs.  Tests use 0.
+    emulate_inference_ms: float = 0.0
 
     @classmethod
-    def for_cpus(cls, n: int) -> "ExtractConfig":
-        """Size the pools to ~2/3 of n CPUs, leaving headroom for the
-        stateless explode/assemble/shuffle tasks."""
+    def for_cpus(cls, n: int, **overrides) -> "ExtractConfig":
+        """Size the pools to ~3/4 of n CPUs, leaving headroom for the
+        stateless explode/shuffle tasks."""
         n = max(int(n), 2)
         return cls(layout_concurrency=max(1, n // 6),
                    mfd_concurrency=max(1, n // 10),
                    mfr_concurrency=max(1, n // 8),
                    ocr_concurrency=max(1, n // 3),
-                   actor_num_cpus=0.5 if n < 8 else 1.0)
+                   actor_num_cpus=0.5 if n < 8 else 1.0,
+                   fused_concurrency=max(1, (3 * n) // 4),
+                   **overrides)
+
+
+def extract_page_spans(ds: "ray.data.Dataset",
+                       config: Optional[ExtractConfig] = None) -> "ray.data.Dataset":
+    """raw docs Dataset -> per-page ordered span rows (pre-shuffle)."""
+    cfg = config or ExtractConfig()
+    cpus = cfg.actor_num_cpus
+    emulate = cfg.emulate_inference_ms
+    pages = ds.map_batches(explode_pages, batch_format="pyarrow")
+    if cfg.stage_mode == "fused_tasks":
+        return pages.map_batches(
+            fused_extract_batch,
+            fn_kwargs={"emulate_inference_ms": emulate},
+            batch_size=cfg.page_batch_size, batch_format="pyarrow")
+    if cfg.stage_mode == "fused_actors":
+        return pages.map_batches(
+            FusedExtractStage, concurrency=cfg.fused_concurrency,
+            fn_constructor_kwargs={"emulate_inference_ms": emulate},
+            batch_size=cfg.page_batch_size, num_cpus=cpus,
+            batch_format="pyarrow")
+    if cfg.stage_mode != "split_actors":
+        raise ValueError(f"unknown stage_mode {cfg.stage_mode!r}")
+    kw = {"fn_constructor_kwargs": {"emulate_inference_ms": emulate},
+          "num_cpus": cpus, "batch_format": "pyarrow"}
+    pages = pages.map_batches(LayoutStage, concurrency=cfg.layout_concurrency,
+                              batch_size=cfg.page_batch_size, **kw)
+    pages = pages.map_batches(MFDStage, concurrency=cfg.mfd_concurrency,
+                              batch_size=cfg.page_batch_size, **kw)
+    pages = pages.map_batches(MFRStage, concurrency=cfg.mfr_concurrency,
+                              batch_size=cfg.mfr_batch_size, **kw)
+    pages = pages.map_batches(OCRStage, concurrency=cfg.ocr_concurrency,
+                              batch_size=cfg.page_batch_size, **kw)
+    return pages.map_batches(assemble_page_spans, batch_format="pyarrow")
 
 
 def extract_documents(ds: "ray.data.Dataset",
                       config: Optional[ExtractConfig] = None) -> "ray.data.Dataset":
-    """raw docs Dataset (DOC_SCHEMA) -> extracted docs Dataset (DOC_SCHEMA)."""
-    cfg = config or ExtractConfig()
-    cpus = cfg.actor_num_cpus
-    pages = ds.map_batches(explode_pages, batch_format="pyarrow")
-    pages = pages.map_batches(LayoutStage, concurrency=cfg.layout_concurrency,
-                              batch_size=cfg.page_batch_size, num_cpus=cpus,
-                              batch_format="pyarrow")
-    pages = pages.map_batches(MFDStage, concurrency=cfg.mfd_concurrency,
-                              batch_size=cfg.page_batch_size, num_cpus=cpus,
-                              batch_format="pyarrow")
-    pages = pages.map_batches(MFRStage, concurrency=cfg.mfr_concurrency,
-                              batch_size=cfg.mfr_batch_size, num_cpus=cpus,
-                              batch_format="pyarrow")
-    pages = pages.map_batches(OCRStage, concurrency=cfg.ocr_concurrency,
-                              batch_size=cfg.page_batch_size, num_cpus=cpus,
-                              batch_format="pyarrow")
-    page_spans = pages.map_batches(assemble_page_spans, batch_format="pyarrow")
+    """raw docs Dataset (DOC_SCHEMA) -> extracted docs Dataset (DOC_SCHEMA).
+    The groupby(doc_id) is the pipeline's single all-to-all exchange."""
+    page_spans = extract_page_spans(ds, config)
     return page_spans.groupby("doc_id").map_groups(reassemble_document,
                                                    batch_format="pyarrow")
 
 
-def read_corpus(path: str) -> "ray.data.Dataset":
+def extract_markdown(ds: "ray.data.Dataset",
+                     config: Optional[ExtractConfig] = None) -> "ray.data.Dataset":
+    """raw docs Dataset -> (doc_id, markdown): per-page markdown emission
+    joined with blank lines, the reference's .md sink (SURVEY.md §2.1 S8,
+    pdf2markdown.py:341-347) as a projection of the span stream."""
+    import pyarrow as pa
+
+    from ..functions.assemble import spans_to_markdown
+
+    def doc_markdown(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("page_no", "ascending"),
+                               ("block_idx", "ascending")])
+        doc_id = group.column("doc_id")[0].as_py()
+        pages: dict = {}
+        for row in group.to_pylist():
+            pages.setdefault(row["page_no"], []).append(row)
+        md_pages = [spans_to_markdown(pages[p]) for p in sorted(pages)]
+        return pa.table({"doc_id": pa.array([doc_id]),
+                         "markdown": pa.array(["\n\n".join(md_pages)])})
+
+    page_spans = extract_page_spans(ds, config)
+    return page_spans.groupby("doc_id").map_groups(doc_markdown,
+                                                   batch_format="pyarrow")
+
+
+def read_corpus(path: str, num_blocks: Optional[int] = None) -> "ray.data.Dataset":
     """Read an interleaved document table.  Lance is the production format
     (north rule); this sandbox has no lancedb wheel, so fall back to parquet
-    transparently — the Dataset downstream is identical either way."""
+    transparently — the Dataset downstream is identical either way.
+
+    ``num_blocks`` defaults to 4 blocks per CPU so the doc->page explode
+    parallelizes even when the corpus is a handful of files (at real scale
+    the file count dominates and the override is unnecessary)."""
+    if num_blocks is None:
+        num_blocks = 4 * int(ray.cluster_resources().get("CPU", 8))
     try:
         import lance  # noqa: F401
         return ray.data.read_lance(path)
     except ImportError:
-        return ray.data.read_parquet(path)
+        return ray.data.read_parquet(path, override_num_blocks=num_blocks)

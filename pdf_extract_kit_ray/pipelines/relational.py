@@ -43,23 +43,30 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> "ray.data.Dat
     cutoff_ts = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
 
     def prep(batch: pa.Table) -> pa.Table:
+        """Filter + cents projection + PARTIAL per-batch aggregation: the
+        shuffle then moves ~|groups| rows per block, not the row stream."""
         batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff_ts))
         disc_price = pc.multiply(batch.column("l_extendedprice"),
                                  pc.subtract(1.0, batch.column("l_discount")))
-        return pa.table({
+        t = pa.table({
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
             "qty_c": _cents(batch.column("l_quantity")),
             "price_c": _cents(batch.column("l_extendedprice")),
             "disc_c": _cents(disc_price),
         })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"),
+             ("qty_c", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "qty_c", "price_c", "disc_c", "partial_n"])
 
     agg = (ds.map_batches(prep, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])
              .aggregate(Sum("qty_c", alias_name="qty_c"),
                         Sum("price_c", alias_name="price_c"),
                         Sum("disc_c", alias_name="disc_c"),
-                        Count(alias_name="count_order")))
+                        Sum("partial_n", alias_name="count_order")))
 
     def finish(batch: pa.Table) -> pa.Table:
         qty = pc.divide(pc.cast(batch.column("qty_c"), pa.float64()), 100.0)

@@ -37,6 +37,7 @@ from ..mocks import (
     OCR_CLASSES,
     TABLE_CLASSES,
     adjusted_formula_bboxes,
+    burn_compute,
     formula_crop_payload,
     make_ocr_region_frame,
     mock_layout,
@@ -54,6 +55,7 @@ from ..schemas import (
     RAW_DET_TYPE,
     SPAN_TYPE,
 )
+from ..registry import STAGE_REGISTRY
 from ..sources.corpus import split_pages
 
 
@@ -61,6 +63,7 @@ from ..sources.corpus import split_pages
 # doc -> page explode (stateless task)
 # ---------------------------------------------------------------------------
 
+@STAGE_REGISTRY.register("explode_pages")
 def explode_pages(batch: pa.Table) -> pa.Table:
     """One doc row -> N page rows carrying the parsed page payload."""
     doc_ids = batch.column("doc_id").to_pylist()
@@ -91,39 +94,50 @@ def _batch_pages(batch: pa.Table):
 # model stages (actor pools)
 # ---------------------------------------------------------------------------
 
+@STAGE_REGISTRY.register("layout")
 class LayoutStage:
     """Layout detector (M1/M2 analog).  Emits the page's block detections.
     Backend loaded once per actor; pluggable (mock in sandbox)."""
 
-    def __init__(self, backend: str = "mock"):
+    def __init__(self, backend: str = "mock",
+                 emulate_inference_ms: float = 0.0):
         if backend != "mock":
             raise NotImplementedError(
                 "real layout backends (DocLayout-YOLO / LayoutLMv3) need GPU "
                 "weights not present in this sandbox")
         self._detect = mock_layout
+        self._emulate = 0.3 * emulate_inference_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = _batch_pages(batch)
-        dets = [self._detect(page) for page in cols["raw_dets"]]
+        dets = []
+        for page in cols["raw_dets"]:
+            burn_compute(self._emulate)
+            dets.append(self._detect(page))
         return _pages_out(cols, dets)
 
 
+@STAGE_REGISTRY.register("mfd")
 class MFDStage:
     """Formula detector (M3 analog): appends inline/isolated detections with
     empty LaTeX, AFTER the layout detections (stage order is part of the
     span-pool order contract, SURVEY.md §2.4 G1)."""
 
-    def __init__(self, backend: str = "mock"):
+    def __init__(self, backend: str = "mock",
+                 emulate_inference_ms: float = 0.0):
         self._detect = mock_mfd
+        self._emulate = 0.1 * emulate_inference_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = _batch_pages(batch)
         dets = []
         for page, page_dets in zip(cols["raw_dets"], cols["dets"]):
+            burn_compute(self._emulate)
             dets.append(list(page_dets) + self._detect(page))
         return _pages_out(cols, dets)
 
 
+@STAGE_REGISTRY.register("mfr")
 class MFRStage:
     """Formula recognizer (M4 analog).
 
@@ -134,10 +148,13 @@ class MFRStage:
     the reference's positional zip over aliased dicts (the #1 semantics trap
     of distribution, SURVEY.md §2.4 G2)."""
 
-    def __init__(self, backend: str = "mock"):
+    def __init__(self, backend: str = "mock",
+                 emulate_inference_ms: float = 0.0):
         self._recognize = mock_mfr
+        self._emulate = 0.2 * emulate_inference_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        burn_compute(self._emulate * max(1, batch.num_rows))
         cols = _batch_pages(batch)
         keys, payloads = [], []
         for p_idx, (page, dets) in enumerate(zip(cols["raw_dets"], cols["dets"])):
@@ -156,19 +173,23 @@ class MFRStage:
                           cols["dets"])
 
 
+@STAGE_REGISTRY.register("ocr")
 class OCRStage:
     """OCR (M5 analog): per OCR-class region, build the padded crop frame,
     adjust formula boxes into it, run det→merge→mask→rec, restore coordinates
     to the page frame, append text detections in region order."""
 
-    def __init__(self, backend: str = "mock", drop_score: float = 0.5):
+    def __init__(self, backend: str = "mock", drop_score: float = 0.5,
+                 emulate_inference_ms: float = 0.0):
         self._ocr = mock_ocr
         self.drop_score = drop_score
+        self._emulate = 0.4 * emulate_inference_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = _batch_pages(batch)
         out_dets = []
         for page, dets in zip(cols["raw_dets"], cols["dets"]):
+            burn_compute(self._emulate)
             dets = list(dets)
             formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
             regions = [d for d in dets if d["kind"] in OCR_CLASSES]
@@ -186,6 +207,7 @@ class OCRStage:
         return _pages_out(cols, out_dets)
 
 
+@STAGE_REGISTRY.register("table")
 class TableStage:
     """Table parser (M6 analog): parses table-region crops to HTML source on
     an actor pool, with the reference's ``max_time`` straggler cap re-expressed
@@ -220,10 +242,95 @@ class TableStage:
                                    pa.array(tables, type=pa.list_(pa.string())))
 
 
+@STAGE_REGISTRY.register("fused_extract")
+class FusedExtractStage:
+    """All model stages + assembly fused into ONE actor pass per page batch.
+
+    The split pools (LayoutStage..OCRStage) are the deployment shape when
+    stages need heterogeneous resources (separate GPU pools, independent
+    sizing).  When every backend shares the same resource — all-CPU mocks
+    here, or a single-GPU-class cluster — the per-stage Arrow<->Python
+    round-trips of the page payload dominate, and fusing removes four of the
+    five conversions while keeping semantics identical (the e2e test pins
+    fused == split == oracle).  MFR still batches crops across all pages of
+    the batch (the reference's cross-page batch-128 analog)."""
+
+    def __init__(self, backend: str = "mock", drop_score: float = 0.5,
+                 emulate_inference_ms: float = 0.0):
+        self.drop_score = drop_score
+        self.emulate_inference_ms = emulate_inference_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = _batch_pages(batch)
+        pages = cols["raw_dets"]
+        all_dets: List[List[dict]] = []
+
+        # layout + MFD per page; gather formula crops batch-wide
+        keys, payloads = [], []
+        for p_idx, page in enumerate(pages):
+            burn_compute(self.emulate_inference_ms)
+            dets = mock_layout(page)
+            for det in mock_mfd(page):
+                dets.append(det)
+                keys.append((p_idx, len(dets) - 1))
+                payloads.append((formula_crop_payload(page, det), det))
+            all_dets.append(dets)
+
+        # one batched MFR inference over every crop in the batch
+        for (p_idx, d_idx), (payload, det) in zip(keys, payloads):
+            all_dets[p_idx][d_idx] = dict(
+                all_dets[p_idx][d_idx],
+                text=latex_compact(mock_mfr(payload, det)))
+
+        # OCR per region, then assembly, straight to span rows
+        out = {"doc_id": [], "page_no": [], "block_idx": [],
+               "kind": [], "text": [], "media_ref": []}
+        for p_idx, page in enumerate(pages):
+            dets = all_dets[p_idx]
+            formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
+            regions = [d for d in dets if d["kind"] in OCR_CLASSES]
+            for region in regions:
+                frame = make_ocr_region_frame(region)
+                adjusted = adjusted_formula_bboxes(formula_dets, frame)
+                for quad, (text, score) in mock_ocr(page, frame, adjusted,
+                                                    drop_score=self.drop_score):
+                    bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
+                    dets.append({"kind": "text",
+                                 "x0": bbox[0], "y0": bbox[1],
+                                 "x1": bbox[2], "y1": bbox[3],
+                                 "score": score, "text": text, "media_ref": ""})
+            for block_idx, span in enumerate(page_spans_from_dets(dets)):
+                out["doc_id"].append(cols["doc_id"][p_idx])
+                out["page_no"].append(cols["page_no"][p_idx])
+                out["block_idx"].append(block_idx)
+                out["kind"].append(span["kind"])
+                out["text"].append(span["text"])
+                out["media_ref"].append(span["media_ref"])
+        return pa.Table.from_pydict(out, schema=PAGE_SPANS_SCHEMA)
+
+
+_FUSED_CACHE: Dict[tuple, "FusedExtractStage"] = {}
+
+
+def fused_extract_batch(batch: pa.Table, drop_score: float = 0.5,
+                        emulate_inference_ms: float = 0.0) -> pa.Table:
+    """Task-mode wrapper for FusedExtractStage: the mock backends are
+    stateless, so plain tasks (which reuse warm worker processes and let the
+    executor use every CPU) are the idiomatic shape in the sandbox; actor
+    pools remain the shape for weights-loading backends."""
+    key = (drop_score, emulate_inference_ms)
+    stage = _FUSED_CACHE.get(key)
+    if stage is None:
+        stage = _FUSED_CACHE[key] = FusedExtractStage(
+            drop_score=drop_score, emulate_inference_ms=emulate_inference_ms)
+    return stage(batch)
+
+
 # ---------------------------------------------------------------------------
 # assembly (stateless) + document reassembly (the one shuffle)
 # ---------------------------------------------------------------------------
 
+@STAGE_REGISTRY.register("assemble")
 def assemble_page_spans(batch: pa.Table) -> pa.Table:
     """Per-page ordered span records; projects out the page payload so the
     doc_id shuffle moves only small rows."""

@@ -1,0 +1,72 @@
+"""Corpus generator contracts + TableStage straggler-cap behavior."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pdf_extract_kit_ray.schemas import DOC_SCHEMA
+from pdf_extract_kit_ray.sources.corpus import (
+    generate_corpus,
+    generate_raw_document,
+    parse_raw_span,
+    split_pages,
+)
+from pdf_extract_kit_ray.stages.extract_stages import (
+    LayoutStage,
+    MFDStage,
+    TableStage,
+    explode_pages,
+)
+
+
+def test_generator_deterministic_and_schema():
+    a, ga = generate_corpus(8, seed=11)
+    b, gb = generate_corpus(8, seed=11)
+    assert a.equals(b) and ga.equals(gb)
+    assert a.schema.equals(DOC_SCHEMA) and ga.schema.equals(DOC_SCHEMA)
+    c, _ = generate_corpus(8, seed=12, with_golden=False)
+    assert not a.equals(c)
+
+
+def test_raw_offsets_are_page_local():
+    spans = generate_raw_document("doc-x", 1, n_pages=3)
+    pages = split_pages(spans)
+    assert len(pages) == 3
+    # every span round-trips through the geom encoding
+    for s in spans:
+        det = parse_raw_span(s)
+        assert det["x1"] > det["x0"] and det["y1"] > det["y0"]
+        assert 0.0 < det["score"] < 1.0
+
+
+def test_golden_requires_reordering():
+    """Raw order is a shuffle of reading order: the identity map must NOT
+    reproduce the golden for most docs (FIXTURES.md F1)."""
+    raw, golden = generate_corpus(10, seed=2)
+    identical = 0
+    for r, g in zip(raw.to_pylist(), golden.to_pylist()):
+        raw_kinds = [s["kind"] for s in r["spans"]]
+        gold_kinds = [s["kind"] for s in g["spans"]]
+        if raw_kinds == gold_kinds:
+            identical += 1
+    assert identical < 3
+
+
+def test_table_stage_parses_and_caps(ray_session):
+    raw, _ = generate_corpus(6, seed=4, with_golden=False)
+    pages = explode_pages(raw)
+    pages = LayoutStage()(pages)
+    pages = MFDStage()(pages)
+    stage = TableStage()
+    out = stage(pages)
+    tables = [t for row in out.column("table_sources").to_pylist() for t in row]
+    assert all(t.startswith("<table>") for t in tables)
+    assert stage.timeouts == 0
+    # straggler cap: a payload above the element budget yields '' + a metric
+    capped = TableStage(max_elements=0)
+    out2 = capped(pages)
+    tables2 = [t for row in out2.column("table_sources").to_pylist() for t in row]
+    assert len(tables2) == len(tables)
+    if tables2:
+        assert all(t == "" for t in tables2)
+        assert capped.timeouts == len(tables2)

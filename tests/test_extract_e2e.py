@@ -18,10 +18,17 @@ def corpus():
     return generate_corpus(30, seed=7)
 
 
-def test_pipeline_matches_oracle(ray_session, corpus):
+import dataclasses
+
+
+@pytest.mark.parametrize("stage_mode", ["fused_tasks", "fused_actors",
+                                        "split_actors"])
+def test_pipeline_matches_oracle(ray_session, corpus, stage_mode):
     raw, golden = corpus
     ds = ray.data.from_arrow(raw).repartition(6)
-    out = extract_documents(ds, ExtractConfig.for_cpus(4))
+    cfg = dataclasses.replace(ExtractConfig.for_cpus(4),
+                              stage_mode=stage_mode)
+    out = extract_documents(ds, cfg)
     result = {r["doc_id"]: r["spans"] for r in out.take_all()}
     expected = {r["doc_id"]: r["spans"] for r in golden.to_pylist()}
     assert set(result) == set(expected)
@@ -39,3 +46,37 @@ def test_output_schema(ray_session, corpus):
     table = pa.Table.from_pylist(out.take_all(), schema=DOC_SCHEMA)
     offs = [s["offset"] for row in table.column("spans").to_pylist() for s in row]
     assert all(isinstance(o, int) for o in offs)
+
+
+def test_markdown_projection(ray_session, corpus):
+    from pdf_extract_kit_ray.pipelines.extract import extract_markdown
+    raw, _ = corpus
+    ds = ray.data.from_arrow(raw.slice(0, 6))
+    out = extract_markdown(ds, ExtractConfig.for_cpus(4)).take_all()
+    assert len(out) == 6
+    md = {r["doc_id"]: r["markdown"] for r in out}
+    assert all(isinstance(v, str) for v in md.values())
+    # titles render as markdown headings somewhere in the corpus slice
+    assert any("\n# " in v for v in md.values())
+
+
+def test_registry_pipeline_builder(ray_session, corpus):
+    """The config-driven plan builder composes the same stages as the
+    hand-built pipeline and produces identical page-span rows."""
+    from pdf_extract_kit_ray.registry import pipeline_from_config
+    from pdf_extract_kit_ray.pipelines.extract import extract_page_spans
+    raw, _ = corpus
+    ds = ray.data.from_arrow(raw.slice(0, 5))
+    spec = [
+        {"name": "explode_pages"},
+        {"name": "layout", "concurrency": 1, "num_cpus": 0.5, "batch_size": 32},
+        {"name": "mfd", "concurrency": 1, "num_cpus": 0.5, "batch_size": 32},
+        {"name": "mfr", "concurrency": 1, "num_cpus": 0.5, "batch_size": 32},
+        {"name": "ocr", "concurrency": 1, "num_cpus": 0.5, "batch_size": 32},
+        {"name": "assemble"},
+    ]
+    built = pipeline_from_config(ds, spec).take_all()
+    ref = extract_page_spans(ray.data.from_arrow(raw.slice(0, 5)),
+                             ExtractConfig.for_cpus(4)).take_all()
+    key = lambda r: (r["doc_id"], r["page_no"], r["block_idx"])
+    assert sorted(built, key=key) == sorted(ref, key=key)
