@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": relational.orders_per_nation,
         "events_hourly": relational.events_hourly,
         "top_users": relational.top_users,
+        "distinct_event_types": relational.distinct_event_types,
+        "user_running_totals": relational.user_running_totals,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
@@ -136,6 +138,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(floor(value*100.0) AS BIGINT))/100.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "user_running_totals": """
+            SELECT user_id, event_id,
+                   sum(CAST(floor(value*100.0) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) / 100.0
+                       AS running_value
+            FROM events WHERE user_id < 50
         """,
         "top_users": """
             SELECT user_id,

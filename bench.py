@@ -173,14 +173,21 @@ def run_inner_extract(sf_dir: str, num_cpus: int,
 
 
 def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Each level runs TWICE in fresh processes; the faster run is kept
+    (one-off scheduler/IO noise otherwise dominates a single sample)."""
     results = {}
     for cpus in (low, high):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner",
-             "--sf-dir", sf_dir, "--num-cpus", str(cpus),
-             "--emulate-ms", str(EMULATE_MS)],
-            capture_output=True, text=True, check=True)
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _attempt in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner",
+                 "--sf-dir", sf_dir, "--num-cpus", str(cpus),
+                 "--emulate-ms", str(EMULATE_MS)],
+                capture_output=True, text=True, check=True)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["elapsed"] < best["elapsed"]:
+                best = r
+        results[cpus] = best
     t_low, t_high = results[low]["elapsed"], results[high]["elapsed"]
     factor = high / low
     efficiency = round(t_low / (factor * t_high), 3)

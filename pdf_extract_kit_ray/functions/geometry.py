@@ -254,6 +254,38 @@ def quad_crop_to_page(quad: Sequence[Sequence[float]], frame: dict) -> List[List
 
 
 # ---------------------------------------------------------------------------
+# IoU NMS (the optional re-filter of tasks/layout_detection/models/yolo.py:74-80)
+# ---------------------------------------------------------------------------
+
+def iou(bbox1: Sequence[float], bbox2: Sequence[float]) -> float:
+    ix0 = max(bbox1[0], bbox2[0])
+    iy0 = max(bbox1[1], bbox2[1])
+    ix1 = min(bbox1[2], bbox2[2])
+    iy1 = min(bbox1[3], bbox2[3])
+    if ix1 <= ix0 or iy1 <= iy0:
+        return 0.0
+    inter = (ix1 - ix0) * (iy1 - iy0)
+    a1 = (bbox1[2] - bbox1[0]) * (bbox1[3] - bbox1[1])
+    a2 = (bbox2[2] - bbox2[0]) * (bbox2[3] - bbox2[1])
+    union = a1 + a2 - inter
+    return inter / union if union > 0 else 0.0
+
+
+def nms_bboxes(bboxes: Sequence[Sequence[float]], scores: Sequence[float],
+               iou_threshold: float) -> List[int]:
+    """Greedy non-maximum suppression: keep boxes in descending score order,
+    dropping any box whose IoU with an already-kept box exceeds the
+    threshold.  Ties broken by original index (deterministic).  Returns kept
+    indices in score order."""
+    order = sorted(range(len(bboxes)), key=lambda i: (-scores[i], i))
+    kept: List[int] = []
+    for i in order:
+        if all(iou(bboxes[i], bboxes[j]) <= iou_threshold for j in kept):
+            kept.append(i)
+    return kept
+
+
+# ---------------------------------------------------------------------------
 # reading-order key (pdf2markdown.py:262-266)
 # ---------------------------------------------------------------------------
 

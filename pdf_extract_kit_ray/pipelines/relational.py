@@ -191,3 +191,46 @@ def top_users(sf_dir: str, n: int = 20) -> "ray.data.Dataset":
     return (agg.map_batches(finish, batch_format="pyarrow")
                .sort(["total_value", "user_id"], descending=[True, False])
                .limit(n))
+
+
+def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct values via per-batch dedup then a global unique pass — the
+    shuffle sees only each block's distinct set."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type":
+                         pc.unique(batch.column("event_type"))})
+
+    return (ds.map_batches(local_distinct, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Count(alias_name="_n"))
+              .select_columns(["event_type"]))
+
+
+def user_running_totals(sf_dir: str, max_user: int = 50) -> "ray.data.Dataset":
+    """Windowed running sum per user (ORDER BY ts, event_id) — a window
+    function expressed as groupby(user).map_groups with an in-group sort.
+    Exact-cents cumsum so the running values hash-match the SQL window."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("user_id"), max_user))
+
+    def running(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        cents = _cents(group.column("value"))
+        run = pc.cumulative_sum(cents)
+        return pa.table({
+            "user_id": group.column("user_id"),
+            "event_id": group.column("event_id"),
+            "running_value": pc.divide(pc.cast(run, pa.float64()), 100.0),
+        })
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(running, batch_format="pyarrow"))

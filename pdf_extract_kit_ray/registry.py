@@ -87,3 +87,29 @@ def pipeline_from_config(ds, config: List[dict]):
     """Build from plain dicts (e.g. parsed YAML/JSON):
     ``[{"name": "layout", "concurrency": 4, "batch_size": 64}, ...]``."""
     return build_pipeline(ds, [StageSpec(**entry) for entry in config])
+
+
+def load_pipeline_yaml(path: str):
+    """Parse a YAML pipeline spec (the reference's config-driven task
+    instantiation, utils/config_loader.py:6-15 + 31-47) into StageSpecs:
+
+        stages:
+          - name: explode_pages
+          - name: layout
+            concurrency: 4
+            batch_size: 64
+            options: {backend: mock}
+
+    Note: fixed per-stage ``concurrency`` values are reservations — if the
+    stacked actor pools reserve more CPUs than the cluster has, the
+    streaming executor stalls waiting for actors.  Size them so
+    sum(concurrency × num_cpus) fits the cluster (ExtractConfig.for_cpus
+    does this automatically for the flagship pipeline).
+    """
+    import yaml
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    if not isinstance(doc, dict) or "stages" not in doc:
+        raise ValueError(f"pipeline spec {path!r} must be a mapping with a "
+                         f"top-level 'stages' list")
+    return [StageSpec(**entry) for entry in doc["stages"]]
