@@ -92,6 +92,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": relational.top_users,
         "distinct_event_types": relational.distinct_event_types,
         "user_running_totals": relational.user_running_totals,
+        "order_priority_revenue": relational.order_priority_revenue,
+        "customers_without_orders": relational.customers_without_orders,
+        "top_events_per_user": relational.top_events_per_user,
+        "users_active_both_halves": relational.users_active_both_halves,
+        "doc_hash_sample": relational.doc_hash_sample,
+        "value_percentiles_by_type": relational.value_percentiles_by_type,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
@@ -140,6 +146,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "order_priority_revenue": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0) AS BIGINT))/100.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000.0)
+            GROUP BY c_mktsegment
+        """,
+        "top_events_per_user": """
+            SELECT event_id, user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id ASC) AS rank
+            FROM events WHERE user_id < 30
+            QUALIFY rank <= 3
+        """,
+        "users_active_both_halves": """
+            SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'
+            INTERSECT
+            SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        """,
+        "doc_hash_sample": """
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        """,
+        "value_percentiles_by_type": """
+            SELECT event_type,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(floor(value*100.0) AS BIGINT)) / 100.0 AS p25,
+                   percentile_disc(0.50) WITHIN GROUP (ORDER BY CAST(floor(value*100.0) AS BIGINT)) / 100.0 AS p50,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(floor(value*100.0) AS BIGINT)) / 100.0 AS p75,
+                   percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(floor(value*100.0) AS BIGINT)) / 100.0 AS p95
+            FROM events GROUP BY event_type
+        """,
         "user_running_totals": """
             SELECT user_id, event_id,
                    sum(CAST(floor(value*100.0) AS BIGINT))

@@ -234,3 +234,193 @@ def user_running_totals(sf_dir: str, max_user: int = 50) -> "ray.data.Dataset":
     return (ds.map_batches(prefilter, batch_format="pyarrow")
               .groupby("user_id")
               .map_groups(running, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# joins (Dataset.join: hash-shuffle partitioned join, ray 2.49)
+# ---------------------------------------------------------------------------
+
+def order_priority_revenue(sf_dir: str, num_partitions: int = 16) -> "ray.data.Dataset":
+    """Large×large inner hash join (lineitem ⨝ orders on orderkey) rolled up
+    to order priority.  Both sides are pruned to the join/aggregate columns
+    before the shuffle; after the join each batch pre-reduces to
+    (priority, partials) so the final groupby is over ~|priorities| rows."""
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(batch.column("l_extendedprice"),
+                              pc.subtract(1.0, batch.column("l_discount")))
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                      "rev_c": _cents(revenue)})
+        g = t.group_by("o_orderpriority").aggregate(
+            [("rev_c", "sum"), ("rev_c", "count")])
+        return g.rename_columns(["o_orderpriority", "partial_c", "partial_n"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("o_orderpriority")
+                 .aggregate(Sum("partial_n", alias_name="n_items"),
+                            Sum("partial_c", alias_name="rev_c")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "n_items": batch.column("n_items"),
+            "revenue": pc.divide(
+                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
+                             num_partitions: int = 8) -> "ray.data.Dataset":
+    """Anti-join (customers with no order above ``min_price``) rolled up per
+    market segment — the right side is filtered at the read, then
+    ``join_type='left_anti'`` hash-shuffles both sides so neither needs to
+    fit in memory (vs. the broadcast pattern of orders_per_nation)."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def big_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("o_totalprice"), min_price)
+        return pa.table({"o_custkey": batch.column("o_custkey").filter(keep)})
+
+    anti = cust.join(orders.map_batches(big_orders, batch_format="pyarrow"),
+                     join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64())})
+        g = (pa.table({"c_mktsegment": batch.column("c_mktsegment")})
+               .group_by("c_mktsegment").aggregate([([], "count_all")]))
+        return g.rename_columns(["c_mktsegment", "partial_n"])
+
+    return (anti.map_batches(partial, batch_format="pyarrow")
+                .groupby("c_mktsegment")
+                .aggregate(Sum("partial_n", alias_name="n_customers")))
+
+
+# ---------------------------------------------------------------------------
+# window / set / sampling / quantile operators
+# ---------------------------------------------------------------------------
+
+def top_events_per_user(sf_dir: str, k: int = 3, max_user: int = 30) -> "ray.data.Dataset":
+    """Top-k rows per group (row_number window): groupby(user).map_groups
+    with an in-group (value desc, event_id asc) sort and head(k)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("user_id"), max_user))
+
+    def topk(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("value", "descending"),
+                               ("event_id", "ascending")]).slice(0, k)
+        return group.append_column(
+            "rank", pa.array(np.arange(1, group.num_rows + 1), pa.int64()))
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(topk, batch_format="pyarrow"))
+
+
+def users_active_both_halves(sf_dir: str, split: str = "2024-01-16") -> "ray.data.Dataset":
+    """INTERSECT of the active-user sets of two time ranges, without
+    materializing either set: per-batch partial (user, seen_before,
+    seen_after) flags -> groupby Max -> filter both."""
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    split_ts = pa.scalar(pd.Timestamp(split), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        before = pc.cast(pc.less(batch.column("ts"), split_ts), pa.int8())
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "before": before,
+                      "after": pc.subtract(pa.scalar(1, pa.int8()), before)})
+        g = t.group_by("user_id").aggregate([("before", "max"),
+                                             ("after", "max")])
+        return g.rename_columns(["user_id", "before", "after"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("before", alias_name="before"),
+                        Max("after", alias_name="after")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch.column("before"), 1),
+                       pc.equal(batch.column("after"), 1))
+        return pa.table({"user_id": batch.column("user_id").filter(keep)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_hash_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 1/16 hash sample: keep docs whose md5(doc_id) starts
+    with '0'.  Content-hash sampling is reproducible across engines and
+    cluster sizes (unlike random_sample), so the SQL twin matches exactly."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = pa.array([hashlib.md5(str(d).encode()).hexdigest()[0] == "0"
+                         for d in ids], pa.bool_())
+        batch = batch.filter(keep)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": pc.utf8_length(batch.column("text"))})
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def value_percentiles_by_type(sf_dir: str,
+                              qs: tuple = (0.25, 0.5, 0.75, 0.95)) -> "ray.data.Dataset":
+    """Exact discrete percentiles per event_type WITHOUT a global sort:
+    per-batch histogram over integer cents (bounded domain) -> groupby
+    (type, cent) Sum -> per-type cumulative walk.  Scales because the
+    shuffle carries only |types|×|distinct cents| rows regardless of row
+    count; the ANSI twin is percentile_disc (sorted[ceil(q*n)-1])."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "value_c": _cents(batch.column("value"))})
+        g = t.group_by(["event_type", "value_c"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "value_c", "partial_n"])
+
+    agg = (ds.map_batches(hist, batch_format="pyarrow")
+             .groupby(["event_type", "value_c"])
+             .aggregate(Sum("partial_n", alias_name="n")))
+
+    def percentiles(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("value_c", "ascending")])
+        vals = group.column("value_c").to_numpy()
+        counts = group.column("n").to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        out = {"event_type": [group.column("event_type")[0].as_py()]}
+        for q in qs:
+            target = int(np.ceil(q * total))  # percentile_disc rank
+            idx = int(np.searchsorted(cum, target))
+            out[f"p{int(q*100)}"] = [float(vals[idx]) / 100.0]
+        return pa.Table.from_pydict(out)
+
+    return agg.groupby("event_type").map_groups(percentiles,
+                                                batch_format="pyarrow")
