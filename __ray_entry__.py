@@ -79,7 +79,8 @@ def _span_kind_counts(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pdf_extract_kit_ray.pipelines import dedup, relational, similarity, text
+    from pdf_extract_kit_ray.pipelines import (dedup, multimodal, relational,
+                                               similarity, text)
 
     return {
         # --- flagship extraction (non-SQL; driver rows-only check) ---
@@ -104,12 +105,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text.doc_fingerprints,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
+        # --- multimodal (non-SQL: binary payload stages; rows-only checks) ---
+        "media_decode_summary": multimodal.media_decode_summary,
+        "image_thumbnails": multimodal.image_thumbnails,
+        "video_frame_sample": multimodal.video_frame_sample,
+        "media_features": multimodal.media_features,
+        "media_feature_neardup": multimodal.media_feature_neardup,
     }
 
 
@@ -222,6 +230,30 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents WHERE doc_id < 300
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM toks WHERE len(w) > 0
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  >= 0.5
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

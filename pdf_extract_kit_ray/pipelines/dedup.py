@@ -240,3 +240,56 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
     # distinct pairs (a pair can surface from several bands)
     return pairs.groupby(["keep_id", "dup_id"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise over a bounded subset; SQL-matchable)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        max_doc: int = 300, k: int = 3) -> "ray.data.Dataset":
+    """All-pairs word-3-gram Jaccard over the ``doc_id < max_doc`` subset:
+    shingle sets are built once, broadcast via ``ray.put``, and each task
+    compares its block's docs against the broadcast docs with larger ids —
+    the O(n²) work is sharded by the left side.
+
+    This is the *exact bounded* variant (a DuckDB-checkable oracle).  At
+    corpus scale the same comparison runs only on LSH candidate pairs
+    (``minhash_dedup``): signature -> band buckets -> candidates -> this
+    exact Jaccard as the verification predicate."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def subset(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("doc_id"), max_doc))
+
+    sub = ds.map_batches(subset, batch_format="pyarrow")
+    side = {}
+    for row_batch in sub.iter_batches(batch_format="pyarrow"):
+        for doc_id, text in zip(row_batch.column("doc_id").to_pylist(),
+                                row_batch.column("text").to_pylist()):
+            sh = word_shingles(text, k)
+            if sh:
+                side[doc_id] = sh
+    side_ref = ray.put(side)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        shingles = ray.get(side_ref)
+        out_a, out_b, out_j = [], [], []
+        for a in batch.column("doc_id").to_pylist():
+            sa = shingles.get(a)
+            if sa is None:
+                continue
+            for b, sb in shingles.items():
+                if b <= a:
+                    continue
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(a); out_b.append(b); out_j.append(j)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return sub.map_batches(pairs, batch_format="pyarrow")

@@ -1,0 +1,213 @@
+"""Multimodal actor-pool stages: decode, resize, frame-sample, features.
+
+Mirrors the reference's model-stage shape (weights/codecs load once per actor
+in ``__init__``, work happens per Arrow batch in ``__call__`` —
+pdf_extract_kit/utils/config_loader.py:31-47 / dataset/dataset.py:8-77) for
+binary media columns instead of page images.  Real codec backends (PIL,
+libav) are STUBS behind ``backend=`` — this sandbox has no raster/audio
+libraries — but the fake-container path exercises the identical plumbing:
+zero-copy Arrow binary in, numpy kernels, Arrow out.
+
+Scale notes: payloads dominate block size, so these stages belong behind a
+small ``batch_size`` (tens of rows, not thousands); decoded pixels never
+leave the stage that needs them — each stage re-decodes from the compact
+payload rather than shipping decoded arrays through the object store.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..registry import STAGE_REGISTRY
+from ..sources.media import MAGIC_AUDIO, MAGIC_IMAGE, MAGIC_VIDEO
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Parse a fake-container payload into a numpy array + metadata."""
+    magic = payload[:4]
+    if magic == MAGIC_IMAGE:
+        w, h, c = struct.unpack("<HHB", payload[4:9])
+        arr = np.frombuffer(payload, np.uint8, w * h * c, 9).reshape(h, w, c)
+        return {"kind": "image", "array": arr, "width": w, "height": h}
+    if magic == MAGIC_AUDIO:
+        rate, n = struct.unpack("<II", payload[4:12])
+        arr = np.frombuffer(payload, np.int16, n, 12)
+        return {"kind": "audio", "array": arr, "sample_rate": rate}
+    if magic == MAGIC_VIDEO:
+        w, h, n = struct.unpack("<HHH", payload[4:10])
+        arr = np.frombuffer(payload, np.uint8, n * w * h, 10).reshape(n, h, w)
+        return {"kind": "video", "array": arr, "width": w, "height": h,
+                "n_frames": n}
+    raise ValueError(f"unknown media container magic {magic!r}")
+
+
+def _require_fake(backend: str, what: str):
+    if backend != "fake":
+        raise NotImplementedError(
+            f"{what} backend {backend!r} needs codec libraries not present "
+            f"in this sandbox (PIL/libav); use backend='fake'")
+
+
+@STAGE_REGISTRY.register("media_decode")
+class MediaDecodeStage:
+    """payload binary -> decoded metadata + a stable content digest.
+
+    The decoded array itself is deliberately NOT emitted — downstream stages
+    re-decode from the payload (compact) instead of shipping raw pixels
+    through the object store."""
+
+    def __init__(self, backend: str = "fake"):
+        _require_fake(backend, "media decode")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds, widths, heights, frames, digests = [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            d = decode_payload(payload)
+            kinds.append(d["kind"])
+            widths.append(d.get("width", -1))
+            heights.append(d.get("height", -1))
+            frames.append(d.get("n_frames", -1))
+            digests.append(zlib.crc32(d["array"].tobytes()))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": pa.array(kinds, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "n_frames": pa.array(frames, pa.int32()),
+            "content_crc": pa.array(digests, pa.uint32()),
+        })
+
+
+@STAGE_REGISTRY.register("image_resize")
+class ImageResizeStage:
+    """Nearest-neighbour resize of image payloads to a fixed thumbnail size
+    (the reference's ResizeLongestSide analog, dataset/dataset.py:8-23).
+    Non-image rows pass through untouched with resized=false."""
+
+    def __init__(self, out_width: int = 64, out_height: int = 64,
+                 backend: str = "fake"):
+        _require_fake(backend, "image resize")
+        self.out_w, self.out_h = out_width, out_height
+        # index maps are a function of input dims; memoize per actor
+        self._maps: dict = {}
+
+    def _index_map(self, w: int, h: int):
+        key = (w, h)
+        if key not in self._maps:
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            self._maps[key] = (xs, ys)
+        return self._maps[key]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, thumbs, resized = [], [], [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            d = decode_payload(payload)
+            ids.append(media_id)
+            if d["kind"] != "image":
+                widths.append(-1); heights.append(-1)
+                thumbs.append(b""); resized.append(False)
+                continue
+            arr = d["array"]
+            xs, ys = self._index_map(d["width"], d["height"])
+            thumb = arr[ys][:, xs]
+            widths.append(self.out_w); heights.append(self.out_h)
+            thumbs.append(thumb.tobytes()); resized.append(True)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "thumbnail": pa.array(thumbs, pa.binary()),
+            "resized": pa.array(resized, pa.bool_()),
+        })
+
+
+@STAGE_REGISTRY.register("frame_sample")
+class FrameSampleStage:
+    """Video payload -> one row per sampled frame (every Nth) — the page
+    explode of the video world.  Emits compact per-frame image containers so
+    downstream image stages apply unchanged."""
+
+    def __init__(self, every_n: int = 4, backend: str = "fake"):
+        _require_fake(backend, "frame sampling")
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, payloads = [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            d = decode_payload(payload)
+            if d["kind"] != "video":
+                continue
+            w, h = d["width"], d["height"]
+            for fi in range(0, d["n_frames"], self.every_n):
+                frame = np.repeat(d["array"][fi][:, :, None], 1, axis=2)
+                ids.append(media_id)
+                idxs.append(fi)
+                payloads.append(MAGIC_IMAGE + struct.pack("<HHB", w, h, 1)
+                                + frame.tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+
+@STAGE_REGISTRY.register("media_features")
+class MediaFeatureStage:
+    """payload -> fixed 8-dim float32 feature vector per item (per-kind
+    summary statistics; the mock stand-in for an embedding model).  Output
+    is `list<float32>` — the same column type the similarity operators
+    consume, so ANN/near-dup pipelines compose directly."""
+
+    DIM = 8
+
+    def __init__(self, backend: str = "fake"):
+        _require_fake(backend, "media feature extraction")
+
+    @staticmethod
+    def _features(d: dict) -> np.ndarray:
+        f = np.zeros(MediaFeatureStage.DIM, dtype=np.float64)
+        arr = d["array"].astype(np.float64)
+        if d["kind"] == "image":
+            per_chan = arr.reshape(-1, arr.shape[2])
+            means = per_chan.mean(axis=0)
+            stds = per_chan.std(axis=0)
+            f[:3] = means[:3] / 255.0
+            f[3:6] = stds[:3] / 255.0
+            f[6] = d["width"] / 4096.0
+            f[7] = d["height"] / 4096.0
+        elif d["kind"] == "audio":
+            f[0] = arr.mean() / 32768.0
+            f[1] = arr.std() / 32768.0
+            f[2] = np.abs(arr).mean() / 32768.0
+            f[3] = float((np.diff(np.signbit(arr)) != 0).mean())
+            f[4] = d["sample_rate"] / 48000.0
+        else:  # video
+            frame_means = arr.reshape(arr.shape[0], -1).mean(axis=1)
+            f[0] = frame_means.mean() / 255.0
+            f[1] = frame_means.std() / 255.0
+            f[2] = arr.std() / 255.0
+            f[3] = arr.shape[0] / 64.0
+            f[4] = d["width"] / 4096.0
+            f[5] = d["height"] / 4096.0
+        return f.astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds, feats = [], []
+        for payload in batch.column("payload").to_pylist():
+            d = decode_payload(payload)
+            kinds.append(d["kind"])
+            feats.append(self._features(d))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": pa.array(kinds, pa.string()),
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32())),
+        })

@@ -1,0 +1,112 @@
+"""Multimodal stage contracts: container round-trip, determinism, stage
+schemas, stub gating, and pipeline composition."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_extract_kit_ray.sources.media import (encode_audio, encode_image,
+                                               encode_video, media_row,
+                                               write_media_table)
+from pdf_extract_kit_ray.stages.media import (FrameSampleStage,
+                                              ImageResizeStage,
+                                              MediaDecodeStage,
+                                              MediaFeatureStage,
+                                              decode_payload)
+
+
+def test_container_roundtrip_deterministic():
+    p1, p2 = encode_image("media://x/1"), encode_image("media://x/1")
+    assert p1 == p2
+    assert encode_image("media://x/2") != p1
+    d = decode_payload(p1)
+    assert d["kind"] == "image" and d["array"].shape == (64, 96, 3)
+    a = decode_payload(encode_audio("m"))
+    assert a["kind"] == "audio" and a["array"].dtype == np.int16
+    v = decode_payload(encode_video("m"))
+    assert v["kind"] == "video" and v["array"].shape == (12, 32, 48)
+
+
+def test_decode_payload_rejects_garbage():
+    with pytest.raises(ValueError, match="magic"):
+        decode_payload(b"NOPE" + b"\x00" * 16)
+
+
+def test_real_backends_are_gated_stubs():
+    for cls in (MediaDecodeStage, ImageResizeStage, FrameSampleStage,
+                MediaFeatureStage):
+        with pytest.raises(NotImplementedError):
+            cls(backend="pil")
+
+
+def _batch(rows):
+    from pdf_extract_kit_ray.sources.media import MEDIA_SCHEMA
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def test_resize_nearest_neighbour_exact():
+    """2x downscale of a known gradient must pick the exact source pixels."""
+    payload = encode_image("media://t/0", width=8, height=8, channels=1)
+    src = decode_payload(payload)["array"]
+    stage = ImageResizeStage(out_width=4, out_height=4)
+    out = stage(_batch([{"media_id": 1, "media_ref": "r", "kind": "image",
+                         "payload": payload, "width": 8, "height": 8,
+                         "n_frames": -1, "sample_rate": -1, "n_samples": -1}]))
+    thumb = np.frombuffer(out.column("thumbnail")[0].as_py(),
+                          np.uint8).reshape(4, 4, 1)
+    expected = src[[0, 2, 4, 6]][:, [0, 2, 4, 6]]
+    assert (thumb == expected).all()
+
+
+def test_frame_sample_explodes_and_composes():
+    payload = encode_video("media://t/v", n_frames=10)
+    stage = FrameSampleStage(every_n=3)
+    out = stage(_batch([{"media_id": 7, "media_ref": "r", "kind": "video",
+                         "payload": payload, "width": 48, "height": 32,
+                         "n_frames": 10, "sample_rate": -1, "n_samples": -1}]))
+    assert out.column("frame_idx").to_pylist() == [0, 3, 6, 9]
+    # frame payloads are valid image containers
+    d = decode_payload(out.column("payload")[0].as_py())
+    assert d["kind"] == "image" and (d["width"], d["height"]) == (48, 32)
+    src = decode_payload(payload)["array"]
+    assert (d["array"][:, :, 0] == src[0]).all()
+
+
+def test_feature_stage_schema_and_range():
+    rows = [media_row(i, f"media://t/{i}", k)
+            for i, k in enumerate(["image", "audio", "video"])]
+    out = MediaFeatureStage()(_batch(rows))
+    assert out.schema.field("features").type == pa.list_(pa.float32())
+    for feat in out.column("features").to_pylist():
+        assert len(feat) == 8
+        assert all(abs(x) <= 1.5 for x in feat)
+
+
+def test_pipelines_end_to_end(ray_session, tmp_path):
+    import pdf_extract_kit_ray.pipelines.multimodal as mm
+    sf = "/root/testdata/sf0.001"
+    dec = mm.media_decode_summary(sf).to_pandas()
+    assert len(dec) == 120
+    assert set(dec["kind"]) == {"image", "audio", "video"}
+    # determinism: content crc stable across runs
+    dec2 = mm.media_decode_summary(sf).to_pandas()
+    pd_sorted = lambda d: d.sort_values("media_id").reset_index(drop=True)
+    assert pd_sorted(dec).equals(pd_sorted(dec2))
+
+    thumbs = mm.image_thumbnails(sf).to_pandas()
+    assert len(thumbs) == 40  # every 3rd item is an image
+    assert (thumbs["width"] == 64).all() and (thumbs["height"] == 64).all()
+
+    frames = mm.video_frame_sample(sf).to_pandas()
+    assert len(frames) == 40 * 3  # 40 videos x ceil(12/4) frames
+    assert (frames["kind"] == "image").all()
+
+    feats = mm.media_features(sf).to_pandas()
+    assert len(feats) == 120
+
+    # the generator plants a payload duplicate at every id % 20 == 19
+    # (copied from id-3); near-dup must recover all of them at score 1.0
+    nd = mm.media_feature_neardup(sf).to_pandas()
+    exact = set(zip(nd[nd.score > 0.9999999].a, nd[nd.score > 0.9999999].b))
+    planted = {(i - 3, i) for i in range(19, 120, 20)}
+    assert planted <= exact
