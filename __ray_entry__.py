@@ -80,7 +80,7 @@ def _span_kind_counts(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extract_kit_ray.pipelines import (dedup, multimodal, relational,
-                                               similarity, text)
+                                               similarity, streaming, text)
 
     return {
         # --- flagship extraction (non-SQL; driver rows-only check) ---
@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
+        # --- event-stream ops ---
+        "sessionize": streaming.sessionize,
+        "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
+        "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,  # non-SQL sketch
         # --- multimodal (non-SQL: binary payload stages; rows-only checks) ---
         "media_decode_summary": multimodal.media_decode_summary,
         "image_thumbnails": multimodal.image_thumbnails,
@@ -230,6 +234,20 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts ASC, event_id ASC)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(1 + sum(new_s) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -43,9 +43,17 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_dedup",
     "simhash_dedup",
+    "ngram_jaccard_pairs",
     "ann_topk",
     "embedding_neardup",
     "ivf_topk",
+    "order_priority_revenue",
+    "value_percentiles_by_type",
+    "sessionize",
+    "hll_distinct_users",
+    "ddsketch_value_quantiles",
+    "media_features",
+    "image_thumbnails",
 ]
 
 

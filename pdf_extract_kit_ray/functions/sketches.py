@@ -1,0 +1,129 @@
+"""Mergeable sketches for approximate aggregates at 100 TB scale.
+
+Exact distinct/quantile need a full shuffle of the key stream; these sketches
+reduce each block to a few KB inside ``map_batches`` and merge
+associatively, so the wide step moves kilobytes per block no matter how many
+rows the input has.
+
+* **HyperLogLog** (Flajolet et al. 2007): p-bit register index, max
+  leading-zero rank per register; standard bias-corrected estimate with
+  linear-counting small-range correction.
+* **DDSketch** (Masson et al., VLDB 2019): logarithmic bins with relative
+  accuracy alpha — bin = ceil(log_gamma(v)), gamma = (1+a)/(1-a); quantile
+  of the merged bin histogram is within a*v of the true value.  Implemented
+  here as (bin -> count) dict partials (sparse; zero/negative values tracked
+  in a dedicated underflow bin).
+
+Both are deterministic: hashing is splitmix64, never Python ``hash()``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, Tuple
+
+import numpy as np
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+class HLL:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # shift the index bits out and pad with ones so the scan below
+        # naturally caps the rank at (64-p)+1 when the suffix is all zeros
+        v = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the suffix + 1, via a vectorized bit scan
+        # (float-exponent tricks mis-rank when the mantissa rounds up)
+        ranks = np.zeros(len(h), dtype=np.uint8)
+        mask = np.ones(len(h), dtype=bool)
+        for r in range(1, 64 - self.p + 2):
+            top = (v >> np.uint64(63)).astype(bool)
+            ranks[mask & top] = r
+            mask &= ~top
+            if not mask.any():
+                break
+            v = v << np.uint64(1)
+        np.maximum.at(self.registers, idx, ranks)
+
+    def add_ints(self, values: np.ndarray) -> None:
+        self.add_hashes(splitmix64(values.astype(np.uint64)))
+
+    def merge_registers(self, regs: np.ndarray) -> None:
+        np.maximum(self.registers, regs, out=self.registers)
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)       # linear counting
+        return float(est)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch
+# ---------------------------------------------------------------------------
+
+class DDSketch:
+    def __init__(self, alpha: float = 0.01):
+        self.alpha = alpha
+        self.gamma = (1 + alpha) / (1 - alpha)
+        self._log_gamma = math.log(self.gamma)
+        self.bins: Dict[int, int] = {}
+        self.n_underflow = 0   # values <= 0 (sketch is for positive reals)
+
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        pos = values[values > 0]
+        self.n_underflow += int(len(values) - len(pos))
+        if len(pos) == 0:
+            return
+        keys = np.ceil(np.log(pos) / self._log_gamma).astype(np.int64)
+        uniq, counts = np.unique(keys, return_counts=True)
+        for k, c in zip(uniq.tolist(), counts.tolist()):
+            self.bins[k] = self.bins.get(k, 0) + int(c)
+
+    def merge(self, other_bins: Dict[int, int], other_underflow: int = 0) -> None:
+        for k, c in other_bins.items():
+            self.bins[int(k)] = self.bins.get(int(k), 0) + int(c)
+        self.n_underflow += other_underflow
+
+    @property
+    def count(self) -> int:
+        return self.n_underflow + sum(self.bins.values())
+
+    def quantile(self, q: float) -> float:
+        """Value whose rank is ceil(q*n) (percentile_disc-shaped), accurate
+        to relative error alpha.  Underflow (<=0) values all report 0.0."""
+        n = self.count
+        if n == 0:
+            return float("nan")
+        target = max(1, math.ceil(q * n))
+        if target <= self.n_underflow:
+            return 0.0
+        running = self.n_underflow
+        for k in sorted(self.bins):
+            running += self.bins[k]
+            if running >= target:
+                # midpoint of bin k: gamma^k * 2/(gamma+1) is the canonical
+                # bias-centered representative
+                return float(self.gamma ** k * 2 / (self.gamma + 1))
+        return float(self.gamma ** max(self.bins) * 2 / (self.gamma + 1))

@@ -1,0 +1,99 @@
+"""Event-stream operators: sessionization, approximate sketches.
+
+The reference has no streaming semantics (SURVEY.md §2.5) — these are the
+engine additions a training-data pipeline needs over an events table.
+
+Scale shapes:
+* sessionization — ONE shuffle on user_id, per-group vectorized gap scan;
+* sketches — per-block partials of a few KB merged associatively, so
+  distinct-count/quantiles over 10^12 rows move kilobytes per block through
+  the object store instead of the key stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.sketches import DDSketch, HLL, splitmix64
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Session windows per user (gap > ``gap_minutes`` starts a new
+    session): groupby(user).map_groups with an in-group (ts, event_id) sort
+    and a vectorized diff — the classic window-function shape re-expressed
+    as a keyed group scan.  Emits (user_id, n_sessions, n_events)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT user_id) via HyperLogLog: each block
+    reduces to a 2^p-byte register array; registers merge by elementwise
+    max.  Returns a one-row table (estimate, precision p)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HLL(p)
+        h.add_ints(batch.column("user_id").to_numpy())
+        return pa.table({"registers": pa.array([h.registers.tobytes()],
+                                               pa.binary())})
+
+    merged = HLL(p)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for regs in b.column("registers").to_pylist():
+            merged.merge_registers(np.frombuffer(regs, np.uint8))
+    return pa.table({"distinct_users_est": pa.array([merged.estimate()],
+                                                    pa.float64()),
+                     "precision_p": pa.array([p], pa.int32())})
+
+
+def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
+                             qs: tuple = (0.5, 0.9, 0.99)) -> pa.Table:
+    """Approximate quantiles of events.value via DDSketch (relative error
+    <= alpha): per-block sparse (log-bin -> count) partials, merged by bin
+    addition.  Returns one row with the requested quantiles."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = DDSketch(alpha)
+        sk.add(batch.column("value").to_numpy())
+        keys = list(sk.bins.keys())
+        counts = [sk.bins[k] for k in keys]
+        return pa.table({
+            "bin_keys": pa.array([keys], pa.list_(pa.int64())),
+            "bin_counts": pa.array([counts], pa.list_(pa.int64())),
+            "underflow": pa.array([sk.n_underflow], pa.int64()),
+        })
+
+    merged = DDSketch(alpha)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for keys, counts, uf in zip(b.column("bin_keys").to_pylist(),
+                                    b.column("bin_counts").to_pylist(),
+                                    b.column("underflow").to_pylist()):
+            merged.merge(dict(zip(keys, counts)), uf)
+    cols = {f"p{int(q*100)}": pa.array([merged.quantile(q)], pa.float64())
+            for q in qs}
+    cols["n"] = pa.array([merged.count], pa.int64())
+    return pa.table(cols)

@@ -1,0 +1,83 @@
+"""Sketch accuracy bounds + sessionization window semantics."""
+
+import numpy as np
+import pytest
+
+from pdf_extract_kit_ray.functions.sketches import DDSketch, HLL, splitmix64
+
+
+def test_splitmix64_deterministic_and_mixed():
+    x = np.arange(1000, dtype=np.uint64)
+    h1, h2 = splitmix64(x), splitmix64(x)
+    assert (h1 == h2).all()
+    assert len(np.unique(h1)) == 1000
+    # top bits must be spread (they pick the HLL register)
+    # birthday expectation: 4096*(1-(1-1/4096)^1000) ~ 890 distinct buckets
+    top = (h1 >> np.uint64(52)).astype(np.int64)
+    assert len(np.unique(top)) > 800
+
+
+def test_hll_small_range_near_exact():
+    h = HLL(p=12)
+    h.add_ints(np.arange(150, dtype=np.uint64))
+    assert abs(h.estimate() - 150) / 150 < 0.03
+
+
+def test_hll_large_range_and_merge_associativity():
+    n = 200_000
+    full = HLL(p=12)
+    full.add_ints(np.arange(n, dtype=np.uint64))
+    # split into 8 partials merged in a different order
+    merged = HLL(p=12)
+    for i in range(7, -1, -1):
+        part = HLL(p=12)
+        part.add_ints(np.arange(i * n // 8, (i + 1) * n // 8, dtype=np.uint64))
+        merged.merge_registers(part.registers)
+    assert (merged.registers == full.registers).all()
+    assert abs(full.estimate() - n) / n < 0.05  # ~1.04/sqrt(4096) = 1.6% typ
+
+
+def test_hll_duplicates_dont_inflate():
+    h = HLL(p=12)
+    vals = np.arange(500, dtype=np.uint64)
+    for _ in range(5):
+        h.add_ints(vals)
+    assert abs(h.estimate() - 500) / 500 < 0.03
+
+
+def test_ddsketch_relative_error_bound():
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(3.0, 1.5, size=50_000)
+    sk = DDSketch(alpha=0.01)
+    # feed in chunks, merging sketch partials like the pipeline does
+    merged = DDSketch(alpha=0.01)
+    for chunk in np.array_split(vals, 17):
+        part = DDSketch(alpha=0.01)
+        part.add(chunk)
+        merged.merge(part.bins, part.n_underflow)
+    s = np.sort(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = s[max(1, int(np.ceil(q * len(s)))) - 1]
+        approx = merged.quantile(q)
+        assert abs(approx - exact) / exact < 0.012, (q, exact, approx)
+
+
+def test_ddsketch_underflow_bin():
+    sk = DDSketch()
+    sk.add(np.array([0.0, -5.0, 1.0, 2.0]))
+    assert sk.n_underflow == 2 and sk.count == 4
+    assert sk.quantile(0.25) == 0.0
+
+
+def test_sketch_pipelines(ray_session):
+    import duckdb
+    from pdf_extract_kit_ray.pipelines import streaming
+    sf = "/root/testdata/sf0.001"
+    exact_users, exact_p50 = duckdb.sql(
+        f"""SELECT count(DISTINCT user_id),
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+            FROM read_parquet('{sf}/events.parquet')""").fetchone()
+    est = streaming.hll_distinct_users(sf).column("distinct_users_est")[0].as_py()
+    assert abs(est - exact_users) / exact_users < 0.05
+    qt = streaming.ddsketch_value_quantiles(sf)
+    assert abs(qt.column("p50")[0].as_py() - exact_p50) / exact_p50 < 0.02
