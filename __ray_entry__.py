@@ -78,6 +78,18 @@ def _span_kind_counts(sf_dir: str):
             .groupby("kind").aggregate(Sum("partial_n", alias_name="n_spans")))
 
 
+def _extract_markdown(sf_dir: str):
+    """Markdown projection of the flagship extraction (reference S8:
+    per-page convert2md + '\\n\\n' join, pdf2markdown.py:341-347)."""
+    import ray
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_markdown,
+                                                       read_corpus)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_corpus(_corpus_path(sf_dir))
+    return extract_markdown(ds, ExtractConfig.for_cpus(cpus))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extract_kit_ray.pipelines import (dedup, multimodal, relational,
                                                similarity, streaming, text)
@@ -86,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship extraction (non-SQL; driver rows-only check) ---
         "extract_flagship": _extract,
         "extract_kind_counts": _span_kind_counts,
+        "extract_markdown": _extract_markdown,
         # --- relational operators (SQL twins below) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_per_nation": relational.orders_per_nation,

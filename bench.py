@@ -217,7 +217,12 @@ def run_scaling(sf_dir: str, low: int, high: int) -> dict:
 
 
 def _record_scaling(report: dict) -> None:
-    """Append/refresh the measured-results section of BASELINE.md."""
+    """Append/refresh the measured-results section of BASELINE.md.
+
+    Only the authoritative sf0.1 measurement is recorded — tiny-scale runs
+    are startup-dominated and would overwrite a real number with noise."""
+    if "sf0.1" not in report["sf"]:
+        return
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     marker = "\n## Measured scaling results (written by bench.py --scaling)\n"
     try:

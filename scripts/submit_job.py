@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Cluster job entry point for the flagship extraction pipeline.
+
+Designed for ``ray job submit`` against a running cluster::
+
+    ray job submit --working-dir . -- \
+        python scripts/submit_job.py --input /data/raw_docs \
+        --output /data/extracted --num-partitions 512
+
+and equally runnable standalone on one node (Ray auto-inits local).  The
+run is RESUMABLE: output is partitioned parquet with one `_MANIFEST.json`
+per partition (counts, checksum, doc range); a re-run anti-joins the
+completed partition ids and processes only the remainder
+(state/manifests.py).  Use ``--resume`` after a crash/preemption.
+
+This script OWNS its Ray session; the library never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet dir of raw interleaved docs (doc_id, spans)")
+    ap.add_argument("--output", required=True,
+                    help="output dir (partitioned parquet + manifests)")
+    ap.add_argument("--num-partitions", type=int, default=64,
+                    help="output partitions (doc_id-hashed; sizes resume "
+                         "granularity and file count)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip partitions with a complete manifest")
+    ap.add_argument("--emulate-ms", type=float, default=0.0)
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 ignore_reinit_error=True)
+
+    import dataclasses
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_documents,
+                                                       read_corpus)
+    from pdf_extract_kit_ray.state.manifests import (completed_partitions,
+                                                     filter_completed,
+                                                     rollup_metrics,
+                                                     write_partitioned)
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cfg = dataclasses.replace(ExtractConfig.for_cpus(cpus),
+                              emulate_inference_ms=args.emulate_ms)
+
+    ds = read_corpus(args.input)
+    skipped = 0
+    if args.resume:
+        done = completed_partitions(args.output)
+        skipped = len(done)
+        ds = filter_completed(ds, args.output, args.num_partitions)
+
+    t0 = time.time()
+    docs = extract_documents(ds, cfg)
+    manifests = write_partitioned(docs, args.output, args.num_partitions)
+    metrics = rollup_metrics(manifests)
+    elapsed = round(time.time() - t0, 2)
+
+    print(json.dumps({"status": "ok", "elapsed_sec": elapsed,
+                      "skipped_partitions": skipped,
+                      "output": args.output, **metrics}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
