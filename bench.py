@@ -64,6 +64,12 @@ def _init_ray(num_cpus: int):
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # The streaming executor's per-operator resource reservation holds back
+    # ~half the CPUs for a downstream all-to-all while the map stage runs,
+    # serializing map tasks at low num_cpus (measured: 4-CPU flagship run
+    # 138 s with reservation vs 38.5 s without, identical output).  Our
+    # pipelines keep blocks small, so disabling reservation is safe here.
+    ctx.op_resource_reservation_enabled = False
     return ray
 
 
@@ -147,6 +153,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def run_stats(sf_dir: str, num_cpus: int) -> None:
+    """Run the flagship once and print the Ray Data operator-level profile
+    (ds.stats()) — the feedback loop for per-stage tuning."""
+    ray = _init_ray(num_cpus)
+    import dataclasses
+    import __ray_entry__ as em
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_documents,
+                                                       read_corpus)
+    raw_path = em._corpus_path(sf_dir)
+    cfg = dataclasses.replace(ExtractConfig.for_cpus(num_cpus),
+                              emulate_inference_ms=EMULATE_MS)
+    m = extract_documents(read_corpus(raw_path), cfg).materialize()
+    print(m.stats())
+    ray.shutdown()
+
+
 EMULATE_MS = float(os.environ.get("PEK_EMULATE_MS", "8"))
 
 
@@ -154,8 +177,8 @@ def run_inner_extract(sf_dir: str, num_cpus: int,
                       emulate_ms: float = 0.0) -> dict:
     """One fresh-process extraction run; used by --scaling.
 
-    ``emulate_ms`` > 0 pads each mock model call with a deterministic FLOP
-    burn (mocks.burn_compute) so the measurement reflects model-bound stage
+    ``emulate_ms`` > 0 pads each mock model call with a fixed-latency busy
+    wait (mocks.burn_compute) so the measurement reflects model-bound stage
     cost instead of single-host Python allocator contention; outputs are
     unchanged and the knob is disclosed in the report."""
     ray = _init_ray(num_cpus)
@@ -170,7 +193,11 @@ def run_inner_extract(sf_dir: str, num_cpus: int,
     cfg = dataclasses.replace(ExtractConfig.for_cpus(num_cpus),
                               emulate_inference_ms=emulate_ms)
     t0 = time.time()
-    rows = extract_documents(read_corpus(raw_path), cfg).count()
+    # 8 blocks per CPU: with one task per block, the stage span is the
+    # slowest task — finer blocks keep the tail wave short (measured: 16
+    # blocks on 16 CPUs = one 8-11 s wave, span == slowest straggler)
+    ds = read_corpus(raw_path, num_blocks=8 * num_cpus)
+    rows = extract_documents(ds, cfg).count()
     dt = time.time() - t0
     ray.shutdown()
     return {"elapsed": round(dt, 3), "docs": n_docs, "pages": n_pages,
@@ -240,8 +267,8 @@ def _record_scaling(report: dict) -> None:
         f"({report['throughput_high_pps']} pages/s)\n"
         f"- **scaling efficiency = {report['value']}** "
         f"(target >= {report['target']})\n"
-        f"- mock model calls padded with a deterministic "
-        f"{report['emulate_inference_ms']} ms/page FLOP burn "
+        f"- mock model calls padded with a fixed-latency "
+        f"{report['emulate_inference_ms']} ms/page busy-wait burn "
         f"(`mocks.burn_compute`) so the measurement reflects model-bound "
         f"stage cost rather than single-host allocator contention; "
         f"outputs are byte-identical with the burn on or off\n")
@@ -256,10 +283,15 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=4)
     ap.add_argument("--scaling-high", type=int, default=16)
+    ap.add_argument("--stats", action="store_true",
+                    help="print the flagship's ds.stats() operator profile")
     ap.add_argument("--inner", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--emulate-ms", type=float, default=0.0,
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.stats:
+        run_stats(args.sf_dir, args.num_cpus)
+        return
     if args.inner:
         print(json.dumps(run_inner_extract(args.sf_dir, args.num_cpus,
                                            args.emulate_ms)))

@@ -72,30 +72,35 @@ TABLE_CLASSES = {"table"}
 
 DROP_SCORE = 0.5
 
-_BURN_MATRIX = None
 
 
 def burn_compute(ms: float) -> None:
-    """Deterministic FLOP burn emulating model-inference cost (~``ms``
-    milliseconds of cache-resident f32 matmul; calibrated at ~0.5 ms per
-    160x160 multiply with single-threaded BLAS).
+    """Occupy this worker for ``ms`` milliseconds (busy wall-clock wait),
+    emulating a fixed-latency model-inference call.
+
+    Time-based rather than FLOP-based on purpose: a real detector/recognizer
+    has a latency set by its own accelerator, independent of how many sibling
+    CPU workers the host is running — a FLOP-count burn instead slows down
+    ~30% when all cores are busy (all-core turbo / SMT sharing), which
+    contaminates the N-vs-4N scaling measurement with host frequency
+    artifacts that have no analog on a real multi-node cluster.  (Two
+    earlier designs are documented in git history: a matmul burn let BLAS
+    oversubscribe threads and serialized whole stages; an elementwise-FMA
+    burn was single-threaded but frequency-sensitive.)
 
     The sandbox mocks cost ~2 ms/page of pointer-chasing Python, so an
     unpadded single-node benchmark measures the host's memory-allocator
-    contention rather than pipeline orchestration.  Real model stages are
-    FLOP-bound; enabling this knob (bench --scaling does, and discloses it)
-    makes the scaling measurement reflect the target workload shape.  It
-    never changes any output value."""
-    global _BURN_MATRIX
+    contention rather than pipeline orchestration.  Enabling this knob
+    (bench --scaling does, and discloses it) makes the measurement reflect
+    the model-bound target workload.  It never changes any output value."""
     if ms <= 0:
         return
-    import numpy as _np
-    if _BURN_MATRIX is None:
-        _BURN_MATRIX = _np.full((160, 160), 0.501, dtype=_np.float32)
-    m = _BURN_MATRIX
-    for _ in range(max(1, int(ms * 2))):
-        m = m @ m
-        m *= _np.float32(1.0) / m.flat[0]   # keep entries at 1.0, no overflow
+    import time as _time
+    deadline = _time.perf_counter() + ms / 1000.0
+    x = 1.0
+    while _time.perf_counter() < deadline:
+        for _ in range(64):
+            x = x * 0.999999 + 1e-9
 
 
 
