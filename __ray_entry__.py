@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_active_both_halves": relational.users_active_both_halves,
         "doc_hash_sample": relational.doc_hash_sample,
         "value_percentiles_by_type": relational.value_percentiles_by_type,
+        "purchase_prev_click_asof": relational.purchase_prev_click_asof,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
+        "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
@@ -247,6 +249,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "purchase_prev_click_asof": """
+            SELECT a.event_id, a.user_id, b.event_id AS prev_click_id,
+                   epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
         """,
         "sessionize": """
             WITH g AS (

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "order_priority_revenue",
     "value_percentiles_by_type",
     "sessionize",
+    "purchase_prev_click_asof",
+    "embedding_kmeans",
     "hll_distinct_users",
     "ddsketch_value_quantiles",
     "media_features",

@@ -424,3 +424,57 @@ def value_percentiles_by_type(sf_dir: str,
 
     return agg.groupby("event_type").map_groups(percentiles,
                                                 batch_format="pyarrow")
+
+
+def purchase_prev_click_asof(sf_dir: str) -> "ray.data.Dataset":
+    """AS-OF join: for every 'purchase' event, the most recent prior
+    'click' by the same user — an operator Ray Data lacks, expressed as
+    one shuffle: tag both sides in-batch, groupby(user), per-group sort +
+    np.searchsorted.  Inner semantics (purchases with no prior click drop).
+    Gap is exact integer microseconds so the DuckDB ASOF twin hash-matches.
+
+    Partitioning assumption: one user's rows fit in one group (true for
+    event streams keyed by actor; salt the key if a single user exceeds a
+    worker's heap)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["purchase", "click"]))
+        batch = batch.filter(keep)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "is_left": pc.equal(batch.column("event_type"), "purchase"),
+        })
+
+    def asof(group: pa.Table) -> pa.Table:
+        left = group.filter(group.column("is_left"))
+        right = group.filter(pc.invert(group.column("is_left")))
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "prev_click_id": pa.array([], pa.int64()),
+                          "gap_us": pa.array([], pa.int64())})
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        right = right.sort_by([("ts_us", "ascending")])
+        r_ts = right.column("ts_us").to_numpy()
+        r_id = right.column("event_id").to_numpy()
+        l_ts = left.column("ts_us").to_numpy()
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        hit = idx >= 0
+        if not hit.any():
+            return empty
+        return pa.table({
+            "event_id": pa.array(left.column("event_id").to_numpy()[hit]),
+            "user_id": pa.array(left.column("user_id").to_numpy()[hit]),
+            "prev_click_id": pa.array(r_id[idx[hit]]),
+            "gap_us": pa.array(l_ts[hit] - r_ts[idx[hit]]),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(asof, batch_format="pyarrow"))

@@ -189,3 +189,67 @@ def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
     return (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
               .groupby("query_id")
               .map_groups(final_topk, batch_format="pyarrow"))
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
+    """Distributed k-means over the embedding column (Lloyd's algorithm):
+    centroids are broadcast per iteration (``ray.put``), each batch reduces
+    to (k x dim sums, k counts) — one small row per block — and the driver
+    merges the kilobyte-sized partials.  Deterministic init (vec_id < k).
+    Returns per-cluster (cluster, n, inertia) after ``iters`` passes.
+
+    Iterative algorithms don't fit a single Dataset DAG; the loop lives on
+    the driver but every pass streams the full dataset through map_batches
+    (nothing is materialized)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    init = (ds.filter(lambda r: r["vec_id"] < k)
+              .to_pandas().sort_values("vec_id"))
+    centroids = np.array(init["embedding"].tolist(), dtype=np.float64)
+    dim = centroids.shape[1]
+
+    def make_partial(cref):
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            x = np.array(batch.column("embedding").to_pylist(),
+                         dtype=np.float64)
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=len(cents))
+            inertia = d2[np.arange(len(x)), assign].sum()
+            return pa.table({
+                "sums": pa.array([sums.ravel().tolist()],
+                                 pa.list_(pa.float64())),
+                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+                "inertia": pa.array([float(inertia)], pa.float64()),
+            })
+        return partial
+
+    inertia = float("nan")
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for b in ds.map_batches(make_partial(cref),
+                                batch_format="pyarrow").iter_batches(
+                                    batch_format="pyarrow"):
+            for s, c, i in zip(b.column("sums").to_pylist(),
+                               b.column("counts").to_pylist(),
+                               b.column("inertia").to_pylist()):
+                sums += np.array(s).reshape(k, dim)
+                counts += np.array(c, dtype=np.int64)
+                inertia += i
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    return pa.table({
+        "cluster": pa.array(range(k), pa.int32()),
+        "n": pa.array(counts.tolist(), pa.int64()),
+        "inertia_total": pa.array([float(inertia)] * k, pa.float64()),
+    })

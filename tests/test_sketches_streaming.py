@@ -81,3 +81,17 @@ def test_sketch_pipelines(ray_session):
     assert abs(est - exact_users) / exact_users < 0.05
     qt = streaming.ddsketch_value_quantiles(sf)
     assert abs(qt.column("p50")[0].as_py() - exact_p50) / exact_p50 < 0.02
+
+
+def test_embedding_kmeans_properties(ray_session):
+    from pdf_extract_kit_ray.pipelines.similarity import embedding_kmeans
+    sf = "/root/testdata/sf0.001"
+    k1 = embedding_kmeans(sf, k=4, iters=3).to_pandas()
+    k2 = embedding_kmeans(sf, k=4, iters=3).to_pandas()
+    assert k1.equals(k2)                       # deterministic across runs
+    import duckdb
+    total = duckdb.sql(f"SELECT count(*) FROM "
+                       f"read_parquet('{sf}/embeddings.parquet')").fetchone()[0]
+    assert k1.n.sum() == total                 # every vector assigned
+    one = embedding_kmeans(sf, k=4, iters=1).to_pandas()
+    assert k1.inertia_total[0] <= one.inertia_total[0]   # Lloyd's monotone
