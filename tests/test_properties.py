@@ -1,0 +1,83 @@
+"""Property-based invariants (hypothesis) for geometry, NMS and sketches."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extract_kit_ray.functions.geometry import (iou, merge_intervals,
+                                                    nms_bboxes)
+from pdf_extract_kit_ray.functions.sketches import DDSketch, HLL, splitmix64
+
+boxes_st = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 200),
+              st.integers(1, 60), st.integers(1, 60)).map(
+        lambda t: [t[0], t[1], t[0] + t[2], t[1] + t[3]]),
+    min_size=0, max_size=12)
+
+
+@given(boxes_st, st.floats(0.1, 0.9))
+@settings(max_examples=150, deadline=None)
+def test_nms_invariants(boxes, thr):
+    scores = [round(0.99 - 0.01 * i, 2) for i in range(len(boxes))]
+    kept = nms_bboxes(boxes, scores, thr)
+    # kept set is pairwise non-overlapping above the threshold
+    for i, a in enumerate(kept):
+        for b in kept[i + 1:]:
+            assert iou(boxes[a], boxes[b]) <= thr
+    # every dropped box overlaps some kept box with >= its own score
+    for j in range(len(boxes)):
+        if j not in kept:
+            assert any(iou(boxes[j], boxes[k]) > thr and scores[k] >= scores[j]
+                       for k in kept)
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(1, 50)),
+                max_size=10))
+@settings(max_examples=150, deadline=None)
+def test_merge_intervals_disjoint_and_covering(pairs):
+    ivals = [[a, a + w] for a, w in pairs]
+    merged = merge_intervals(ivals)
+    # sorted and disjoint (reference semantics: touching intervals merge)
+    for (a0, a1), (b0, b1) in zip(merged, merged[1:]):
+        assert a1 < b0
+    # every input point is covered
+    for a, b in ivals:
+        assert any(m0 <= a and b <= m1 for m0, m1 in merged)
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=300,
+                unique=True))
+@settings(max_examples=50, deadline=None)
+def test_hll_merge_equals_bulk(values):
+    arr = np.array(values, dtype=np.uint64)
+    bulk = HLL(p=10)
+    if len(arr):
+        bulk.add_ints(arr)
+    merged = HLL(p=10)
+    for chunk in np.array_split(arr, 4) if len(arr) else []:
+        part = HLL(p=10)
+        if len(chunk):
+            part.add_ints(chunk)
+        merged.merge_registers(part.registers)
+    assert (merged.registers == bulk.registers).all()
+
+
+@given(st.lists(st.floats(0.001, 1e6, allow_nan=False), min_size=1,
+                max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_ddsketch_quantile_within_alpha(values):
+    sk = DDSketch(alpha=0.02)
+    sk.add(np.array(values))
+    s = sorted(values)
+    for q in (0.1, 0.5, 0.9):
+        exact = s[max(1, int(np.ceil(q * len(s)))) - 1]
+        approx = sk.quantile(q)
+        assert abs(approx - exact) <= 0.021 * exact + 1e-9
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=2, max_size=200,
+                unique=True))
+@settings(max_examples=50, deadline=None)
+def test_splitmix64_injective_on_inputs(values):
+    h = splitmix64(np.array(values, dtype=np.uint64))
+    assert len(np.unique(h)) == len(values)
