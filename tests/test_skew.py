@@ -1,0 +1,36 @@
+"""Document-length skew: one 200-page doc among 2-page docs must extract
+byte-identically to the straight-line oracle (page-level explode is the
+skew mitigation — the unit of work is the page, SURVEY.md §4.2)."""
+
+import pyarrow as pa
+import ray.data
+
+from pdf_extract_kit_ray.oracle import extract_document
+from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                   extract_documents)
+from pdf_extract_kit_ray.schemas import DOC_SCHEMA
+from pdf_extract_kit_ray.sources.corpus import generate_raw_document
+
+
+def test_one_giant_doc_among_small(ray_session):
+    rows = [{"doc_id": "doc-whale",
+             "spans": generate_raw_document("doc-whale", seed=9, n_pages=200)}]
+    for i in range(15):
+        rows.append({"doc_id": "doc-%04d" % i,
+                     "spans": generate_raw_document("doc-%04d" % i, seed=9,
+                                                    n_pages=2)})
+    raw = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+    golden = {r["doc_id"]: extract_document(r["spans"]) for r in rows}
+
+    out = extract_documents(ray.data.from_arrow(raw),
+                            ExtractConfig.for_cpus(4)).take_all()
+    assert len(out) == 16
+    for row in out:
+        want = golden[row["doc_id"]]
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in row["spans"]]
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in want]
+        assert got == exp, row["doc_id"]
+    whale = next(r for r in out if r["doc_id"] == "doc-whale")
+    assert len(whale["spans"]) > 1000   # genuinely big
