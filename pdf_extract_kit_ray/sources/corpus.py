@@ -318,3 +318,30 @@ def write_corpus(out_dir: str, num_docs: int, seed: int = 0,
             flush()
     flush()
     return raw_dir, (golden_dir if with_golden else None)
+
+
+def write_corpus_distributed(out_dir: str, num_docs: int, seed: int = 0,
+                             max_pages: int = 40,
+                             docs_per_block: int = 512) -> str:
+    """Generate the raw corpus WITH RAY (one task per block of doc ids)
+    and write partitioned parquet — the driver-side loop of
+    ``write_corpus`` is single-threaded and becomes the bottleneck beyond
+    ~10k docs.  Generation is a pure function of (doc_id, seed), so the
+    distributed output is row-identical to the sequential writer."""
+    import ray
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i in batch.column("id").to_pylist():
+            doc_id = "doc-%08d" % i
+            rows.append({"doc_id": doc_id,
+                         "spans": generate_raw_document(doc_id, seed,
+                                                        max_pages=max_pages)})
+        return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+    (ray.data.range(num_docs,
+                    override_num_blocks=max(1, num_docs // docs_per_block))
+        .map_batches(gen, batch_format="pyarrow")
+        .write_parquet(out_dir))
+    return out_dir

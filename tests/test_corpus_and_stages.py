@@ -70,3 +70,16 @@ def test_table_stage_parses_and_caps(ray_session):
     if tables2:
         assert all(t == "" for t in tables2)
         assert capped.timeouts == len(tables2)
+
+
+def test_distributed_corpus_equals_sequential(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+    from pdf_extract_kit_ray.sources.corpus import (generate_raw_document,
+                                                    write_corpus_distributed)
+    out = str(tmp_path / "dist")
+    write_corpus_distributed(out, 40, seed=5, docs_per_block=16)
+    t = pads.dataset(out).to_table().sort_by("doc_id")
+    assert t.num_rows == 40
+    for row in (t.slice(0, 1).to_pylist() + t.slice(33, 1).to_pylist()):
+        assert [dict(s) for s in row["spans"]] == \
+            generate_raw_document(row["doc_id"], 5)
