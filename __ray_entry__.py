@@ -117,9 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
         "doc_fingerprints": text.doc_fingerprints,
+        "doc_token_counts": text.doc_token_counts,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
         # --- similarity search ---
@@ -246,6 +248,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "doc_fingerprints": f"SELECT doc_id, {fp_expr} AS fp FROM documents",
+        "doc_token_counts": f"""
+            SELECT doc_id,
+                   {tokens_expr} AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY 1

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "ngram_jaccard_pairs",
+    "winnow_neardup",
+    "doc_token_counts",
     "ann_topk",
     "embedding_neardup",
     "ivf_topk",

@@ -293,3 +293,88 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                          "jaccard": pa.array(out_j, pa.float64())})
 
     return sub.map_batches(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash; Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+_WINNOW_BASE = np.uint64(1000003)
+
+
+def winnow_fingerprints(text: str, k: int = 16, w: int = 8) -> np.ndarray:
+    """Winnowed k-gram rolling-hash fingerprints of a document.
+
+    Polynomial rolling hash over the normalized character stream (mod 2^64
+    via uint64 wraparound), then winnowing: the minimum hash of every
+    w-window is selected (rightmost minimum, the standard tie rule), and
+    selections dedupe.  Guarantees any shared substring of length >= k+w-1
+    yields a shared fingerprint."""
+    norm = " ".join(text.lower().split())
+    codes = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.array([], dtype=np.uint64)
+    # h[i] = sum_j codes[i+j] * B^(k-1-j): k shifted vector FMAs under
+    # uint64 wraparound (the intended mod-2^64 arithmetic — overflow is
+    # the hash, not an error)
+    powers = _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h += codes[j:j + n] * powers[j]
+    if n <= w:
+        return np.unique(h.min(keepdims=True))
+    windows = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost minimum per window
+    rev_argmin = w - 1 - np.argmin(windows[:, ::-1], axis=1)
+    picks = windows[np.arange(len(windows)), rev_argmin]
+    return np.unique(picks)
+
+
+def winnow_neardup(sf_dir: str, k: int = 16, w: int = 8,
+                   min_shared: int = 10) -> "ray.data.Dataset":
+    """Near-dup pairs via shared winnowed fingerprints: explode
+    (fingerprint, doc_id) rows, ONE shuffle grouping each fingerprint's
+    posting list, emit (bucket-min doc, other doc) candidate pairs, then a
+    second groupby counts shared fingerprints per pair and filters
+    >= min_shared.  Same bucket-shape as MinHash LSH but with substring
+    (not bag-of-shingles) guarantees."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        fps, ids = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            f = winnow_fingerprints(text, k, w)
+            fps.append(f)
+            ids.append(np.full(len(f), doc_id, dtype=np.int64))
+        return pa.table({
+            "fp": pa.array(np.concatenate(fps) if fps else [], pa.uint64()),
+            "doc_id": pa.array(np.concatenate(ids) if ids else [], pa.int64()),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        lead = ids[0]
+        others = ids[1:]
+        return pa.table({"a": pa.array([lead] * len(others), pa.int64()),
+                         "b": pa.array(others, pa.int64())})
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby("fp").map_groups(bucket_pairs, batch_format="pyarrow"))
+
+    def count_ones(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "partial_n"])
+
+    agg = (pairs.map_batches(count_ones, batch_format="pyarrow")
+                .groupby(["a", "b"])
+                .aggregate(Sum("partial_n", alias_name="shared")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("shared"),
+                                             min_shared))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -92,3 +92,26 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
                          "fp": fingerprint_batch(batch)})
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow")
+
+
+def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Token counting two ways per doc: whitespace tokens and a BPE-style
+    pre-tokenizer regex (letter runs | digit runs | single punctuation) —
+    the word-count vs subword-unit-count pair a training-data pipeline
+    tracks.  Both are vectorized re2/pyarrow kernels with exact SQL twins."""
+    import re
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ws = [len(t.split()) for t in texts]
+        sub = [len(bpe.findall(t)) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_ws_tokens": pa.array(ws, pa.int64()),
+            "n_bpe_tokens": pa.array(sub, pa.int64()),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow")

@@ -121,3 +121,36 @@ def test_ivf_recall_on_planted(ray_session, tmp_path):
     q3 = res[res["query_id"] == 3].sort_values("score", ascending=False)
     # a near-identical vector lands in the same/adjacent cell -> recalled
     assert 50 in q3["neighbor_id"].tolist()
+
+
+def test_winnow_fingerprints_substring_guarantee():
+    import numpy as np
+    from pdf_extract_kit_ray.pipelines.dedup import winnow_fingerprints
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    a = winnow_fingerprints(base * 3)
+    b = winnow_fingerprints("PREFIX xyz " + base * 3 + " SUFFIX qq")
+    c = winnow_fingerprints("totally unrelated words everywhere zebra quartz")
+    # shared long substring => shared fingerprints; disjoint text => none
+    assert len(np.intersect1d(a, b)) >= len(a) // 2
+    assert len(np.intersect1d(a, c)) == 0
+    assert winnow_fingerprints("") .size == 0
+    assert (winnow_fingerprints(base) == winnow_fingerprints(base)).all()
+
+
+def test_winnow_neardup_finds_planted_pair(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines.dedup import winnow_neardup
+    body = "ray data streaming executor moves arrow blocks with backpressure "
+    docs = [
+        {"doc_id": 0, "text": body * 8},
+        {"doc_id": 1, "text": body * 8 + " trailing edit"},      # near-dup of 0
+        {"doc_id": 2, "text": "unrelated words " * 40},
+        {"doc_id": 3, "text": "other disjoint content " * 40},
+    ]
+    pq.write_table(pa.Table.from_pylist(docs),
+                   str(tmp_path / "documents.parquet"))
+    pairs = winnow_neardup(str(tmp_path), min_shared=10).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in got                      # the planted near-dup
+    assert not any(2 in p or 3 in p for p in got)   # disjoint docs stay out
