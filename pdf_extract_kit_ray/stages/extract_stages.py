@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Dict, List
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.assemble import page_spans_from_dets
 from ..functions.geometry import quad_crop_to_page, quad_to_bbox
@@ -70,7 +71,17 @@ def explode_pages(batch: pa.Table) -> pa.Table:
     spans_col = batch.column("spans").to_pylist()
     out = {"doc_id": [], "page_no": [], "width": [], "height": [], "raw_dets": []}
     for doc_id, spans in zip(doc_ids, spans_col):
-        for page_no, page in enumerate(split_pages(spans)):
+        pages = split_pages(spans)
+        if not pages:
+            # zero-page doc: sentinel page keeps the doc_id alive through
+            # the shuffle so the output contains (doc_id, []) — the
+            # reference writes an empty result for an empty input, it
+            # doesn't drop the document (tasks/ocr/task.py:106-114)
+            pages = [[]]
+            page_nos = [-1]
+        else:
+            page_nos = range(len(pages))
+        for page_no, page in zip(page_nos, pages):
             out["doc_id"].append(doc_id)
             out["page_no"].append(page_no)
             out["width"].append(1654)
@@ -286,6 +297,9 @@ class FusedExtractStage:
         out = {"doc_id": [], "page_no": [], "block_idx": [],
                "kind": [], "text": [], "media_ref": []}
         for p_idx, page in enumerate(pages):
+            if cols["page_no"][p_idx] == -1:
+                _emit_doc_marker(out, cols["doc_id"][p_idx])
+                continue
             dets = all_dets[p_idx]
             formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
             regions = [d for d in dets if d["kind"] in OCR_CLASSES]
@@ -338,6 +352,9 @@ def assemble_page_spans(batch: pa.Table) -> pa.Table:
     out = {"doc_id": [], "page_no": [], "block_idx": [],
            "kind": [], "text": [], "media_ref": []}
     for doc_id, page_no, dets in zip(cols["doc_id"], cols["page_no"], cols["dets"]):
+        if page_no == -1:
+            _emit_doc_marker(out, doc_id)
+            continue
         for block_idx, span in enumerate(page_spans_from_dets(dets)):
             out["doc_id"].append(doc_id)
             out["page_no"].append(page_no)
@@ -348,11 +365,25 @@ def assemble_page_spans(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(out, schema=PAGE_SPANS_SCHEMA)
 
 
+def _emit_doc_marker(out: dict, doc_id) -> None:
+    """Sentinel span row for a zero-page doc (filtered out at reassembly,
+    keeps the doc_id group alive across the shuffle)."""
+    out["doc_id"].append(doc_id)
+    out["page_no"].append(-1)
+    out["block_idx"].append(-1)
+    out["kind"].append("__doc__")
+    out["text"].append("")
+    out["media_ref"].append("")
+
+
 def reassemble_document(group: pa.Table) -> pa.Table:
     """groupby(doc_id) group -> one doc row: sort rows by the explicit
-    (page_no, block_idx) key and assign dense global offsets."""
-    group = group.sort_by([("page_no", "ascending"), ("block_idx", "ascending")])
+    (page_no, block_idx) key and assign dense global offsets.  Sentinel
+    rows (block_idx == -1, zero-page docs) keep the doc in the output with
+    an empty span list."""
     doc_id = group.column("doc_id")[0].as_py()
+    group = group.filter(pc.greater_equal(group.column("block_idx"), 0))
+    group = group.sort_by([("page_no", "ascending"), ("block_idx", "ascending")])
     spans = [{"kind": k, "text": t, "media_ref": m, "offset": i}
              for i, (k, t, m) in enumerate(zip(
                  group.column("kind").to_pylist(),

@@ -34,3 +34,20 @@ def test_one_giant_doc_among_small(ray_session):
         assert got == exp, row["doc_id"]
     whale = next(r for r in out if r["doc_id"] == "doc-whale")
     assert len(whale["spans"]) > 1000   # genuinely big
+
+
+def test_zero_page_doc_kept_with_empty_spans(ray_session):
+    """The reference writes an empty result for an empty input doc
+    (tasks/ocr/task.py:106-114) — the engine must not drop the doc_id."""
+    rows = [{"doc_id": "doc-empty", "spans": []},
+            {"doc_id": "doc-a",
+             "spans": generate_raw_document("doc-a", seed=2, n_pages=1)}]
+    raw = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+    for mode in ("fused_tasks", "split_actors"):
+        cfg = ExtractConfig.for_cpus(4, stage_mode=mode)
+        out = {r["doc_id"]: r["spans"]
+               for r in extract_documents(ray.data.from_arrow(raw),
+                                          cfg).take_all()}
+        assert set(out) == {"doc-empty", "doc-a"}, mode
+        assert out["doc-empty"] == [], mode
+        assert len(out["doc-a"]) > 0, mode
