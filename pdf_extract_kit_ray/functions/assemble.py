@@ -41,9 +41,15 @@ def _det_poly(det: dict) -> list:
             det["x1"], det["y1"], det["x0"], det["y1"]]
 
 
-def page_spans_from_dets(dets: List[dict]) -> List[Dict[str, str]]:
+def page_spans_from_dets(dets: List[dict],
+                         reading_order: str = "reference",
+                         page_width: float = 1654.0) -> List[Dict[str, str]]:
     """Page detection list (in stage order: layout, MFD w/ LaTeX, OCR text)
-    -> ordered span records ``{"kind","text","media_ref"}``."""
+    -> ordered span records ``{"kind","text","media_ref"}``.
+
+    ``reading_order``: "reference" (the ymin*3000+xmin key — the equality
+    contract) or "columns" (optional two-column-aware ordering, see
+    ``order_blocks_columns``)."""
     spans: List[dict] = []
     blocks: List[dict] = []
     for det in dets:
@@ -74,8 +80,12 @@ def page_spans_from_dets(dets: List[dict]) -> List[Dict[str, str]]:
         saved["text"] = merge_para_with_text(block)
         merged_blocks.append(saved)
 
-    ordered = sorted(passthrough + merged_blocks,
-                     key=lambda det: reading_order_key(_det_poly(det)))
+    all_blocks = passthrough + merged_blocks
+    if reading_order == "columns":
+        ordered = order_blocks_columns(all_blocks, page_width)
+    else:
+        ordered = sorted(all_blocks,
+                         key=lambda det: reading_order_key(_det_poly(det)))
 
     out: List[Dict[str, str]] = []
     for det in ordered:
@@ -107,3 +117,53 @@ def spans_to_markdown(spans: List[dict]) -> str:
         elif kind in ("plain_text", "figure_caption", "table_caption"):
             md += " " + sp["text"] + " "
     return md
+
+
+# ---------------------------------------------------------------------------
+# optional column-aware reading order (engine extension; OFF for equality)
+# ---------------------------------------------------------------------------
+
+def detect_column_split(blocks: List[dict], page_width: float) -> float | None:
+    """Detect a two-column layout: a vertical gutter that no block crosses,
+    located in the middle 40% of the page, with blocks on both sides.
+    Returns the gutter x or None.
+
+    The reference's ``ymin*3000+xmin`` key interleaves two-column text by
+    design (its README lists a proper reading-order model as "Coming Soon",
+    /root/reference/README.md:151); this heuristic is the engine's optional
+    improvement and is OFF by default because span-sequence equality is
+    defined against reference semantics."""
+    if len(blocks) < 4:
+        return None
+    lo, hi = 0.3 * page_width, 0.7 * page_width
+    # candidate gutters: midpoints between sorted distinct x-extents
+    xs = sorted({b["x1"] for b in blocks} | {b["x0"] for b in blocks})
+    best, best_margin = None, 0.0
+    for x in xs:
+        if not (lo <= x <= hi):
+            continue
+        left = [b for b in blocks if b["x1"] <= x]
+        right = [b for b in blocks if b["x0"] >= x]
+        if len(left) + len(right) < len(blocks):
+            continue                      # some block crosses this x
+        if len(left) < 2 or len(right) < 2:
+            continue
+        margin = min(x - max(b["x1"] for b in left),
+                     min(b["x0"] for b in right) - x) + 1.0
+        if margin > best_margin:
+            best, best_margin = x, margin
+    return best
+
+
+def order_blocks_columns(blocks: List[dict], page_width: float) -> List[dict]:
+    """Column-major reading order when a two-column gutter is detected
+    (left column top-to-bottom, then right); falls back to the reference's
+    row-major ``ymin*3000+xmin`` key otherwise."""
+    split = detect_column_split(blocks, page_width)
+    if split is None:
+        return sorted(blocks,
+                      key=lambda det: reading_order_key(_det_poly(det)))
+    left = [b for b in blocks if b["x1"] <= split]
+    right = [b for b in blocks if b["x1"] > split]
+    key = lambda det: reading_order_key(_det_poly(det))  # noqa: E731
+    return sorted(left, key=key) + sorted(right, key=key)

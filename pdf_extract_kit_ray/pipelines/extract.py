@@ -55,6 +55,9 @@ class ExtractConfig:
     #                    shape for heterogeneous (multi-GPU-class) backends.
     stage_mode: str = "fused_tasks"
     fused_concurrency: int = 24
+    # "reference" = the equality contract (ymin*3000+xmin); "columns" =
+    # optional two-column-aware ordering (engine extension, assemble.py)
+    reading_order: str = "reference"
     # >0 pads each mock model call with a deterministic FLOP burn of roughly
     # this many ms per page (see mocks.burn_compute) so scale measurements
     # reflect model-bound stages; never changes outputs.  Tests use 0.
@@ -84,12 +87,14 @@ def extract_page_spans(ds: "ray.data.Dataset",
     if cfg.stage_mode == "fused_tasks":
         return pages.map_batches(
             fused_extract_batch,
-            fn_kwargs={"emulate_inference_ms": emulate},
+            fn_kwargs={"emulate_inference_ms": emulate,
+                       "reading_order": cfg.reading_order},
             batch_size=cfg.page_batch_size, batch_format="pyarrow")
     if cfg.stage_mode == "fused_actors":
         return pages.map_batches(
             FusedExtractStage, concurrency=cfg.fused_concurrency,
-            fn_constructor_kwargs={"emulate_inference_ms": emulate},
+            fn_constructor_kwargs={"emulate_inference_ms": emulate,
+                                   "reading_order": cfg.reading_order},
             batch_size=cfg.page_batch_size, num_cpus=cpus,
             batch_format="pyarrow")
     if cfg.stage_mode != "split_actors":
@@ -104,7 +109,10 @@ def extract_page_spans(ds: "ray.data.Dataset",
                               batch_size=cfg.mfr_batch_size, **kw)
     pages = pages.map_batches(OCRStage, concurrency=cfg.ocr_concurrency,
                               batch_size=cfg.page_batch_size, **kw)
-    return pages.map_batches(assemble_page_spans, batch_format="pyarrow")
+    return pages.map_batches(
+        assemble_page_spans,
+        fn_kwargs={"reading_order": cfg.reading_order},
+        batch_format="pyarrow")
 
 
 def extract_documents(ds: "ray.data.Dataset",

@@ -267,9 +267,11 @@ class FusedExtractStage:
     the batch (the reference's cross-page batch-128 analog)."""
 
     def __init__(self, backend: str = "mock", drop_score: float = 0.5,
-                 emulate_inference_ms: float = 0.0):
+                 emulate_inference_ms: float = 0.0,
+                 reading_order: str = "reference"):
         self.drop_score = drop_score
         self.emulate_inference_ms = emulate_inference_ms
+        self.reading_order = reading_order
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = _batch_pages(batch)
@@ -313,7 +315,9 @@ class FusedExtractStage:
                                  "x0": bbox[0], "y0": bbox[1],
                                  "x1": bbox[2], "y1": bbox[3],
                                  "score": score, "text": text, "media_ref": ""})
-            for block_idx, span in enumerate(page_spans_from_dets(dets)):
+            for block_idx, span in enumerate(
+                    page_spans_from_dets(dets, self.reading_order,
+                                         cols["width"][p_idx])):
                 out["doc_id"].append(cols["doc_id"][p_idx])
                 out["page_no"].append(cols["page_no"][p_idx])
                 out["block_idx"].append(block_idx)
@@ -327,16 +331,18 @@ _FUSED_CACHE: Dict[tuple, "FusedExtractStage"] = {}
 
 
 def fused_extract_batch(batch: pa.Table, drop_score: float = 0.5,
-                        emulate_inference_ms: float = 0.0) -> pa.Table:
+                        emulate_inference_ms: float = 0.0,
+                        reading_order: str = "reference") -> pa.Table:
     """Task-mode wrapper for FusedExtractStage: the mock backends are
     stateless, so plain tasks (which reuse warm worker processes and let the
     executor use every CPU) are the idiomatic shape in the sandbox; actor
     pools remain the shape for weights-loading backends."""
-    key = (drop_score, emulate_inference_ms)
+    key = (drop_score, emulate_inference_ms, reading_order)
     stage = _FUSED_CACHE.get(key)
     if stage is None:
         stage = _FUSED_CACHE[key] = FusedExtractStage(
-            drop_score=drop_score, emulate_inference_ms=emulate_inference_ms)
+            drop_score=drop_score, emulate_inference_ms=emulate_inference_ms,
+            reading_order=reading_order)
     return stage(batch)
 
 
@@ -345,17 +351,20 @@ def fused_extract_batch(batch: pa.Table, drop_score: float = 0.5,
 # ---------------------------------------------------------------------------
 
 @STAGE_REGISTRY.register("assemble")
-def assemble_page_spans(batch: pa.Table) -> pa.Table:
+def assemble_page_spans(batch: pa.Table,
+                        reading_order: str = "reference") -> pa.Table:
     """Per-page ordered span records; projects out the page payload so the
     doc_id shuffle moves only small rows."""
     cols = _batch_pages(batch)
     out = {"doc_id": [], "page_no": [], "block_idx": [],
            "kind": [], "text": [], "media_ref": []}
-    for doc_id, page_no, dets in zip(cols["doc_id"], cols["page_no"], cols["dets"]):
+    for doc_id, page_no, width, dets in zip(cols["doc_id"], cols["page_no"],
+                                            cols["width"], cols["dets"]):
         if page_no == -1:
             _emit_doc_marker(out, doc_id)
             continue
-        for block_idx, span in enumerate(page_spans_from_dets(dets)):
+        for block_idx, span in enumerate(
+                page_spans_from_dets(dets, reading_order, width)):
             out["doc_id"].append(doc_id)
             out["page_no"].append(page_no)
             out["block_idx"].append(block_idx)

@@ -211,3 +211,52 @@ def test_reading_order_key_row_major():
     assert G.reading_order_key(top_right) < G.reading_order_key(below_left)
     same_y_left = [100, 100, 300, 100, 300, 150, 100, 150]
     assert G.reading_order_key(same_y_left) < G.reading_order_key(top_right)
+
+
+def test_column_split_detection_and_ordering():
+    from pdf_extract_kit_ray.functions.assemble import (detect_column_split,
+                                                        order_blocks_columns)
+    def blk(x0, y0, x1, y1, kind="plain text"):
+        return {"kind": kind, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                "score": 0.9, "text": "", "media_ref": ""}
+    # two clean columns on a 1000-wide page
+    left = [blk(50, y, 450, y + 80) for y in (100, 300, 500)]
+    right = [blk(550, y, 950, y + 80) for y in (100, 300, 500)]
+    blocks = [right[0], left[1], left[0], right[2], right[1], left[2]]
+    split = detect_column_split(blocks, 1000)
+    assert split is not None and 450 <= split <= 550
+    ordered = order_blocks_columns(blocks, 1000)
+    assert [(b["x0"], b["y0"]) for b in ordered] == \
+        [(50, 100), (50, 300), (50, 500), (550, 100), (550, 300), (550, 500)]
+    # a full-width block crossing the gutter kills the split
+    assert detect_column_split(blocks + [blk(100, 700, 900, 780)], 1000) is None
+    # single-column pages keep the reference order
+    single = [blk(50, y, 950, y + 50) for y in (400, 100, 250)]
+    assert [b["y0"] for b in order_blocks_columns(single, 1000)] == [100, 250, 400]
+
+
+def test_reading_order_columns_mode_runs_and_differs(ray_session):
+    """The optional mode must be plumbed end-to-end; default mode is pinned
+    by the golden e2e tests elsewhere."""
+    import ray.data
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_documents)
+    from pdf_extract_kit_ray.schemas import DOC_SCHEMA
+    from pdf_extract_kit_ray.sources.corpus import generate_raw_document
+    import pyarrow as pa
+    rows = [{"doc_id": "doc-%02d" % i,
+             "spans": generate_raw_document("doc-%02d" % i, seed=4, n_pages=3)}
+            for i in range(6)]
+    raw = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+    ref = extract_documents(ray.data.from_arrow(raw),
+                            ExtractConfig.for_cpus(4)).take_all()
+    cols = extract_documents(
+        ray.data.from_arrow(raw),
+        ExtractConfig.for_cpus(4, reading_order="columns")).take_all()
+    # same docs, same span multiset per doc (ordering may differ)
+    assert {r["doc_id"] for r in ref} == {r["doc_id"] for r in cols}
+    for r_ref in ref:
+        r_col = next(r for r in cols if r["doc_id"] == r_ref["doc_id"])
+        key = lambda s: (s["kind"], s["text"], s["media_ref"])  # noqa: E731
+        assert sorted(map(key, r_ref["spans"])) == \
+            sorted(map(key, r_col["spans"]))
