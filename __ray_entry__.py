@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
+        "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
         "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,  # non-SQL sketch
         # --- multimodal (non-SQL: binary payload stages; rows-only checks) ---
         "media_decode_summary": multimodal.media_decode_summary,

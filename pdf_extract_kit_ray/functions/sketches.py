@@ -127,3 +127,41 @@ class DDSketch:
                 # bias-centered representative
                 return float(self.gamma ** k * 2 / (self.gamma + 1))
         return float(self.gamma ** max(self.bins) * 2 / (self.gamma + 1))
+
+
+# ---------------------------------------------------------------------------
+# HLL as a first-class Ray Data aggregator
+# ---------------------------------------------------------------------------
+
+def make_hll_aggregator(on: str, p: int = 12, name: str = None):
+    """HyperLogLog distinct-count as a ``ray.data`` ``AggregateFnV2`` —
+    usable directly in ``ds.groupby(...).aggregate(...)`` like Sum/Count.
+    The accumulator is the 2^p-byte register array (bytes, trivially
+    serializable); combine is elementwise max; finalize is the HLL
+    estimate."""
+    from ray.data.aggregate import AggregateFnV2
+
+    class HLLDistinct(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name or f"hll_distinct({on})",
+                             zero_factory=lambda: bytes(1 << p),
+                             on=on, ignore_nulls=True)
+
+        def aggregate_block(self, block) -> bytes:
+            h = HLL(p)
+            col = block.column(on) if hasattr(block, "column") else block[on]
+            vals = np.asarray(col.to_numpy() if hasattr(col, "to_numpy")
+                              else col, dtype=np.uint64)
+            h.add_ints(vals)
+            return h.registers.tobytes()
+
+        def combine(self, a: bytes, b: bytes) -> bytes:
+            return np.maximum(np.frombuffer(a, np.uint8),
+                              np.frombuffer(b, np.uint8)).tobytes()
+
+        def finalize(self, acc: bytes) -> float:
+            h = HLL(p)
+            h.merge_registers(np.frombuffer(acc, np.uint8))
+            return h.estimate()
+
+    return HLLDistinct()

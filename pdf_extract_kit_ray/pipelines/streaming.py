@@ -97,3 +97,17 @@ def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
             for q in qs}
     cols["n"] = pa.array([merged.count], pa.int64())
     return pa.table(cols)
+
+
+def hll_distinct_by_type(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
+    """Approximate distinct users PER EVENT TYPE via the custom
+    AggregateFnV2 HLL aggregator — the sketch as a first-class groupby
+    aggregate (no driver-side merge): each block contributes one 4 KB
+    register array per group, combined associatively by the shuffle."""
+    from ..functions.sketches import make_hll_aggregator
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return (ds.groupby("event_type")
+              .aggregate(make_hll_aggregator("user_id", p=p,
+                                             name="distinct_users_est")))

@@ -95,3 +95,17 @@ def test_embedding_kmeans_properties(ray_session):
     assert k1.n.sum() == total                 # every vector assigned
     one = embedding_kmeans(sf, k=4, iters=1).to_pandas()
     assert k1.inertia_total[0] <= one.inertia_total[0]   # Lloyd's monotone
+
+
+def test_hll_aggregator_v2_groupby(ray_session):
+    import duckdb
+    from pdf_extract_kit_ray.pipelines.streaming import hll_distinct_by_type
+    sf = "/root/testdata/sf0.001"
+    df = hll_distinct_by_type(sf).to_pandas()
+    exact = dict(duckdb.sql(
+        f"""SELECT event_type, count(DISTINCT user_id)
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1""").fetchall())
+    assert set(df["event_type"]) == set(exact)
+    for _, r in df.iterrows():
+        e = exact[r["event_type"]]
+        assert abs(r["distinct_users_est"] - e) / e < 0.05
