@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": relational.doc_hash_sample,
         "value_percentiles_by_type": relational.value_percentiles_by_type,
         "purchase_prev_click_asof": relational.purchase_prev_click_asof,
+        "events_value_bands": relational.events_value_bands,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
         "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
         "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,  # non-SQL sketch
+        "ddsketch_quantiles_by_type": streaming.ddsketch_quantiles_by_type,  # non-SQL sketch
         # --- multimodal (non-SQL: binary payload stages; rows-only checks) ---
         "media_decode_summary": multimodal.media_decode_summary,
         "image_thumbnails": multimodal.image_thumbnails,
@@ -259,6 +261,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "events_value_bands": """
+            WITH bands AS (
+                SELECT '[' || CAST(CAST(g*100 AS BIGINT) AS VARCHAR) || ',' ||
+                       CAST(CAST((g+1)*100 AS BIGINT) AS VARCHAR) || ')' AS band,
+                       g*100.0 AS lo, (g+1)*100.0 AS hi
+                FROM (SELECT unnest(range(5)) AS g)
+            )
+            SELECT b.band, count(*) AS n_events,
+                   sum(CAST(floor(e.value*100.0) AS BIGINT))/100.0 AS sum_value
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band
         """,
         "purchase_prev_click_asof": """
             SELECT a.event_id, a.user_id, b.event_id AS prev_click_id,

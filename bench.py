@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "hll_distinct_users",
     "ddsketch_value_quantiles",
+    "ddsketch_quantiles_by_type",
+    "hll_distinct_by_type",
+    "events_value_bands",
     "media_features",
     "image_thumbnails",
 ]

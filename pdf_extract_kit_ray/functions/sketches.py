@@ -165,3 +165,56 @@ def make_hll_aggregator(on: str, p: int = 12, name: str = None):
             return h.estimate()
 
     return HLLDistinct()
+
+
+def make_ddsketch_aggregator(on: str, alpha: float = 0.01,
+                             qs: tuple = (0.5, 0.9, 0.99),
+                             name: str = None):
+    """DDSketch quantiles as an ``AggregateFnV2``: the accumulator is the
+    sparse (bin -> count) dict plus the underflow count; combine adds bins;
+    finalize emits the requested quantiles as a fixed-size list<double>
+    (one aggregate column; unpack downstream)."""
+    from ray.data.aggregate import AggregateFnV2
+
+    def _pack(sk: DDSketch) -> bytes:
+        # accumulator must be an Arrow-native type (bytes), or Ray falls
+        # back to pickled-object blocks: int64 [underflow, k bins..., k counts...]
+        keys = np.fromiter(sk.bins.keys(), dtype=np.int64, count=len(sk.bins))
+        counts = np.fromiter(sk.bins.values(), dtype=np.int64,
+                             count=len(sk.bins))
+        return np.concatenate(([sk.n_underflow], keys, counts)).tobytes()
+
+    def _unpack(acc: bytes) -> DDSketch:
+        sk = DDSketch(alpha)
+        if not acc:
+            return sk
+        arr = np.frombuffer(acc, np.int64)
+        k = (len(arr) - 1) // 2
+        sk.merge(dict(zip(arr[1:1 + k].tolist(), arr[1 + k:].tolist())),
+                 int(arr[0]))
+        return sk
+
+    class DDQuantiles(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name or f"dd_quantiles({on})",
+                             zero_factory=lambda: b"",
+                             on=on, ignore_nulls=True)
+
+        def aggregate_block(self, block) -> bytes:
+            sk = DDSketch(alpha)
+            col = block.column(on) if hasattr(block, "column") else block[on]
+            sk.add(np.asarray(col.to_numpy() if hasattr(col, "to_numpy")
+                              else col, dtype=np.float64))
+            return _pack(sk)
+
+        def combine(self, a: bytes, b: bytes) -> bytes:
+            sk = _unpack(a)
+            other = _unpack(b)
+            sk.merge(other.bins, other.n_underflow)
+            return _pack(sk)
+
+        def finalize(self, acc: bytes):
+            sk = _unpack(acc)
+            return [sk.quantile(q) for q in qs]
+
+    return DDQuantiles()

@@ -478,3 +478,42 @@ def purchase_prev_click_asof(sf_dir: str) -> "ray.data.Dataset":
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("user_id")
               .map_groups(asof, batch_format="pyarrow"))
+
+
+def events_value_bands(sf_dir: str, band_width: float = 100.0) -> "ray.data.Dataset":
+    """Range join: events matched to value bands [lo, hi) — a non-equi
+    join expressed as a broadcast range lookup (np.searchsorted against the
+    sorted band edges inside every task; the band table is tiny and never
+    shuffled), then the usual partial-combine groupby."""
+    edges = np.arange(0.0, 500.0 + band_width, band_width)
+    labels = ["[%d,%d)" % (edges[i], edges[i + 1])
+              for i in range(len(edges) - 1)]
+    side = ray.put((edges, np.array(labels, dtype=object)))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ed, lab = ray.get(side)
+        v = batch.column("value").to_numpy()
+        idx = np.searchsorted(ed, v, side="right") - 1
+        keep = (idx >= 0) & (idx < len(lab))
+        t = pa.table({"band": pa.array(lab[idx[keep]], pa.string()),
+                      "value_c": _cents(pa.array(v[keep]))})
+        g = t.group_by("band").aggregate([("value_c", "sum"),
+                                          ("value_c", "count")])
+        return g.rename_columns(["band", "partial_c", "partial_n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("band")
+             .aggregate(Sum("partial_n", alias_name="n_events"),
+                        Sum("partial_c", alias_name="sum_c")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "band": batch.column("band"),
+            "n_events": batch.column("n_events"),
+            "sum_value": pc.divide(
+                pc.cast(batch.column("sum_c"), pa.float64()), 100.0),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")

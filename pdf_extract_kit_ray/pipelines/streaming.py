@@ -111,3 +111,26 @@ def hll_distinct_by_type(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
     return (ds.groupby("event_type")
               .aggregate(make_hll_aggregator("user_id", p=p,
                                              name="distinct_users_est")))
+
+
+def ddsketch_quantiles_by_type(sf_dir: str, alpha: float = 0.01) -> "ray.data.Dataset":
+    """Approximate (p50, p90, p99) of value PER EVENT TYPE via the DDSketch
+    AggregateFnV2 — per-group quantiles without sorting any group."""
+    from ..functions.sketches import make_ddsketch_aggregator
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    agg = (ds.groupby("event_type")
+             .aggregate(make_ddsketch_aggregator("value", alpha=alpha,
+                                                 name="q")))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        qlists = batch.column("q").to_pylist()
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "p50": pa.array([q[0] for q in qlists], pa.float64()),
+            "p90": pa.array([q[1] for q in qlists], pa.float64()),
+            "p99": pa.array([q[2] for q in qlists], pa.float64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

@@ -109,3 +109,19 @@ def test_hll_aggregator_v2_groupby(ray_session):
     for _, r in df.iterrows():
         e = exact[r["event_type"]]
         assert abs(r["distinct_users_est"] - e) / e < 0.05
+
+
+def test_ddsketch_aggregator_v2_groupby(ray_session):
+    import duckdb
+    from pdf_extract_kit_ray.pipelines.streaming import ddsketch_quantiles_by_type
+    sf = "/root/testdata/sf0.001"
+    df = ddsketch_quantiles_by_type(sf).to_pandas()
+    ex = duckdb.sql(
+        f"""SELECT event_type,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1""").df() \
+        .set_index("event_type")
+    assert len(df) == len(ex)
+    for _, r in df.iterrows():
+        e = ex.loc[r["event_type"], "p50"]
+        assert abs(r["p50"] - e) / e < 0.011
