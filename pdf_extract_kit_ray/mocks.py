@@ -208,35 +208,46 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
     quads = merge_det_quads(quads)
     quads = mask_quads_with_formulas(quads, formula_bboxes_crop)
 
+    # per-line char grids are quad-independent: compute each line's cell
+    # centers, clip mask and midline ONCE (numpy), then each quad is a pair
+    # of vectorized range tests per line
+    import numpy as _np
+    line_cache = []
+    for li, (raw, clip) in enumerate(visible):
+        text = raw["text"]
+        width = raw["x1"] - raw["x0"]
+        if not text or width <= 0:
+            continue
+        cell = width / len(text)
+        # identical double arithmetic to the scalar loop: (i+0.5)*cell + x0
+        cx = raw["x0"] + (_np.arange(len(text)) + 0.5) * cell
+        clip_mask = (cx >= clip[0]) & (cx <= clip[2])
+        cy = (raw["y0"] + raw["y1"]) / 2.0
+        line_cache.append((li, cx, _np.array(list(text), dtype=object),
+                           clip_mask, cy, raw["score"]))
+
     results = []
     for quad in quads:
         page_bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
         qx0, qy0, qx1, qy1 = page_bbox
-        captured: List[Tuple[float, int, str]] = []
+        cx_parts, li_parts, ch_parts = [], [], []
         scores: List[float] = []
-        for li, (raw, clip) in enumerate(visible):
-            text = raw["text"]
-            if not text:
-                continue
-            width = raw["x1"] - raw["x0"]
-            if width <= 0:
-                continue
-            cy = (raw["y0"] + raw["y1"]) / 2.0
+        for li, cx, chars, clip_mask, cy, score in line_cache:
             if not (qy0 <= cy <= qy1):
                 continue
-            cell = width / len(text)
-            contributed = False
-            for i, ch in enumerate(text):
-                cx = raw["x0"] + (i + 0.5) * cell
-                if qx0 <= cx <= qx1 and clip[0] <= cx <= clip[2]:
-                    captured.append((cx, li, ch))
-                    contributed = True
-            if contributed:
-                scores.append(raw["score"])
-        if not captured:
+            sel = clip_mask & (cx >= qx0) & (cx <= qx1)
+            if sel.any():
+                cx_parts.append(cx[sel])
+                li_parts.append(_np.full(int(sel.sum()), li))
+                ch_parts.append(chars[sel])
+                scores.append(score)
+        if not cx_parts:
             continue
-        captured.sort(key=lambda c: (c[0], c[1]))
-        text = "".join(ch for _cx, _li, ch in captured)
+        cx_all = _np.concatenate(cx_parts)
+        li_all = _np.concatenate(li_parts)
+        ch_all = _np.concatenate(ch_parts)
+        order = _np.lexsort((li_all, cx_all))   # sort by (cx, li)
+        text = "".join(ch_all[order])
         raw_score = min(scores)
         if raw_score < drop_score:  # drop BEFORE rounding (paddle_ocr.py:442-447)
             continue
