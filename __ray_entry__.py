@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles_by_type": relational.value_percentiles_by_type,
         "purchase_prev_click_asof": relational.purchase_prev_click_asof,
         "events_value_bands": relational.events_value_bands,
+        "engaged_users_union": relational.engaged_users_union,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
@@ -261,6 +262,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "engaged_users_union": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            UNION
+            SELECT user_id FROM events WHERE value > 400.0
         """,
         "events_value_bands": """
             WITH bands AS (

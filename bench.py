@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ddsketch_quantiles_by_type",
     "hll_distinct_by_type",
     "events_value_bands",
+    "engaged_users_union",
     "media_features",
     "image_thumbnails",
 ]

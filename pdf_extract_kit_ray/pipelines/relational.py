@@ -517,3 +517,28 @@ def events_value_bands(sf_dir: str, band_width: float = 100.0) -> "ray.data.Data
                 pc.cast(batch.column("sum_c"), pa.float64()), 100.0),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def engaged_users_union(sf_dir: str, min_value: float = 400.0) -> "ray.data.Dataset":
+    """Set UNION via ``Dataset.union``: users who purchased OR generated a
+    high-value event — two filtered streams concatenated (union in Ray Data
+    is a plan-level concat, no shuffle), deduplicated by one groupby."""
+    base = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["user_id", "event_type", "value"])
+
+    def purchasers(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("event_type"), "purchase")
+        return pa.table({"user_id":
+                         pc.unique(batch.column("user_id").filter(keep))})
+
+    def high_value(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("value"), min_value)
+        return pa.table({"user_id":
+                         pc.unique(batch.column("user_id").filter(keep))})
+
+    a = base.map_batches(purchasers, batch_format="pyarrow")
+    b = base.map_batches(high_value, batch_format="pyarrow")
+    return (a.union(b)
+             .groupby("user_id")
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["user_id"]))
