@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_profile": text.lang_profile,
         "doc_fingerprints": text.doc_fingerprints,
         "doc_token_counts": text.doc_token_counts,
+        "top_terms": text.top_terms,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -252,6 +253,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "doc_fingerprints": f"SELECT doc_id, {fp_expr} AS fp FROM documents",
+        "top_terms": """
+            SELECT term, count(*) AS n
+            FROM (SELECT unnest(list_filter(
+                      string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                  AS term FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+        """,
         "doc_token_counts": f"""
             SELECT doc_id,
                    {tokens_expr} AS n_ws_tokens,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "winnow_neardup",
     "doc_token_counts",
+    "top_terms",
     "ann_topk",
     "embedding_neardup",
     "ivf_topk",

@@ -115,3 +115,28 @@ def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Distributed wordcount with global top-k: per-batch term counting
+    (the combiner — each block ships its term histogram, not its words),
+    one groupby, then sort+limit over the pre-reduced term table."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        counts: "Counter[str]" = Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(t.lower().split())
+        return pa.table({"term": pa.array(list(counts.keys()), pa.string()),
+                         "partial_n": pa.array(list(counts.values()),
+                                               pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("partial_n", alias_name="n"))
+              .sort(["n", "term"], descending=[True, False])
+              .limit(k))
