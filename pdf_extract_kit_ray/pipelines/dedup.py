@@ -59,13 +59,32 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
                        dtype=np.uint64, count=len(sh))
 
 
+def _mersenne_mul(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(outer(a, h)) mod 2^61-1 without uint64 overflow (a < 2^61, h < 2^32).
+
+    a = a_hi*2^32 + a_lo.  a_lo*h < 2^64 fits exactly and Mersenne-folds;
+    a_hi*h < 2^61, and multiplying by 2^32 mod 2^61-1 is a 61-bit rotation
+    (q*2^61 + r*2^32 ≡ q + r*2^32), so nothing ever wraps."""
+    M = np.uint64(_MERSENNE)
+    a_hi = a >> np.uint64(32)
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    t_lo = np.outer(a_lo, h)                       # < 2^64, exact
+    t_lo = (t_lo >> np.uint64(61)) + (t_lo & M)    # < 2^61 + 8
+    t_hi = np.outer(a_hi, h)                       # < 2^61
+    t_hi = ((t_hi & np.uint64((1 << 29) - 1)) << np.uint64(32)) \
+        + (t_hi >> np.uint64(29))                  # *2^32 mod M, < 2^61+2^32
+    return t_lo + t_hi                             # < 2^63, caller reduces
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
                       k: int = 3) -> np.ndarray:
-    """num_perm 32-bit minhash values via universal hashing over crc32
-    shingle hashes (outer product vectorized)."""
+    """num_perm 32-bit minhash values via a true Mersenne-prime universal
+    hash family over crc32 shingle hashes — the modular multiply is done
+    overflow-free (see _mersenne_mul), so collision probability ≈ Jaccard
+    holds as documented (ADVICE round 1)."""
     h = _shingle_hashes(text, k)
     # (num_perm, n_shingles) universal hashes, min over shingles
-    vals = (np.outer(a, h) + b[:, None]) % _MERSENNE & _MAX_HASH
+    vals = (_mersenne_mul(a, h) + b[:, None]) % _MERSENNE & _MAX_HASH
     return vals.min(axis=1).astype(np.uint32)
 
 

@@ -111,8 +111,12 @@ def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         lookup, names = ray.get(side)
         natkeys = lookup[batch.column("o_custkey").to_numpy()]
-        t = pa.table({"nation": pa.array(names[natkeys], pa.string()),
-                      "price_c": _cents(batch.column("o_totalprice"))})
+        # inner-join semantics: an unknown custkey maps to -1, which would
+        # silently wrap to names[-1]; drop those rows like the SQL twin does
+        known = natkeys >= 0
+        t = pa.table({"nation": pa.array(names[natkeys[known]], pa.string()),
+                      "price_c": _cents(batch.column("o_totalprice").filter(
+                          pa.array(known)))})
         g = t.group_by("nation").aggregate([("price_c", "sum"),
                                             ("price_c", "count")])
         return g.rename_columns(["nation", "partial_price_c", "partial_n"])
@@ -460,7 +464,10 @@ def purchase_prev_click_asof(sf_dir: str) -> "ray.data.Dataset":
                           "gap_us": pa.array([], pa.int64())})
         if left.num_rows == 0 or right.num_rows == 0:
             return empty
-        right = right.sort_by([("ts_us", "ascending")])
+        # event_id tiebreak: two clicks at the same ts must resolve the same
+        # way regardless of shuffle arrival order into the group
+        right = right.sort_by([("ts_us", "ascending"),
+                               ("event_id", "ascending")])
         r_ts = right.column("ts_us").to_numpy()
         r_id = right.column("event_id").to_numpy()
         l_ts = left.column("ts_us").to_numpy()

@@ -117,8 +117,13 @@ def write_partitioned(docs: "ray.data.Dataset", out_dir: str,
         manifest = {"partition_id": pid, "n_docs": len(group),
                     "n_spans": n_spans, "checksum": checksum,
                     "path": data_path}
-        with open(os.path.join(part_dir, MANIFEST_NAME), "w") as f:
+        # manifest commit mirrors the data-file protocol (tmp + atomic
+        # rename): manifest EXISTENCE means COMPLETE, so a crash mid-write
+        # must not leave a truncated _MANIFEST.json behind
+        manifest_path = os.path.join(part_dir, MANIFEST_NAME)
+        with open(manifest_path + ".tmp", "w") as f:
             json.dump(manifest, f)
+        os.replace(manifest_path + ".tmp", manifest_path)
         return pa.Table.from_pylist([manifest], schema=MANIFEST_SCHEMA)
 
     return (docs.map_batches(tag, batch_format="pyarrow")
