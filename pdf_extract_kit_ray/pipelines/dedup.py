@@ -177,41 +177,103 @@ def _candidate_pairs_ds(ds: "ray.data.Dataset", text_col: str,
               .map_groups(bucket_pairs, batch_format="pyarrow"))
 
 
+_MEMBER_SCHEMA = pa.schema([("member_id", pa.int64()),
+                            ("keep_id", pa.int64()),
+                            ("dup_id", pa.int64()),
+                            ("text", pa.string())])
+
+
 def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
                   shingle_k: int = 3, threshold: float = 0.5,
                   table: str = "documents") -> "ray.data.Dataset":
     """Near-duplicate pairs (keep_id < dup_id) whose verified word-shingle
     Jaccard similarity is >= threshold.
 
-    Verification strategy: the LSH candidate set is tiny relative to the
-    corpus, so candidates are collected (they are (id,id) pairs, bytes each)
-    and the involved documents' shingle sets are re-read with a pushed-down
-    ``doc_id IN candidates`` filter — never the full corpus.  At cluster
-    scale the same shape is a hash-partitioned semi-join on doc_id.
+    Verification is FULLY DISTRIBUTED (nothing is materialized on the
+    driver): candidate pairs are exploded to per-doc membership rows
+    (member_id = each side of the pair), unioned with the corpus's
+    (doc_id, text) rows, and ONE hash shuffle on member_id attaches each
+    doc's text to every pair it participates in.  A second (candidate-sized)
+    groupby on the pair key brings the two texts together and computes exact
+    Jaccard inside ``map_groups``.  Shuffle volume: corpus text once +
+    O(|candidates|) small rows — the 100 TB-safe semi-join shape.
     """
     path = f"{sf_dir}/{table}.parquet"
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
     cand = _candidate_pairs_ds(ds, "text", "doc_id", num_perm, bands, shingle_k)
-    pairs = {(r["keep_id"], r["dup_id"]) for r in cand.take_all()}
-    if not pairs:
-        return ray.data.from_arrow(pa.table({
-            "keep_id": pa.array([], pa.int64()),
-            "dup_id": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
-    involved = sorted({i for p in pairs for i in p})
-    import pyarrow.dataset as pads
-    texts_tbl = pads.dataset(path).to_table(
-        columns=["doc_id", "text"],
-        filter=pads.field("doc_id").isin(involved))
-    texts = dict(zip(texts_tbl.column("doc_id").to_pylist(),
-                     texts_tbl.column("text").to_pylist()))
-    verified = [(kid, did, round(jaccard(texts[kid], texts[did], shingle_k), 6))
-                for kid, did in sorted(pairs)]
-    verified = [v for v in verified if v[2] >= threshold]
-    return ray.data.from_arrow(pa.table({
-        "keep_id": pa.array([v[0] for v in verified], pa.int64()),
-        "dup_id": pa.array([v[1] for v in verified], pa.int64()),
-        "jaccard": pa.array([v[2] for v in verified], pa.float64())}))
+
+    def pair_members(batch: pa.Table) -> pa.Table:
+        keep = batch.column("keep_id").to_numpy()
+        dup = batch.column("dup_id").to_numpy()
+        member = np.concatenate([keep, dup])
+        return pa.table({
+            "member_id": pa.array(member, pa.int64()),
+            "keep_id": pa.array(np.concatenate([keep, keep]), pa.int64()),
+            "dup_id": pa.array(np.concatenate([dup, dup]), pa.int64()),
+            "text": pa.nulls(2 * len(keep), pa.string()),
+        }, schema=_MEMBER_SCHEMA)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "member_id": batch.column("doc_id").cast(pa.int64()),
+            "keep_id": pa.array(np.full(n, -1), pa.int64()),
+            "dup_id": pa.array(np.full(n, -1), pa.int64()),
+            "text": batch.column("text"),
+        }, schema=_MEMBER_SCHEMA)
+
+    def attach_text(group: pa.Table) -> pa.Table:
+        """doc_id group: one text row + this doc's pair-membership rows
+        (possibly duplicated across bands — deduped here) -> per-pair rows
+        carrying this side's text."""
+        is_doc = pc.equal(group.column("keep_id"), -1)
+        texts = group.filter(is_doc).column("text")
+        members = group.filter(pc.invert(is_doc))
+        empty = pa.table({"keep_id": pa.array([], pa.int64()),
+                          "dup_id": pa.array([], pa.int64()),
+                          "is_keep": pa.array([], pa.bool_()),
+                          "text": pa.array([], pa.string())})
+        if members.num_rows == 0 or len(texts) == 0:
+            return empty
+        text = texts[0].as_py()
+        member_id = members.column("member_id")[0].as_py()
+        seen = set()
+        keeps, dups = [], []
+        for kid, did in zip(members.column("keep_id").to_pylist(),
+                            members.column("dup_id").to_pylist()):
+            if (kid, did) not in seen:
+                seen.add((kid, did))
+                keeps.append(kid)
+                dups.append(did)
+        return pa.table({
+            "keep_id": pa.array(keeps, pa.int64()),
+            "dup_id": pa.array(dups, pa.int64()),
+            "is_keep": pa.array([k == member_id for k in keeps], pa.bool_()),
+            "text": pa.array([text] * len(keeps), pa.string())})
+
+    def verify_pair(group: pa.Table) -> pa.Table:
+        empty = pa.table({"keep_id": pa.array([], pa.int64()),
+                          "dup_id": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        keep_side = group.filter(group.column("is_keep"))
+        dup_side = group.filter(pc.invert(group.column("is_keep")))
+        if keep_side.num_rows == 0 or dup_side.num_rows == 0:
+            return empty
+        j = round(jaccard(keep_side.column("text")[0].as_py(),
+                          dup_side.column("text")[0].as_py(), shingle_k), 6)
+        if j < threshold:
+            return empty
+        return pa.table({"keep_id": keep_side.column("keep_id").slice(0, 1),
+                         "dup_id": keep_side.column("dup_id").slice(0, 1),
+                         "jaccard": pa.array([j], pa.float64())})
+
+    members = cand.map_batches(pair_members, batch_format="pyarrow")
+    docs = ds.map_batches(doc_rows, batch_format="pyarrow")
+    return (docs.union(members)
+                .groupby("member_id")
+                .map_groups(attach_text, batch_format="pyarrow")
+                .groupby(["keep_id", "dup_id"])
+                .map_groups(verify_pair, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

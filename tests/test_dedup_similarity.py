@@ -58,6 +58,34 @@ def test_minhash_dedup_finds_near_dup(ray_session, tmp_path):
     assert (res["jaccard"] >= 0.5).all()
 
 
+def test_minhash_dedup_distributed_10x_corpus(ray_session, tmp_path):
+    """10x corpus with planted near-dups across blocks — exercises the
+    distributed verification path (membership-union semi-join; no take_all
+    anywhere in dedup.py)."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(800):
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.choice(WORDS) for _ in range(60))})
+    planted = set()
+    for base in (3, 150, 400, 777):
+        toks = rows[base]["text"].split()
+        toks[7] = "EDITED"
+        rows.append({"doc_id": 1000 + base, "text": " ".join(toks)})
+        planted.add((base, 1000 + base))
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = dedup.minhash_dedup(str(tmp_path), threshold=0.5).to_pandas()
+    pairs = set(zip(res["keep_id"], res["dup_id"]))
+    assert planted <= pairs
+    assert (res["jaccard"] >= 0.5).all()
+    # guard: the verification path must stay distributed
+    import inspect
+    src = inspect.getsource(dedup)
+    assert "take_all" not in src
+
+
 def test_minhash_no_false_pairs_without_dups(ray_session, tmp_path):
     sf_dir = _make_docs_table(str(tmp_path / "nodup"), with_dups=False)
     res = dedup.minhash_dedup(sf_dir, threshold=0.5).to_pandas()
