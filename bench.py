@@ -140,14 +140,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _warmup()
     queries = em.queries()
     timings, extras = {}, {}
-    # Dataset.join's hash-shuffle aggregator ACTORS starve without operator
-    # resource reservation (A/B at 32 cpus, sf0.1: 6.4 s on vs 15.9 s off),
-    # while map->groupby pipelines run faster without it — toggle per query.
-    join_queries = {"order_priority_revenue", "customers_without_orders"}
-    from ray.data import DataContext
-    ctx = DataContext.get_current()
+    # No per-query DataContext toggling: with the join partition count sized
+    # to ~CPUs/4 (relational._join_partitions) the hash-join aggregators fit
+    # the node with or without operator resource reservation (measured at
+    # 32 cpus, sf0.1: 3.6-4.3 s either way), so the global reservation-off
+    # setting from _init_ray applies uniformly.
     for name in BENCH_QUERIES:
-        ctx.op_resource_reservation_enabled = name in join_queries
         t0 = time.time()
         rows = _consume(queries[name](sf_dir))
         dt = round(time.time() - t0, 3)

@@ -280,10 +280,94 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
 
+# 256-entry byte popcount table (no popcount ufunc in this numpy)
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(axis=1).astype(np.uint8)
+
+# above this bucket population, fall back to prefix-extended banding
+# instead of the O(n^2) all-pairs scan
+_SIMHASH_BUCKET_CAP = 2048
+
+
+def _hamming_pairs_vectorized(ids: np.ndarray, sigs: np.ndarray,
+                              max_hamming: int, tile: int = 1024):
+    """All (i < j) pairs with popcount(sigs[i]^sigs[j]) <= max_hamming,
+    tiled XOR + byte-table popcount (vectorized; memory bounded by
+    tile^2 * 8 bytes).  Returns (keep, dup, dist) index arrays."""
+    n = len(ids)
+    keeps, dups, dists = [], [], []
+    for i0 in range(0, n, tile):
+        a = sigs[i0:i0 + tile]
+        for j0 in range(i0, n, tile):
+            b = sigs[j0:j0 + tile]
+            x = a[:, None] ^ b[None, :]
+            d = _POPCOUNT8[x.view(np.uint8)].reshape(len(a), len(b), 8) \
+                .sum(axis=2, dtype=np.uint16)
+            ii, jj = np.nonzero(d <= max_hamming)
+            gi, gj = ii + i0, jj + j0
+            m = gi < gj
+            if m.any():
+                keeps.append(gi[m]); dups.append(gj[m])
+                dists.append(d[ii[m], jj[m]])
+    if not keeps:
+        z = np.array([], dtype=np.int64)
+        return z, z, z.astype(np.int32)
+    return (np.concatenate(keeps), np.concatenate(dups),
+            np.concatenate(dists).astype(np.int32))
+
+
+def _band_remainder(sigs: np.ndarray, band_id: int) -> np.ndarray:
+    """The 48 signature bits OUTSIDE the given 16-bit band, packed low."""
+    shift = np.uint64(16 * band_id)
+    low = sigs & ((np.uint64(1) << shift) - np.uint64(1))
+    high = sigs >> (shift + np.uint64(16))
+    return low | (high << shift)
+
+
+def _simhash_bucket_pairs(ids: np.ndarray, sigs: np.ndarray, band_id: int,
+                          max_hamming: int):
+    """Pairs within one (band, band_hash) bucket.
+
+    Small buckets: one vectorized all-pairs scan.  Oversized buckets (a
+    16-bit band gives only 65,536 buckets, so at 10^9+ docs the population
+    goes quadratic): prefix-extended banding — the 48 bits outside the
+    matched band carry all <= max_hamming differing bits, so by pigeonhole
+    any qualifying pair also agrees on one of 4 12-bit sub-bands; scan only
+    within sub-buckets and dedupe pairs that collide in several."""
+    if len(ids) <= _SIMHASH_BUCKET_CAP:
+        return _hamming_pairs_vectorized(ids, sigs, max_hamming)
+    rem = _band_remainder(sigs, band_id)
+    seen = set()
+    keeps, dups, dists = [], [], []
+    for sub in range(4):
+        sub_key = (rem >> np.uint64(12 * sub)) & np.uint64(0xFFF)
+        order = np.argsort(sub_key, kind="stable")
+        sorted_keys = sub_key[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_keys[1:] != sorted_keys[:-1]])
+        bounds = np.r_[starts, len(sorted_keys)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            k, d, h = _hamming_pairs_vectorized(ids[idx], sigs[idx],
+                                                max_hamming)
+            for ki, di, hi in zip(idx[k], idx[d], h):
+                a, b = (ki, di) if ki < di else (di, ki)
+                if (a, b) not in seen:
+                    seen.add((a, b))
+                    keeps.append(a); dups.append(b); dists.append(hi)
+    return (np.asarray(keeps, dtype=np.int64),
+            np.asarray(dups, dtype=np.int64),
+            np.asarray(dists, dtype=np.int32))
+
+
 def simhash_dedup(sf_dir: str, max_hamming: int = 3,
                   table: str = "documents") -> "ray.data.Dataset":
     """Near-duplicate pairs by 64-bit SimHash Hamming distance <= max_hamming,
-    candidates via 4×16-bit band buckets (pigeonhole-complete for distance 3)."""
+    candidates via 4×16-bit band buckets (pigeonhole-complete for distance 3).
+    In-bucket comparison is tiled XOR+popcount (vectorized), with oversized
+    buckets split by prefix-extended sub-banding (_simhash_bucket_pairs)."""
     path = f"{sf_dir}/{table}.parquet"
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
 
@@ -303,17 +387,15 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
                          "sig": pa.array(out["sig"], pa.uint64())})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group.column("doc_id").to_pylist(),
-                          group.column("sig").to_pylist()))
-        keep, dup, dist = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if d <= max_hamming:
-                    keep.append(rows[i][0]); dup.append(rows[j][0]); dist.append(d)
-        return pa.table({"keep_id": pa.array(keep, pa.int64()),
-                         "dup_id": pa.array(dup, pa.int64()),
-                         "hamming": pa.array(dist, pa.int32())})
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        band_id = group.column("band_id")[0].as_py()
+        k, d, h = _simhash_bucket_pairs(ids, sigs, band_id, max_hamming)
+        return pa.table({"keep_id": pa.array(ids[k], pa.int64()),
+                         "dup_id": pa.array(ids[d], pa.int64()),
+                         "hamming": pa.array(h, pa.int32())})
 
     pairs = (ds.map_batches(signatures, batch_format="pyarrow")
                .groupby(["band_id", "band_hash"])

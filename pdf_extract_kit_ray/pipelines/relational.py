@@ -244,7 +244,23 @@ def user_running_totals(sf_dir: str, max_user: int = 50) -> "ray.data.Dataset":
 # joins (Dataset.join: hash-shuffle partitioned join, ray 2.49)
 # ---------------------------------------------------------------------------
 
-def order_priority_revenue(sf_dir: str, num_partitions: int = 16) -> "ray.data.Dataset":
+def _join_partitions(num_partitions: "int | None") -> int:
+    """Hash-join partition count: ~CPUs/4, min 8.  Each partition is a
+    long-lived aggregator ACTOR; more partitions than ~CPUs/4 oversubscribes
+    a node (measured at 32 CPUs, sf0.1: 8 parts ≈ 3.9 s, 32 parts ≈ 8-16 s,
+    64 parts ≈ 10-40 s).  On a multi-node cluster the same rule spreads the
+    aggregators across nodes; per-partition data volume, not count, is the
+    scale knob."""
+    if num_partitions is not None:
+        return num_partitions
+    cpus = 32
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    return max(8, cpus // 4)
+
+
+def order_priority_revenue(sf_dir: str,
+                           num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Large×large inner hash join (lineitem ⨝ orders on orderkey) rolled up
     to order priority.  Both sides are pruned to the join/aggregate columns
     before the shuffle; after the join each batch pre-reduces to
@@ -257,7 +273,7 @@ def order_priority_revenue(sf_dir: str, num_partitions: int = 16) -> "ray.data.D
         columns=["o_orderkey", "o_orderpriority"])
 
     joined = line.join(orders, join_type="inner",
-                       num_partitions=num_partitions,
+                       num_partitions=_join_partitions(num_partitions),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -285,7 +301,7 @@ def order_priority_revenue(sf_dir: str, num_partitions: int = 16) -> "ray.data.D
 
 
 def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
-                             num_partitions: int = 8) -> "ray.data.Dataset":
+                             num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Anti-join (customers with no order above ``min_price``) rolled up per
     market segment — the right side is filtered at the read, then
     ``join_type='left_anti'`` hash-shuffles both sides so neither needs to
@@ -301,7 +317,7 @@ def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
 
     anti = cust.join(orders.map_batches(big_orders, batch_format="pyarrow"),
                      join_type="left_anti",
-                     num_partitions=num_partitions,
+                     num_partitions=_join_partitions(num_partitions),
                      on=("c_custkey",), right_on=("o_custkey",))
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -101,6 +101,47 @@ def test_simhash_dedup_finds_near_dup(ray_session, tmp_path):
     assert (zero["hamming"] == 0).all()
 
 
+def test_hamming_pairs_vectorized_matches_bruteforce():
+    rng = np.random.RandomState(3)
+    sigs = rng.randint(0, 1 << 63, size=300, dtype=np.uint64)
+    sigs[37] = sigs[5] ^ np.uint64(0b101)          # planted hamming-2 pair
+    ids = np.arange(300, dtype=np.int64)
+    k, d, h = dedup._hamming_pairs_vectorized(ids, sigs, 3, tile=64)
+    got = {(int(a), int(b), int(x)) for a, b, x in zip(k, d, h)}
+    expect = set()
+    for i in range(300):
+        for j in range(i + 1, 300):
+            dist = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+            if dist <= 3:
+                expect.add((i, j, dist))
+    assert got == expect and (5, 37, 2) in got
+
+
+def test_simhash_oversized_bucket_subbanding():
+    """A bucket past the cap takes the prefix-extended sub-banding path and
+    still finds every planted pair without going all-pairs quadratic."""
+    import time
+    rng = np.random.RandomState(4)
+    n = 5000
+    assert n > dedup._SIMHASH_BUCKET_CAP
+    # all sigs share band 0 (low 16 bits) but vary the remaining 48 bits
+    base = np.uint64(0xBEEF)
+    sigs = (rng.randint(0, 1 << 48, size=n, dtype=np.uint64)
+            << np.uint64(16)) | base
+    planted = [(11, 2300, 0), (40, 4900, 3)]
+    sigs[2300] = sigs[11]
+    sigs[4900] = sigs[40] ^ (np.uint64(1) << np.uint64(20)) \
+        ^ (np.uint64(1) << np.uint64(33)) ^ (np.uint64(1) << np.uint64(60))
+    ids = np.arange(n, dtype=np.int64)
+    t0 = time.time()
+    k, d, h = dedup._simhash_bucket_pairs(ids, sigs, 0, 3)
+    elapsed = time.time() - t0
+    got = {(int(a), int(b), int(x)) for a, b, x in zip(k, d, h)}
+    for pair in planted:
+        assert pair in got
+    assert elapsed < 5.0      # sub-banding, not 12.5M-pair all-pairs Python
+
+
 def test_jaccard_function():
     assert dedup.jaccard("a b c d", "a b c d") == 1.0
     assert dedup.jaccard("a b c d", "x y z w") == 0.0
