@@ -24,6 +24,8 @@ SF0001 = "/root/testdata/sf0.001"
 # cached on disk keyed by size+seed)
 _CORPUS_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 4000}
 _CORPUS_SEED = 42
+_CORPUS_VERSION = "v2"   # bump when the raw-corpus format changes
+                         # (v2: page_geom leader spans + oversized pages)
 
 
 def _corpus_path(sf_dir: str, with_golden: bool = False) -> str:
@@ -32,7 +34,7 @@ def _corpus_path(sf_dir: str, with_golden: bool = False) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     num_docs = _CORPUS_DOCS.get(name, 60)
     tag = "g" if with_golden else "r"
-    out = f"/tmp/pek_corpus/{name}-{num_docs}-{_CORPUS_SEED}{tag}"
+    out = f"/tmp/pek_corpus/{name}-{num_docs}-{_CORPUS_SEED}{_CORPUS_VERSION}{tag}"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         from pdf_extract_kit_ray.sources.corpus import write_corpus

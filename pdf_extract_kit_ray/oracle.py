@@ -43,7 +43,9 @@ from .sources.corpus import split_pages
 
 def extract_document(raw_spans: List[dict]) -> List[Dict]:
     """One raw document's span stream -> the golden extracted span sequence
-    ``[{kind, text, media_ref, offset}, ...]`` with dense offsets."""
+    ``[{kind, text, media_ref, offset}, ...]`` with dense offsets.  Render
+    geometry (the S3 dpi-72 downshift for >3000px pages) is applied inside
+    split_pages, identically to the Ray pipeline's explode stage."""
     pages = split_pages(raw_spans)
 
     # Pass A: layout + MFD per page; queue formula crops doc-wide.

@@ -74,15 +74,56 @@ def parse_raw_span(span: dict) -> dict:
     }
 
 
-def split_pages(raw_spans: Iterable[dict]) -> List[List[dict]]:
-    """Partition a raw span stream into pages: a page starts at offset==0.
-    Elements keep their within-page emission order."""
-    pages: List[List[dict]] = []
+def render_geometry(width: int, height: int) -> Tuple[int, int, float]:
+    """The reference's render-resolution rule
+    (pdf_extract_kit/utils/data_preprocess.py:5-11): pages render at dpi 144
+    (zoom 2.0 over the PDF's dpi-72 user space), but if either side of the
+    dpi-144 render exceeds 3000 px the page is re-rendered at dpi 72 —
+    exactly half the dims — so detector coordinates stay in the expected
+    dynamic range.  Input: the dpi-144 render dims; returns the effective
+    (width, height, scale) the pipeline must operate in."""
+    if width > 3000 or height > 3000:
+        return width // 2, height // 2, 0.5
+    return width, height, 1.0
+
+
+def _scale_els(els: List[dict], scale: float) -> List[dict]:
+    if scale == 1.0:
+        return els
+    for el in els:
+        el["x0"] *= scale
+        el["y0"] *= scale
+        el["x1"] *= scale
+        el["y1"] *= scale
+    return els
+
+
+def split_pages_geom(raw_spans: Iterable[dict]) -> List[dict]:
+    """Partition a raw span stream into pages with render geometry applied:
+    a page starts at offset==0; a leading ``page_geom`` pseudo-span carries
+    the page's dpi-144 render dims (older corpora without it default to the
+    A4 dpi-144 dims).  Element coordinates are brought into the effective
+    render frame per ``render_geometry`` — the >3000px dpi-72 downshift."""
+    pages: List[dict] = []
     for span in raw_spans:
         if span["offset"] == 0 or not pages:
-            pages.append([])
-        pages[-1].append(parse_raw_span(span))
+            pages.append({"width": PAGE_W, "height": PAGE_H, "scale": 1.0,
+                          "els": []})
+        el = parse_raw_span(span)
+        if el["kind"] == "page_geom":
+            w, h, scale = render_geometry(int(el["x1"]), int(el["y1"]))
+            pages[-1].update(width=w, height=h, scale=scale)
+        else:
+            pages[-1]["els"].append(el)
+    for page in pages:
+        _scale_els(page["els"], page["scale"])
     return pages
+
+
+def split_pages(raw_spans: Iterable[dict]) -> List[List[dict]]:
+    """Back-compat view of ``split_pages_geom``: just the per-page element
+    payload lists (geometry applied)."""
+    return [p["els"] for p in split_pages_geom(raw_spans)]
 
 
 # ---------------------------------------------------------------------------
@@ -245,8 +286,17 @@ def generate_raw_document(doc_id: str, seed: int, n_pages: Optional[int] = None,
         rng = random.Random("%d/%s/%d" % (seed, doc_id, page_no))
         els = _PageBuilder(rng, doc_id, media_counter).build()
         rng.shuffle(els)
-        for offset, el in enumerate(els):
-            x0, y0, x1, y1 = el["bbox"]
+        # ~7% of pages are oversized (the A2-at-dpi-144 analog, both sides
+        # doubled past the 3000px limit) so the render_geometry downshift
+        # branch is exercised corpus-wide
+        mult = 2 if rng.random() < 0.07 else 1
+        spans.append({
+            "kind": "page_geom", "text": "",
+            "media_ref": encode_geom(0, 0, PAGE_W * mult, PAGE_H * mult, 1.0),
+            "offset": 0,
+        })
+        for offset, el in enumerate(els, start=1):
+            x0, y0, x1, y1 = (v * mult for v in el["bbox"])
             spans.append({
                 "kind": el["kind"],
                 "text": el["text"],

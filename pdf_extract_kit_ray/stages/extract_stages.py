@@ -57,7 +57,7 @@ from ..schemas import (
     SPAN_TYPE,
 )
 from ..registry import STAGE_REGISTRY
-from ..sources.corpus import split_pages
+from ..sources.corpus import PAGE_H, PAGE_W, split_pages_geom
 
 
 # ---------------------------------------------------------------------------
@@ -66,27 +66,29 @@ from ..sources.corpus import split_pages
 
 @STAGE_REGISTRY.register("explode_pages")
 def explode_pages(batch: pa.Table) -> pa.Table:
-    """One doc row -> N page rows carrying the parsed page payload."""
+    """One doc row -> N page rows carrying the parsed page payload.  Page
+    dims come from the per-page render geometry (S3: dpi-144 render with the
+    >3000px dpi-72 downshift applied by split_pages_geom)."""
     doc_ids = batch.column("doc_id").to_pylist()
     spans_col = batch.column("spans").to_pylist()
     out = {"doc_id": [], "page_no": [], "width": [], "height": [], "raw_dets": []}
     for doc_id, spans in zip(doc_ids, spans_col):
-        pages = split_pages(spans)
+        pages = split_pages_geom(spans)
         if not pages:
             # zero-page doc: sentinel page keeps the doc_id alive through
             # the shuffle so the output contains (doc_id, []) — the
             # reference writes an empty result for an empty input, it
             # doesn't drop the document (tasks/ocr/task.py:106-114)
-            pages = [[]]
+            pages = [{"width": PAGE_W, "height": PAGE_H, "els": []}]
             page_nos = [-1]
         else:
             page_nos = range(len(pages))
         for page_no, page in zip(page_nos, pages):
             out["doc_id"].append(doc_id)
             out["page_no"].append(page_no)
-            out["width"].append(1654)
-            out["height"].append(2339)
-            out["raw_dets"].append(page)
+            out["width"].append(page["width"])
+            out["height"].append(page["height"])
+            out["raw_dets"].append(page["els"])
     return pa.Table.from_pydict(out, schema=PAGE_SCHEMA)
 
 

@@ -32,11 +32,78 @@ def test_raw_offsets_are_page_local():
     spans = generate_raw_document("doc-x", 1, n_pages=3)
     pages = split_pages(spans)
     assert len(pages) == 3
-    # every span round-trips through the geom encoding
+    # every page leads with its render-geometry pseudo-span
+    assert sum(1 for s in spans if s["kind"] == "page_geom") == 3
+    # every element span round-trips through the geom encoding
     for s in spans:
         det = parse_raw_span(s)
+        if det["kind"] == "page_geom":
+            continue
         assert det["x1"] > det["x0"] and det["y1"] > det["y0"]
         assert 0.0 < det["score"] < 1.0
+
+
+def test_render_geometry_downshift():
+    """S3 semantics (reference data_preprocess.py:5-11): a page whose
+    dpi-144 render exceeds 3000px on a side re-renders at dpi-72 (half),
+    and element coordinates land in the effective frame."""
+    from pdf_extract_kit_ray.sources.corpus import (PAGE_H, PAGE_W,
+                                                    encode_geom,
+                                                    render_geometry,
+                                                    split_pages_geom)
+
+    assert render_geometry(1654, 2339) == (1654, 2339, 1.0)
+    assert render_geometry(3308, 4678) == (1654, 2339, 0.5)
+    assert render_geometry(3200, 1000) == (1600, 500, 0.5)
+
+    def page(mult):
+        return [
+            {"kind": "page_geom", "text": "",
+             "media_ref": encode_geom(0, 0, PAGE_W * mult, PAGE_H * mult, 1.0),
+             "offset": 0},
+            {"kind": "plain_text", "text": "",
+             "media_ref": encode_geom(100 * mult, 200 * mult, 500 * mult,
+                                      260 * mult, 0.9), "offset": 1},
+        ]
+
+    normal, oversized = split_pages_geom(page(1)), split_pages_geom(page(2))
+    assert oversized[0]["width"] == normal[0]["width"] == PAGE_W
+    assert oversized[0]["scale"] == 0.5 and normal[0]["scale"] == 1.0
+    # the downshift brings the doubled coordinates back to the same frame
+    for a, b in zip(normal[0]["els"], oversized[0]["els"]):
+        assert (a["x0"], a["y0"], a["x1"], a["y1"]) == \
+            (b["x0"], b["y0"], b["x1"], b["y1"])
+
+
+def test_oversized_page_extracts_identically():
+    """A whole oversized document must extract byte-identically to its
+    normal-size twin (the downshift restores the same effective frame), and
+    the generated corpus does contain oversized pages."""
+    from pdf_extract_kit_ray.oracle import extract_document
+    from pdf_extract_kit_ray.sources.corpus import encode_geom, parse_raw_span
+
+    spans = generate_raw_document("doc-big", 7, n_pages=4)
+    # precondition: this seed's pages are all base-size (doubling once must
+    # not stack on an already-oversized page, which downshifts only once)
+    assert all("3308" not in s["media_ref"]
+               for s in spans if s["kind"] == "page_geom")
+
+    def doubled(span):
+        det = parse_raw_span(span)
+        media = det["media_ref"] if span["kind"] != "page_geom" else ""
+        return {
+            "kind": span["kind"], "text": span["text"],
+            "media_ref": encode_geom(int(det["x0"]) * 2, int(det["y0"]) * 2,
+                                     int(det["x1"]) * 2, int(det["y1"]) * 2,
+                                     det["score"], media),
+            "offset": span["offset"],
+        }
+
+    # force every page oversized by doubling all geometry (incl. page_geom)
+    big = [doubled(s) for s in spans]
+    a = extract_document(spans)
+    b = extract_document(big)
+    assert a == b and len(a) > 0
 
 
 def test_golden_requires_reordering():
