@@ -115,18 +115,35 @@ def _det(kind: str, raw: dict, text: str = "", media_ref: str = "") -> dict:
     }
 
 
-def mock_layout(raw_dets: Sequence[dict]) -> List[dict]:
+def mock_layout(raw_dets: Sequence[dict], score_thresh: float = 0.0) -> List[dict]:
     """Layout detector: one detection per block-level raw element, in raw
     emission order (the model's output order is the block-consumption order
-    downstream, so it is part of the contract)."""
+    downstream, so it is part of the contract).  ``score_thresh`` drops
+    low-confidence blocks before emission — the knob that differs between
+    the reference's switchable backends (LayoutLMv3 pins
+    SCORE_THRESH_TEST=0.2, layoutlmv3_util/model_init.py:71, while the
+    YOLO backend emits at its own default)."""
     out = []
     for raw in raw_dets:
         cls = LAYOUT_KIND_MAP.get(raw["kind"])
         if cls is None:
             continue
+        if float(raw["score"]) < score_thresh:
+            continue
         media = raw["media_ref"] if cls in ("figure", "table") else ""
         out.append(_det(cls, raw, media_ref=media))
     return out
+
+
+# Config-selectable layout backends (the reference's MODEL_REGISTRY switch,
+# layout_detection/models/{yolo,layoutlmv3}.py): same interface, different
+# score threshold.  "mock2"'s 0.5 stands in for LayoutLMv3's 0.2 (the mock
+# score distribution is uniform 0.42-0.99, so 0.5 is the value that makes
+# the backends observably differ).
+LAYOUT_BACKENDS = {
+    "mock": mock_layout,
+    "mock2": lambda raw_dets: mock_layout(raw_dets, score_thresh=0.5),
+}
 
 
 def mock_mfd(raw_dets: Sequence[dict]) -> List[dict]:

@@ -58,6 +58,14 @@ class ExtractConfig:
     # "reference" = the equality contract (ymin*3000+xmin); "columns" =
     # optional two-column-aware ordering (engine extension, assemble.py)
     reading_order: str = "reference"
+    # config-selected layout backend (the reference's YOLO-vs-LayoutLMv3
+    # switch): "mock" or "mock2" (higher score threshold) in the sandbox
+    layout_backend: str = "mock"
+    # >0 salts the reassembly shuffle key into page ranges of this many
+    # pages (two-phase reassembly): enable when the corpus has page-count
+    # outliers whose span rows would exceed one group's heap (SURVEY §7
+    # stage 5).  0 = single groupby(doc_id), byte-identical output either way.
+    salt_pages: int = 0
     # >0 pads each mock model call with a deterministic FLOP burn of roughly
     # this many ms per page (see mocks.burn_compute) so scale measurements
     # reflect model-bound stages; never changes outputs.  Tests use 0.
@@ -87,13 +95,15 @@ def extract_page_spans(ds: "ray.data.Dataset",
     if cfg.stage_mode == "fused_tasks":
         return pages.map_batches(
             fused_extract_batch,
-            fn_kwargs={"emulate_inference_ms": emulate,
+            fn_kwargs={"backend": cfg.layout_backend,
+                       "emulate_inference_ms": emulate,
                        "reading_order": cfg.reading_order},
             batch_size=cfg.page_batch_size, batch_format="pyarrow")
     if cfg.stage_mode == "fused_actors":
         return pages.map_batches(
             FusedExtractStage, concurrency=cfg.fused_concurrency,
-            fn_constructor_kwargs={"emulate_inference_ms": emulate,
+            fn_constructor_kwargs={"backend": cfg.layout_backend,
+                                   "emulate_inference_ms": emulate,
                                    "reading_order": cfg.reading_order},
             batch_size=cfg.page_batch_size, num_cpus=cpus,
             batch_format="pyarrow")
@@ -101,8 +111,12 @@ def extract_page_spans(ds: "ray.data.Dataset",
         raise ValueError(f"unknown stage_mode {cfg.stage_mode!r}")
     kw = {"fn_constructor_kwargs": {"emulate_inference_ms": emulate},
           "num_cpus": cpus, "batch_format": "pyarrow"}
-    pages = pages.map_batches(LayoutStage, concurrency=cfg.layout_concurrency,
-                              batch_size=cfg.page_batch_size, **kw)
+    pages = pages.map_batches(
+        LayoutStage, concurrency=cfg.layout_concurrency,
+        batch_size=cfg.page_batch_size, num_cpus=cpus,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"backend": cfg.layout_backend,
+                               "emulate_inference_ms": emulate})
     pages = pages.map_batches(MFDStage, concurrency=cfg.mfd_concurrency,
                               batch_size=cfg.page_batch_size, **kw)
     pages = pages.map_batches(MFRStage, concurrency=cfg.mfr_concurrency,
@@ -118,8 +132,25 @@ def extract_page_spans(ds: "ray.data.Dataset",
 def extract_documents(ds: "ray.data.Dataset",
                       config: Optional[ExtractConfig] = None) -> "ray.data.Dataset":
     """raw docs Dataset (DOC_SCHEMA) -> extracted docs Dataset (DOC_SCHEMA).
-    The groupby(doc_id) is the pipeline's single all-to-all exchange."""
-    page_spans = extract_page_spans(ds, config)
+    The groupby(doc_id) is the pipeline's single all-to-all exchange; with
+    ``salt_pages`` set it becomes two exchanges — (doc_id, page-range salt)
+    then a per-doc merge of pre-assembled chunk rows — so an extreme
+    page-count outlier never lands all its span rows in one group."""
+    import functools
+
+    from ..stages.extract_stages import (add_salt, merge_doc_chunks,
+                                         reassemble_chunk)
+
+    cfg = config or ExtractConfig()
+    page_spans = extract_page_spans(ds, cfg)
+    if cfg.salt_pages > 0:
+        salted = page_spans.map_batches(
+            functools.partial(add_salt, salt_pages=cfg.salt_pages),
+            batch_format="pyarrow")
+        chunks = salted.groupby(["doc_id", "salt"]).map_groups(
+            reassemble_chunk, batch_format="pyarrow")
+        return chunks.groupby("doc_id").map_groups(merge_doc_chunks,
+                                                   batch_format="pyarrow")
     return page_spans.groupby("doc_id").map_groups(reassemble_document,
                                                    batch_format="pyarrow")
 

@@ -133,11 +133,13 @@ class LayoutStage:
 
     def __init__(self, backend: str = "mock",
                  emulate_inference_ms: float = 0.0):
-        if backend != "mock":
+        from ..mocks import LAYOUT_BACKENDS
+        if backend not in LAYOUT_BACKENDS:
             raise NotImplementedError(
                 "real layout backends (DocLayout-YOLO / LayoutLMv3) need GPU "
-                "weights not present in this sandbox")
-        self._detect = mock_layout
+                "weights not present in this sandbox; available mocks: "
+                + ", ".join(sorted(LAYOUT_BACKENDS)))
+        self._detect = LAYOUT_BACKENDS[backend]
         self._emulate = 0.3 * emulate_inference_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -290,6 +292,8 @@ class FusedExtractStage:
     def __init__(self, backend: str = "mock", drop_score: float = 0.5,
                  emulate_inference_ms: float = 0.0,
                  reading_order: str = "reference"):
+        from ..mocks import LAYOUT_BACKENDS
+        self._layout = LAYOUT_BACKENDS[backend]
         self.drop_score = drop_score
         self.emulate_inference_ms = emulate_inference_ms
         self.reading_order = reading_order
@@ -303,7 +307,7 @@ class FusedExtractStage:
         keys, payloads = [], []
         for p_idx, page in enumerate(pages):
             burn_compute(self.emulate_inference_ms)
-            dets = mock_layout(page)
+            dets = self._layout(page)
             for det in mock_mfd(page):
                 dets.append(det)
                 keys.append((p_idx, len(dets) - 1))
@@ -351,18 +355,20 @@ class FusedExtractStage:
 _FUSED_CACHE: Dict[tuple, "FusedExtractStage"] = {}
 
 
-def fused_extract_batch(batch: pa.Table, drop_score: float = 0.5,
+def fused_extract_batch(batch: pa.Table, backend: str = "mock",
+                        drop_score: float = 0.5,
                         emulate_inference_ms: float = 0.0,
                         reading_order: str = "reference") -> pa.Table:
     """Task-mode wrapper for FusedExtractStage: the mock backends are
     stateless, so plain tasks (which reuse warm worker processes and let the
     executor use every CPU) are the idiomatic shape in the sandbox; actor
     pools remain the shape for weights-loading backends."""
-    key = (drop_score, emulate_inference_ms, reading_order)
+    key = (backend, drop_score, emulate_inference_ms, reading_order)
     stage = _FUSED_CACHE.get(key)
     if stage is None:
         stage = _FUSED_CACHE[key] = FusedExtractStage(
-            drop_score=drop_score, emulate_inference_ms=emulate_inference_ms,
+            backend=backend, drop_score=drop_score,
+            emulate_inference_ms=emulate_inference_ms,
             reading_order=reading_order)
     return stage(batch)
 
@@ -404,6 +410,59 @@ def _emit_doc_marker(out: dict, doc_id) -> None:
     out["kind"].append("__doc__")
     out["text"].append("")
     out["media_ref"].append("")
+
+
+_CHUNK_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("salt", pa.int32()),
+    ("kinds", pa.list_(pa.string())),
+    ("texts", pa.list_(pa.string())),
+    ("media_refs", pa.list_(pa.string())),
+])
+
+
+def add_salt(batch: pa.Table, salt_pages: int) -> pa.Table:
+    """Salt the reassembly key: page ranges of ``salt_pages`` pages share a
+    salt, so a many-thousand-page whale doc's span rows spread over many groups in
+    the first shuffle instead of converging into one worker's heap."""
+    import numpy as np
+    page_no = batch.column("page_no").to_numpy()
+    salt = np.maximum(page_no, 0) // salt_pages
+    return batch.append_column("salt", pa.array(salt, pa.int32()))
+
+
+def reassemble_chunk(group: pa.Table) -> pa.Table:
+    """Phase 1 of salted reassembly: one (doc_id, salt) group -> ONE chunk
+    row holding that page range's ordered span columns.  Sentinel rows
+    (zero-page docs) become an empty chunk, keeping the doc alive."""
+    doc_id = group.column("doc_id")[0].as_py()
+    salt = group.column("salt")[0].as_py()
+    group = group.filter(pc.greater_equal(group.column("block_idx"), 0))
+    group = group.sort_by([("page_no", "ascending"), ("block_idx", "ascending")])
+    return pa.Table.from_pydict({
+        "doc_id": [doc_id],
+        "salt": [salt],
+        "kinds": [group.column("kind").to_pylist()],
+        "texts": [group.column("text").to_pylist()],
+        "media_refs": [group.column("media_ref").to_pylist()],
+    }, schema=_CHUNK_SCHEMA)
+
+
+def merge_doc_chunks(group: pa.Table) -> pa.Table:
+    """Phase 2 of salted reassembly: concatenate a doc's chunk rows in salt
+    order (salt = page range order) and assign dense global offsets — the
+    group holds one small row per page range, not per span."""
+    doc_id = group.column("doc_id")[0].as_py()
+    group = group.sort_by([("salt", "ascending")])
+    spans = []
+    for kinds, texts, medias in zip(group.column("kinds").to_pylist(),
+                                    group.column("texts").to_pylist(),
+                                    group.column("media_refs").to_pylist()):
+        for k, t, m in zip(kinds, texts, medias):
+            spans.append({"kind": k, "text": t, "media_ref": m,
+                          "offset": len(spans)})
+    return pa.Table.from_pydict({"doc_id": [doc_id], "spans": [spans]},
+                                schema=DOC_SCHEMA)
 
 
 def reassemble_document(group: pa.Table) -> pa.Table:

@@ -60,6 +60,55 @@ def test_markdown_projection(ray_session, corpus):
     assert any("\n# " in v for v in md.values())
 
 
+def test_backend_switch_mock2(ray_session, corpus, tmp_path):
+    """M2: the config-selected layout backend switch.  'mock2' (higher score
+    threshold, the LayoutLMv3-SCORE_THRESH analog) must produce a different,
+    strictly smaller block-det set than 'mock', via BOTH the YAML spec path
+    and ExtractConfig, and all stage modes must agree with each other under
+    the alternate backend."""
+    from pdf_extract_kit_ray.registry import (load_pipeline_yaml,
+                                              build_pipeline)
+    raw, _ = corpus
+    sl = raw.slice(0, 6)
+
+    def span_count(stage_mode, backend):
+        cfg = dataclasses.replace(ExtractConfig.for_cpus(4),
+                                  stage_mode=stage_mode,
+                                  layout_backend=backend)
+        out = extract_documents(ray.data.from_arrow(sl), cfg)
+        return {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"])
+                              for s in r["spans"]] for r in out.take_all()}
+
+    base = span_count("fused_tasks", "mock")
+    alt_tasks = span_count("fused_tasks", "mock2")
+    alt_split = span_count("split_actors", "mock2")
+    assert alt_tasks == alt_split          # modes agree under mock2
+    assert alt_tasks != base               # backends observably differ
+    n_base = sum(len(v) for v in base.values())
+    n_alt = sum(len(v) for v in alt_tasks.values())
+    assert 0 < n_alt < n_base              # threshold drops blocks
+
+    # YAML path: options: {backend: mock2} reaches the stage constructor
+    spec_path = tmp_path / "pipeline.yaml"
+    spec_path.write_text(
+        "stages:\n"
+        "  - name: explode_pages\n"
+        "  - name: layout\n"
+        "    concurrency: 1\n"
+        "    num_cpus: 0.5\n"
+        "    options: {backend: mock2}\n")
+    built = build_pipeline(ray.data.from_arrow(sl),
+                           load_pipeline_yaml(str(spec_path))).take_all()
+    kinds = {d["kind"] for row in built for d in row["dets"]}
+    assert kinds and all(k in ("title", "plain text", "abandon", "figure",
+                               "figure_caption", "table", "table_caption",
+                               "table_footnote", "formula_caption")
+                         for k in kinds)
+    # every surviving det cleared the mock2 threshold
+    scores = [d["score"] for row in built for d in row["dets"]]
+    assert scores and min(scores) >= 0.5
+
+
 def test_registry_pipeline_builder(ray_session, corpus):
     """The config-driven plan builder composes the same stages as the
     hand-built pipeline and produces identical page-span rows."""

@@ -36,6 +36,36 @@ def test_one_giant_doc_among_small(ray_session):
     assert len(whale["spans"]) > 1000   # genuinely big
 
 
+def test_salted_reassembly_whale_byte_identical(ray_session):
+    """SURVEY §7 stage 5: a page-count-outlier doc extracts byte-identically
+    through the salted two-phase reassembly (doc_id+page-range salt groupby,
+    then per-doc chunk merge), including zero-page docs and dense offsets."""
+    import dataclasses
+    rows = [{"doc_id": "doc-whale",
+             "spans": generate_raw_document("doc-whale", seed=13, n_pages=600)},
+            {"doc_id": "doc-empty", "spans": []}]
+    for i in range(6):
+        rows.append({"doc_id": "doc-%04d" % i,
+                     "spans": generate_raw_document("doc-%04d" % i, seed=13,
+                                                    n_pages=2)})
+    raw = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+    golden = {r["doc_id"]: extract_document(r["spans"]) for r in rows}
+
+    cfg = dataclasses.replace(ExtractConfig.for_cpus(4), salt_pages=64)
+    out = extract_documents(ray.data.from_arrow(raw), cfg).take_all()
+    assert len(out) == len(rows)
+    for row in out:
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in row["spans"]]
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in golden[row["doc_id"]]]
+        assert got == exp, row["doc_id"]
+    whale = next(r for r in out if r["doc_id"] == "doc-whale")
+    assert len(whale["spans"]) > 3000         # ~10 salt groups did real work
+    empty = next(r for r in out if r["doc_id"] == "doc-empty")
+    assert empty["spans"] == []
+
+
 def test_zero_page_doc_kept_with_empty_spans(ray_session):
     """The reference writes an empty result for an empty input doc
     (tasks/ocr/task.py:106-114) — the engine must not drop the doc_id."""
