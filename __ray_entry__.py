@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": multimodal.video_frame_sample,
         "media_features": multimodal.media_features,
         "media_feature_neardup": multimodal.media_feature_neardup,
+        "ocr_preprocess_summary": multimodal.ocr_preprocess_summary,
     }
 
 

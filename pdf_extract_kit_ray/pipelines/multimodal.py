@@ -19,8 +19,9 @@ import ray
 import ray.data
 
 from ..sources.media import media_table_path
-from ..stages.media import (FrameSampleStage, ImageResizeStage,
-                            MediaDecodeStage, MediaFeatureStage)
+from ..stages.media import (FrameSampleStage, ImagePreprocessStage,
+                            ImageResizeStage, MediaDecodeStage,
+                            MediaFeatureStage)
 
 _BATCH = 32          # payload rows per batch: binary-heavy, keep small
 
@@ -78,6 +79,17 @@ def video_frame_sample(sf_dir: str, every_n: int = 4) -> "ray.data.Dataset":
     return frames.map_batches(
         MediaDecodeStage, concurrency=conc, batch_size=_BATCH,
         batch_format="pyarrow")
+
+
+def ocr_preprocess_summary(sf_dir: str, inv: bool = False,
+                           binarize: bool = True) -> "ray.data.Dataset":
+    """P11: the reference's OCR image-preprocess chain (alpha-to-color,
+    optional invert, Otsu binarize — paddle_ocr.py:340-346) over every image
+    payload, emitting per-image preprocessed digests."""
+    return _read_media(sf_dir).map_batches(
+        ImagePreprocessStage, concurrency=_conc(), batch_size=_BATCH,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"inv": inv, "binarize": binarize})
 
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":

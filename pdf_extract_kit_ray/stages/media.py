@@ -83,6 +83,94 @@ class MediaDecodeStage:
         })
 
 
+def alpha_to_color(img: np.ndarray,
+                   alpha_color=(255, 255, 255)) -> np.ndarray:
+    """RGBA -> RGB composite over a background color (P11; the reference
+    calls ppocr's alpha_to_color before OCR, paddle_ocr.py:340-346).
+    3-channel input passes through unchanged."""
+    if img.ndim == 3 and img.shape[2] == 4:
+        alpha = img[:, :, 3:4].astype(np.float64) / 255.0
+        bg = np.asarray(alpha_color, dtype=np.float64)[None, None, :]
+        rgb = img[:, :, :3].astype(np.float64)
+        return (bg * (1.0 - alpha) + rgb * alpha).astype(np.uint8)
+    return img
+
+
+def invert_img(img: np.ndarray) -> np.ndarray:
+    """cv2.bitwise_not analog (the ``inv`` flag of preprocess_image)."""
+    return (255 - img).astype(np.uint8)
+
+
+def binarize_img(img: np.ndarray) -> np.ndarray:
+    """Grayscale + Otsu threshold (the ``bin`` flag of preprocess_image;
+    ppocr.binarize_img analog).  Otsu picks the threshold maximizing
+    between-class variance over the 256-bin histogram — deterministic."""
+    if img.ndim == 3 and img.shape[2] == 3:
+        gray = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                + 0.114 * img[:, :, 2]).astype(np.uint8)
+    else:
+        gray = img if img.ndim == 2 else img[:, :, 0]
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    cum_mean = np.cumsum(hist * np.arange(256))
+    mean0 = np.divide(cum_mean, w0, out=np.zeros(256), where=w0 > 0)
+    mean1 = np.divide(cum_mean[-1] - cum_mean, w1,
+                      out=np.zeros(256), where=w1 > 0)
+    between = w0 * w1 * (mean0 - mean1) ** 2
+    thresh = int(np.argmax(between))
+    binary = np.where(gray > thresh, 255, 0).astype(np.uint8)
+    if img.ndim == 3:
+        return np.repeat(binary[:, :, None], 3, axis=2)
+    return binary
+
+
+def preprocess_image(img: np.ndarray, alpha_color=(255, 255, 255),
+                     inv: bool = False, binarize: bool = False) -> np.ndarray:
+    """The reference's OCR image-preprocess chain in order
+    (paddle_ocr.py:340-346): alpha composite, optional invert, optional
+    Otsu binarization."""
+    img = alpha_to_color(img, alpha_color)
+    if inv:
+        img = invert_img(img)
+    if binarize:
+        img = binarize_img(img)
+    return img
+
+
+@STAGE_REGISTRY.register("ocr_preprocess")
+class ImagePreprocessStage:
+    """P11 as an actor-pool stage: decode image payloads, run the OCR
+    preprocess chain, emit the preprocessed content digest (pixels stay
+    inside the stage; downstream OCR would consume them in-process)."""
+
+    def __init__(self, backend: str = "fake", inv: bool = False,
+                 binarize: bool = False, alpha_color=(255, 255, 255)):
+        _require_fake(backend, "ocr preprocess")
+        self.inv = inv
+        self.binarize = binarize
+        self.alpha_color = tuple(alpha_color)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, crcs = [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            d = decode_payload(payload)
+            if d["kind"] != "image":
+                continue
+            out = preprocess_image(d["array"], self.alpha_color,
+                                   self.inv, self.binarize)
+            ids.append(media_id)
+            kinds.append(d["kind"])
+            crcs.append(zlib.crc32(out.tobytes()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "preprocessed_crc": pa.array(crcs, pa.uint32()),
+        })
+
+
 @STAGE_REGISTRY.register("image_resize")
 class ImageResizeStage:
     """Nearest-neighbour resize of image payloads to a fixed thumbnail size

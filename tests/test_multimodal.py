@@ -82,6 +82,54 @@ def test_feature_stage_schema_and_range():
         assert all(abs(x) <= 1.5 for x in feat)
 
 
+def test_ocr_preprocess_functions():
+    """P11 semantics (reference paddle_ocr.py:340-346 preprocess_image)."""
+    from pdf_extract_kit_ray.stages.media import (alpha_to_color,
+                                                  binarize_img, invert_img,
+                                                  preprocess_image)
+    # alpha composite: fully transparent -> background, opaque -> unchanged
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[:, :, :3] = 10
+    rgba[0, 0, 3] = 255      # opaque
+    rgba[1, 1, 3] = 0        # transparent
+    out = alpha_to_color(rgba, (255, 255, 255))
+    assert out.shape == (2, 2, 3)
+    assert (out[0, 0] == 10).all() and (out[1, 1] == 255).all()
+    # 3-channel passthrough
+    rgb = np.full((2, 2, 3), 7, np.uint8)
+    assert alpha_to_color(rgb) is rgb
+
+    assert (invert_img(np.array([[0, 255]], np.uint8))
+            == np.array([[255, 0]])).all()
+
+    # Otsu separates a bimodal image at a threshold between the modes
+    img = np.zeros((10, 10, 3), np.uint8)
+    img[:, 5:] = 200
+    b = binarize_img(img)
+    assert set(np.unique(b)) == {0, 255}
+    assert (b[:, :5] == 0).all() and (b[:, 5:] == 255).all()
+
+    # chain order: alpha -> invert -> binarize
+    chained = preprocess_image(rgba, inv=True, binarize=True)
+    assert set(np.unique(chained)) <= {0, 255}
+
+
+def test_ocr_preprocess_stage(ray_session):
+    from pdf_extract_kit_ray.stages.media import ImagePreprocessStage
+    batch = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([encode_image("a"), encode_audio("b"),
+                             encode_image("c")], pa.binary()),
+    })
+    out = ImagePreprocessStage(binarize=True)(batch)
+    assert out.column("media_id").to_pylist() == [1, 3]   # audio skipped
+    out2 = ImagePreprocessStage(binarize=True)(batch)
+    assert out.equals(out2)                               # deterministic
+    inv = ImagePreprocessStage(inv=True, binarize=False)(batch)
+    assert inv.column("preprocessed_crc").to_pylist() != \
+        out.column("preprocessed_crc").to_pylist()
+
+
 def test_pipelines_end_to_end(ray_session, tmp_path):
     import pdf_extract_kit_ray.pipelines.multimodal as mm
     sf = "/root/testdata/sf0.001"
@@ -110,3 +158,6 @@ def test_pipelines_end_to_end(ray_session, tmp_path):
     exact = set(zip(nd[nd.score > 0.9999999].a, nd[nd.score > 0.9999999].b))
     planted = {(i - 3, i) for i in range(19, 120, 20)}
     assert planted <= exact
+
+    prep = mm.ocr_preprocess_summary(sf).to_pandas()
+    assert len(prep) == 40 and (prep["kind"] == "image").all()
