@@ -176,29 +176,55 @@ def mock_mfr(crop_payload: Sequence[dict], det: dict) -> str:
     return best
 
 
-def _visible_lines(raw_dets: Sequence[dict], region: Tuple[float, float, float, float]):
-    """text_line elements visible in an unpadded crop region: center inside
-    the region, bbox clipped to it (a region crop only "sees" its pixels)."""
-    rx0, ry0, rx1, ry1 = region
-    visible = []
+def build_line_context(raw_dets: Sequence[dict]) -> List[dict]:
+    """Per-PAGE precomputation for the OCR recognizer: each text_line's
+    char-cell x-grid, char array, midline and center — all region-independent
+    quantities that mock_ocr would otherwise rebuild for every region crop
+    (~7 regions/page).  Callers build this once per page and pass it to every
+    ``mock_ocr`` call; identical double arithmetic to the inline path."""
+    import numpy as _np
+    ctx = []
     for raw in raw_dets:
         if raw["kind"] != "text_line":
             continue
-        cx = (raw["x0"] + raw["x1"]) / 2.0
-        cy = (raw["y0"] + raw["y1"]) / 2.0
-        if not (rx0 <= cx <= rx1 and ry0 <= cy <= ry1):
+        text = raw["text"]
+        width = raw["x1"] - raw["x0"]
+        if text and width > 0:
+            cell = width / len(text)
+            cx = raw["x0"] + (_np.arange(len(text)) + 0.5) * cell
+            chars = _np.array(list(text), dtype=object)
+        else:
+            cx, chars = None, None
+        ctx.append({"raw": raw, "cx": cx, "chars": chars,
+                    "cy": (raw["y0"] + raw["y1"]) / 2.0,
+                    "cxc": (raw["x0"] + raw["x1"]) / 2.0,
+                    "score": raw["score"]})
+    return ctx
+
+
+def _visible_lines(line_ctx: Sequence[dict],
+                   region: Tuple[float, float, float, float]):
+    """text_line entries visible in an unpadded crop region: center inside
+    the region, bbox clipped to it (a region crop only "sees" its pixels)."""
+    rx0, ry0, rx1, ry1 = region
+    visible = []
+    for entry in line_ctx:
+        raw = entry["raw"]
+        if not (rx0 <= entry["cxc"] <= rx1 and ry0 <= entry["cy"] <= ry1):
             continue
         clip = [max(raw["x0"], rx0), max(raw["y0"], ry0),
                 min(raw["x1"], rx1), min(raw["y1"], ry1)]
         if clip[2] <= clip[0] or clip[3] <= clip[1]:
             continue
-        visible.append((raw, clip))
+        visible.append((entry, clip))
     return visible
 
 
 def mock_ocr(raw_dets: Sequence[dict], frame: dict,
              formula_bboxes_crop: Sequence[Sequence[float]],
-             drop_score: float = DROP_SCORE) -> List[Tuple[list, Tuple[str, float]]]:
+             drop_score: float = DROP_SCORE,
+             line_ctx: Optional[Sequence[dict]] = None,
+             ) -> List[Tuple[list, Tuple[str, float]]]:
     """OCR a padded region crop.
 
     Emulates ModifiedPaddleOCR.ocr (paddle_ocr.py:388-450): detect line
@@ -209,14 +235,20 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
     Recognition model: each visible text_line maps its characters onto a
     uniform x-grid over its bbox; a final det box captures the characters
     whose cell centers fall inside it (in page-frame coordinates).
+
+    ``line_ctx``: the page's precomputed ``build_line_context`` — pass it
+    when OCRing several regions of the same page so the char grids are
+    built once, not per region.
     """
+    if line_ctx is None:
+        line_ctx = build_line_context(raw_dets)
     region = (frame["x0"], frame["y0"], frame["x1"], frame["y1"])
-    visible = _visible_lines(raw_dets, region)
+    visible = _visible_lines(line_ctx, region)
     if not visible:
         return []
 
     quads = []
-    for _raw, clip in visible:
+    for _entry, clip in visible:
         crop_bbox = bbox_page_to_crop(clip, frame)
         if crop_bbox is not None:
             quads.append(bbox_to_quad(crop_bbox))
@@ -225,23 +257,17 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
     quads = merge_det_quads(quads)
     quads = mask_quads_with_formulas(quads, formula_bboxes_crop)
 
-    # per-line char grids are quad-independent: compute each line's cell
-    # centers, clip mask and midline ONCE (numpy), then each quad is a pair
-    # of vectorized range tests per line
+    # the region-dependent part of each line's grid is just the clip mask;
+    # cx/chars/cy come precomputed from the page-level context
     import numpy as _np
     line_cache = []
-    for li, (raw, clip) in enumerate(visible):
-        text = raw["text"]
-        width = raw["x1"] - raw["x0"]
-        if not text or width <= 0:
+    for li, (entry, clip) in enumerate(visible):
+        cx = entry["cx"]
+        if cx is None:
             continue
-        cell = width / len(text)
-        # identical double arithmetic to the scalar loop: (i+0.5)*cell + x0
-        cx = raw["x0"] + (_np.arange(len(text)) + 0.5) * cell
         clip_mask = (cx >= clip[0]) & (cx <= clip[2])
-        cy = (raw["y0"] + raw["y1"]) / 2.0
-        line_cache.append((li, cx, _np.array(list(text), dtype=object),
-                           clip_mask, cy, raw["score"]))
+        line_cache.append((li, cx, entry["chars"], clip_mask, entry["cy"],
+                           entry["score"]))
 
     results = []
     for quad in quads:

@@ -31,6 +31,7 @@ from .functions.textnorm import latex_compact
 from .mocks import (
     OCR_CLASSES,
     adjusted_formula_bboxes,
+    build_line_context,
     formula_crop_payload,
     make_ocr_region_frame,
     mock_layout,
@@ -69,10 +70,12 @@ def extract_document(raw_spans: List[dict]) -> List[Dict]:
         dets = page_dets[p_idx]
         formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
         regions = [d for d in dets if d["kind"] in OCR_CLASSES]
+        line_ctx = build_line_context(page)
         for region in regions:
             frame = make_ocr_region_frame(region)
             adjusted = adjusted_formula_bboxes(formula_dets, frame)
-            for quad, (text, score) in mock_ocr(page, frame, adjusted):
+            for quad, (text, score) in mock_ocr(page, frame, adjusted,
+                                                line_ctx=line_ctx):
                 bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
                 dets.append({
                     "kind": "text",

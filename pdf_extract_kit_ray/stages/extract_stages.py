@@ -38,6 +38,7 @@ from ..mocks import (
     OCR_CLASSES,
     TABLE_CLASSES,
     adjusted_formula_bboxes,
+    build_line_context,
     burn_compute,
     formula_crop_payload,
     make_ocr_region_frame,
@@ -227,11 +228,13 @@ class OCRStage:
             dets = list(dets)
             formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
             regions = [d for d in dets if d["kind"] in OCR_CLASSES]
+            line_ctx = build_line_context(page)
             for region in regions:
                 frame = make_ocr_region_frame(region)
                 adjusted = adjusted_formula_bboxes(formula_dets, frame)
                 for quad, (text, score) in self._ocr(page, frame, adjusted,
-                                                     drop_score=self.drop_score):
+                                                     drop_score=self.drop_score,
+                                                     line_ctx=line_ctx):
                     bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
                     dets.append({"kind": "text",
                                  "x0": bbox[0], "y0": bbox[1],
@@ -330,11 +333,13 @@ class FusedExtractStage:
             dets = all_dets[p_idx]
             formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
             regions = [d for d in dets if d["kind"] in OCR_CLASSES]
+            line_ctx = build_line_context(page)
             for region in regions:
                 frame = make_ocr_region_frame(region)
                 adjusted = adjusted_formula_bboxes(formula_dets, frame)
                 for quad, (text, score) in mock_ocr(page, frame, adjusted,
-                                                    drop_score=self.drop_score):
+                                                    drop_score=self.drop_score,
+                                                    line_ctx=line_ctx):
                     bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
                     dets.append({"kind": "text",
                                  "x0": bbox[0], "y0": bbox[1],
