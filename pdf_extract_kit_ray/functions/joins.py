@@ -1,0 +1,161 @@
+"""Reusable broadcast-join primitive.
+
+The 100 TB join decision rule (SURVEY.md §4 / ray_guide shuffle notes):
+
+* **both sides large** -> hash-shuffle ``Dataset.join`` (see
+  relational.order_priority_revenue, partition count ~CPUs/4);
+* **one side small** (dimension table, query matrix, band edges) ->
+  broadcast it ONCE via ``ray.put`` and join inside every ``map_batches``
+  task — no shuffle at all, cost O(corpus) map + O(|small|) per worker.
+
+Round 1 rebuilt the broadcast-lookup shape ad hoc per query
+(orders_per_nation, events_value_bands, ann_topk); this module is the shared
+primitive so the pattern cannot drift.
+
+Implementation note: a naive per-batch ``pa.Table.join`` re-builds the
+right side's hash table for EVERY batch (measured 2x slower than round 1's
+hand-rolled lookup at sf0.1).  Instead the right side is indexed ONCE PER
+WORKER PROCESS (sorted-key + np.searchsorted, cached keyed by object ref),
+and each batch is a vectorized probe — tasks reuse warm workers, so the
+build cost amortizes exactly like actor state without reserving an actor
+pool.  Multi-key joins fall back to the Arrow kernel.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_JOIN_TYPES = {"inner", "left outer", "left semi", "left anti"}
+
+# per-worker-process index cache: ObjectRef hex -> built index (bounded)
+_INDEX_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_INDEX_CACHE_MAX = 4
+
+
+def _build_index(right: pa.Table, key: str) -> tuple:
+    """Index the right table by its (unique) key.  Dense integer keys get a
+    direct position array (O(1) probes, like a dictionary-encode); anything
+    else a sorted array probed with searchsorted."""
+    keys = right.column(key).to_numpy()
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    if len(sorted_keys) > 1 and (sorted_keys[1:] == sorted_keys[:-1]).any():
+        raise ValueError(
+            f"broadcast_join fast path requires unique keys in the small "
+            f"side (duplicate {key!r} values found); pre-aggregate the "
+            f"small side or join on a unique key")
+    right_sorted = right.take(order)
+    if len(sorted_keys) and np.issubdtype(sorted_keys.dtype, np.integer):
+        kmin, kmax = int(sorted_keys[0]), int(sorted_keys[-1])
+        span = kmax - kmin + 1
+        if span <= max(4 * len(sorted_keys), 1024):
+            pos_of = np.full(span, -1, dtype=np.int64)
+            pos_of[sorted_keys - kmin] = np.arange(len(sorted_keys))
+            return ("dense", kmin, pos_of, right_sorted)
+    return ("sorted", sorted_keys, right_sorted)
+
+
+def _probe_index(idx: tuple, k: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(found_mask, position_in_right_sorted) for a batch of probe keys."""
+    if idx[0] == "dense":
+        _, kmin, pos_of, _ = idx
+        offs = k - kmin
+        valid = (offs >= 0) & (offs < len(pos_of))
+        pos = np.where(valid, pos_of[np.minimum(np.maximum(offs, 0),
+                                                len(pos_of) - 1)], -1)
+        return pos >= 0, np.maximum(pos, 0)
+    _, sorted_keys, _ = idx
+    if not len(sorted_keys):
+        return np.zeros(len(k), dtype=bool), np.zeros(len(k), dtype=np.int64)
+    pos = np.searchsorted(sorted_keys, k)
+    pos_c = np.minimum(pos, len(sorted_keys) - 1)
+    return (pos < len(sorted_keys)) & (sorted_keys[pos_c] == k), pos_c
+
+
+def _worker_index(ref, key: str):
+    ck = ref.hex() + "/" + key
+    idx = _INDEX_CACHE.get(ck)
+    if idx is None:
+        idx = _build_index(ray.get(ref), key)
+        _INDEX_CACHE[ck] = idx
+        while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+            _INDEX_CACHE.popitem(last=False)
+    return idx
+
+
+def broadcast_join(ds: "ray.data.Dataset", small: pa.Table,
+                   on: Union[str, Sequence[str]],
+                   right_on: Union[str, Sequence[str], None] = None,
+                   join_type: str = "inner",
+                   select: Optional[List[str]] = None) -> "ray.data.Dataset":
+    """Join a Dataset against a SMALL in-memory Arrow table without a
+    shuffle: the table ships to the object store once; every task probes a
+    per-worker cached sorted index of it (single-key fast path) or uses the
+    Arrow hash-join kernel (multi-key).
+
+    Only left-preserving join types make sense here (the right side is
+    replicated): inner / left outer / left semi / left anti.  The single-key
+    fast path requires unique keys on the small side (dimension-table
+    semantics).  Row order within a batch is not guaranteed — compose with
+    aggregations or sorts, not positional logic.
+    """
+    if join_type not in _JOIN_TYPES:
+        raise ValueError(f"join_type must be one of {sorted(_JOIN_TYPES)}; "
+                         f"for two large sides use Dataset.join")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_keys = ([right_on] if isinstance(right_on, str)
+                  else list(right_on) if right_on is not None else keys)
+    small_ref = ray.put(small)
+
+    if len(keys) > 1:
+        def do_join(batch: pa.Table) -> pa.Table:
+            right = ray.get(small_ref)
+            out = batch.join(right, keys=keys, right_keys=right_keys,
+                             join_type=join_type)
+            return out.select(select) if select is not None else out
+        return ds.map_batches(do_join, batch_format="pyarrow")
+
+    left_key, right_key = keys[0], right_keys[0]
+
+    def probe(batch: pa.Table) -> pa.Table:
+        idx = _worker_index(small_ref, right_key)
+        right_sorted = idx[-1]
+        found, pos_c = _probe_index(idx, batch.column(left_key).to_numpy())
+        if join_type == "left semi":
+            out = batch.filter(pa.array(found))
+        elif join_type == "left anti":
+            out = batch.filter(pa.array(~found))
+        elif join_type == "inner":
+            out = batch.filter(pa.array(found))
+            matched = right_sorted.take(pa.array(pos_c[found], pa.int64()))
+            for name in matched.column_names:
+                if name == right_key:
+                    continue
+                out = out.append_column(name, matched.column(name))
+        else:  # left outer: null right columns where unmatched
+            out = batch
+            take_idx = pa.array(np.where(found, pos_c, 0), pa.int64(),
+                                mask=~found)
+            matched = right_sorted.take(take_idx)
+            for name in matched.column_names:
+                if name == right_key:
+                    continue
+                out = out.append_column(name, matched.column(name))
+        return out.select(select) if select is not None else out
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def read_small_table(path: str, columns: Optional[List[str]] = None,
+                     filter=None) -> pa.Table:
+    """Load a dimension table for broadcasting (pruned columns + optional
+    pushed-down row filter)."""
+    import pyarrow.dataset as pads
+    return pads.dataset(path).to_table(columns=columns, filter=filter)

@@ -88,42 +88,33 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> "ray.data.Dat
 def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
     """orders ⨝ customer ⨝ nation rolled up to (nation, n_orders, total_price).
 
-    customer (small) and nation (tiny) are broadcast via ``ray.put``; each
-    orders batch maps o_custkey -> nation with a vectorized array take,
+    The dimension side (customer ⨝ nation, pre-joined on the driver — a few
+    MB) is broadcast ONCE through the shared ``broadcast_join`` primitive;
+    each orders batch hash-joins against it in Arrow's native kernel,
     pre-reduces per batch, and only (nation, partials) rows enter the final
-    groupby."""
-    import pyarrow.dataset as pads
-    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
-        columns=["c_custkey", "c_nationkey"])
-    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
-        columns=["n_nationkey", "n_name"])
-    c_keys = cust.column("c_custkey").to_numpy()
-    c_nat = cust.column("c_nationkey").to_numpy()
-    cust_lookup = np.full(int(c_keys.max()) + 1, -1, dtype=np.int64)
-    cust_lookup[c_keys] = c_nat
-    max_nat = int(nation.column("n_nationkey").to_numpy().max())
-    nat_names = np.empty(max_nat + 1, dtype=object)
-    for k, v in zip(nation.column("n_nationkey").to_pylist(),
-                    nation.column("n_name").to_pylist()):
-        nat_names[k] = v
-    side = ray.put((cust_lookup, nat_names))
+    groupby.  Inner-join semantics drop unknown custkeys, like the SQL twin."""
+    from ..functions.joins import broadcast_join, read_small_table
+
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+    nation = read_small_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey") \
+              .select(["c_custkey", "n_name"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, dim, on="o_custkey", right_on="c_custkey",
+                            select=["n_name", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        lookup, names = ray.get(side)
-        natkeys = lookup[batch.column("o_custkey").to_numpy()]
-        # inner-join semantics: an unknown custkey maps to -1, which would
-        # silently wrap to names[-1]; drop those rows like the SQL twin does
-        known = natkeys >= 0
-        t = pa.table({"nation": pa.array(names[natkeys[known]], pa.string()),
-                      "price_c": _cents(batch.column("o_totalprice").filter(
-                          pa.array(known)))})
+        t = pa.table({"nation": batch.column("n_name"),
+                      "price_c": _cents(batch.column("o_totalprice"))})
         g = t.group_by("nation").aggregate([("price_c", "sum"),
                                             ("price_c", "count")])
         return g.rename_columns(["nation", "partial_price_c", "partial_n"])
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"])
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
              .groupby("nation")
              .aggregate(Sum("partial_n", alias_name="n_orders"),
                         Sum("partial_price_c", alias_name="price_c")))

@@ -1,0 +1,52 @@
+"""The shared broadcast-join primitive (functions/joins.py)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pdf_extract_kit_ray.functions.joins import broadcast_join
+
+
+@pytest.fixture()
+def left_ds(ray_session):
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0, 21.0]),
+    })).repartition(2)
+
+
+DIM = pa.table({"key": pa.array([1, 2, 5], pa.int64()),
+                "name": pa.array(["a", "b", "e"])})
+
+
+def test_broadcast_inner_join(left_ds):
+    out = broadcast_join(left_ds, DIM, on="k", right_on="key").to_pandas()
+    got = sorted(zip(out["k"], out["name"], out["v"]))
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (2, "b", 21.0)]
+
+
+def test_broadcast_left_outer_join(left_ds):
+    out = broadcast_join(left_ds, DIM, on="k", right_on="key",
+                         join_type="left outer").to_pandas()
+    assert len(out) == 5
+    assert out[out.k == 3]["name"].isna().all()
+
+
+def test_broadcast_anti_and_semi(left_ds):
+    anti = broadcast_join(left_ds, DIM, on="k", right_on="key",
+                          join_type="left anti").to_pandas()
+    assert sorted(anti["k"]) == [3, 4]
+    semi = broadcast_join(left_ds, DIM, on="k", right_on="key",
+                          join_type="left semi").to_pandas()
+    assert sorted(semi["k"]) == [1, 2, 2]
+
+
+def test_broadcast_join_rejects_right_joins(left_ds):
+    with pytest.raises(ValueError):
+        broadcast_join(left_ds, DIM, on="k", join_type="right outer")
+
+
+def test_select_prunes_columns(left_ds):
+    out = broadcast_join(left_ds, DIM, on="k", right_on="key",
+                         select=["name", "v"]).to_pandas()
+    assert list(out.columns) == ["name", "v"]
