@@ -21,11 +21,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF0001 = "/root/testdata/sf0.001"
 
 # corpus sizes per scale factor for the extraction queries (deterministic,
-# cached on disk keyed by size+seed)
-_CORPUS_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 4000}
+# cached on disk keyed by size+seed).  "sf0.1-scaling2x" is the doubled
+# corpus bench.py --scaling uses: a several-second pipeline run is ~25%
+# fixed Ray coordination cost, which contaminates an N-vs-4N efficiency
+# measurement that on a real cluster would amortize over hours of work.
+_CORPUS_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 4000,
+                "sf0.1-scaling2x": 8000}
 _CORPUS_SEED = 42
 _CORPUS_VERSION = "v2"   # bump when the raw-corpus format changes
-                         # (v2: page_geom leader spans + oversized pages)
+                         # (v2: page_geom leader spans + oversized pages.
+                         #  A 128-docs/file variant was measured and
+                         #  REJECTED: per-file reader overhead at the low
+                         #  parallelism level swamped the read-parallelism
+                         #  gain and doubled run variance)
 
 
 def _corpus_path(sf_dir: str, with_golden: bool = False) -> str:
