@@ -100,7 +100,7 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
 
 
 def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
-                          n_bands: int = 8, band_bits: int = 8) -> "ray.data.Dataset":
+                          n_bands: int = 6, band_bits: int = 6) -> "ray.data.Dataset":
     """Embedding-cosine near-dup over extracted media features, distributed
     end-to-end via random-hyperplane LSH (SimHash for vectors): each feature
     row hashes to ``n_bands`` sign-bit bucket keys (seeded hyperplanes
@@ -108,10 +108,13 @@ def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
     all-pairs cosine runs inside the bucket, and a candidate-sized
     groupby(a, b) dedupes pairs that collide in several bands.
 
-    Recall: a pair at cosine >= 0.999 differs by <= 0.0143·π per hyperplane,
-    so P(miss all 8 bands) = (1-(1-0.0143)^8)^8 ≈ 2e-8 — the near-exact
-    shape whose memory stays flat as the corpus grows (nothing is
-    materialized on the driver, unlike the round-1 take_all version)."""
+    Recall: a pair at cosine >= 0.999 disagrees on a random hyperplane with
+    p = acos(0.999)/π ≈ 0.0143, so P(miss all 6 six-bit bands) =
+    (1-(1-0.0143)^6)^6 ≈ 3e-7 — near-exact, with flat driver memory as the
+    corpus grows (nothing is materialized on the driver, unlike the round-1
+    take_all version).  6x6 measured fastest at sf0.1 with the pair set
+    identical to exact all-pairs; more/wider bands only multiply bucket
+    groups and duplicate candidate rows."""
     import numpy as np
     from ray.data.aggregate import Max
 
