@@ -142,11 +142,24 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
 
+# rows per coarse shuffle group for bucket-pair emission: each map_groups
+# call processes MANY (band, hash) buckets vectorized, because per-group
+# dispatch (~50us) dominates a groupby whose buckets are mostly singletons
+_COARSE_ROWS = 4096
+
+
+def _num_coarse(n_rows: int) -> int:
+    return max(32, n_rows // _COARSE_ROWS)
+
+
 def _candidate_pairs_ds(ds: "ray.data.Dataset", text_col: str,
                         id_col: str, num_perm: int, bands: int,
                         shingle_k: int) -> "ray.data.Dataset":
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm)
+    # parquet metadata count: sizes the coarse shuffle key space so each
+    # group holds ~_COARSE_ROWS rows at ANY corpus size
+    num_coarse = _num_coarse(ds.count() * bands)
 
     def signatures(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -159,22 +172,33 @@ def _candidate_pairs_ds(ds: "ray.data.Dataset", text_col: str,
                 out["band_id"].append(band)
                 out["band_hash"].append(zlib.crc32(chunk.tobytes()))
                 out[id_col].append(doc_id)
-        return pa.table({"band_id": pa.array(out["band_id"], pa.int32()),
-                         "band_hash": pa.array(out["band_hash"], pa.int64()),
+        band_id = np.asarray(out["band_id"], dtype=np.int64)
+        band_hash = np.asarray(out["band_hash"], dtype=np.int64)
+        coarse = (band_id * np.int64(0x9E3779B1) + band_hash) % num_coarse
+        return pa.table({"coarse": pa.array(coarse, pa.int64()),
+                         "band_id": pa.array(band_id, pa.int32()),
+                         "band_hash": pa.array(band_hash, pa.int64()),
                          id_col: pa.array(out[id_col])})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        if len(ids) < 2:
-            return pa.table({"keep_id": pa.array([], pa.int64()),
-                             "dup_id": pa.array([], pa.int64())})
-        rep = ids[0]
-        return pa.table({"keep_id": pa.array([rep] * (len(ids) - 1), pa.int64()),
-                         "dup_id": pa.array(ids[1:], pa.int64())})
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        """All (band, hash) buckets hashed into this coarse group, pair-
+        emitted vectorized: sort by (band, hash, id), segment boundaries,
+        rep = segment minimum, pairs = (rep, every other member)."""
+        band = group.column("band_id").to_numpy()
+        h = group.column("band_hash").to_numpy()
+        ids = group.column(id_col).to_numpy()
+        order = np.lexsort((ids, h, band))
+        band, h, ids = band[order], h[order], ids[order]
+        new_seg = np.r_[True, (band[1:] != band[:-1]) | (h[1:] != h[:-1])]
+        seg_id = np.cumsum(new_seg) - 1
+        rep = ids[new_seg][seg_id]
+        mask = ~new_seg
+        return pa.table({"keep_id": pa.array(rep[mask], pa.int64()),
+                         "dup_id": pa.array(ids[mask], pa.int64())})
 
     return (ds.map_batches(signatures, batch_format="pyarrow")
-              .groupby(["band_id", "band_hash"])
-              .map_groups(bucket_pairs, batch_format="pyarrow"))
+              .groupby("coarse")
+              .map_groups(coarse_pairs, batch_format="pyarrow"))
 
 
 _MEMBER_SCHEMA = pa.schema([("member_id", pa.int64()),
@@ -371,6 +395,8 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
     path = f"{sf_dir}/{table}.parquet"
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
 
+    num_coarse = _num_coarse(ds.count() * 4)
+
     def signatures(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         out = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
@@ -381,25 +407,45 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
                 out["band_hash"].append((sig >> (16 * band)) & 0xFFFF)
                 out["doc_id"].append(doc_id)
                 out["sig"].append(sig)
-        return pa.table({"band_id": pa.array(out["band_id"], pa.int32()),
-                         "band_hash": pa.array(out["band_hash"], pa.int32()),
+        band_id = np.asarray(out["band_id"], dtype=np.int64)
+        band_hash = np.asarray(out["band_hash"], dtype=np.int64)
+        coarse = (band_id * np.int64(0x9E3779B1) + band_hash) % num_coarse
+        return pa.table({"coarse": pa.array(coarse, pa.int64()),
+                         "band_id": pa.array(band_id, pa.int32()),
+                         "band_hash": pa.array(band_hash, pa.int32()),
                          "doc_id": pa.array(out["doc_id"], pa.int64()),
                          "sig": pa.array(out["sig"], pa.uint64())})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
-        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
-        band_id = group.column("band_id")[0].as_py()
-        k, d, h = _simhash_bucket_pairs(ids, sigs, band_id, max_hamming)
-        return pa.table({"keep_id": pa.array(ids[k], pa.int64()),
-                         "dup_id": pa.array(ids[d], pa.int64()),
-                         "hamming": pa.array(h, pa.int32())})
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        """Vectorized over every (band, hash) bucket hashed into this
+        coarse group; only multi-member segments run the Hamming scan."""
+        band = group.column("band_id").to_numpy()
+        h = group.column("band_hash").to_numpy()
+        ids = group.column("doc_id").to_numpy()
+        sigs = group.column("sig").to_numpy()
+        order = np.lexsort((ids, h, band))
+        band, h, ids, sigs = band[order], h[order], ids[order], sigs[order]
+        new_seg = np.r_[True, (band[1:] != band[:-1]) | (h[1:] != h[:-1])]
+        bounds = np.r_[np.flatnonzero(new_seg), len(ids)]
+        keeps, dups, dists = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            k, d, hh = _simhash_bucket_pairs(ids[s:e], sigs[s:e],
+                                             int(band[s]), max_hamming)
+            keeps.append(ids[s:e][k]); dups.append(ids[s:e][d]); dists.append(hh)
+        if not keeps:
+            return pa.table({"keep_id": pa.array([], pa.int64()),
+                             "dup_id": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int32())})
+        return pa.table({
+            "keep_id": pa.array(np.concatenate(keeps), pa.int64()),
+            "dup_id": pa.array(np.concatenate(dups), pa.int64()),
+            "hamming": pa.array(np.concatenate(dists), pa.int32())})
 
     pairs = (ds.map_batches(signatures, batch_format="pyarrow")
-               .groupby(["band_id", "band_hash"])
-               .map_groups(bucket_pairs, batch_format="pyarrow"))
+               .groupby("coarse")
+               .map_groups(coarse_pairs, batch_format="pyarrow"))
     # distinct pairs (a pair can surface from several bands)
     return pairs.groupby(["keep_id", "dup_id"]).aggregate(
         Min("hamming", alias_name="hamming"))
@@ -505,6 +551,8 @@ def winnow_neardup(sf_dir: str, k: int = 16, w: int = 8,
     (not bag-of-shingles) guarantees."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    # ~100+ winnowed fps per document (w=8 keeps ~1/4 of k-gram hashes)
+    num_coarse = _num_coarse(ds.count() * 128)
 
     def explode(batch: pa.Table) -> pa.Table:
         fps, ids = [], []
@@ -513,20 +561,32 @@ def winnow_neardup(sf_dir: str, k: int = 16, w: int = 8,
             f = winnow_fingerprints(text, k, w)
             fps.append(f)
             ids.append(np.full(len(f), doc_id, dtype=np.int64))
+        fp = np.concatenate(fps) if fps else np.array([], dtype=np.uint64)
+        di = np.concatenate(ids) if ids else np.array([], dtype=np.int64)
         return pa.table({
-            "fp": pa.array(np.concatenate(fps) if fps else [], pa.uint64()),
-            "doc_id": pa.array(np.concatenate(ids) if ids else [], pa.int64()),
+            "coarse": pa.array((fp % np.uint64(num_coarse)).astype(np.int64),
+                               pa.int64()),
+            "fp": pa.array(fp, pa.uint64()),
+            "doc_id": pa.array(di, pa.int64()),
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        lead = ids[0]
-        others = ids[1:]
-        return pa.table({"a": pa.array([lead] * len(others), pa.int64()),
-                         "b": pa.array(others, pa.int64())})
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        """Every fp bucket hashed into this coarse group, pair-emitted
+        vectorized (rep = bucket-min doc, pairs linear in bucket size)."""
+        fp = group.column("fp").to_numpy()
+        ids = group.column("doc_id").to_numpy()
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        new_seg = np.r_[True, fp[1:] != fp[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        rep = ids[new_seg][seg_id]
+        mask = ~new_seg
+        return pa.table({"a": pa.array(rep[mask], pa.int64()),
+                         "b": pa.array(ids[mask], pa.int64())})
 
     pairs = (ds.map_batches(explode, batch_format="pyarrow")
-               .groupby("fp").map_groups(bucket_pairs, batch_format="pyarrow"))
+               .groupby("coarse").map_groups(coarse_pairs,
+                                             batch_format="pyarrow"))
 
     def count_ones(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["a", "b"]).aggregate([([], "count_all")])

@@ -185,11 +185,15 @@ def read_corpus(path: str, num_blocks: Optional[int] = None) -> "ray.data.Datase
     (north rule); this sandbox has no lancedb wheel, so fall back to parquet
     transparently — the Dataset downstream is identical either way.
 
-    ``num_blocks`` defaults to 4 blocks per CPU so the doc->page explode
-    parallelizes even when the corpus is a handful of files (at real scale
-    the file count dominates and the override is unnecessary)."""
+    ``num_blocks`` defaults to ONE block per CPU: with the current ~1.5
+    ms/page map cost, per-block scheduling + sort-partition overhead
+    dominates finer splits (measured at 32 CPUs, sf0.1: 32 blocks 2.4 s,
+    128 blocks 3.9 s, 256 blocks 5.2 s).  Raise to 4-8 blocks/CPU when the
+    per-page cost is model-bound (the scaling bench does: a straggler block
+    then sets the stage span).  At real scale the file count dominates and
+    the override is unnecessary."""
     if num_blocks is None:
-        num_blocks = 4 * int(ray.cluster_resources().get("CPU", 8))
+        num_blocks = int(ray.cluster_resources().get("CPU", 8))
     try:
         import lance  # noqa: F401
         return ray.data.read_lance(path)
