@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": relational.user_running_totals,
         "order_priority_revenue": relational.order_priority_revenue,
         "customers_without_orders": relational.customers_without_orders,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "promo_revenue": relational.promo_revenue,
+        "supplier_region_volume": relational.supplier_region_volume,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
         "doc_hash_sample": relational.doc_hash_sample,
@@ -204,6 +207,44 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_totalprice > 300000.0)
             GROUP BY c_mktsegment
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0) AS BIGINT))/100.0 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1998-06-01'
+              AND l_shipdate > DATE '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "promo_revenue": """
+            WITH w AS (
+                SELECT CAST(floor((l_extendedprice*(1.0-l_discount))*100.0) AS BIGINT) AS rev_c,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= DATE '1997-01-01'
+                  AND l_shipdate < DATE '1997-04-01'
+            )
+            SELECT round((100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END))
+                         / sum(rev_c), 6) AS promo_pct,
+                   sum(rev_c) / 100.0 AS total_revenue
+            FROM w
+        """,
+        "supplier_region_volume": """
+            SELECT r_name AS region,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0) AS BIGINT))/100.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "top_events_per_user": """
             SELECT event_id, user_id, value,

@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ivf_topk",
     "order_priority_revenue",
+    "q3_shipping_priority",
+    "promo_revenue",
+    "supplier_region_volume",
     "value_percentiles_by_type",
     "sessionize",
     "purchase_prev_click_asof",

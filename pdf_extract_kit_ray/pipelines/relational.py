@@ -291,6 +291,201 @@ def order_priority_revenue(sf_dir: str,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", n: int = 10,
+                         num_partitions: "int | None" = None) -> "ray.data.Dataset":
+    """TPC-H Q3-shaped: top-n unshipped orders of one market segment by
+    revenue.  Mix of join strategies: the filtered customer key set is a
+    broadcast SEMI join on orders; orders ⨝ lineitem is a two-large-sides
+    hash-shuffle join; per-batch partial combine before the group rollup;
+    deterministic (revenue desc, date asc, orderkey asc) top-n."""
+    from ..functions.joins import broadcast_join, read_small_table
+    import pyarrow.dataset as pads
+
+    cutoff_ts = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"],
+                            filter=pads.field("c_mktsegment") == segment)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"])
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("o_orderdate"), cutoff_ts)
+        return batch.filter(keep)
+
+    orders = broadcast_join(orders.map_batches(order_filter,
+                                               batch_format="pyarrow"),
+                            cust, on="o_custkey", right_on="c_custkey",
+                            join_type="left semi",
+                            select=["o_orderkey", "o_orderdate"])
+
+    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_orderkey", "l_extendedprice",
+                                          "l_discount", "l_shipdate"])
+
+    def line_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("l_shipdate"), cutoff_ts)
+        batch = batch.filter(keep)
+        return batch.select(["l_orderkey", "l_extendedprice", "l_discount"])
+
+    joined = line.map_batches(line_filter, batch_format="pyarrow").join(
+        orders, join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(1.0, batch.column("l_discount")))
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "o_orderdate": batch.column("o_orderdate"),
+                      "rev_c": _cents(rev)})
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("rev_c", "sum")])
+        return g.rename_columns(["l_orderkey", "o_orderdate", "partial_c"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["l_orderkey", "o_orderdate"])
+                 .aggregate(Sum("partial_c", alias_name="rev_c")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # keep the us precision through the sort (Ray's sort round-trips
+        # keys through numpy, which otherwise downgrades to 's'/'D')
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "o_orderdate": batch.column("o_orderdate").cast(pa.timestamp("us")),
+            "revenue": pc.divide(
+                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+        })
+
+    def recast(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("o_orderdate"), "o_orderdate",
+            batch.column("o_orderdate").cast(pa.timestamp("us")))
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+               .sort(["revenue", "o_orderdate", "l_orderkey"],
+                     descending=[True, False, False])
+               .limit(n)
+               .map_batches(recast, batch_format="pyarrow"))
+
+
+def promo_revenue(sf_dir: str, lo: str = "1997-01-01",
+                  hi: str = "1997-04-01") -> "ray.data.Dataset":
+    """TPC-H Q14-shaped: percentage of revenue from PROMO-type parts in a
+    ship-date window.  part (small) is broadcast; the ratio is computed on
+    exact integer cents with the identical double expression as the SQL
+    twin."""
+    from ..functions.joins import broadcast_join, read_small_table
+
+    part = read_small_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+    lo_ts = pa.scalar(pd.Timestamp(lo), pa.timestamp("us"))
+    hi_ts = pa.scalar(pd.Timestamp(hi), pa.timestamp("us"))
+
+    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_partkey", "l_extendedprice",
+                                          "l_discount", "l_shipdate"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(sd, lo_ts), pc.less(sd, hi_ts))
+        return batch.filter(keep).select(
+            ["l_partkey", "l_extendedprice", "l_discount"])
+
+    joined = broadcast_join(line.map_batches(window, batch_format="pyarrow"),
+                            part, on="l_partkey", right_on="p_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0, batch.column("l_discount"))))
+        promo = pc.equal(batch.column("p_type"), "PROMO")
+        promo_c = pc.if_else(promo, rev_c, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "promo_c": pa.array([pc.sum(promo_c).as_py() or 0], pa.int64()),
+            "total_c": pa.array([pc.sum(rev_c).as_py() or 0], pa.int64()),
+        })
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .aggregate(Sum("promo_c", alias_name="promo_c"),
+                            Sum("total_c", alias_name="total_c")))
+    promo_c, total_c = agg["promo_c"], agg["total_c"]
+    pct = round((100.0 * promo_c) / total_c, 6) if total_c else 0.0
+    return ray.data.from_arrow(pa.table({
+        "promo_pct": pa.array([pct], pa.float64()),
+        "total_revenue": pa.array([total_c / 100.0], pa.float64()),
+    }))
+
+
+def supplier_region_volume(sf_dir: str,
+                           num_partitions: "int | None" = None) -> "ray.data.Dataset":
+    """TPC-H Q5-shaped: revenue per region where the supplier and the
+    ordering customer share a nation.  One large×large hash join
+    (lineitem ⨝ orders), then a CHAIN of broadcast joins (customer nation,
+    supplier nation, nation ⨝ region pre-joined on the driver), an
+    equality filter, and a partial-combined rollup — the multi-join shape
+    where only one exchange ever touches the big table."""
+    from ..functions.joins import broadcast_join, read_small_table
+
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"]) \
+        .rename_columns(["c_custkey", "cust_nat"])
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"]) \
+        .rename_columns(["s_suppkey", "supp_nat"])
+    nation = read_small_table(f"{sf_dir}/nation.parquet")
+    region = read_small_table(f"{sf_dir}/region.parquet")
+    nat_region = nation.join(region, keys="n_regionkey",
+                             right_keys="r_regionkey") \
+        .select(["n_nationkey", "r_name"])
+
+    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_orderkey", "l_suppkey",
+                                          "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=_join_partitions(num_partitions),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = broadcast_join(joined, cust, on="o_custkey",
+                            right_on="c_custkey")
+    joined = broadcast_join(joined, supp, on="l_suppkey",
+                            right_on="s_suppkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("cust_nat"),
+                                      batch.column("supp_nat")))
+        if batch.num_rows == 0:
+            return pa.table({"supp_nat": pa.array([], pa.int64()),
+                             "partial_c": pa.array([], pa.int64()),
+                             "partial_n": pa.array([], pa.int64())})
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0, batch.column("l_discount"))))
+        t = pa.table({"supp_nat": batch.column("supp_nat"),
+                      "rev_c": rev_c})
+        g = t.group_by("supp_nat").aggregate([("rev_c", "sum"),
+                                              ("rev_c", "count")])
+        return g.rename_columns(["supp_nat", "partial_c", "partial_n"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    partials = broadcast_join(partials, nat_region, on="supp_nat",
+                              right_on="n_nationkey")
+    agg = (partials.groupby("r_name")
+                   .aggregate(Sum("partial_c", alias_name="rev_c"),
+                              Sum("partial_n", alias_name="n_items")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "region": batch.column("r_name"),
+            "revenue": pc.divide(
+                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+            "n_items": batch.column("n_items"),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
                              num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Anti-join (customers with no order above ``min_price``) rolled up per
