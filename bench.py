@@ -296,8 +296,15 @@ def _record_scaling(report: dict) -> None:
         text = open(path).read()
     except FileNotFoundError:
         text = ""
+    tail = ""
     if marker in text:
-        text = text.split(marker)[0]
+        head, rest = text.split(marker, 1)
+        text = head
+        # preserve any sections AFTER the scaling section (e.g. the
+        # headline bench snapshot) instead of truncating the file there
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt:]
     lines = [f"\n- input: flagship extraction corpus at `{report['sf']}` "
              f"scale; every number below is from fresh processes, BOTH runs "
              f"per level shown (no best-of-N)"]
@@ -319,7 +326,7 @@ def _record_scaling(report: dict) -> None:
         f"host (allocator/SMT contention has no multi-node analog); outputs "
         f"are byte-identical with the burn on or off, and the unpadded "
         f"pipeline's own scaling is recorded above for audit")
-    text += marker + "\n".join(lines) + "\n"
+    text += marker + "\n".join(lines) + "\n" + tail
     with open(path, "w") as f:
         f.write(text)
 
