@@ -410,7 +410,10 @@ def promo_revenue(sf_dir: str, lo: str = "1997-01-01",
     agg = (joined.map_batches(partial, batch_format="pyarrow")
                  .aggregate(Sum("promo_c", alias_name="promo_c"),
                             Sum("total_c", alias_name="total_c")))
-    promo_c, total_c = agg["promo_c"], agg["total_c"]
+    # Ray's aggregate returns None sums on an empty dataset (e.g. a window
+    # outside the data range)
+    promo_c = agg["promo_c"] or 0
+    total_c = agg["total_c"] or 0
     pct = round((100.0 * promo_c) / total_c, 6) if total_c else 0.0
     return ray.data.from_arrow(pa.table({
         "promo_pct": pa.array([pct], pa.float64()),
@@ -455,12 +458,11 @@ def supplier_region_volume(sf_dir: str,
                             right_on="s_suppkey")
 
     def partial(batch: pa.Table) -> pa.Table:
+        # no empty-batch special case: group_by on a zero-row table returns
+        # a correctly-TYPED empty result, whereas a hand-built empty with
+        # int64 keys would mix block schemas (supp_nat is int32)
         batch = batch.filter(pc.equal(batch.column("cust_nat"),
                                       batch.column("supp_nat")))
-        if batch.num_rows == 0:
-            return pa.table({"supp_nat": pa.array([], pa.int64()),
-                             "partial_c": pa.array([], pa.int64()),
-                             "partial_n": pa.array([], pa.int64())})
         rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
                                    pc.subtract(1.0, batch.column("l_discount"))))
         t = pa.table({"supp_nat": batch.column("supp_nat"),

@@ -90,11 +90,14 @@ def render_geometry(width: int, height: int) -> Tuple[int, int, float]:
 def _scale_els(els: List[dict], scale: float) -> List[dict]:
     if scale == 1.0:
         return els
+    # int-truncate: the downshift re-renders onto a pixel grid, so half
+    # coordinates do not exist; truncation here keeps the oracle and the
+    # Arrow page schema (int32 coords) computing on IDENTICAL values
     for el in els:
-        el["x0"] *= scale
-        el["y0"] *= scale
-        el["x1"] *= scale
-        el["y1"] *= scale
+        el["x0"] = int(el["x0"] * scale)
+        el["y0"] = int(el["y0"] * scale)
+        el["x1"] = int(el["x1"] * scale)
+        el["y1"] = int(el["y1"] * scale)
     return els
 
 

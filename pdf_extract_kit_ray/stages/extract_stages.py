@@ -296,6 +296,11 @@ class FusedExtractStage:
                  emulate_inference_ms: float = 0.0,
                  reading_order: str = "reference"):
         from ..mocks import LAYOUT_BACKENDS
+        if backend not in LAYOUT_BACKENDS:
+            raise NotImplementedError(
+                "real layout backends (DocLayout-YOLO / LayoutLMv3) need GPU "
+                "weights not present in this sandbox; available mocks: "
+                + ", ".join(sorted(LAYOUT_BACKENDS)))
         self._layout = LAYOUT_BACKENDS[backend]
         self.drop_score = drop_score
         self.emulate_inference_ms = emulate_inference_ms

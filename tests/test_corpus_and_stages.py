@@ -75,6 +75,63 @@ def test_render_geometry_downshift():
             (b["x0"], b["y0"], b["x1"], b["y1"])
 
 
+def test_downshift_truncates_odd_coordinates():
+    """Scaled coordinates land on the pixel grid (int-truncated), so the
+    oracle and the int32 Arrow page schema compute on identical values."""
+    from pdf_extract_kit_ray.sources.corpus import (PAGE_H, PAGE_W,
+                                                    encode_geom,
+                                                    split_pages_geom)
+    spans = [
+        {"kind": "page_geom", "text": "",
+         "media_ref": encode_geom(0, 0, PAGE_W * 2, PAGE_H * 2, 1.0),
+         "offset": 0},
+        {"kind": "plain_text", "text": "",
+         "media_ref": encode_geom(101, 203, 501, 261, 0.9), "offset": 1},
+    ]
+    els = split_pages_geom(spans)[0]["els"]
+    assert (els[0]["x0"], els[0]["y0"], els[0]["x1"], els[0]["y1"]) == \
+        (50, 101, 250, 130)
+    assert all(isinstance(els[0][k], int) for k in ("x0", "y0", "x1", "y1"))
+
+
+def test_oversized_page_odd_coords_pipeline_equals_oracle(ray_session):
+    """An oversized page with odd element coordinates (truncating downshift)
+    must extract identically through the Ray pipeline and the oracle — the
+    int32 page schema must not diverge from the oracle's arithmetic."""
+    import random
+    from pdf_extract_kit_ray.oracle import extract_document
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_documents)
+    import ray.data
+
+    spans = generate_raw_document("doc-odd", 21, n_pages=2)
+    from pdf_extract_kit_ray.sources.corpus import encode_geom
+    rng = random.Random(3)
+
+    def jitter(span):
+        det = parse_raw_span(span)
+        media = det["media_ref"] if span["kind"] != "page_geom" else ""
+        j = 0 if span["kind"] == "page_geom" else rng.choice((0, 1))
+        return {"kind": span["kind"], "text": span["text"],
+                "media_ref": encode_geom(int(det["x0"]) * 2 + j,
+                                         int(det["y0"]) * 2 + j,
+                                         int(det["x1"]) * 2 + j,
+                                         int(det["y1"]) * 2 + j,
+                                         det["score"], media),
+                "offset": span["offset"]}
+
+    big = [jitter(s) for s in spans]
+    golden = extract_document(big)
+    raw = pa.Table.from_pylist([{"doc_id": "doc-odd", "spans": big}],
+                               schema=DOC_SCHEMA)
+    out = extract_documents(ray.data.from_arrow(raw),
+                            ExtractConfig.for_cpus(4)).take_all()
+    got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in out[0]["spans"]]
+    exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in golden]
+    assert got == exp and len(got) > 0
+
+
 def test_oversized_page_extracts_identically():
     """A whole oversized document must extract byte-identically to its
     normal-size twin (the downshift restores the same effective frame), and

@@ -46,6 +46,17 @@ def test_broadcast_join_rejects_right_joins(left_ds):
         broadcast_join(left_ds, DIM, on="k", join_type="right outer")
 
 
+def test_promo_revenue_empty_window(ray_session):
+    """A ship-date window matching no rows must return a zero row, not
+    crash on Ray's None aggregate results."""
+    from pdf_extract_kit_ray.pipelines.relational import promo_revenue
+    df = promo_revenue("/root/testdata/sf0.001",
+                       lo="2020-01-01", hi="2020-02-01").to_pandas()
+    assert len(df) == 1
+    assert df["promo_pct"].iloc[0] == 0.0
+    assert df["total_revenue"].iloc[0] == 0.0
+
+
 def test_select_prunes_columns(left_ds):
     out = broadcast_join(left_ds, DIM, on="k", right_on="key",
                          select=["name", "v"]).to_pandas()
