@@ -39,6 +39,16 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="skip partitions with a complete manifest")
     ap.add_argument("--emulate-ms", type=float, default=0.0)
+    ap.add_argument("--salt-pages", type=int, default=0,
+                    help=">0 enables salted two-phase reassembly (page "
+                         "ranges of this many pages share a shuffle salt); "
+                         "use when the corpus has page-count outliers")
+    ap.add_argument("--layout-backend", default="mock",
+                    help="config-selected layout backend (mock | mock2)")
+    ap.add_argument("--stage-mode", default="fused_tasks",
+                    choices=["fused_tasks", "fused_actors", "split_actors"],
+                    help="execution shape; split_actors = one actor pool "
+                         "per model stage (heterogeneous-GPU deployments)")
     args = ap.parse_args()
 
     import ray
@@ -57,7 +67,10 @@ def main() -> None:
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     cfg = dataclasses.replace(ExtractConfig.for_cpus(cpus),
-                              emulate_inference_ms=args.emulate_ms)
+                              emulate_inference_ms=args.emulate_ms,
+                              salt_pages=args.salt_pages,
+                              layout_backend=args.layout_backend,
+                              stage_mode=args.stage_mode)
 
     ds = read_corpus(args.input)
     skipped = 0
