@@ -81,3 +81,48 @@ def test_ddsketch_quantile_within_alpha(values):
 def test_splitmix64_injective_on_inputs(values):
     h = splitmix64(np.array(values, dtype=np.uint64))
     assert len(np.unique(h)) == len(values)
+
+
+@given(st.lists(st.integers(0, (1 << 32) - 1), min_size=1, max_size=64),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_mersenne_mul_matches_bigint(hashes, seed):
+    """The overflow-free modular multiply equals exact Python-int math."""
+    from pdf_extract_kit_ray.pipelines.dedup import (_MERSENNE, _mersenne_mul,
+                                                     _perm_params)
+    a, b = _perm_params(8, seed=seed % 1000 + 1)
+    h = np.array(hashes, dtype=np.uint64)
+    got = (_mersenne_mul(a, h) + b[:, None]) % _MERSENNE
+    exp = np.array([[(int(ai) * int(hi) + int(bi)) % _MERSENNE
+                     for hi in h] for ai, bi in zip(a, b)], dtype=np.uint64)
+    assert (got == exp).all()
+
+
+@given(st.lists(st.integers(0, (1 << 64) - 1), min_size=2, max_size=60,
+                unique=True),
+       st.integers(0, 4))
+@settings(max_examples=50, deadline=None)
+def test_hamming_pairs_match_bruteforce(sigs, max_h):
+    from pdf_extract_kit_ray.pipelines.dedup import _hamming_pairs_vectorized
+    s = np.array(sigs, dtype=np.uint64)
+    ids = np.arange(len(s), dtype=np.int64)
+    k, d, h = _hamming_pairs_vectorized(ids, s, max_h, tile=16)
+    got = {(int(a), int(b), int(x)) for a, b, x in zip(k, d, h)}
+    exp = {(i, j, bin(int(s[i]) ^ int(s[j])).count("1"))
+           for i in range(len(s)) for j in range(i + 1, len(s))
+           if bin(int(s[i]) ^ int(s[j])).count("1") <= max_h}
+    assert got == exp
+
+
+@given(st.integers(1, 8000), st.integers(1, 8000))
+@settings(max_examples=100, deadline=None)
+def test_render_geometry_dims(w, h):
+    """Downshift iff a side exceeds 3000; effective dims always <= 3000 when
+    the input is at most 6000 (one halving, like the reference's single
+    dpi-72 re-render)."""
+    from pdf_extract_kit_ray.sources.corpus import render_geometry
+    ew, eh, scale = render_geometry(w, h)
+    if w <= 3000 and h <= 3000:
+        assert (ew, eh, scale) == (w, h, 1.0)
+    else:
+        assert scale == 0.5 and ew == w // 2 and eh == h // 2
