@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-from .geometry import overlap_ratio_of_first, y_overlap_exceeds
+from .geometry import y_overlap_exceeds
 from .textnorm import detect_lang, escape_markdown
 
 
@@ -77,25 +77,44 @@ def fill_spans_in_blocks(blocks: List[dict], spans: List[dict],
     (R,D) with min/max normalization, exactly as the reference does.
     Returns ``(blocks_with_spans, leftover_spans)``.
     """
-    pool = list(spans)
+    import numpy as np
+
+    # vectorized consumption scan: one (pool x 1) overlap-ratio evaluation
+    # per block over the still-alive spans, float op order identical to the
+    # scalar overlap_ratio_of_first (IEEE ops are deterministic, so the
+    # strict > ratio comparison matches the reference bit-for-bit)
+    n = len(spans)
+    bb = np.array([sp["bbox"] for sp in spans],
+                  dtype=np.float64).reshape(n, 4)
+    area = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
+    alive = np.ones(n, dtype=bool)
     filled: List[dict] = []
     for det in blocks:
         poly = det["poly"]
         left, right = min(poly[0], poly[2]), max(poly[0], poly[2])
         top, bottom = min(poly[1], poly[5]), max(poly[1], poly[5])
         block_bbox = [left, top, right, bottom]
-        claimed = [sp for sp in pool
-                   if overlap_ratio_of_first(sp["bbox"], block_bbox) > ratio]
+        idx = np.flatnonzero(alive)
+        claimed: List[dict] = []
+        if len(idx):
+            sb = bb[idx]
+            iw = np.minimum(sb[:, 2], right) - np.maximum(sb[:, 0], left)
+            ih = np.minimum(sb[:, 3], bottom) - np.maximum(sb[:, 1], top)
+            a = area[idx]
+            ok = (iw >= 0) & (ih >= 0) & (a != 0)
+            ratios = np.zeros(len(idx))
+            ratios[ok] = iw[ok] * ih[ok] / a[ok]
+            hit = idx[ratios > ratio]
+            if len(hit):
+                claimed = [spans[i] for i in hit]
+                alive[hit] = False
         filled.append({
             "type": det["kind"],
             "bbox": block_bbox,
             "saved_info": det,
             "spans": claimed,
         })
-        if claimed:
-            claimed_ids = {id(sp) for sp in claimed}
-            pool = [sp for sp in pool if id(sp) not in claimed_ids]
-    return filled, pool
+    return filled, [spans[i] for i in np.flatnonzero(alive)]
 
 
 def fix_block_spans(blocks_with_spans: List[dict]) -> List[dict]:
