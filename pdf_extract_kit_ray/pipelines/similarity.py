@@ -206,9 +206,14 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
-    init = (ds.filter(lambda r: r["vec_id"] < k)
-              .to_pandas().sort_values("vec_id"))
-    centroids = np.array(init["embedding"].tolist(), dtype=np.float64)
+    # deterministic init (vec_id < k) via a pushed-down metadata filter on
+    # the parquet — not a full-scan Python-lambda row filter
+    import pyarrow.dataset as pads
+    init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < k).sort_by("vec_id")
+    centroids = np.array(init.column("embedding").to_pylist(),
+                         dtype=np.float64)
     dim = centroids.shape[1]
 
     def make_partial(cref):
