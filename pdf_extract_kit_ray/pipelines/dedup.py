@@ -473,13 +473,18 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         return batch.filter(pc.less(batch.column("doc_id"), max_doc))
 
     sub = ds.map_batches(subset, batch_format="pyarrow")
+    # the broadcast side is the bounded subset by contract (doc_id <
+    # max_doc); load it with a pushed-down parquet filter rather than a
+    # full Ray pass drained on the driver
+    import pyarrow.dataset as pads
+    side_tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id") < max_doc)
     side = {}
-    for row_batch in sub.iter_batches(batch_format="pyarrow"):
-        for doc_id, text in zip(row_batch.column("doc_id").to_pylist(),
-                                row_batch.column("text").to_pylist()):
-            sh = word_shingles(text, k)
-            if sh:
-                side[doc_id] = sh
+    for doc_id, text in zip(side_tbl.column("doc_id").to_pylist(),
+                            side_tbl.column("text").to_pylist()):
+        sh = word_shingles(text, k)
+        if sh:
+            side[doc_id] = sh
     side_ref = ray.put(side)
 
     def pairs(batch: pa.Table) -> pa.Table:
