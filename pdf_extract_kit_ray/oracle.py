@@ -47,6 +47,25 @@ def extract_document(raw_spans: List[dict]) -> List[Dict]:
     ``[{kind, text, media_ref, offset}, ...]`` with dense offsets.  Render
     geometry (the S3 dpi-72 downshift for >3000px pages) is applied inside
     split_pages, identically to the Ray pipeline's explode stage."""
+    out: List[Dict] = []
+    for page_spans in extract_document_pages(raw_spans):
+        for span in page_spans:
+            out.append(dict(span, offset=len(out)))
+    return out
+
+
+def extract_markdown_document(raw_spans: List[dict]) -> str:
+    """Golden markdown of one document: the reference's per-page
+    ``convert2md`` emission joined with blank lines
+    (pdf2markdown.py:312-324, 341-347)."""
+    from .functions.assemble import spans_to_markdown
+    return "\n\n".join(spans_to_markdown(p)
+                       for p in extract_document_pages(raw_spans))
+
+
+def extract_document_pages(raw_spans: List[dict]) -> List[List[Dict]]:
+    """Per-page ordered span lists (no global offsets) — the common core of
+    the span-sequence and markdown goldens."""
     pages = split_pages(raw_spans)
 
     # Pass A: layout + MFD per page; queue formula crops doc-wide.
@@ -83,12 +102,8 @@ def extract_document(raw_spans: List[dict]) -> List[Dict]:
                     "score": score, "text": text, "media_ref": "",
                 })
 
-    # Assembly: per-page ordered spans, concatenated with global offsets.
-    out: List[Dict] = []
-    for dets in page_dets:
-        for span in page_spans_from_dets(dets):
-            out.append(dict(span, offset=len(out)))
-    return out
+    # Assembly: per-page ordered spans.
+    return [page_spans_from_dets(dets) for dets in page_dets]
 
 
 def span_sequence_equal(actual: List[dict], expected: List[dict]) -> bool:

@@ -49,13 +49,18 @@ def test_output_schema(ray_session, corpus):
 
 
 def test_markdown_projection(ray_session, corpus):
+    """S8 byte-golden: the distributed markdown sink must equal the
+    straight-line oracle's per-page convert2md emission, byte for byte."""
+    from pdf_extract_kit_ray.oracle import extract_markdown_document
     from pdf_extract_kit_ray.pipelines.extract import extract_markdown
     raw, _ = corpus
-    ds = ray.data.from_arrow(raw.slice(0, 6))
+    ds = ray.data.from_arrow(raw.slice(0, 12)).repartition(4)
     out = extract_markdown(ds, ExtractConfig.for_cpus(4)).take_all()
-    assert len(out) == 6
+    assert len(out) == 12
     md = {r["doc_id"]: r["markdown"] for r in out}
-    assert all(isinstance(v, str) for v in md.values())
+    golden = {r["doc_id"]: extract_markdown_document(r["spans"])
+              for r in raw.slice(0, 12).to_pylist()}
+    assert md == golden
     # titles render as markdown headings somewhere in the corpus slice
     assert any("\n# " in v for v in md.values())
 
