@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": text.top_terms,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
+        "curated_docs": dedup.curated_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
@@ -322,6 +323,21 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "curated_docs": f"""
+            WITH q AS (
+                SELECT doc_id, {fp_expr} AS fp,
+                       round((CASE WHEN length(text) > 0
+                              THEN CAST({alpha_expr} AS DOUBLE)/CAST(length(text) AS DOUBLE)
+                              ELSE 0.0 END) * 0.6
+                             + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
+                             6) AS quality
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(round(quality * 1000000.0) AS BIGINT) / 1000000.0 AS quality
+            FROM q WHERE quality >= 0.5
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
         """,
         "engaged_users_union": """
             SELECT user_id FROM events WHERE event_type = 'purchase'

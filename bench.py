@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "lang_profile",
     "doc_fingerprints",
     "exact_dedup",
+    "curated_docs",
     "minhash_dedup",
     "simhash_dedup",
     "ngram_jaccard_pairs",
