@@ -129,6 +129,36 @@ def extract_page_spans(ds: "ray.data.Dataset",
         batch_format="pyarrow")
 
 
+def detect_salt_pages(ds: "ray.data.Dataset", whale_pages: int = 2000,
+                      salt_pages: int = 256) -> int:
+    """Page-count skew probe (SURVEY §7 stage 5): one column-pruned pass
+    over the raw corpus counting pages per doc (a page starts at every
+    ``offset == 0``), reduced to per-block maxima — the driver sees one
+    small row per block.  Returns ``salt_pages`` if any document exceeds
+    ``whale_pages`` pages (its span rows would dominate one reassembly
+    group), else 0.  Cost: one extra scan of the ``spans`` column; on a
+    known corpus set ``ExtractConfig.salt_pages`` directly instead."""
+    import numpy as np
+    import pyarrow as pa
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy()
+        flat_off = col.values.field("offset").to_numpy()
+        starts = (flat_off == 0).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(starts)])
+        pages_per_doc = cum[offsets[1:]] - cum[offsets[:-1]]
+        mx = int(pages_per_doc.max()) if len(pages_per_doc) else 0
+        return pa.table({"max_pages": pa.array([mx], pa.int64())})
+
+    maxima = ds.select_columns(["spans"]).map_batches(
+        block_max, batch_format="pyarrow").take_all()
+    max_pages = max((r["max_pages"] for r in maxima), default=0)
+    return salt_pages if max_pages > whale_pages else 0
+
+
 def extract_documents(ds: "ray.data.Dataset",
                       config: Optional[ExtractConfig] = None) -> "ray.data.Dataset":
     """raw docs Dataset (DOC_SCHEMA) -> extracted docs Dataset (DOC_SCHEMA).

@@ -39,10 +39,11 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="skip partitions with a complete manifest")
     ap.add_argument("--emulate-ms", type=float, default=0.0)
-    ap.add_argument("--salt-pages", type=int, default=0,
+    ap.add_argument("--salt-pages", default="0",
                     help=">0 enables salted two-phase reassembly (page "
                          "ranges of this many pages share a shuffle salt); "
-                         "use when the corpus has page-count outliers")
+                         "'auto' probes the corpus for page-count outliers "
+                         "first (one extra scan of the spans column)")
     ap.add_argument("--layout-backend", default="mock",
                     help="config-selected layout backend (mock | mock2)")
     ap.add_argument("--stage-mode", default="fused_tasks",
@@ -66,13 +67,19 @@ def main() -> None:
                                                      write_partitioned)
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_corpus(args.input)
+    if args.salt_pages == "auto":
+        from pdf_extract_kit_ray.pipelines.extract import detect_salt_pages
+        salt = detect_salt_pages(ds)
+        print(json.dumps({"salt_probe": salt}))
+    else:
+        salt = int(args.salt_pages)
+
     cfg = dataclasses.replace(ExtractConfig.for_cpus(cpus),
                               emulate_inference_ms=args.emulate_ms,
-                              salt_pages=args.salt_pages,
+                              salt_pages=salt,
                               layout_backend=args.layout_backend,
                               stage_mode=args.stage_mode)
-
-    ds = read_corpus(args.input)
     skipped = 0
     if args.resume:
         done = completed_partitions(args.output)

@@ -66,6 +66,21 @@ def test_salted_reassembly_whale_byte_identical(ray_session):
     assert empty["spans"] == []
 
 
+def test_detect_salt_pages_probe(ray_session):
+    """The skew probe salts only when a whale document is present."""
+    from pdf_extract_kit_ray.pipelines.extract import detect_salt_pages
+    small = [{"doc_id": "d%02d" % i,
+              "spans": generate_raw_document("d%02d" % i, seed=3, n_pages=2)}
+             for i in range(4)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(small, schema=DOC_SCHEMA))
+    assert detect_salt_pages(ds, whale_pages=10) == 0
+    whale = small + [{"doc_id": "whale",
+                      "spans": generate_raw_document("whale", seed=3,
+                                                     n_pages=12)}]
+    ds2 = ray.data.from_arrow(pa.Table.from_pylist(whale, schema=DOC_SCHEMA))
+    assert detect_salt_pages(ds2, whale_pages=10, salt_pages=64) == 64
+
+
 def test_zero_page_doc_kept_with_empty_spans(ray_session):
     """The reference writes an empty result for an empty input doc
     (tasks/ocr/task.py:106-114) — the engine must not drop the doc_id."""
