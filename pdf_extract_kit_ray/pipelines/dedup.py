@@ -146,39 +146,26 @@ def curated_docs(sf_dir: str, min_quality: float = 0.5) -> "ray.data.Dataset":
     each fingerprint group with a native Min aggregate over a packed
     (doc_id, quality-micro) integer — no map_groups, no second read, no
     driver state.  quality is packed as exact micro-units so unpacking
-    reproduces the SQL twin's rounded double bit-for-bit."""
-    from .text import _token_count, fingerprint_batch
+    reproduces the SQL twin's rounded double bit-for-bit (the score itself
+    is the shared ``text.quality_score`` definition, DuckDB-compatible
+    rounding included)."""
+    from .text import fingerprint_batch, quality_score
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        n_chars = pc.utf8_length(text)
-        n_alpha = pc.count_substring_regex(text, "[a-zA-Z]")
-        alpha_ratio = pc.if_else(
-            pc.greater(n_chars, 0),
-            pc.divide(pc.cast(n_alpha, pa.float64()),
-                      pc.cast(n_chars, pa.float64())),
-            pa.scalar(0.0))
-        tokens_norm = pc.divide(
-            pc.cast(pc.min_element_wise(_token_count(text), 100),
-                    pa.float64()), 100.0)
-        quality = pc.round(
-            pc.add(pc.multiply(alpha_ratio, 0.6),
-                   pc.multiply(tokens_norm, 0.4)), ndigits=6)
-        keep = pc.greater_equal(quality, min_quality)
-        batch_q = pa.table({
-            "doc_id": batch.column("doc_id"),
-            "fp": fingerprint_batch(batch),
-            "q_micro": pc.cast(pc.round(pc.multiply(quality, 1000000.0)),
-                               pa.int64()),
-        }).filter(keep)
+        quality = quality_score(batch.column("text"))
+        # filter BEFORE fingerprinting: the per-row md5 is the dominant map
+        # cost and dropped rows must not pay it
+        batch_q = batch.append_column("q_micro", pc.cast(
+            pc.round(pc.multiply(quality, 1000000.0)), pa.int64())) \
+            .filter(pc.greater_equal(quality, min_quality))
         # pack (doc_id, quality) so min(pack) selects the min doc_id and
         # carries its quality through a native aggregate
         pack = pc.add(pc.multiply(batch_q.column("doc_id"), 10_000_000),
                       batch_q.column("q_micro"))
-        return pa.table({"fp": batch_q.column("fp"),
+        return pa.table({"fp": fingerprint_batch(batch_q),
                          "pack": pack})
 
     agg = (ds.map_batches(prep, batch_format="pyarrow")

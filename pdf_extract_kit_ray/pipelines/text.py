@@ -31,28 +31,39 @@ def _token_count(text: pa.ChunkedArray) -> pa.Array:
     return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), counts)
 
 
+def quality_score(text: "pa.ChunkedArray") -> pa.Array:
+    """The document quality score (alpha ratio 0.6 + capped token count
+    0.4, rounded to 6dp) — THE single definition shared by ``doc_stats``
+    and ``curated_docs`` so the two cannot drift.  Rounds half away from
+    zero (``half_towards_infinity``) to match DuckDB's ``round`` on
+    midpoint values; Arrow's default half-to-even would diverge from the
+    SQL twins on exact 1e-6 midpoints."""
+    n_chars = pc.utf8_length(text)
+    n_alpha = pc.count_substring_regex(text, "[a-zA-Z]")
+    alpha_ratio = pc.if_else(
+        pc.greater(n_chars, 0),
+        pc.divide(pc.cast(n_alpha, pa.float64()),
+                  pc.cast(n_chars, pa.float64())),
+        pa.scalar(0.0))
+    tokens_norm = pc.divide(
+        pc.cast(pc.min_element_wise(_token_count(text), 100),
+                pa.float64()), 100.0)
+    return pc.round(
+        pc.add(pc.multiply(alpha_ratio, 0.6), pc.multiply(tokens_norm, 0.4)),
+        ndigits=6, round_mode="half_towards_infinity")
+
+
 def doc_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc: n_chars, n_tokens, n_alpha, quality score."""
     def stats(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        n_chars = pc.utf8_length(text)
-        n_tokens = _token_count(text)
-        n_alpha = pc.count_substring_regex(text, "[a-zA-Z]")
-        alpha_ratio = pc.if_else(
-            pc.greater(n_chars, 0),
-            pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(n_chars, pa.float64())),
-            pa.scalar(0.0))
-        tokens_norm = pc.divide(
-            pc.cast(pc.min_element_wise(n_tokens, 100), pa.float64()), 100.0)
-        quality = pc.round(
-            pc.add(pc.multiply(alpha_ratio, 0.6), pc.multiply(tokens_norm, 0.4)),
-            ndigits=6)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_chars": pc.cast(n_chars, pa.int64()),
-            "n_tokens": pc.cast(n_tokens, pa.int64()),
-            "n_alpha": pc.cast(n_alpha, pa.int64()),
-            "quality": quality,
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(_token_count(text), pa.int64()),
+            "n_alpha": pc.cast(
+                pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64()),
+            "quality": quality_score(text),
         })
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow")

@@ -350,9 +350,12 @@ class FusedExtractStage:
                                  "x0": bbox[0], "y0": bbox[1],
                                  "x1": bbox[2], "y1": bbox[3],
                                  "score": score, "text": text, "media_ref": ""})
-            for block_idx, span in enumerate(
-                    page_spans_from_dets(dets, self.reading_order,
-                                         cols["width"][p_idx])):
+            page_spans = page_spans_from_dets(dets, self.reading_order,
+                                              cols["width"][p_idx])
+            if not page_spans:
+                _emit_page_marker(out, cols["doc_id"][p_idx],
+                                  cols["page_no"][p_idx])
+            for block_idx, span in enumerate(page_spans):
                 out["doc_id"].append(cols["doc_id"][p_idx])
                 out["page_no"].append(cols["page_no"][p_idx])
                 out["block_idx"].append(block_idx)
@@ -400,8 +403,10 @@ def assemble_page_spans(batch: pa.Table,
         if page_no == -1:
             _emit_doc_marker(out, doc_id)
             continue
-        for block_idx, span in enumerate(
-                page_spans_from_dets(dets, reading_order, width)):
+        page_spans = page_spans_from_dets(dets, reading_order, width)
+        if not page_spans:
+            _emit_page_marker(out, doc_id, page_no)
+        for block_idx, span in enumerate(page_spans):
             out["doc_id"].append(doc_id)
             out["page_no"].append(page_no)
             out["block_idx"].append(block_idx)
@@ -418,6 +423,19 @@ def _emit_doc_marker(out: dict, doc_id) -> None:
     out["page_no"].append(-1)
     out["block_idx"].append(-1)
     out["kind"].append("__doc__")
+    out["text"].append("")
+    out["media_ref"].append("")
+
+
+def _emit_page_marker(out: dict, doc_id, page_no: int) -> None:
+    """Sentinel row for a page that emitted ZERO spans (blank or
+    abandon-only page): reassembly drops it (block_idx < 0), but the
+    markdown projection needs the page to exist so its '' page joins into
+    the document exactly like the oracle's per-page emission."""
+    out["doc_id"].append(doc_id)
+    out["page_no"].append(page_no)
+    out["block_idx"].append(-1)
+    out["kind"].append("__page__")
     out["text"].append("")
     out["media_ref"].append("")
 

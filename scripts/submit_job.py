@@ -68,10 +68,17 @@ def main() -> None:
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     ds = read_corpus(args.input)
+    skipped = 0
+    if args.resume:
+        done = completed_partitions(args.output)
+        skipped = len(done)
+        ds = filter_completed(ds, args.output, args.num_partitions)
+
+    # salt probe runs AFTER resume filtering: a resumed job probes (and
+    # salts for) only the remaining work, not the whole corpus
     if args.salt_pages == "auto":
         from pdf_extract_kit_ray.pipelines.extract import detect_salt_pages
         salt = detect_salt_pages(ds)
-        print(json.dumps({"salt_probe": salt}))
     else:
         salt = int(args.salt_pages)
 
@@ -80,11 +87,6 @@ def main() -> None:
                               salt_pages=salt,
                               layout_backend=args.layout_backend,
                               stage_mode=args.stage_mode)
-    skipped = 0
-    if args.resume:
-        done = completed_partitions(args.output)
-        skipped = len(done)
-        ds = filter_completed(ds, args.output, args.num_partitions)
 
     t0 = time.time()
     docs = extract_documents(ds, cfg)
@@ -92,8 +94,10 @@ def main() -> None:
     metrics = rollup_metrics(manifests)
     elapsed = round(time.time() - t0, 2)
 
+    # one JSON status line on stdout (the driver/skill contract)
     print(json.dumps({"status": "ok", "elapsed_sec": elapsed,
                       "skipped_partitions": skipped,
+                      "salt_pages": salt,
                       "output": args.output, **metrics}))
     ray.shutdown()
 

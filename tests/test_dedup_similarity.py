@@ -48,6 +48,37 @@ def test_exact_dedup_finds_planted(ray_session, tmp_path):
     assert (dups["n"] == 2).all()
 
 
+def test_curated_docs_filters_and_dedups(ray_session, tmp_path):
+    """The quality filter must actually fire (planted digit-only docs score
+    0.4*tokens_norm <= 0.4 < 0.5) and dedup keeps the min doc_id among the
+    quality-passing survivors only."""
+    rows = [
+        {"doc_id": 0, "text": "good alpha text with many proper words here"},
+        {"doc_id": 1, "text": "good alpha text with many proper words here"},
+        {"doc_id": 2, "text": "12345 67890 11111 22222 33333 44444"},   # low q
+        {"doc_id": 3, "text": "another perfectly fine alpha document body"},
+        {"doc_id": 4, "text": "999 888 777"},                           # low q
+    ]
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = dedup.curated_docs(str(tmp_path)).to_pandas()
+    kept = set(res["doc_id"])
+    assert kept == {0, 3}          # 1 deduped away; 2 and 4 quality-dropped
+    assert (res["quality"] >= 0.5).all()
+    # DuckDB twin agrees on this adversarial corpus
+    import duckdb
+    import __ray_entry__ as em
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(em.oracle_sql()["curated_docs"]).df()
+    assert sorted(o["doc_id"]) == sorted(res["doc_id"])
+    a = res.sort_values("doc_id").reset_index(drop=True)
+    b = o.sort_values("doc_id").reset_index(drop=True)
+    assert (a["quality"].values == b["quality"].values).all()
+
+
 def test_minhash_dedup_finds_near_dup(ray_session, tmp_path):
     sf_dir = _make_docs_table(str(tmp_path))
     res = dedup.minhash_dedup(sf_dir, threshold=0.5).to_pandas()

@@ -65,6 +65,43 @@ def test_markdown_projection(ray_session, corpus):
     assert any("\n# " in v for v in md.values())
 
 
+def test_markdown_blank_page_byte_golden(ray_session):
+    """A blank page (page_geom only — no elements) must still contribute its
+    empty page to the markdown join, exactly like the oracle's per-page
+    emission; and the span output must be unaffected by the page marker."""
+    from pdf_extract_kit_ray.oracle import (extract_document,
+                                            extract_markdown_document)
+    from pdf_extract_kit_ray.pipelines.extract import extract_markdown
+    from pdf_extract_kit_ray.sources.corpus import (PAGE_H, PAGE_W,
+                                                    encode_geom,
+                                                    generate_raw_document)
+
+    def blank_page():
+        return [{"kind": "page_geom", "text": "",
+                 "media_ref": encode_geom(0, 0, PAGE_W, PAGE_H, 1.0),
+                 "offset": 0}]
+
+    p1 = generate_raw_document("doc-b", 19, n_pages=1)
+    p3 = generate_raw_document("doc-b2", 23, n_pages=1)
+    spans = p1 + blank_page() + p3
+    raw = pa.Table.from_pylist([{"doc_id": "doc-b", "spans": spans}],
+                               schema=DOC_SCHEMA)
+    golden_md = extract_markdown_document(spans)
+    assert "\n\n\n\n" in golden_md or golden_md.count("\n\n") >= 2
+    out = extract_markdown(ray.data.from_arrow(raw),
+                           ExtractConfig.for_cpus(4)).take_all()
+    assert out[0]["markdown"] == golden_md
+
+    golden_spans = extract_document(spans)
+    docs = extract_documents(ray.data.from_arrow(raw),
+                             ExtractConfig.for_cpus(4)).take_all()
+    got = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in docs[0]["spans"]]
+    exp = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in golden_spans]
+    assert got == exp
+
+
 def test_backend_switch_mock2(ray_session, corpus, tmp_path):
     """M2: the config-selected layout backend switch.  'mock2' (higher score
     threshold, the LayoutLMv3-SCORE_THRESH analog) must produce a different,
