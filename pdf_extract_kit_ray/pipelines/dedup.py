@@ -437,7 +437,15 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
     """Near-duplicate pairs by 64-bit SimHash Hamming distance <= max_hamming,
     candidates via 4×16-bit band buckets (pigeonhole-complete for distance 3).
     In-bucket comparison is tiled XOR+popcount (vectorized), with oversized
-    buckets split by prefix-extended sub-banding (_simhash_bucket_pairs)."""
+    buckets split by prefix-extended sub-banding (_simhash_bucket_pairs).
+
+    ``max_hamming`` must be <= 3: both the outer 4x16-bit banding and the
+    oversized-bucket 4x12-bit sub-banding are pigeonhole-complete only for
+    distance 3 — a larger radius would silently lose recall."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"simhash_dedup supports max_hamming <= 3 (got {max_hamming}): "
+            "the 4-band pigeonhole guarantee does not cover larger radii")
     path = f"{sf_dir}/{table}.parquet"
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
 

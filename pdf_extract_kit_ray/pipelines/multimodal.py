@@ -99,72 +99,242 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow")
 
 
-def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
-                          n_bands: int = 6, band_bits: int = 6) -> "ray.data.Dataset":
-    """Embedding-cosine near-dup over extracted media features, distributed
-    end-to-end via random-hyperplane LSH (SimHash for vectors): each feature
-    row hashes to ``n_bands`` sign-bit bucket keys (seeded hyperplanes
-    broadcast once), ONE shuffle groups each (band, bucket), a vectorized
-    all-pairs cosine runs inside the bucket, and a candidate-sized
-    groupby(a, b) dedupes pairs that collide in several bands.
+# LSH near-dup tuning.  band_bits=16 gives 65,536 buckets per band (the
+# round-2 six-bit space — 64 buckets — went quadratic at 10^9 items); the
+# population cap bounds the in-bucket all-pairs scan, with oversized buckets
+# split by dedicated refinement sign-bits (the simhash _SIMHASH_BUCKET_CAP
+# pattern, dedup.py).
+_MFND_BANDS = 8
+_MFND_BAND_BITS = 16
+_MFND_SUB_BITS = 16          # refinement hyperplanes for cap-splitting
+_MFND_BUCKET_CAP = 512
 
-    Recall: a pair at cosine >= 0.999 disagrees on a random hyperplane with
-    p = acos(0.999)/π ≈ 0.0143, so P(miss all 6 six-bit bands) =
-    (1-(1-0.0143)^6)^6 ≈ 3e-7 — near-exact, with flat driver memory as the
-    corpus grows (nothing is materialized on the driver, unlike the round-1
-    take_all version).  6x6 measured fastest at sf0.1 with the pair set
-    identical to exact all-pairs; more/wider bands only multiply bucket
-    groups and duplicate candidate rows."""
+_MFEAT_SCHEMA = pa.schema([("member_id", pa.int64()),
+                           ("a", pa.int64()),
+                           ("b", pa.int64()),
+                           ("features", pa.list_(pa.float32()))])
+
+
+def _segment_candidates(ids, sub, cap=_MFND_BUCKET_CAP):
+    """Candidate (a, b) pairs within one (band, bucket) segment, population-
+    capped.
+
+    ``ids`` ascending, unique; ``sub`` the refinement sign-bits per id.
+    Segments <= cap emit all a<b pairs vectorized.  Oversized segments are
+    split by refinement bits 4 at a time (each split multiplies the band's
+    effective width; true near-dups at the target threshold agree on the
+    extra hyperplanes with high probability, and misses in this band are
+    caught by the other bands).  A segment still > cap after all
+    refinement bits is a clique indistinguishable at band+sub hyperplanes
+    (in practice exact/near-exact duplicates, which share every sign bit,
+    so no bit can split them) — it emits STAR pairs against the segment's
+    minimum id, keeping output linear while preserving duplicate-cluster
+    connectivity."""
     import numpy as np
-    from ray.data.aggregate import Max
+    out_a, out_b = [], []
+
+    def emit_all(idx):
+        ii, jj = np.triu_indices(len(idx), k=1)
+        out_a.append(ids[idx][ii])
+        out_b.append(ids[idx][jj])
+
+    def rec(idx, bits_used):
+        n = len(idx)
+        if n < 2:
+            return
+        if n <= cap:
+            emit_all(idx)
+        elif bits_used >= _MFND_SUB_BITS:
+            out_a.append(np.full(n - 1, ids[idx[0]], dtype=np.int64))
+            out_b.append(ids[idx[1:]])
+        else:
+            nibble = (sub[idx] >> bits_used) & 0xF
+            order = np.argsort(nibble, kind="stable")
+            sk = nibble[order]
+            bounds = np.r_[np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]]),
+                           len(sk)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                rec(idx[order[s:e]], bits_used + 4)
+
+    rec(np.arange(len(ids)), 0)
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
+                          n_bands: int = _MFND_BANDS,
+                          band_bits: int = _MFND_BAND_BITS) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup over extracted media features, distributed
+    end-to-end via random-hyperplane LSH with the scale-safe round-3 shape:
+
+    * **wide bands** — 8 bands x 16 sign-bits (65,536 buckets/band; the
+      round-2 64-bucket space collapsed at 10^9 items).  Recall: a pair at
+      cosine >= 0.999 disagrees per hyperplane with p = acos(.999)/pi ≈
+      0.0143, so P(band match) = (1-p)^16 ≈ 0.79 and P(miss all 8 bands)
+      ≈ 3e-6.
+    * **population cap** — buckets > 512 members split by 16 dedicated
+      refinement sign-bits, 4 at a time (see _segment_candidates), so the
+      in-bucket pair scan can never go quadratic; residual
+      indistinguishable cliques emit linear star pairs.
+    * **no feature replication** — the bucket shuffle moves only
+      (band, bucket, sub, media_id) int rows.  Feature vectors ship ONCE:
+      candidate pairs explode to per-side membership rows, union with the
+      (media_id, features) table, one hash shuffle on member_id attaches
+      each side's vector, and a candidate-sized groupby((a, b)) computes
+      the exact cosine — the minhash_dedup membership-union semi-join
+      shape (dedup.py:256).
+
+    Driver memory stays flat at any corpus size; nothing is materialized
+    on the driver (the features table is materialized once in the object
+    store — 8 floats/row, ~1000x smaller than payloads — because both the
+    bucketize pass and the verification union consume it)."""
+    import numpy as np
 
     from ..stages.media import MediaFeatureStage
 
     rng = np.random.RandomState(17)
-    planes = rng.randn(n_bands * band_bits, MediaFeatureStage.DIM)
+    planes = rng.randn(n_bands * band_bits + _MFND_SUB_BITS,
+                       MediaFeatureStage.DIM)
     planes_ref = ray.put(planes)
     weights = (1 << np.arange(band_bits, dtype=np.int64))
+    sub_weights = (1 << np.arange(_MFND_SUB_BITS, dtype=np.int64))
+
+    feats = media_features(sf_dir).materialize()
+    from ..pipelines.dedup import _num_coarse
+    num_coarse = _num_coarse(feats.count() * n_bands)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"coarse": pa.array([], pa.int64()),
+                          "band": pa.array([], pa.int32()),
+                          "bucket": pa.array([], pa.int64()),
+                          "sub": pa.array([], pa.int64()),
+                          "media_id": pa.array([], pa.int64())})
+        if batch.num_rows == 0:          # empty block: norm() would raise
+            return empty
         R = ray.get(planes_ref)
         ids = np.asarray(batch.column("media_id").to_pylist(), dtype=np.int64)
         mat = np.asarray(batch.column("features").to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = mat / norms
-        bits = (mat @ R.T) > 0                    # (n, n_bands*band_bits)
-        bits = bits.reshape(len(ids), n_bands, band_bits)
-        buckets = (bits * weights[None, None, :]).sum(axis=2)  # (n, n_bands)
-        band_ids = np.tile(np.arange(n_bands, dtype=np.int32), len(ids))
+        bits = (mat @ R.T) > 0           # (n, n_bands*band_bits + sub_bits)
+        band_part = bits[:, :n_bands * band_bits] \
+            .reshape(len(ids), n_bands, band_bits)
+        buckets = (band_part * weights[None, None, :]).sum(axis=2)
+        sub = (bits[:, n_bands * band_bits:] * sub_weights[None, :]).sum(axis=1)
+        band_ids = np.tile(np.arange(n_bands, dtype=np.int64), len(ids))
+        flat_buckets = buckets.ravel()
+        coarse = (band_ids * np.int64(0x9E3779B1) + flat_buckets) % num_coarse
         return pa.table({
-            "band": pa.array(band_ids, pa.int32()),
-            "bucket": pa.array(buckets.ravel(), pa.int64()),
+            "coarse": pa.array(coarse, pa.int64()),
+            "band": pa.array(band_ids.astype(np.int32), pa.int32()),
+            "bucket": pa.array(flat_buckets, pa.int64()),
+            "sub": pa.array(np.repeat(sub, n_bands), pa.int64()),
             "media_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
-            "features": pa.array(np.repeat(mat, n_bands, axis=0).tolist(),
-                                 pa.list_(pa.float64())),
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def coarse_candidates(group: pa.Table) -> pa.Table:
+        """All (band, bucket) segments hashed into this coarse group,
+        candidate-pair-emitted via the capped scan."""
+        band = group.column("band").to_numpy()
+        bucket = group.column("bucket").to_numpy()
+        ids = group.column("media_id").to_numpy()
+        sub = group.column("sub").to_numpy()
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids, sub = (band[order], bucket[order],
+                                  ids[order], sub[order])
+        new_seg = np.r_[True, (band[1:] != band[:-1])
+                        | (bucket[1:] != bucket[:-1])]
+        bounds = np.r_[np.flatnonzero(new_seg), len(ids)]
+        outs_a, outs_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            a, b = _segment_candidates(ids[s:e], sub[s:e])
+            outs_a.append(a)
+            outs_b.append(b)
+        if not outs_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(outs_a), pa.int64()),
+                         "b": pa.array(np.concatenate(outs_b), pa.int64())})
+
+    def pair_members(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table({
+            "member_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "features": pa.nulls(2 * len(a), pa.list_(pa.float32())),
+        }, schema=_MFEAT_SCHEMA)
+
+    def feat_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "member_id": batch.column("media_id").cast(pa.int64()),
+            "a": pa.array(np.full(n, -1), pa.int64()),
+            "b": pa.array(np.full(n, -1), pa.int64()),
+            "features": batch.column("features"),
+        }, schema=_MFEAT_SCHEMA)
+
+    def attach_features(group: pa.Table) -> pa.Table:
+        """member_id group: one features row + this media item's pair-
+        membership rows (deduped across bands) -> per-pair rows carrying
+        this side's vector."""
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
-                          "pair_score": pa.array([], pa.float64())})
-        if group.num_rows < 2:
+                          "is_a": pa.array([], pa.bool_()),
+                          "features": pa.array([], pa.list_(pa.float32()))})
+        is_feat = pc.equal(group.column("a"), -1)
+        feats_here = group.filter(is_feat).column("features")
+        members = group.filter(pc.invert(is_feat))
+        if members.num_rows == 0 or len(feats_here) == 0:
             return empty
-        ids = np.asarray(group.column("media_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(group.column("features").to_pylist(), dtype=np.float64)
-        order = np.argsort(ids)
-        ids, mat = ids[order], mat[order]
-        sims = mat @ mat.T
-        iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
-        if len(iu) == 0:
-            return empty
-        return pa.table({"a": pa.array(ids[iu], pa.int64()),
-                         "b": pa.array(ids[ju], pa.int64()),
-                         "pair_score": pa.array(sims[iu, ju], pa.float64())})
+        vec = feats_here[0]
+        member_id = members.column("member_id")[0].as_py()
+        import numpy as np
+        a = members.column("a").to_numpy()
+        b = members.column("b").to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        a, b = a[keep], b[keep]
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "is_a": pa.array(a == member_id, pa.bool_()),
+            "features": pa.array([vec.as_py()] * len(a),
+                                 pa.list_(pa.float32()))})
 
-    feats = media_features(sf_dir)
-    return (feats.map_batches(bucketize, batch_format="pyarrow")
-                 .groupby(["band", "bucket"])
-                 .map_groups(bucket_pairs, batch_format="pyarrow")
+    def verify_pair(group: pa.Table) -> pa.Table:
+        import numpy as np
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        a_side = group.filter(group.column("is_a"))
+        b_side = group.filter(pc.invert(group.column("is_a")))
+        if a_side.num_rows == 0 or b_side.num_rows == 0:
+            return empty
+        va = np.asarray(a_side.column("features")[0].as_py(), dtype=np.float64)
+        vb = np.asarray(b_side.column("features")[0].as_py(), dtype=np.float64)
+        na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+        score = float(va @ vb / (na * nb)) if na > 0 and nb > 0 else 1.0
+        if score < threshold:
+            return empty
+        return pa.table({"a": a_side.column("a").slice(0, 1),
+                         "b": a_side.column("b").slice(0, 1),
+                         "score": pa.array([score], pa.float64())})
+
+    cand = (feats.map_batches(bucketize, batch_format="pyarrow")
+                 .groupby("coarse")
+                 .map_groups(coarse_candidates, batch_format="pyarrow"))
+    members = cand.map_batches(pair_members, batch_format="pyarrow")
+    sides = feats.map_batches(feat_rows, batch_format="pyarrow")
+    return (sides.union(members)
+                 .groupby("member_id")
+                 .map_groups(attach_features, batch_format="pyarrow")
                  .groupby(["a", "b"])
-                 .aggregate(Max("pair_score", alias_name="score")))
+                 .map_groups(verify_pair, batch_format="pyarrow"))

@@ -95,7 +95,10 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Array:
     md5 has no Arrow kernel, so per-row hashing is unavoidable — but the
     rows are hashed straight off the Arrow string buffer (memoryview
     slices), skipping the str-materialize + re-encode round-trip (~1.5x on
-    the 100 TB-path map cost)."""
+    the 100 TB-path map cost).
+
+    Null text rows fingerprint to NULL (not md5("")) so null docs can
+    never silently merge with empty-string docs in a dedup group."""
     import numpy as np
     norm = pc.utf8_lower(pc.utf8_trim_whitespace(
         pc.replace_substring_regex(batch.column(text_col), r"\s+", " ")))
@@ -105,8 +108,12 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Array:
         arr.offset:arr.offset + len(arr) + 1]
     mv = memoryview(arr.buffers()[2])
     md5 = hashlib.md5
-    return pa.array([md5(mv[off[i]:off[i + 1]]).hexdigest()
-                     for i in range(len(arr))], pa.string())
+    if arr.null_count == 0:
+        return pa.array([md5(mv[off[i]:off[i + 1]]).hexdigest()
+                         for i in range(len(arr))], pa.string())
+    valid = np.asarray(pc.is_valid(arr))
+    return pa.array([md5(mv[off[i]:off[i + 1]]).hexdigest() if valid[i]
+                     else None for i in range(len(arr))], pa.string())
 
 
 def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":

@@ -478,8 +478,13 @@ def reassemble_chunk(group: pa.Table) -> pa.Table:
 
 def merge_doc_chunks(group: pa.Table) -> pa.Table:
     """Phase 2 of salted reassembly: concatenate a doc's chunk rows in salt
-    order (salt = page range order) and assign dense global offsets — the
-    group holds one small row per page range, not per span."""
+    order (salt = page range order) and assign dense global offsets.
+
+    The group holds one ROW per page range, not per span — salting wins on
+    phase-1 shuffle/sort row counts (span rows spread over many groups) —
+    but the doc's full span DATA still converges here, packed inside the
+    chunk rows: the one-row-per-doc output contract makes that peak
+    per-group byte size inherent to any reassembly, salted or not."""
     doc_id = group.column("doc_id")[0].as_py()
     group = group.sort_by([("salt", "ascending")])
     spans = []

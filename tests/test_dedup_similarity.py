@@ -254,3 +254,24 @@ def test_winnow_neardup_finds_planted_pair(ray_session, tmp_path):
     got = set(zip(pairs["a"], pairs["b"]))
     assert (0, 1) in got                      # the planted near-dup
     assert not any(2 in p or 3 in p for p in got)   # disjoint docs stay out
+
+
+def test_simhash_rejects_large_radius():
+    import pytest
+
+    from pdf_extract_kit_ray.pipelines.dedup import simhash_dedup
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_dedup("/root/testdata/sf0.001", max_hamming=4)
+
+
+def test_fingerprint_batch_null_text():
+    """Null docs fingerprint to NULL, never md5('') — they must not merge
+    with genuinely-empty docs in a dedup group."""
+    import pyarrow as pa
+
+    from pdf_extract_kit_ray.pipelines.text import fingerprint_batch
+    batch = pa.table({"text": pa.array(["a b", None, "", "a  b"], pa.string())})
+    fp = fingerprint_batch(batch)
+    assert fp[1].as_py() is None
+    assert fp[0].as_py() == fp[3].as_py()        # whitespace-collapsed equal
+    assert fp[2].as_py() is not None and fp[2].as_py() != fp[1].as_py()

@@ -161,3 +161,51 @@ def test_pipelines_end_to_end(ray_session, tmp_path):
 
     prep = mm.ocr_preprocess_summary(sf).to_pandas()
     assert len(prep) == 40 and (prep["kind"] == "image").all()
+
+
+def test_segment_candidates_capped():
+    """The LSH population cap: oversized buckets can't go quadratic."""
+    from pdf_extract_kit_ray.pipelines.multimodal import _segment_candidates
+
+    # small segment -> exact all a<b pairs
+    ids = np.arange(5, dtype=np.int64)
+    a, b = _segment_candidates(ids, np.zeros(5, np.int64), cap=512)
+    assert len(a) == 10 and (a < b).all()
+
+    # oversized indistinguishable clique (identical refinement bits — the
+    # exact-duplicate case, where no sign bit can split) -> linear star
+    # against the segment-min id, NOT n^2/2 pairs
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    a, b = _segment_candidates(ids, np.zeros(n, np.int64), cap=512)
+    assert len(a) == n - 1
+    assert (a == 0).all() and set(b) == set(range(1, n))
+
+    # oversized but refinement-splittable -> bounded far below quadratic,
+    # every sub-segment scanned exactly (pairs subset of same-nibble-path)
+    rng = np.random.RandomState(0)
+    ids = np.arange(4096, dtype=np.int64)
+    sub = rng.randint(0, 1 << 16, size=4096).astype(np.int64)
+    a, b = _segment_candidates(ids, sub, cap=64)
+    assert (a < b).all()
+    assert len(a) < 4096 * 64          # << 8.4M all-pairs
+
+
+def test_media_neardup_pair_set_matches_bruteforce(ray_session):
+    """LSH pair set == exact all-pairs cosine at sf0.001 (recall check on
+    top of the planted-dup subset assertion in the e2e test)."""
+    import pdf_extract_kit_ray.pipelines.multimodal as mm
+    sf = "/root/testdata/sf0.001"
+    feats = mm.media_features(sf).to_pandas().sort_values("media_id")
+    mat = np.asarray(feats["features"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    sims = mat @ mat.T
+    ids = feats["media_id"].to_numpy()
+    iu, ju = np.nonzero(np.triu(sims >= 0.999, k=1))
+    expected = {(int(ids[i]), int(ids[j])) for i, j in zip(iu, ju)}
+
+    nd = mm.media_feature_neardup(sf).to_pandas()
+    got = set(zip(nd.a.astype(int), nd.b.astype(int)))
+    assert got == expected
