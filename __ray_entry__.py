@@ -52,6 +52,17 @@ def _corpus_path(sf_dir: str, with_golden: bool = False) -> str:
     return os.path.join(out, "raw")
 
 
+def _golden_dir(sf_dir: str) -> str:
+    """Materialized golden table (straight-line single-process oracle,
+    pdf_extract_kit_ray/oracle.py) for a test scale — the flagship's
+    driver-visible correctness anchor.  The raw corpus under the golden-
+    tagged cache dir is bit-identical to the raw-tagged one (same
+    generator, docs, seed), so a pipeline run over either raw dir is
+    comparable against this golden."""
+    raw = _corpus_path(sf_dir, with_golden=True)
+    return os.path.join(os.path.dirname(raw), "golden")
+
+
 def _extract(sf_dir: str):
     import ray
     from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
@@ -100,6 +111,18 @@ def _extract_markdown(sf_dir: str):
     return extract_markdown(ds, ExtractConfig.for_cpus(cpus))
 
 
+def _table_sources(sf_dir: str):
+    """M6 (table parser) under the driver gate: one row per detected table
+    region with its parsed HTML source and the straggler-cap flag."""
+    import ray
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_table_sources,
+                                                       read_corpus)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_corpus(_corpus_path(sf_dir))
+    return extract_table_sources(ds, ExtractConfig.for_cpus(cpus))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extract_kit_ray.pipelines import (dedup, multimodal, relational,
                                                similarity, streaming, text)
@@ -109,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flagship": _extract,
         "extract_kind_counts": _span_kind_counts,
         "extract_markdown": _extract_markdown,
+        "table_sources": _table_sources,
         # --- relational operators (SQL twins below) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_per_nation": relational.orders_per_nation,
@@ -163,11 +187,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The driver's side-by-side correctness gate runs at sf=0.01: ensure the
+    # sf0.01 golden table exists so the flagship's oracle below can read it
+    # (generation is cached on disk; ~seconds for the 200-doc corpus).
+    golden_glob = os.path.join(_golden_dir("/root/testdata/sf0.01"),
+                               "*.parquet")
+    raw_glob = os.path.join(_corpus_path("/root/testdata/sf0.01"),
+                            "*.parquet")
     fp_expr = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
     alpha_expr = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
     tokens_expr = ("CASE WHEN trim(text) = '' THEN 0 "
                    "ELSE length(string_split_regex(trim(text), '\\s+')) END")
     return {
+        # Flagship extraction vs the MATERIALIZED GOLDEN TABLE (the
+        # straight-line oracle's output, written at corpus generation):
+        # unnest golden spans, count per kind — hash-equality here pins the
+        # distributed pipeline's span stream to the oracle's in the
+        # driver's own gate, not just in pytest.
+        "extract_kind_counts": f"""
+            SELECT s.kind AS kind, count(*) AS n_spans
+            FROM (SELECT unnest(spans) AS s
+                  FROM read_parquet('{golden_glob}'))
+            GROUP BY 1
+        """,
+        # Table parser (M6) vs the RAW corpus: every raw 'table' element
+        # becomes a layout det at the default backend (score_thresh 0) and
+        # parses to deterministic HTML from its media ref (the segment
+        # before '|' in the geom:// encoding); page_no = running count of
+        # offset==0 page starts, table_idx = emission order within page.
+        "table_sources": f"""
+            WITH sp AS (
+                SELECT doc_id,
+                       unnest(spans) AS s,
+                       unnest(range(len(spans))) AS i
+                FROM read_parquet('{raw_glob}')
+            ), numbered AS (
+                SELECT doc_id, i, s.kind AS kind, s.media_ref AS ref,
+                       CAST(sum(CASE WHEN s."offset" = 0 THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY doc_id ORDER BY i) - 1
+                            AS INTEGER) AS page_no
+                FROM sp
+            )
+            SELECT doc_id, page_no,
+                   CAST(row_number() OVER (PARTITION BY doc_id, page_no
+                                           ORDER BY i) - 1 AS INTEGER)
+                       AS table_idx,
+                   '<table><tr><td>' ||
+                   (CASE WHEN contains(ref, '|')
+                         THEN split_part(ref, '|', 1) ELSE '' END) ||
+                   '</td></tr></table>' AS table_source,
+                   FALSE AS truncated
+            FROM numbered WHERE kind = 'table'
+        """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(floor(l_quantity*100.0) AS BIGINT))/100.0 AS sum_qty,

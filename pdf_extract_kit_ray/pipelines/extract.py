@@ -210,6 +210,57 @@ def extract_markdown(ds: "ray.data.Dataset",
                                                    batch_format="pyarrow")
 
 
+def extract_table_sources(ds: "ray.data.Dataset",
+                          config: Optional[ExtractConfig] = None) -> "ray.data.Dataset":
+    """Table-parsing pipeline (M6 under the driver gate): page explode ->
+    layout detection -> TableStage parse, projected to one row per detected
+    table region: (doc_id, page_no, table_idx, table_source, truncated).
+
+    ``truncated`` marks the reference's ``max_time`` straggler cap
+    (struct_eqtable.py max_time:30 -> per-row cutoff yielding an empty
+    source); at the default element cap no corpus table trips it, so the
+    SQL twin can assert it FALSE while the unit test exercises the
+    over-cap path directly."""
+    import pyarrow as pa
+
+    from ..stages.extract_stages import LayoutStage, TableStage, explode_pages
+
+    cfg = config or ExtractConfig()
+    pages = ds.map_batches(explode_pages, batch_format="pyarrow")
+    pages = pages.map_batches(
+        LayoutStage, concurrency=cfg.layout_concurrency,
+        batch_size=cfg.page_batch_size, num_cpus=cfg.actor_num_cpus,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"backend": cfg.layout_backend})
+    pages = pages.map_batches(
+        TableStage, concurrency=cfg.mfd_concurrency,
+        batch_size=cfg.page_batch_size, num_cpus=cfg.actor_num_cpus,
+        batch_format="pyarrow")
+
+    def explode_tables(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        page_nos = batch.column("page_no").to_pylist()
+        tables = batch.column("table_sources").to_pylist()
+        out = {"doc_id": [], "page_no": [], "table_idx": [],
+               "table_source": [], "truncated": []}
+        for doc_id, page_no, srcs in zip(doc_ids, page_nos, tables):
+            for idx, src in enumerate(srcs):
+                out["doc_id"].append(doc_id)
+                out["page_no"].append(page_no)
+                out["table_idx"].append(idx)
+                out["table_source"].append(src)
+                out["truncated"].append(src == "")
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "page_no": pa.array(out["page_no"], pa.int32()),
+            "table_idx": pa.array(out["table_idx"], pa.int32()),
+            "table_source": pa.array(out["table_source"], pa.string()),
+            "truncated": pa.array(out["truncated"], pa.bool_()),
+        })
+
+    return pages.map_batches(explode_tables, batch_format="pyarrow")
+
+
 def read_corpus(path: str, num_blocks: Optional[int] = None) -> "ray.data.Dataset":
     """Read an interleaved document table.  Lance is the production format
     (north rule); this sandbox has no lancedb wheel, so fall back to parquet

@@ -37,9 +37,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# The flagship/table oracles read materialized corpus files generated for
+# the driver's sf0.01 gate, so their pytest mirror must run at sf0.01 too.
+_SF001_QUERIES = {"extract_kind_counts", "table_sources"}
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
 def test_query_matches_oracle(ray_session, name):
-    ray_result = _canon(_to_pandas(entrymod.queries()[name](SF)))
+    sf = "/root/testdata/sf0.01" if name in _SF001_QUERIES else SF
+    ray_result = _canon(_to_pandas(entrymod.queries()[name](sf)))
     oracle = _canon(_duck(entrymod.oracle_sql()[name]))
     assert list(ray_result.columns) == list(oracle.columns), \
         f"{name}: columns {list(ray_result.columns)} != {list(oracle.columns)}"
