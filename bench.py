@@ -26,6 +26,15 @@ import subprocess
 import sys
 import time
 
+# Pin BLAS/OMP pools to one thread BEFORE numpy loads anywhere (driver and —
+# because `ray.init(address="local")` forks the cluster from this process —
+# every worker): unpinned OpenBLAS pools oversubscribe the host when many
+# workers hit a matmul at once, which is the main source of the round-2
+# run-to-run variance on sub-2 s queries.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,6 +42,7 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "extract_flagship",
+    "table_sources",
     "q1_pricing_summary",
     "orders_per_nation",
     "events_hourly",
@@ -138,35 +148,48 @@ def _extract_stats(sf_dir: str):
     return t.num_rows, pages
 
 
-def run_bench(sf_dir: str, num_cpus: int) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, samples: int = 2) -> dict:
+    """Time every headline query ``samples`` times IN A FIXED ORDER (the
+    BENCH_QUERIES list; round-robin over passes so cache effects spread
+    evenly) and report the per-query MEDIAN — single-sample numbers on this
+    host swing ±20-60% on sub-2 s queries, which made round-over-round
+    regressions unreadable (round-2 verdict)."""
+    import statistics
+
     ray = _init_ray(num_cpus)
     import __ray_entry__ as em
     em._corpus_path(sf_dir)          # generate the corpus outside the timings
     n_docs, n_pages = _extract_stats(sf_dir)
     _warmup()
     queries = em.queries()
-    timings, extras = {}, {}
+    runs: dict = {name: [] for name in BENCH_QUERIES}
+    extras: dict = {}
     # No per-query DataContext toggling: with the join partition count sized
     # to ~CPUs/4 (relational._join_partitions) the hash-join aggregators fit
     # the node with or without operator resource reservation (measured at
     # 32 cpus, sf0.1: 3.6-4.3 s either way), so the global reservation-off
     # setting from _init_ray applies uniformly.
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        rows = _consume(queries[name](sf_dir))
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        if name == "extract_flagship":
-            extras["extract_docs_per_sec"] = round(n_docs / dt, 2)
-            extras["extract_pages_per_sec"] = round(n_pages / dt, 2)
-            extras["extract_rows"] = rows
+    for _pass in range(samples):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            rows = _consume(queries[name](sf_dir))
+            runs[name].append(round(time.time() - t0, 3))
+            if name == "extract_flagship":
+                extras["extract_rows"] = rows
     ray.shutdown()
+    timings = {name: round(statistics.median(ts), 3)
+               for name, ts in runs.items()}
+    dt = timings["extract_flagship"]
+    extras["extract_docs_per_sec"] = round(n_docs / dt, 2)
+    extras["extract_pages_per_sec"] = round(n_pages / dt, 2)
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline pipeline wall time (extraction + training-data ops)",
+        "metric": "headline pipeline wall time (extraction + training-data "
+                  f"ops; median of {samples} passes, BLAS pinned)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": runs,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         **extras,
@@ -341,6 +364,8 @@ def main():
     ap.add_argument("--scaling-high", type=int, default=16)
     ap.add_argument("--stats", action="store_true",
                     help="print the flagship's ds.stats() operator profile")
+    ap.add_argument("--samples", type=int, default=2,
+                    help="timing passes per query; median reported")
     ap.add_argument("--inner", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--emulate-ms", type=float, default=0.0,
                     help=argparse.SUPPRESS)
@@ -355,7 +380,8 @@ def main():
         print(json.dumps(run_scaling(args.sf_dir, args.scaling_low,
                                      args.scaling_high)))
     else:
-        print(json.dumps(run_bench(args.sf_dir, args.num_cpus)))
+        print(json.dumps(run_bench(args.sf_dir, args.num_cpus,
+                                   args.samples)))
 
 
 if __name__ == "__main__":

@@ -169,11 +169,12 @@ def make_hll_aggregator(on: str, p: int = 12, name: str = None):
 
 def make_ddsketch_aggregator(on: str, alpha: float = 0.01,
                              qs: tuple = (0.5, 0.9, 0.99),
-                             name: str = None):
+                             name: str = None, include_count: bool = False):
     """DDSketch quantiles as an ``AggregateFnV2``: the accumulator is the
     sparse (bin -> count) dict plus the underflow count; combine adds bins;
     finalize emits the requested quantiles as a fixed-size list<double>
-    (one aggregate column; unpack downstream)."""
+    (one aggregate column; unpack downstream).  ``include_count`` appends
+    the exact row count as a final list element."""
     from ray.data.aggregate import AggregateFnV2
 
     def _pack(sk: DDSketch) -> bytes:
@@ -215,6 +216,9 @@ def make_ddsketch_aggregator(on: str, alpha: float = 0.01,
 
         def finalize(self, acc: bytes):
             sk = _unpack(acc)
-            return [sk.quantile(q) for q in qs]
+            out = [sk.quantile(q) for q in qs]
+            if include_count:
+                out.append(float(sk.count))
+            return out
 
     return DDQuantiles()

@@ -19,7 +19,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.sketches import DDSketch, HLL, splitmix64
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
@@ -45,57 +44,39 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
 
 
 def hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
-    """Approximate COUNT(DISTINCT user_id) via HyperLogLog: each block
-    reduces to a 2^p-byte register array; registers merge by elementwise
-    max.  Returns a one-row table (estimate, precision p)."""
+    """Approximate COUNT(DISTINCT user_id) via HyperLogLog, run as the same
+    ``AggregateFnV2`` the by-type variant uses — ``Dataset.aggregate`` is
+    the global (keyless) groupby, so register merging happens inside the
+    aggregation tree with NO driver-side merge loop.  Returns a one-row
+    table (estimate, precision p)."""
+    from ..functions.sketches import make_hll_aggregator
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        h = HLL(p)
-        h.add_ints(batch.column("user_id").to_numpy())
-        return pa.table({"registers": pa.array([h.registers.tobytes()],
-                                               pa.binary())})
-
-    merged = HLL(p)
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        for regs in b.column("registers").to_pylist():
-            merged.merge_registers(np.frombuffer(regs, np.uint8))
-    return pa.table({"distinct_users_est": pa.array([merged.estimate()],
-                                                    pa.float64()),
+    res = ds.aggregate(make_hll_aggregator("user_id", p=p,
+                                           name="distinct_users_est"))
+    return pa.table({"distinct_users_est": pa.array(
+                        [res["distinct_users_est"]], pa.float64()),
                      "precision_p": pa.array([p], pa.int32())})
 
 
 def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
                              qs: tuple = (0.5, 0.9, 0.99)) -> pa.Table:
-    """Approximate quantiles of events.value via DDSketch (relative error
-    <= alpha): per-block sparse (log-bin -> count) partials, merged by bin
-    addition.  Returns one row with the requested quantiles."""
+    """Approximate quantiles of events.value via the DDSketch
+    ``AggregateFnV2`` as a global ``Dataset.aggregate`` (relative error
+    <= alpha; sparse log-bin partials combine associatively in the
+    aggregation tree, no driver merge).  Returns one row with the
+    requested quantiles and the exact count."""
+    from ..functions.sketches import make_ddsketch_aggregator
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        sk = DDSketch(alpha)
-        sk.add(batch.column("value").to_numpy())
-        keys = list(sk.bins.keys())
-        counts = [sk.bins[k] for k in keys]
-        return pa.table({
-            "bin_keys": pa.array([keys], pa.list_(pa.int64())),
-            "bin_counts": pa.array([counts], pa.list_(pa.int64())),
-            "underflow": pa.array([sk.n_underflow], pa.int64()),
-        })
-
-    merged = DDSketch(alpha)
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        for keys, counts, uf in zip(b.column("bin_keys").to_pylist(),
-                                    b.column("bin_counts").to_pylist(),
-                                    b.column("underflow").to_pylist()):
-            merged.merge(dict(zip(keys, counts)), uf)
-    cols = {f"p{int(q*100)}": pa.array([merged.quantile(q)], pa.float64())
-            for q in qs}
-    cols["n"] = pa.array([merged.count], pa.int64())
+    res = ds.aggregate(make_ddsketch_aggregator(
+        "value", alpha=alpha, qs=qs, name="q", include_count=True))
+    vals = res["q"]
+    cols = {f"p{int(q * 100)}": pa.array([vals[i]], pa.float64())
+            for i, q in enumerate(qs)}
+    cols["n"] = pa.array([int(vals[len(qs)])], pa.int64())
     return pa.table(cols)
 
 

@@ -128,20 +128,18 @@ def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
     """Token counting two ways per doc: whitespace tokens and a BPE-style
     pre-tokenizer regex (letter runs | digit runs | single punctuation) —
     the word-count vs subword-unit-count pair a training-data pipeline
-    tracks.  Both are vectorized re2/pyarrow kernels with exact SQL twins."""
-    import re
+    tracks.  Both are vectorized re2/pyarrow kernels (the round-2 per-row
+    ``t.split()`` / ``findall`` loops are gone) with exact SQL twins."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
     def counts(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ws = [len(t.split()) for t in texts]
-        sub = [len(bpe.findall(t)) for t in texts]
+        text = batch.column("text")
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_ws_tokens": pa.array(ws, pa.int64()),
-            "n_bpe_tokens": pa.array(sub, pa.int64()),
+            "n_ws_tokens": pc.cast(_token_count(text), pa.int64()),
+            "n_bpe_tokens": pc.cast(pc.count_substring_regex(
+                text, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), pa.int64()),
         })
 
     return ds.map_batches(counts, batch_format="pyarrow")
@@ -157,13 +155,15 @@ def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
                                columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-        counts: "Counter[str]" = Counter()
-        for t in batch.column("text").to_pylist():
-            counts.update(t.lower().split())
-        return pa.table({"term": pa.array(list(counts.keys()), pa.string()),
-                         "partial_n": pa.array(list(counts.values()),
-                                               pa.int64())})
+        # Arrow end-to-end: lower -> whitespace split -> flatten -> in-batch
+        # group_by count (the combiner).  split_whitespace emits empty
+        # tokens at string edges — filter them to match str.split().
+        toks = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.utf8_lower(batch.column("text"))))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"term": toks}).group_by("term") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["term", "partial_n"])
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("term")
