@@ -165,8 +165,12 @@ class MFDStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = _batch_pages(batch)
+        # standalone formula-detection chains (run_task.py, matching the
+        # reference's scripts/formula_detection.py single-task mode) feed
+        # pages with no prior layout dets — start each pool empty then
+        prior = cols.get("dets") or [[] for _ in cols["raw_dets"]]
         dets = []
-        for page, page_dets in zip(cols["raw_dets"], cols["dets"]):
+        for page, page_dets in zip(cols["raw_dets"], prior):
             burn_compute(self._emulate)
             dets.append(list(page_dets) + self._detect(page))
         return _pages_out(cols, dets)
