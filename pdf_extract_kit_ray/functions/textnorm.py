@@ -22,11 +22,19 @@ _NL = re.compile(r"(?!\\ )(%s)\s+?(%s)" % (_NONLETTER, _LETTER))
 _LN = re.compile(r"(%s)\s+?(%s)" % (_LETTER, _NONLETTER))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def latex_compact(s: str) -> str:
     """Collapse whitespace between non-letter/letter boundaries in LaTeX,
     protecting ``\\operatorname/\\mathrm/\\text/\\mathbf { ... }`` groups by
     first rewriting them space-free, then iterating the three collapse rules
-    to a fixed point — byte-identical to the reference normalizer."""
+    to a fixed point — byte-identical to the reference normalizer.
+
+    Pure function of the string, so results are memoized per worker
+    (bounded LRU): recognized formulas repeat heavily across a corpus and
+    the fixed-point regex iteration is ~65us a call."""
     protected = [m[0].replace(" ", "") for m in _PROTECT_RE.findall(s)]
     it = iter(protected)
     s = _PROTECT_RE.sub(lambda _m: next(it), s)

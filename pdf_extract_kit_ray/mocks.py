@@ -176,54 +176,85 @@ def mock_mfr(crop_payload: Sequence[dict], det: dict) -> str:
     return best
 
 
-def build_line_context(raw_dets: Sequence[dict]) -> List[dict]:
-    """Per-PAGE precomputation for the OCR recognizer: each text_line's
-    char-cell x-grid, char array, midline and center — all region-independent
-    quantities that mock_ocr would otherwise rebuild for every region crop
-    (~7 regions/page).  Callers build this once per page and pass it to every
-    ``mock_ocr`` call; identical double arithmetic to the inline path."""
+def build_line_context(raw_dets: Sequence[dict]) -> dict:
+    """Per-PAGE precomputation for the OCR recognizer, as a struct-of-
+    numpy-arrays: each text_line's bbox/midline/center/score columns plus
+    its char-cell x-grid and char array — all region-independent quantities
+    that mock_ocr would otherwise rebuild for every region crop
+    (~7 regions/page).  Callers build this once per page and pass it to
+    every ``mock_ocr`` call; the columnar layout lets the per-region
+    visibility test run as one vectorized mask instead of a Python loop
+    over lines.  Identical double arithmetic to the per-dict path (int
+    coordinates convert exactly to float64)."""
     import numpy as _np
-    ctx = []
-    for raw in raw_dets:
-        if raw["kind"] != "text_line":
-            continue
-        text = raw["text"]
-        width = raw["x1"] - raw["x0"]
+    lines = [raw for raw in raw_dets if raw["kind"] == "text_line"]
+    x0 = _np.array([r["x0"] for r in lines], dtype=_np.float64)
+    y0 = _np.array([r["y0"] for r in lines], dtype=_np.float64)
+    x1 = _np.array([r["x1"] for r in lines], dtype=_np.float64)
+    y1 = _np.array([r["y1"] for r in lines], dtype=_np.float64)
+    cx, chars = [], []
+    for r in lines:
+        text = r["text"]
+        width = r["x1"] - r["x0"]
         if text and width > 0:
             cell = width / len(text)
-            cx = raw["x0"] + (_np.arange(len(text)) + 0.5) * cell
-            chars = _np.array(list(text), dtype=object)
+            cx.append(r["x0"] + (_np.arange(len(text)) + 0.5) * cell)
+            chars.append(_np.array(list(text), dtype=object))
         else:
-            cx, chars = None, None
-        ctx.append({"raw": raw, "cx": cx, "chars": chars,
-                    "cy": (raw["y0"] + raw["y1"]) / 2.0,
-                    "cxc": (raw["x0"] + raw["x1"]) / 2.0,
-                    "score": raw["score"]})
-    return ctx
+            cx.append(None)
+            chars.append(None)
+    return {"n": len(lines), "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+            "cy": (y0 + y1) / 2.0, "cxc": (x0 + x1) / 2.0,
+            "score": _np.array([r["score"] for r in lines],
+                               dtype=_np.float64),
+            "cx": cx, "chars": chars}
 
 
-def _visible_lines(line_ctx: Sequence[dict],
-                   region: Tuple[float, float, float, float]):
-    """text_line entries visible in an unpadded crop region: center inside
-    the region, bbox clipped to it (a region crop only "sees" its pixels)."""
-    rx0, ry0, rx1, ry1 = region
-    visible = []
-    for entry in line_ctx:
-        raw = entry["raw"]
-        if not (rx0 <= entry["cxc"] <= rx1 and ry0 <= entry["cy"] <= ry1):
-            continue
-        clip = [max(raw["x0"], rx0), max(raw["y0"], ry0),
-                min(raw["x1"], rx1), min(raw["y1"], ry1)]
-        if clip[2] <= clip[0] or clip[3] <= clip[1]:
-            continue
-        visible.append((entry, clip))
-    return visible
+def _visible_lines(ctx: dict, region: Tuple[float, float, float, float]):
+    """Indices + clipped bboxes of the text_lines visible in an unpadded
+    crop region (center inside the region, bbox clipped to it — a region
+    crop only "sees" its pixels)."""
+    import numpy as _np
+    idx_list, clip_list = batch_visible_lines(ctx, _np.asarray([region]))
+    return idx_list[0], clip_list[0]
+
+
+def batch_visible_lines(ctx: dict, regions) -> Tuple[list, list]:
+    """Visibility for ALL of a page's regions in one (R x L) broadcast —
+    per-region numpy calls dominate when lines-per-page is small (~20), so
+    the page's ~7 region crops share a single mask/clip computation.
+    Returns parallel lists of (line indices, clipped bboxes) per region."""
+    import numpy as _np
+    regions = _np.asarray(regions, dtype=_np.float64)
+    R = len(regions)
+    if ctx["n"] == 0 or R == 0:
+        z = _np.array([], dtype=_np.int64)
+        return [z] * R, [_np.empty((0, 4))] * R
+    rx0 = regions[:, 0:1]
+    ry0 = regions[:, 1:2]
+    rx1 = regions[:, 2:3]
+    ry1 = regions[:, 3:4]
+    cxc, cy = ctx["cxc"][None, :], ctx["cy"][None, :]
+    inside = ((rx0 <= cxc) & (cxc <= rx1) & (ry0 <= cy) & (cy <= ry1))
+    cx0 = _np.maximum(ctx["x0"][None, :], rx0)
+    cy0 = _np.maximum(ctx["y0"][None, :], ry0)
+    cx1 = _np.minimum(ctx["x1"][None, :], rx1)
+    cy1 = _np.minimum(ctx["y1"][None, :], ry1)
+    ok = inside & (cx1 > cx0) & (cy1 > cy0)
+    idx_list, clip_list = [], []
+    for r in range(R):
+        idx = _np.flatnonzero(ok[r])
+        idx_list.append(idx)
+        clip_list.append(_np.stack([cx0[r, idx], cy0[r, idx],
+                                    cx1[r, idx], cy1[r, idx]], axis=1))
+    return idx_list, clip_list
 
 
 def mock_ocr(raw_dets: Sequence[dict], frame: dict,
              formula_bboxes_crop: Sequence[Sequence[float]],
              drop_score: float = DROP_SCORE,
-             line_ctx: Optional[Sequence[dict]] = None,
+             line_ctx: Optional[dict] = None,
+             visible=None,
              ) -> List[Tuple[list, Tuple[str, float]]]:
     """OCR a padded region crop.
 
@@ -242,13 +273,16 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
     """
     if line_ctx is None:
         line_ctx = build_line_context(raw_dets)
-    region = (frame["x0"], frame["y0"], frame["x1"], frame["y1"])
-    visible = _visible_lines(line_ctx, region)
-    if not visible:
+    if visible is not None:
+        vis_idx, vis_clip = visible       # precomputed page-level broadcast
+    else:
+        region = (frame["x0"], frame["y0"], frame["x1"], frame["y1"])
+        vis_idx, vis_clip = _visible_lines(line_ctx, region)
+    if len(vis_idx) == 0:
         return []
 
     quads = []
-    for _entry, clip in visible:
+    for clip in vis_clip:
         crop_bbox = bbox_page_to_crop(clip, frame)
         if crop_bbox is not None:
             quads.append(bbox_to_quad(crop_bbox))
@@ -258,16 +292,18 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
     quads = mask_quads_with_formulas(quads, formula_bboxes_crop)
 
     # the region-dependent part of each line's grid is just the clip mask;
-    # cx/chars/cy come precomputed from the page-level context
+    # cx/chars/cy come precomputed from the page-level context.  The
+    # visible-index tiebreak below is monotone in raw emission order, same
+    # as the old position-in-visible-list key.
     import numpy as _np
     line_cache = []
-    for li, (entry, clip) in enumerate(visible):
-        cx = entry["cx"]
+    for li, clip in zip(vis_idx, vis_clip):
+        cx = line_ctx["cx"][li]
         if cx is None:
             continue
         clip_mask = (cx >= clip[0]) & (cx <= clip[2])
-        line_cache.append((li, cx, entry["chars"], clip_mask, entry["cy"],
-                           entry["score"]))
+        line_cache.append((li, cx, line_ctx["chars"][li], clip_mask,
+                           line_ctx["cy"][li], line_ctx["score"][li]))
 
     results = []
     for quad in quads:
@@ -308,6 +344,37 @@ def mock_table(crop_payload: Sequence[dict], det: dict,
         if raw["kind"] == "table":
             return "<table><tr><td>%s</td></tr></table>" % raw["media_ref"]
     return ""
+
+
+def ocr_page_text_dets(page_raw_dets: Sequence[dict], dets: Sequence[dict],
+                       drop_score: float = DROP_SCORE,
+                       line_ctx: Optional[dict] = None) -> List[dict]:
+    """Full OCR pass for one page, shared by OCRStage, the fused stage and
+    the straight-line oracle: padded frames for every OCR-class region, ONE
+    visibility broadcast across all regions (batch_visible_lines), then the
+    per-region det->merge->mask->rec chain with coordinates restored to the
+    page frame (P4).  Returns the text detections to append, in region
+    order."""
+    formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
+    regions = [d for d in dets if d["kind"] in OCR_CLASSES]
+    if not regions:
+        return []
+    if line_ctx is None:
+        line_ctx = build_line_context(page_raw_dets)
+    frames = [make_ocr_region_frame(r) for r in regions]
+    idx_list, clip_list = batch_visible_lines(
+        line_ctx, [(f["x0"], f["y0"], f["x1"], f["y1"]) for f in frames])
+    out = []
+    for frame, idx, clip in zip(frames, idx_list, clip_list):
+        adjusted = adjusted_formula_bboxes(formula_dets, frame)
+        for quad, (text, score) in mock_ocr(
+                page_raw_dets, frame, adjusted, drop_score=drop_score,
+                line_ctx=line_ctx, visible=(idx, clip)):
+            bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
+            out.append({"kind": "text", "x0": bbox[0], "y0": bbox[1],
+                        "x1": bbox[2], "y1": bbox[3],
+                        "score": score, "text": text, "media_ref": ""})
+    return out
 
 
 def make_ocr_region_frame(det: dict) -> dict:

@@ -29,15 +29,11 @@ from .functions.assemble import page_spans_from_dets
 from .functions.geometry import quad_crop_to_page, quad_to_bbox
 from .functions.textnorm import latex_compact
 from .mocks import (
-    OCR_CLASSES,
-    adjusted_formula_bboxes,
-    build_line_context,
     formula_crop_payload,
-    make_ocr_region_frame,
     mock_layout,
     mock_mfd,
     mock_mfr,
-    mock_ocr,
+    ocr_page_text_dets,
 )
 from .sources.corpus import split_pages
 
@@ -84,23 +80,12 @@ def extract_document_pages(raw_spans: List[dict]) -> List[List[Dict]]:
     for (p_idx, d_idx), (payload, det) in zip(fill_keys, crops):
         page_dets[p_idx][d_idx]["text"] = latex_compact(mock_mfr(payload, det))
 
-    # Pass C: OCR per region, text dets appended in region order.
+    # Pass C: OCR per region, text dets appended in region order (shared
+    # page-level driver, mocks.ocr_page_text_dets).
+    from .mocks import ocr_page_text_dets
     for p_idx, page in enumerate(pages):
         dets = page_dets[p_idx]
-        formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
-        regions = [d for d in dets if d["kind"] in OCR_CLASSES]
-        line_ctx = build_line_context(page)
-        for region in regions:
-            frame = make_ocr_region_frame(region)
-            adjusted = adjusted_formula_bboxes(formula_dets, frame)
-            for quad, (text, score) in mock_ocr(page, frame, adjusted,
-                                                line_ctx=line_ctx):
-                bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
-                dets.append({
-                    "kind": "text",
-                    "x0": bbox[0], "y0": bbox[1], "x1": bbox[2], "y1": bbox[3],
-                    "score": score, "text": text, "media_ref": "",
-                })
+        dets.extend(ocr_page_text_dets(page, dets))
 
     # Assembly: per-page ordered spans.
     return [page_spans_from_dets(dets) for dets in page_dets]

@@ -37,16 +37,13 @@ from ..functions.textnorm import latex_compact
 from ..mocks import (
     OCR_CLASSES,
     TABLE_CLASSES,
-    adjusted_formula_bboxes,
-    build_line_context,
     burn_compute,
     formula_crop_payload,
-    make_ocr_region_frame,
     mock_layout,
     mock_mfd,
     mock_mfr,
-    mock_ocr,
     mock_table,
+    ocr_page_text_dets,
 )
 from ..schemas import (
     DET_TYPE,
@@ -220,7 +217,6 @@ class OCRStage:
 
     def __init__(self, backend: str = "mock", drop_score: float = 0.5,
                  emulate_inference_ms: float = 0.0):
-        self._ocr = mock_ocr
         self.drop_score = drop_score
         self._emulate = 0.4 * emulate_inference_ms
 
@@ -230,20 +226,8 @@ class OCRStage:
         for page, dets in zip(cols["raw_dets"], cols["dets"]):
             burn_compute(self._emulate)
             dets = list(dets)
-            formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
-            regions = [d for d in dets if d["kind"] in OCR_CLASSES]
-            line_ctx = build_line_context(page)
-            for region in regions:
-                frame = make_ocr_region_frame(region)
-                adjusted = adjusted_formula_bboxes(formula_dets, frame)
-                for quad, (text, score) in self._ocr(page, frame, adjusted,
-                                                     drop_score=self.drop_score,
-                                                     line_ctx=line_ctx):
-                    bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
-                    dets.append({"kind": "text",
-                                 "x0": bbox[0], "y0": bbox[1],
-                                 "x1": bbox[2], "y1": bbox[3],
-                                 "score": score, "text": text, "media_ref": ""})
+            dets.extend(ocr_page_text_dets(page, dets,
+                                           drop_score=self.drop_score))
             out_dets.append(dets)
         return _pages_out(cols, out_dets)
 
@@ -332,7 +316,8 @@ class FusedExtractStage:
                 all_dets[p_idx][d_idx],
                 text=latex_compact(mock_mfr(payload, det)))
 
-        # OCR per region, then assembly, straight to span rows
+        # OCR per region (page-level visibility broadcast), then assembly,
+        # straight to span rows
         out = {"doc_id": [], "page_no": [], "block_idx": [],
                "kind": [], "text": [], "media_ref": []}
         for p_idx, page in enumerate(pages):
@@ -340,20 +325,8 @@ class FusedExtractStage:
                 _emit_doc_marker(out, cols["doc_id"][p_idx])
                 continue
             dets = all_dets[p_idx]
-            formula_dets = [d for d in dets if d["kind"] in ("inline", "isolated")]
-            regions = [d for d in dets if d["kind"] in OCR_CLASSES]
-            line_ctx = build_line_context(page)
-            for region in regions:
-                frame = make_ocr_region_frame(region)
-                adjusted = adjusted_formula_bboxes(formula_dets, frame)
-                for quad, (text, score) in mock_ocr(page, frame, adjusted,
-                                                    drop_score=self.drop_score,
-                                                    line_ctx=line_ctx):
-                    bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
-                    dets.append({"kind": "text",
-                                 "x0": bbox[0], "y0": bbox[1],
-                                 "x1": bbox[2], "y1": bbox[3],
-                                 "score": score, "text": text, "media_ref": ""})
+            dets.extend(ocr_page_text_dets(page, dets,
+                                           drop_score=self.drop_score))
             page_spans = page_spans_from_dets(dets, self.reading_order,
                                               cols["width"][p_idx])
             if not page_spans:
