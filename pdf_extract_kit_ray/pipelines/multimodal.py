@@ -126,11 +126,15 @@ def _segment_candidates(ids, sub, cap=_MFND_BUCKET_CAP):
     effective width; true near-dups at the target threshold agree on the
     extra hyperplanes with high probability, and misses in this band are
     caught by the other bands).  A segment still > cap after all
-    refinement bits is a clique indistinguishable at band+sub hyperplanes
-    (in practice exact/near-exact duplicates, which share every sign bit,
-    so no bit can split them) — it emits STAR pairs against the segment's
-    minimum id, keeping output linear while preserving duplicate-cluster
-    connectivity."""
+    refinement bits is a dense near-identical cluster (its members agree
+    on every hyperplane, so no sign bit can split it) — it emits STAR
+    pairs against the segment-minimum id PLUS CHAIN pairs between
+    id-consecutive members, keeping output linear (2(n-1) edges).  The
+    contract in this regime is duplicate-CLUSTER connectivity, not the
+    full O(n^2) pair list (which no sub-quadratic algorithm could emit);
+    the chain edges keep exact duplicates with nearby ids directly linked
+    even when the cluster representative is only near-identical to them
+    and the star edge fails exact verification."""
     import numpy as np
     out_a, out_b = [], []
 
@@ -148,6 +152,8 @@ def _segment_candidates(ids, sub, cap=_MFND_BUCKET_CAP):
         elif bits_used >= _MFND_SUB_BITS:
             out_a.append(np.full(n - 1, ids[idx[0]], dtype=np.int64))
             out_b.append(ids[idx[1:]])
+            out_a.append(ids[idx[1:-1]])      # chain: consecutive members
+            out_b.append(ids[idx[2:]])
         else:
             nibble = (sub[idx] >> bits_used) & 0xF
             order = np.argsort(nibble, kind="stable")

@@ -127,7 +127,8 @@ def write_media_table(out_dir: str, num_items: int,
     return out_dir
 
 
-_MEDIA_ITEMS = {"sf0.001": 120, "sf0.01": 399, "sf0.1": 1998}
+_MEDIA_ITEMS = {"sf0.001": 120, "sf0.01": 399, "sf0.1": 1998,
+                "scale100k": 100_000}   # LSH headroom evidence corpus
 
 
 def media_table_path(sf_dir: str) -> str:

@@ -173,13 +173,15 @@ def test_segment_candidates_capped():
     assert len(a) == 10 and (a < b).all()
 
     # oversized indistinguishable clique (identical refinement bits — the
-    # exact-duplicate case, where no sign bit can split) -> linear star
-    # against the segment-min id, NOT n^2/2 pairs
+    # exact-duplicate case, where no sign bit can split) -> linear
+    # star + chain edges (2(n-1)-1), NOT n^2/2 pairs
     n = 5000
     ids = np.arange(n, dtype=np.int64)
     a, b = _segment_candidates(ids, np.zeros(n, np.int64), cap=512)
-    assert len(a) == n - 1
-    assert (a == 0).all() and set(b) == set(range(1, n))
+    assert len(a) == 2 * (n - 1) - 1
+    star = a == 0
+    assert set(b[star]) == set(range(1, n))          # rep connectivity
+    assert (b[~star] == a[~star] + 1).all()          # chain adjacency
 
     # oversized but refinement-splittable -> bounded far below quadratic,
     # every sub-segment scanned exactly (pairs subset of same-nibble-path)
