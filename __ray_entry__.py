@@ -41,7 +41,8 @@ def _corpus_path(sf_dir: str, with_golden: bool = False) -> str:
     scale.  Cached under /tmp keyed by (docs, seed)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     num_docs = _CORPUS_DOCS.get(name, 60)
-    tag = "g" if with_golden else "r"
+    # "g2": golden-tagged dirs also materialize the markdown golden
+    tag = "g2" if with_golden else "r"
     out = f"/tmp/pek_corpus/{name}-{num_docs}-{_CORPUS_SEED}{_CORPUS_VERSION}{tag}"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
@@ -192,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
     # (generation is cached on disk; ~seconds for the 200-doc corpus).
     golden_glob = os.path.join(_golden_dir("/root/testdata/sf0.01"),
                                "*.parquet")
+    golden_md_glob = os.path.join(
+        os.path.dirname(_golden_dir("/root/testdata/sf0.01")),
+        "golden_md", "*.parquet")
     raw_glob = os.path.join(_corpus_path("/root/testdata/sf0.01"),
                             "*.parquet")
     fp_expr = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -209,6 +213,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(spans) AS s
                   FROM read_parquet('{golden_glob}'))
             GROUP BY 1
+        """,
+        # Flagship full-result equality: the extracted (doc_id, spans)
+        # table vs the materialized golden, row for row, nested spans and
+        # all — the strongest driver-visible form of the span-sequence
+        # invariant.
+        "extract_flagship": f"""
+            SELECT doc_id, spans FROM read_parquet('{golden_glob}')
+        """,
+        # Markdown sink vs its own materialized golden (the straight-line
+        # twin's per-page convert2md + blank-line join).
+        "extract_markdown": f"""
+            SELECT doc_id, markdown FROM read_parquet('{golden_md_glob}')
         """,
         # Table parser (M6) vs the RAW corpus: every raw 'table' element
         # becomes a layout det at the default backend (score_thresh 0) and

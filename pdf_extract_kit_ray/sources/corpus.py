@@ -340,16 +340,20 @@ def write_corpus(out_dir: str, num_docs: int, seed: int = 0,
     os.makedirs(out_dir, exist_ok=True)
     raw_dir = os.path.join(out_dir, "raw")
     golden_dir = os.path.join(out_dir, "golden")
+    golden_md_dir = os.path.join(out_dir, "golden_md")
     os.makedirs(raw_dir, exist_ok=True)
     if with_golden:
         os.makedirs(golden_dir, exist_ok=True)
-    from ..oracle import extract_document
+        os.makedirs(golden_md_dir, exist_ok=True)
+    from ..oracle import extract_document, extract_markdown_document
 
+    md_schema = pa.schema([("doc_id", pa.string()),
+                           ("markdown", pa.string())])
     part = 0
-    raw_rows, golden_rows = [], []
+    raw_rows, golden_rows, md_rows = [], [], []
 
     def flush():
-        nonlocal part, raw_rows, golden_rows
+        nonlocal part, raw_rows, golden_rows, md_rows
         if not raw_rows:
             return
         pq.write_table(pa.Table.from_pylist(raw_rows, schema=DOC_SCHEMA),
@@ -357,8 +361,11 @@ def write_corpus(out_dir: str, num_docs: int, seed: int = 0,
         if with_golden:
             pq.write_table(pa.Table.from_pylist(golden_rows, schema=DOC_SCHEMA),
                            os.path.join(golden_dir, "part-%05d.parquet" % part))
+            pq.write_table(pa.Table.from_pylist(md_rows, schema=md_schema),
+                           os.path.join(golden_md_dir,
+                                        "part-%05d.parquet" % part))
         part += 1
-        raw_rows, golden_rows = [], []
+        raw_rows, golden_rows, md_rows = [], [], []
 
     for i in range(num_docs):
         doc_id = "doc-%08d" % i
@@ -367,6 +374,8 @@ def write_corpus(out_dir: str, num_docs: int, seed: int = 0,
         if with_golden:
             golden_rows.append({"doc_id": doc_id,
                                 "spans": extract_document(raw_spans)})
+            md_rows.append({"doc_id": doc_id,
+                            "markdown": extract_markdown_document(raw_spans)})
         if len(raw_rows) >= docs_per_file:
             flush()
     flush()

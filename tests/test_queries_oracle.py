@@ -33,13 +33,20 @@ def _to_pandas(res) -> pd.DataFrame:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # nested columns (list<struct> spans etc.) are unhashable sort keys;
+    # canonical order comes from the scalar columns alone
+    keys = [c for c in df.columns
+            if not (len(df) and isinstance(df[c].iloc[0],
+                                           (list, dict, np.ndarray)))]
+    df = df.sort_values(by=keys or list(df.columns)[:1]) \
+           .reset_index(drop=True)
     return df
 
 
 # The flagship/table oracles read materialized corpus files generated for
 # the driver's sf0.01 gate, so their pytest mirror must run at sf0.01 too.
-_SF001_QUERIES = {"extract_kind_counts", "table_sources"}
+_SF001_QUERIES = {"extract_kind_counts", "table_sources",
+                  "extract_flagship", "extract_markdown"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
