@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text.doc_fingerprints,
         "doc_token_counts": text.doc_token_counts,
         "top_terms": text.top_terms,
+        "stratified_sample": text.stratified_sample,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
+        "events_sliding_window": streaming.events_sliding_window,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
         "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
         "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,  # non-SQL sketch
@@ -425,6 +427,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(quality * 1000000.0) AS BIGINT) / 1000000.0 AS quality
             FROM q WHERE quality >= 0.5
             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rk
+                FROM documents) WHERE rk <= 25
+        """,
+        "events_sliding_window": """
+            WITH e AS (
+                SELECT CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT) AS w0,
+                       epoch_us(ts) AS t,
+                       CAST(floor(value*100.0) AS BIGINT) AS cents
+                FROM events
+            ), x AS (
+                SELECT e.w0 - o.off AS w, e.t, e.cents
+                FROM e CROSS JOIN (SELECT unnest(range(4)) AS off) o
+                WHERE e.t < (e.w0 - o.off) * 900000000 + 3600000000
+            )
+            SELECT make_timestamp(w * 900000000) AS window_start,
+                   count(*) AS n_events,
+                   sum(cents)/100.0 AS sum_value
+            FROM x GROUP BY w
         """,
         "engaged_users_union": """
             SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "supplier_region_volume",
     "value_percentiles_by_type",
     "sessionize",
+    "events_sliding_window",
+    "stratified_sample",
     "purchase_prev_click_asof",
     "embedding_kmeans",
     "hll_distinct_users",
@@ -148,12 +150,14 @@ def _extract_stats(sf_dir: str):
     return t.num_rows, pages
 
 
-def run_bench(sf_dir: str, num_cpus: int, samples: int = 2) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, samples: int = 3) -> dict:
     """Time every headline query ``samples`` times IN A FIXED ORDER (the
     BENCH_QUERIES list; round-robin over passes so cache effects spread
     evenly) and report the per-query MEDIAN — single-sample numbers on this
     host swing ±20-60% on sub-2 s queries, which made round-over-round
-    regressions unreadable (round-2 verdict)."""
+    regressions unreadable (round-2 verdict).  Median-of-3 survives one
+    outlier pass; a gc between passes drops lingering object-store refs."""
+    import gc
     import statistics
 
     ray = _init_ray(num_cpus)
@@ -170,6 +174,7 @@ def run_bench(sf_dir: str, num_cpus: int, samples: int = 2) -> dict:
     # 32 cpus, sf0.1: 3.6-4.3 s either way), so the global reservation-off
     # setting from _init_ray applies uniformly.
     for _pass in range(samples):
+        gc.collect()
         for name in BENCH_QUERIES:
             t0 = time.time()
             rows = _consume(queries[name](sf_dir))
@@ -364,7 +369,7 @@ def main():
     ap.add_argument("--scaling-high", type=int, default=16)
     ap.add_argument("--stats", action="store_true",
                     help="print the flagship's ds.stats() operator profile")
-    ap.add_argument("--samples", type=int, default=2,
+    ap.add_argument("--samples", type=int, default=3,
                     help="timing passes per query; median reported")
     ap.add_argument("--inner", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--emulate-ms", type=float, default=0.0,

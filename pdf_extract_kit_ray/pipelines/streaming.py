@@ -80,6 +80,64 @@ def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
     return pa.table(cols)
 
 
+def events_sliding_window(sf_dir: str, window_min: int = 60,
+                          slide_min: int = 15) -> "ray.data.Dataset":
+    """Hopping/sliding-window aggregate over the event stream: count and
+    value sum per [start, start+window) window hopping every ``slide``
+    (window divisible by slide) — the windowed-aggregate shape Ray Data
+    lacks natively, expressed as explode-to-window-ids + partial combine.
+
+    Each event belongs to exactly window/slide consecutive windows; the
+    per-batch map emits (window_id, partial count, partial cent-sum)
+    ALREADY COMBINED per window id, so the one shuffle moves tiny partial
+    rows regardless of event volume — the same combiner-before-groupby
+    rule every other aggregate here follows."""
+    from ray.data.aggregate import Sum
+
+    assert window_min % slide_min == 0
+    k = window_min // slide_min
+    slide_us = slide_min * 60 * 1_000_000
+    window_us = window_min * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64()).to_numpy()
+        w0 = ts // slide_us
+        wins, cts, sums = [], [], []
+        for off in range(k):
+            w = w0 - off
+            ok = ts < w * slide_us + window_us   # guards the stream's head
+            wins.append(w[ok])
+            cts.append(np.ones(ok.sum(), dtype=np.int64))
+            sums.append(cents[ok])
+        t = pa.table({"w": pa.array(np.concatenate(wins), pa.int64()),
+                      "n": pa.array(np.concatenate(cts), pa.int64()),
+                      "cents": pa.array(np.concatenate(sums), pa.int64())})
+        g = t.group_by("w").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["w", "partial_n", "partial_cents"])
+
+    agg = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("w")
+             .aggregate(Sum("partial_n", alias_name="n_events"),
+                        Sum("partial_cents", alias_name="cents")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        w = batch.column("w")
+        return pa.table({
+            "window_start": pc.cast(pc.multiply(w, slide_us),
+                                    pa.timestamp("us")),
+            "n_events": batch.column("n_events"),
+            "sum_value": pc.divide(pc.cast(batch.column("cents"),
+                                           pa.float64()), 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def hll_distinct_by_type(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
     """Approximate distinct users PER EVENT TYPE via the custom
     AggregateFnV2 HLL aggregator — the sketch as a first-class groupby

@@ -145,6 +145,38 @@ def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
+def stratified_sample(sf_dir: str, quota: int = 25) -> "ray.data.Dataset":
+    """Deterministic stratified sampling — the training-data curation step
+    that takes a fixed quota of documents PER SOURCE, selected by md5 hash
+    order (stable across runs/workers, no RNG state).
+
+    Scale shape: the hash rank is computed per batch (vectorized md5 off
+    the Arrow buffer is not needed — doc_id is an int, hashed via md5 of
+    its decimal string to match the SQL twin), then ONE shuffle groups
+    each source and keeps its quota smallest hashes.  Sources are
+    low-cardinality; per-group top-k is a partial sort.  At extreme
+    source cardinality the same shape holds (groups shrink, not grow)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "source": batch.column("source"),
+                         "h": pa.array(h, pa.string())})
+
+    def take_quota(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        return group.slice(0, quota).select(["doc_id", "source"])
+
+    return (ds.map_batches(ranks, batch_format="pyarrow")
+              .groupby("source")
+              .map_groups(take_quota, batch_format="pyarrow"))
+
+
 def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Distributed wordcount with global top-k: per-batch term counting
     (the combiner — each block ships its term histogram, not its words),

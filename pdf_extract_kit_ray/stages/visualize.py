@@ -50,14 +50,74 @@ def page_to_svg(width: int, height: int, dets) -> str:
     return "".join(parts)
 
 
+def _hex_rgb(color: str) -> tuple:
+    return (int(color[1:3], 16), int(color[3:5], 16), int(color[5:7], 16))
+
+
+def encode_png(rgb: "object") -> bytes:
+    """Encode an (H, W, 3) uint8 array as a PNG — pure stdlib (zlib +
+    struct), no raster libraries: filter-0 scanlines, one zlib-deflated
+    IDAT, CRC-checked chunks.  This is the raster path the reference's
+    visualization sink produces (utils/visualization.py:45-89) without
+    needing PIL in this sandbox."""
+    import struct
+    import zlib
+
+    import numpy as np
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    # filter byte 0 prepended to every scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def page_to_png(width: int, height: int, dets, scale: float = 0.25) -> bytes:
+    """Rasterize a page's detection boxes (2px outlines, per-class colors)
+    onto a white canvas and return PNG bytes.  ``scale`` downsamples the
+    page so debug dumps stay small."""
+    import numpy as np
+    w, h = max(1, int(width * scale)), max(1, int(height * scale))
+    canvas = np.full((h, w, 3), 255, dtype=np.uint8)
+    for det in dets:
+        color = np.array(_hex_rgb(CLASS_COLORS.get(det["kind"], "#808080")),
+                         dtype=np.uint8)
+        x0 = int(np.clip(det["x0"] * scale, 0, w - 1))
+        x1 = int(np.clip(det["x1"] * scale, 0, w - 1))
+        y0 = int(np.clip(det["y0"] * scale, 0, h - 1))
+        y1 = int(np.clip(det["y1"] * scale, 0, h - 1))
+        t = 2   # outline thickness
+        canvas[y0:min(y0 + t, h), x0:x1 + 1] = color
+        canvas[max(y1 - t + 1, 0):y1 + 1, x0:x1 + 1] = color
+        canvas[y0:y1 + 1, x0:min(x0 + t, w)] = color
+        canvas[y0:y1 + 1, max(x1 - t + 1, 0):x1 + 1] = color
+    return encode_png(canvas)
+
+
 @STAGE_REGISTRY.register("visualize")
 class VisualizeStage:
-    """Writes one SVG per page under ``out_dir`` and passes the batch through
-    unchanged.  Side-effecting debug stage — keep off for production runs."""
+    """Writes one SVG or PNG per page under ``out_dir`` and passes the batch
+    through unchanged.  Side-effecting debug stage — keep off for
+    production runs.  ``fmt="png"`` uses the stdlib raster encoder
+    (encode_png) — the reference's pixel-overlay sink without PIL."""
 
-    def __init__(self, out_dir: str, dets_column: str = "dets"):
+    def __init__(self, out_dir: str, dets_column: str = "dets",
+                 fmt: str = "svg", png_scale: float = 0.25):
+        if fmt not in ("svg", "png"):
+            raise ValueError(f"unknown visualize fmt {fmt!r}")
         self.out_dir = out_dir
         self.dets_column = dets_column
+        self.fmt = fmt
+        self.png_scale = png_scale
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -68,9 +128,12 @@ class VisualizeStage:
         dets_col = batch.column(self.dets_column).to_pylist()
         for doc_id, page_no, w, h, dets in zip(doc_ids, page_nos, widths,
                                                heights, dets_col):
-            svg = page_to_svg(w, h, dets)
-            path = os.path.join(self.out_dir,
-                                "%s_page_%04d.svg" % (doc_id, page_no + 1))
-            with open(path, "w") as f:
-                f.write(svg)
+            path = os.path.join(self.out_dir, "%s_page_%04d.%s"
+                                % (doc_id, page_no + 1, self.fmt))
+            if self.fmt == "png":
+                with open(path, "wb") as f:
+                    f.write(page_to_png(w, h, dets, self.png_scale))
+            else:
+                with open(path, "w") as f:
+                    f.write(page_to_svg(w, h, dets))
         return batch

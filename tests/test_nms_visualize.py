@@ -35,3 +35,57 @@ def test_page_to_svg_well_formed():
     assert "unknown&lt;kind&gt; 0.50" in svg     # labels are escaped
     import xml.etree.ElementTree as ET
     ET.fromstring(svg)                            # parses as XML
+
+
+def test_png_encoder_roundtrip():
+    """encode_png emits a valid PNG (magic, IHDR dims, CRC-checked chunks,
+    IDAT inflating to exactly the filtered scanline bytes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pdf_extract_kit_ray.stages.visualize import encode_png
+    rgb = np.zeros((5, 7, 3), np.uint8)
+    rgb[2, 3] = (10, 20, 30)
+    png = encode_png(rgb)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR
+    ln, tag = struct.unpack(">I4s", png[8:16])
+    w, h = struct.unpack(">II", png[16:24])
+    assert tag == b"IHDR" and (w, h) == (7, 5)
+    # walk chunks, verify CRCs, inflate IDAT
+    off, idat = 8, b""
+    while off < len(png):
+        ln, tag = struct.unpack(">I4s", png[off:off + 8])
+        payload = png[off + 8:off + 8 + ln]
+        crc = struct.unpack(">I", png[off + 8 + ln:off + 12 + ln])[0]
+        assert crc == zlib.crc32(tag + payload)
+        if tag == b"IDAT":
+            idat += payload
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    assert len(raw) == 5 * (1 + 7 * 3)
+    # row 2, pixel 3 carries the planted color (after the filter byte)
+    row = raw[2 * (1 + 21):][:22]
+    assert row[0] == 0 and tuple(row[1 + 9:1 + 12]) == (10, 20, 30)
+
+
+def test_visualize_stage_png(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extract_kit_ray.stages.visualize import VisualizeStage
+    batch = pa.table({
+        "doc_id": ["d1"], "page_no": [0], "width": [200], "height": [100],
+        "dets": [[{"kind": "title", "x0": 40.0, "y0": 20.0,
+                   "x1": 120.0, "y1": 60.0, "score": 0.9,
+                   "text": "", "media_ref": ""}]],
+    })
+    out = VisualizeStage(str(tmp_path), fmt="png", png_scale=1.0)(batch)
+    assert out.equals(batch)                      # passthrough
+    png = (tmp_path / "d1_page_0001.png").read_bytes()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # deterministic: file bytes equal an in-memory re-render
+    from pdf_extract_kit_ray.stages.visualize import page_to_png
+    assert png == page_to_png(200, 100, batch.column("dets")[0].as_py(), 1.0)
