@@ -112,6 +112,18 @@ def _extract_markdown(sf_dir: str):
     return extract_markdown(ds, ExtractConfig.for_cpus(cpus))
 
 
+def _reference_json(sf_dir: str):
+    """S7 parity surface: the reference's per-document JSON page-result
+    list, produced by the same model-stage chain as the flagship."""
+    import ray
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_reference_json,
+                                                       read_corpus)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_corpus(_corpus_path(sf_dir))
+    return extract_reference_json(ds, ExtractConfig.for_cpus(cpus))
+
+
 def _table_sources(sf_dir: str):
     """M6 (table parser) under the driver gate: one row per detected table
     region with its parsed HTML source and the straggler-cap flag."""
@@ -134,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts": _span_kind_counts,
         "extract_markdown": _extract_markdown,
         "table_sources": _table_sources,
+        "reference_json": _reference_json,   # non-SQL (nested JSON strings)
         # --- relational operators (SQL twins below) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "orders_per_nation": relational.orders_per_nation,

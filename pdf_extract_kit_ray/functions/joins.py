@@ -159,3 +159,20 @@ def read_small_table(path: str, columns: Optional[List[str]] = None,
     pushed-down row filter)."""
     import pyarrow.dataset as pads
     return pads.dataset(path).to_table(columns=columns, filter=filter)
+
+
+def pruned_parquet_bytes(path: str, columns: List[str]) -> int:
+    """Uncompressed byte size of the given columns, from parquet metadata
+    only (no data read) — the estimator behind the broadcast-vs-hash-join
+    decision rule."""
+    import pyarrow.dataset as pads
+    total = 0
+    for frag in pads.dataset(path).get_fragments():
+        md = frag.metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema.split(".")[0] in columns:
+                    total += col.total_uncompressed_size
+    return total

@@ -261,6 +261,90 @@ def extract_table_sources(ds: "ray.data.Dataset",
     return pages.map_batches(explode_tables, batch_format="pyarrow")
 
 
+def _det_chain(ds: "ray.data.Dataset", cfg: ExtractConfig) -> "ray.data.Dataset":
+    """Page explode + the four model stages (split actor pools) -> the
+    per-page detection table (doc_id, page_no, dims, dets)."""
+    from ..stages.extract_stages import (LayoutStage, MFDStage, MFRStage,
+                                         OCRStage, explode_pages)
+    kw = {"num_cpus": cfg.actor_num_cpus, "batch_format": "pyarrow"}
+    pages = ds.map_batches(explode_pages, batch_format="pyarrow")
+    pages = pages.map_batches(
+        LayoutStage, concurrency=cfg.layout_concurrency,
+        batch_size=cfg.page_batch_size,
+        fn_constructor_kwargs={"backend": cfg.layout_backend}, **kw)
+    pages = pages.map_batches(MFDStage, concurrency=cfg.mfd_concurrency,
+                              batch_size=cfg.page_batch_size, **kw)
+    pages = pages.map_batches(MFRStage, concurrency=cfg.mfr_concurrency,
+                              batch_size=cfg.mfr_batch_size, **kw)
+    return pages.map_batches(OCRStage, concurrency=cfg.ocr_concurrency,
+                             batch_size=cfg.page_batch_size, **kw)
+
+
+def extract_reference_json(ds: "ray.data.Dataset",
+                           config: Optional[ExtractConfig] = None) -> "ray.data.Dataset":
+    """S7 FULL parity: the reference's primary output format — one JSON
+    document per input doc, a list of page results
+    ``{"layout_dets": [{category_type, poly, score[, latex|text]}...],
+    "page_info": {page_no, height, width}}`` (save_json_result,
+    pdf_extract_kit/tasks/ocr/task.py:106-114; det record shape
+    project/pdf2markdown/scripts/pdf2markdown.py:90-95,158-163).
+
+    Detections come from the same model-stage chain as the flagship;
+    formula dets carry ``latex``, OCR text dets carry ``text``, exactly
+    the reference's optional-field convention.  Returns (doc_id, json)
+    rows; ``json.dumps(ensure_ascii=False)`` like the reference sink."""
+    import json as _json
+
+    import pyarrow as pa
+
+    cfg = config or ExtractConfig()
+    pages = _det_chain(ds, cfg)
+
+    def page_result(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        page_nos = batch.column("page_no").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        dets_col = batch.column("dets").to_pylist()
+        out = {"doc_id": [], "page_no": [], "page_json": []}
+        for doc_id, page_no, w, h, dets in zip(doc_ids, page_nos, widths,
+                                               heights, dets_col):
+            layout_dets = []
+            for d in dets:
+                rec = {"category_type": d["kind"],
+                       "poly": [d["x0"], d["y0"], d["x1"], d["y0"],
+                                d["x1"], d["y1"], d["x0"], d["y1"]],
+                       "score": d["score"]}
+                if d["kind"] in ("inline", "isolated"):
+                    rec["latex"] = d["text"]
+                elif d["kind"] == "text":
+                    rec["text"] = d["text"]
+                layout_dets.append(rec)
+            result = {"layout_dets": layout_dets,
+                      "page_info": {"page_no": max(page_no, 0),
+                                    "height": h, "width": w}}
+            out["doc_id"].append(doc_id)
+            out["page_no"].append(page_no)
+            out["page_json"].append(_json.dumps(result, ensure_ascii=False))
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.string()),
+                         "page_no": pa.array(out["page_no"], pa.int32()),
+                         "page_json": pa.array(out["page_json"], pa.string())})
+
+    def doc_json(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("page_no", "ascending")])
+        pages_json = [s for p, s in zip(group.column("page_no").to_pylist(),
+                                        group.column("page_json").to_pylist())
+                      if p >= 0]          # sentinel page -> empty result
+        return pa.table({
+            "doc_id": group.column("doc_id").slice(0, 1),
+            "json": pa.array(["[" + ",".join(pages_json) + "]"], pa.string()),
+        })
+
+    return (pages.map_batches(page_result, batch_format="pyarrow")
+                 .groupby("doc_id")
+                 .map_groups(doc_json, batch_format="pyarrow"))
+
+
 def read_corpus(path: str, num_blocks: Optional[int] = None) -> "ray.data.Dataset":
     """Read an interleaved document table.  Lance is the production format
     (north rule); this sandbox has no lancedb wheel, so fall back to parquet

@@ -250,22 +250,40 @@ def _join_partitions(num_partitions: "int | None") -> int:
     return max(8, cpus // 4)
 
 
+# sides whose PRUNED columns fit under this take the broadcast path (one
+# object-store ship + per-worker cached index) instead of a hash-shuffle
+# Dataset.join; past it the pruned side no longer fits every worker's heap
+_BROADCAST_BYTES = 128 << 20
+
+
 def order_priority_revenue(sf_dir: str,
                            num_partitions: "int | None" = None) -> "ray.data.Dataset":
-    """Large×large inner hash join (lineitem ⨝ orders on orderkey) rolled up
-    to order priority.  Both sides are pruned to the join/aggregate columns
-    before the shuffle; after the join each batch pre-reduces to
+    """lineitem ⨝ orders on orderkey rolled up to order priority, with the
+    engine's size-based join rule applied at plan time: the orders side
+    pruned to (o_orderkey, o_orderpriority) is a few MB at bench scale —
+    metadata-estimated via ``pruned_parquet_bytes`` — so it broadcasts
+    (no shuffle at all); past ``_BROADCAST_BYTES`` the query falls back to
+    the partitioned hash join (the 100 TB shape, where orders is itself a
+    fact table).  Either way each post-join batch pre-reduces to
     (priority, partials) so the final groupby is over ~|priorities| rows."""
+    from ..functions.joins import (broadcast_join, pruned_parquet_bytes,
+                                   read_small_table)
+
     line = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderpriority"])
+    orders_cols = ["o_orderkey", "o_orderpriority"]
+    orders_path = f"{sf_dir}/orders.parquet"
 
-    joined = line.join(orders, join_type="inner",
-                       num_partitions=_join_partitions(num_partitions),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    if pruned_parquet_bytes(orders_path, orders_cols) <= _BROADCAST_BYTES:
+        joined = broadcast_join(
+            line, read_small_table(orders_path, columns=orders_cols),
+            on="l_orderkey", right_on="o_orderkey", join_type="inner")
+    else:
+        orders = ray.data.read_parquet(orders_path, columns=orders_cols)
+        joined = line.join(orders, join_type="inner",
+                           num_partitions=_join_partitions(num_partitions),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
         revenue = pc.multiply(batch.column("l_extendedprice"),
@@ -307,19 +325,8 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
                             columns=["c_custkey"],
                             filter=pads.field("c_mktsegment") == segment)
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey",
-                                            "o_orderdate"])
-
-    def order_filter(batch: pa.Table) -> pa.Table:
-        keep = pc.less(batch.column("o_orderdate"), cutoff_ts)
-        return batch.filter(keep)
-
-    orders = broadcast_join(orders.map_batches(order_filter,
-                                               batch_format="pyarrow"),
-                            cust, on="o_custkey", right_on="c_custkey",
-                            join_type="left semi",
-                            select=["o_orderkey", "o_orderdate"])
+    orders_cols = ["o_orderkey", "o_custkey", "o_orderdate"]
+    orders_path = f"{sf_dir}/orders.parquet"
 
     line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                  columns=["l_orderkey", "l_extendedprice",
@@ -330,10 +337,38 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         batch = batch.filter(keep)
         return batch.select(["l_orderkey", "l_extendedprice", "l_discount"])
 
-    joined = line.map_batches(line_filter, batch_format="pyarrow").join(
-        orders, join_type="inner",
-        num_partitions=_join_partitions(num_partitions),
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    line = line.map_batches(line_filter, batch_format="pyarrow")
+
+    from ..functions.joins import pruned_parquet_bytes
+    if pruned_parquet_bytes(orders_path, orders_cols) <= _BROADCAST_BYTES:
+        # size-based rule: filtered+semi-joined orders built in memory
+        # (bounded above by the metadata-estimated pruned size), then ONE
+        # broadcast join — the whole query becomes shuffle-free up to the
+        # final small rollup
+        o_tbl = pads.dataset(orders_path).to_table(
+            columns=orders_cols,
+            filter=pads.field("o_orderdate") < pd.Timestamp(cutoff))
+        o_tbl = o_tbl.join(cust, keys="o_custkey", right_keys="c_custkey",
+                           join_type="left semi") \
+            .select(["o_orderkey", "o_orderdate"])
+        joined = broadcast_join(line, o_tbl, on="l_orderkey",
+                                right_on="o_orderkey", join_type="inner")
+    else:
+        orders = ray.data.read_parquet(orders_path, columns=orders_cols)
+
+        def order_filter(batch: pa.Table) -> pa.Table:
+            keep = pc.less(batch.column("o_orderdate"), cutoff_ts)
+            return batch.filter(keep)
+
+        orders = broadcast_join(orders.map_batches(order_filter,
+                                                   batch_format="pyarrow"),
+                                cust, on="o_custkey", right_on="c_custkey",
+                                join_type="left semi",
+                                select=["o_orderkey", "o_orderdate"])
+        joined = line.join(
+            orders, join_type="inner",
+            num_partitions=_join_partitions(num_partitions),
+            on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch.column("l_extendedprice"),
@@ -446,12 +481,21 @@ def supplier_region_volume(sf_dir: str,
     line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                  columns=["l_orderkey", "l_suppkey",
                                           "l_extendedprice", "l_discount"])
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey"])
+    orders_cols = ["o_orderkey", "o_custkey"]
+    orders_path = f"{sf_dir}/orders.parquet"
 
-    joined = line.join(orders, join_type="inner",
-                       num_partitions=_join_partitions(num_partitions),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    # same size-based rule as order_priority_revenue: the pruned orders
+    # side broadcasts while its metadata-estimated bytes fit a worker heap
+    from ..functions.joins import pruned_parquet_bytes
+    if pruned_parquet_bytes(orders_path, orders_cols) <= _BROADCAST_BYTES:
+        joined = broadcast_join(
+            line, read_small_table(orders_path, columns=orders_cols),
+            on="l_orderkey", right_on="o_orderkey", join_type="inner")
+    else:
+        orders = ray.data.read_parquet(orders_path, columns=orders_cols)
+        joined = line.join(orders, join_type="inner",
+                           num_partitions=_join_partitions(num_partitions),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
     joined = broadcast_join(joined, cust, on="o_custkey",
                             right_on="c_custkey")
     joined = broadcast_join(joined, supp, on="l_suppkey",
