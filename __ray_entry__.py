@@ -112,6 +112,33 @@ def _extract_markdown(sf_dir: str):
     return extract_markdown(ds, ExtractConfig.for_cpus(cpus))
 
 
+def _extract_spans_flat(sf_dir: str):
+    """The flagship result UNNESTED to one row per span (doc_id, offset,
+    kind, text, media_ref) — full-content span-sequence equality through
+    scalar columns, so the driver's value hash covers every byte of the
+    extraction output without nested-type hashing."""
+    import pyarrow as pa
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy()
+        flat = col.values
+        import numpy as np
+        doc_rep = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
+        doc_ids = batch.column("doc_id").take(pa.array(doc_rep))
+        return pa.table({
+            "doc_id": doc_ids,
+            "offset": flat.field("offset"),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+        })
+
+    return _extract(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
 def _reference_json(sf_dir: str):
     """S7 parity surface: the reference's per-document JSON page-result
     list, produced by the same model-stage chain as the flagship."""
@@ -145,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flagship": _extract,
         "extract_kind_counts": _span_kind_counts,
         "extract_markdown": _extract_markdown,
+        "extract_spans": _extract_spans_flat,
         "table_sources": _table_sources,
         "reference_json": _reference_json,   # non-SQL (nested JSON strings)
         # --- relational operators (SQL twins below) ---
@@ -229,12 +257,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{golden_glob}'))
             GROUP BY 1
         """,
-        # Flagship full-result equality: the extracted (doc_id, spans)
-        # table vs the materialized golden, row for row, nested spans and
-        # all — the strongest driver-visible form of the span-sequence
-        # invariant.
-        "extract_flagship": f"""
-            SELECT doc_id, spans FROM read_parquet('{golden_glob}')
+        # Flagship full-content equality, flattened: every span of every
+        # doc vs the materialized golden through SCALAR columns (offset
+        # carries the ordering), the strongest driver-visible form of the
+        # span-sequence invariant.  extract_flagship itself returns the
+        # nested (doc_id, spans) shape and stays a rows-only check —
+        # nested list<struct> value-hashing is not portable.
+        "extract_spans": f"""
+            SELECT doc_id, s."offset" AS "offset", s.kind AS kind,
+                   s.text AS text, s.media_ref AS media_ref
+            FROM (SELECT doc_id, unnest(spans) AS s
+                  FROM read_parquet('{golden_glob}'))
         """,
         # Markdown sink vs its own materialized golden (the straight-line
         # twin's per-page convert2md + blank-line join).

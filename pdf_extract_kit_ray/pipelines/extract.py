@@ -293,12 +293,24 @@ def extract_reference_json(ds: "ray.data.Dataset",
     formula dets carry ``latex``, OCR text dets carry ``text``, exactly
     the reference's optional-field convention.  Returns (doc_id, json)
     rows; ``json.dumps(ensure_ascii=False)`` like the reference sink."""
+    import functools
     import json as _json
 
     import pyarrow as pa
 
     cfg = config or ExtractConfig()
-    pages = _det_chain(ds, cfg)
+    if cfg.stage_mode in ("fused_tasks", "fused_actors"):
+        # one fused task pass for the whole model chain (same dets as the
+        # split pools, at a fifth of the Arrow<->Python round-trips)
+        from ..stages.extract_stages import explode_pages, fused_dets_batch
+        pages = ds.map_batches(explode_pages, batch_format="pyarrow") \
+            .map_batches(functools.partial(fused_dets_batch,
+                                           backend=cfg.layout_backend,
+                                           drop_score=0.5),
+                         batch_size=cfg.page_batch_size,
+                         batch_format="pyarrow")
+    else:
+        pages = _det_chain(ds, cfg)
 
     def page_result(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()

@@ -342,6 +342,35 @@ class FusedExtractStage:
         return pa.Table.from_pydict(out, schema=PAGE_SPANS_SCHEMA)
 
 
+def fused_dets_batch(batch: pa.Table, backend: str = "mock",
+                     drop_score: float = 0.5) -> pa.Table:
+    """The fused model chain (layout + MFD + batched MFR + OCR) emitting the
+    per-page DETECTION table (PAGE_DETS_SCHEMA) instead of assembled span
+    rows — one task pass, no per-stage pools.  Feeds det-level projections
+    (the reference-JSON sink) at fused-path cost."""
+    from ..mocks import LAYOUT_BACKENDS
+    cols = _batch_pages(batch)
+    pages = cols["raw_dets"]
+    layout = LAYOUT_BACKENDS[backend]
+    all_dets: List[List[dict]] = []
+    keys, payloads = [], []
+    for p_idx, page in enumerate(pages):
+        dets = layout(page)
+        for det in mock_mfd(page):
+            dets.append(det)
+            keys.append((p_idx, len(dets) - 1))
+            payloads.append((formula_crop_payload(page, det), det))
+        all_dets.append(dets)
+    for (p_idx, d_idx), (payload, det) in zip(keys, payloads):
+        all_dets[p_idx][d_idx] = dict(
+            all_dets[p_idx][d_idx],
+            text=latex_compact(mock_mfr(payload, det)))
+    for p_idx, page in enumerate(pages):
+        all_dets[p_idx].extend(ocr_page_text_dets(page, all_dets[p_idx],
+                                                  drop_score=drop_score))
+    return _pages_out(cols, all_dets)
+
+
 _FUSED_CACHE: Dict[tuple, "FusedExtractStage"] = {}
 
 

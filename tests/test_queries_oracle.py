@@ -46,7 +46,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 # The flagship/table oracles read materialized corpus files generated for
 # the driver's sf0.01 gate, so their pytest mirror must run at sf0.01 too.
 _SF001_QUERIES = {"extract_kind_counts", "table_sources",
-                  "extract_flagship", "extract_markdown"}
+                  "extract_spans", "extract_markdown"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))

@@ -11,11 +11,20 @@ from pdf_extract_kit_ray.sources.corpus import generate_corpus
 
 
 def test_reference_json_structure_and_consistency(ray_session):
+    import dataclasses
+
     raw, golden = generate_corpus(20, seed=9, with_golden=True)
-    out = extract_reference_json(
-        ray.data.from_arrow(raw),
-        ExtractConfig.for_cpus(4)).take_all()
+    cfg = ExtractConfig.for_cpus(4)
+    out = extract_reference_json(ray.data.from_arrow(raw), cfg).take_all()
     docs = {r["doc_id"]: json.loads(r["json"]) for r in out}
+
+    # fused det pass == split actor pools, byte for byte
+    split = extract_reference_json(
+        ray.data.from_arrow(raw),
+        dataclasses.replace(cfg, stage_mode="split_actors",
+                            actor_num_cpus=0.5)).take_all()
+    assert ({r["doc_id"]: r["json"] for r in out}
+            == {r["doc_id"]: r["json"] for r in split})
     assert set(docs) == set(raw.column("doc_id").to_pylist())
 
     goldens = {r["doc_id"]: r["spans"] for r in golden.to_pylist()}
