@@ -225,17 +225,27 @@ def extract_table_sources(ds: "ray.data.Dataset",
 
     from ..stages.extract_stages import LayoutStage, TableStage, explode_pages
 
+    import functools
+
     cfg = config or ExtractConfig()
     pages = ds.map_batches(explode_pages, batch_format="pyarrow")
-    pages = pages.map_batches(
-        LayoutStage, concurrency=cfg.layout_concurrency,
-        batch_size=cfg.page_batch_size, num_cpus=cfg.actor_num_cpus,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"backend": cfg.layout_backend})
-    pages = pages.map_batches(
-        TableStage, concurrency=cfg.mfd_concurrency,
-        batch_size=cfg.page_batch_size, num_cpus=cfg.actor_num_cpus,
-        batch_format="pyarrow")
+    if cfg.stage_mode in ("fused_tasks", "fused_actors"):
+        # layout + table parse in one task pass (stateless mocks; the
+        # split pools below remain the heterogeneous-backend shape)
+        from ..stages.extract_stages import fused_table_batch
+        pages = pages.map_batches(
+            functools.partial(fused_table_batch, backend=cfg.layout_backend),
+            batch_size=cfg.page_batch_size, batch_format="pyarrow")
+    else:
+        pages = pages.map_batches(
+            LayoutStage, concurrency=cfg.layout_concurrency,
+            batch_size=cfg.page_batch_size, num_cpus=cfg.actor_num_cpus,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"backend": cfg.layout_backend})
+        pages = pages.map_batches(
+            TableStage, concurrency=cfg.mfd_concurrency,
+            batch_size=cfg.page_batch_size, num_cpus=cfg.actor_num_cpus,
+            batch_format="pyarrow")
 
     def explode_tables(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()

@@ -371,6 +371,21 @@ def fused_dets_batch(batch: pa.Table, backend: str = "mock",
     return _pages_out(cols, all_dets)
 
 
+_TABLE_CACHE: Dict[tuple, tuple] = {}
+
+
+def fused_table_batch(batch: pa.Table, backend: str = "mock") -> pa.Table:
+    """Layout + table parse chained in one stateless task pass (the mocks
+    hold no state, so no actor pools to spin up; per-process instances are
+    cached like fused_extract_batch)."""
+    pair = _TABLE_CACHE.get((backend,))
+    if pair is None:
+        pair = _TABLE_CACHE[(backend,)] = (LayoutStage(backend=backend),
+                                           TableStage())
+    layout, table = pair
+    return table(layout(batch))
+
+
 _FUSED_CACHE: Dict[tuple, "FusedExtractStage"] = {}
 
 
