@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from ..functions.joins import sized_read_parquet
 from ray.data.aggregate import Count, Min, Sum
 
 from .text import fingerprint_batch
@@ -130,7 +132,7 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     def fp(batch: pa.Table) -> pa.Table:
         return pa.table({"fp": fingerprint_batch(batch),
                          "doc_id": batch.column("doc_id")})
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return (ds.map_batches(fp, batch_format="pyarrow")
               .groupby("fp")
@@ -151,7 +153,7 @@ def curated_docs(sf_dir: str, min_quality: float = 0.5) -> "ray.data.Dataset":
     rounding included)."""
     from .text import fingerprint_batch, quality_score
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -247,7 +249,8 @@ def _candidate_pairs_ds(ds: "ray.data.Dataset", text_col: str,
               .map_groups(coarse_pairs, batch_format="pyarrow"))
 
 
-_MEMBER_SCHEMA = pa.schema([("member_id", pa.int64()),
+_MEMBER_SCHEMA = pa.schema([("mcoarse", pa.int64()),
+                            ("member_id", pa.int64()),
                             ("keep_id", pa.int64()),
                             ("dup_id", pa.int64()),
                             ("text", pa.string())])
@@ -269,14 +272,19 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
     O(|candidates|) small rows — the 100 TB-safe semi-join shape.
     """
     path = f"{sf_dir}/{table}.parquet"
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    ds = sized_read_parquet(path, columns=["doc_id", "text"])
     cand = _candidate_pairs_ds(ds, "text", "doc_id", num_perm, bands, shingle_k)
+    # coarse-bucketed verification shuffles (per-key map_groups dispatch —
+    # one call per doc — dominated the round-2 runtime; hashing many keys
+    # into each group keeps the group bodies vectorized/amortized)
+    num_coarse = _num_coarse(ds.count())
 
     def pair_members(batch: pa.Table) -> pa.Table:
         keep = batch.column("keep_id").to_numpy()
         dup = batch.column("dup_id").to_numpy()
         member = np.concatenate([keep, dup])
         return pa.table({
+            "mcoarse": pa.array(member % num_coarse, pa.int64()),
             "member_id": pa.array(member, pa.int64()),
             "keep_id": pa.array(np.concatenate([keep, keep]), pa.int64()),
             "dup_id": pa.array(np.concatenate([dup, dup]), pa.int64()),
@@ -285,65 +293,92 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     def doc_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        ids = batch.column("doc_id").cast(pa.int64())
         return pa.table({
-            "member_id": batch.column("doc_id").cast(pa.int64()),
+            "mcoarse": pc.cast(
+                pc.subtract(ids, pc.multiply(
+                    pc.divide(ids, num_coarse), num_coarse)), pa.int64()),
+            "member_id": ids,
             "keep_id": pa.array(np.full(n, -1), pa.int64()),
             "dup_id": pa.array(np.full(n, -1), pa.int64()),
             "text": batch.column("text"),
         }, schema=_MEMBER_SCHEMA)
 
     def attach_text(group: pa.Table) -> pa.Table:
-        """doc_id group: one text row + this doc's pair-membership rows
-        (possibly duplicated across bands — deduped here) -> per-pair rows
-        carrying this side's text."""
-        is_doc = pc.equal(group.column("keep_id"), -1)
-        texts = group.filter(is_doc).column("text")
-        members = group.filter(pc.invert(is_doc))
-        empty = pa.table({"keep_id": pa.array([], pa.int64()),
+        """One coarse member group: text rows + membership rows for MANY
+        docs — membership triples deduped across bands, each side row
+        emitted with its doc's text attached via an in-group dict."""
+        empty = pa.table({"pcoarse": pa.array([], pa.int64()),
+                          "keep_id": pa.array([], pa.int64()),
                           "dup_id": pa.array([], pa.int64()),
                           "is_keep": pa.array([], pa.bool_()),
                           "text": pa.array([], pa.string())})
-        if members.num_rows == 0 or len(texts) == 0:
+        is_doc = pc.equal(group.column("keep_id"), -1).combine_chunks()
+        doc_part = group.filter(is_doc)
+        members = group.filter(pc.invert(is_doc))
+        if members.num_rows == 0 or doc_part.num_rows == 0:
             return empty
-        text = texts[0].as_py()
-        member_id = members.column("member_id")[0].as_py()
-        seen = set()
-        keeps, dups = [], []
-        for kid, did in zip(members.column("keep_id").to_pylist(),
-                            members.column("dup_id").to_pylist()):
-            if (kid, did) not in seen:
-                seen.add((kid, did))
-                keeps.append(kid)
-                dups.append(did)
+        texts = dict(zip(doc_part.column("member_id").to_pylist(),
+                         doc_part.column("text").to_pylist()))
+        m = members.column("member_id").to_numpy()
+        k = members.column("keep_id").to_numpy()
+        d = members.column("dup_id").to_numpy()
+        order = np.lexsort((d, k, m))
+        m, k, d = m[order], k[order], d[order]
+        dedup = np.r_[True, (m[1:] != m[:-1]) | (k[1:] != k[:-1])
+                      | (d[1:] != d[:-1])]
+        m, k, d = m[dedup], k[dedup], d[dedup]
+        out_text = [texts.get(int(x)) for x in m]
+        valid = np.fromiter((t is not None for t in out_text),
+                            dtype=bool, count=len(out_text))
+        m, k, d = m[valid], k[valid], d[valid]
+        out_text = [t for t in out_text if t is not None]
+        pcoarse = (k * np.int64(1000003) + d) % num_coarse
         return pa.table({
-            "keep_id": pa.array(keeps, pa.int64()),
-            "dup_id": pa.array(dups, pa.int64()),
-            "is_keep": pa.array([k == member_id for k in keeps], pa.bool_()),
-            "text": pa.array([text] * len(keeps), pa.string())})
+            "pcoarse": pa.array(pcoarse, pa.int64()),
+            "keep_id": pa.array(k, pa.int64()),
+            "dup_id": pa.array(d, pa.int64()),
+            "is_keep": pa.array(m == k, pa.bool_()),
+            "text": pa.array(out_text, pa.string())})
 
-    def verify_pair(group: pa.Table) -> pa.Table:
+    def verify_pairs(group: pa.Table) -> pa.Table:
+        """One coarse pair group: MANY candidate pairs, each with its two
+        text-carrying side rows; exact Jaccard per pair."""
         empty = pa.table({"keep_id": pa.array([], pa.int64()),
                           "dup_id": pa.array([], pa.int64()),
                           "jaccard": pa.array([], pa.float64())})
-        keep_side = group.filter(group.column("is_keep"))
-        dup_side = group.filter(pc.invert(group.column("is_keep")))
-        if keep_side.num_rows == 0 or dup_side.num_rows == 0:
+        k = group.column("keep_id").to_numpy()
+        d = group.column("dup_id").to_numpy()
+        is_keep = group.column("is_keep").to_numpy(zero_copy_only=False)
+        texts = group.column("text").to_pylist()
+        order = np.lexsort((~is_keep, d, k))
+        k, d, is_keep = k[order], d[order], is_keep[order]
+        texts = [texts[i] for i in order]
+        new_pair = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+        bounds = np.r_[np.flatnonzero(new_pair), len(k)]
+        sizes = np.diff(bounds)
+        out_k, out_d, out_j = [], [], []
+        for s, size in zip(bounds[:-1], sizes):
+            if size != 2:
+                continue               # a side's doc text was missing
+            j = round(jaccard(texts[s], texts[s + 1], shingle_k), 6)
+            if j >= threshold:
+                out_k.append(k[s])
+                out_d.append(d[s])
+                out_j.append(j)
+        if not out_k:
             return empty
-        j = round(jaccard(keep_side.column("text")[0].as_py(),
-                          dup_side.column("text")[0].as_py(), shingle_k), 6)
-        if j < threshold:
-            return empty
-        return pa.table({"keep_id": keep_side.column("keep_id").slice(0, 1),
-                         "dup_id": keep_side.column("dup_id").slice(0, 1),
-                         "jaccard": pa.array([j], pa.float64())})
+        return pa.table({"keep_id": pa.array(out_k, pa.int64()),
+                         "dup_id": pa.array(out_d, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
 
     members = cand.map_batches(pair_members, batch_format="pyarrow")
     docs = ds.map_batches(doc_rows, batch_format="pyarrow")
     return (docs.union(members)
-                .groupby("member_id")
+                .groupby("mcoarse")
                 .map_groups(attach_text, batch_format="pyarrow")
-                .groupby(["keep_id", "dup_id"])
-                .map_groups(verify_pair, batch_format="pyarrow"))
+                .groupby("pcoarse")
+                .map_groups(verify_pairs, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +482,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
             f"simhash_dedup supports max_hamming <= 3 (got {max_hamming}): "
             "the 4-band pigeonhole guarantee does not cover larger radii")
     path = f"{sf_dir}/{table}.parquet"
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    ds = sized_read_parquet(path, columns=["doc_id", "text"])
 
     num_coarse = _num_coarse(ds.count() * 4)
 
@@ -520,7 +555,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     corpus scale the same comparison runs only on LSH candidate pairs
     (``minhash_dedup``): signature -> band buckets -> candidates -> this
     exact Jaccard as the verification predicate."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def subset(batch: pa.Table) -> pa.Table:
@@ -608,7 +643,7 @@ def winnow_neardup(sf_dir: str, k: int = 16, w: int = 8,
     second groupby counts shared fingerprints per pair and filters
     >= min_shared.  Same bucket-shape as MinHash LSH but with substring
     (not bag-of-shingles) guarantees."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     # ~100+ winnowed fps per document (w=8 keeps ~1/4 of k-gram hashes)
     num_coarse = _num_coarse(ds.count() * 128)

@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from ..functions.joins import sized_read_parquet
 from ray.data.aggregate import Count, Sum
 
 
@@ -35,7 +37,7 @@ def _cents(col) -> pa.Array:
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> "ray.data.Dataset":
     """TPC-H Q1-shaped: filter on ship date, group by flag+status,
     exact-cents sums and average."""
-    ds = ray.data.read_parquet(
+    ds = sized_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
@@ -102,7 +104,7 @@ def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
     dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey") \
               .select(["c_custkey", "n_name"])
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(ds, dim, on="o_custkey", right_on="c_custkey",
                             select=["n_name", "o_totalprice"])
@@ -132,7 +134,7 @@ def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 1-hour window aggregate over the event stream table, with
     per-batch partial combine before the shuffle."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -164,7 +166,7 @@ def top_users(sf_dir: str, n: int = 20) -> "ray.data.Dataset":
     """Top-n users by total event value: partial combine -> groupby -> sort
     (with user_id tiebreak) -> limit; the sort sees only pre-reduced
     per-user rows."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -191,7 +193,7 @@ def top_users(sf_dir: str, n: int = 20) -> "ray.data.Dataset":
 def distinct_event_types(sf_dir: str) -> "ray.data.Dataset":
     """Distinct values via per-batch dedup then a global unique pass — the
     shuffle sees only each block's distinct set."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type"])
 
     def local_distinct(batch: pa.Table) -> pa.Table:
@@ -210,7 +212,7 @@ def user_running_totals(sf_dir: str, max_user: int = 50) -> "ray.data.Dataset":
     Exact-cents cumsum so the running values hash-match the SQL window."""
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
 
     def prefilter(batch: pa.Table) -> pa.Table:
@@ -269,7 +271,7 @@ def order_priority_revenue(sf_dir: str,
     from ..functions.joins import (broadcast_join, pruned_parquet_bytes,
                                    read_small_table)
 
-    line = ray.data.read_parquet(
+    line = sized_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders_cols = ["o_orderkey", "o_orderpriority"]
@@ -280,7 +282,7 @@ def order_priority_revenue(sf_dir: str,
             line, read_small_table(orders_path, columns=orders_cols),
             on="l_orderkey", right_on="o_orderkey", join_type="inner")
     else:
-        orders = ray.data.read_parquet(orders_path, columns=orders_cols)
+        orders = sized_read_parquet(orders_path, columns=orders_cols)
         joined = line.join(orders, join_type="inner",
                            num_partitions=_join_partitions(num_partitions),
                            on=("l_orderkey",), right_on=("o_orderkey",))
@@ -328,7 +330,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     orders_cols = ["o_orderkey", "o_custkey", "o_orderdate"]
     orders_path = f"{sf_dir}/orders.parquet"
 
-    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
                                  columns=["l_orderkey", "l_extendedprice",
                                           "l_discount", "l_shipdate"])
 
@@ -354,7 +356,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         joined = broadcast_join(line, o_tbl, on="l_orderkey",
                                 right_on="o_orderkey", join_type="inner")
     else:
-        orders = ray.data.read_parquet(orders_path, columns=orders_cols)
+        orders = sized_read_parquet(orders_path, columns=orders_cols)
 
         def order_filter(batch: pa.Table) -> pa.Table:
             keep = pc.less(batch.column("o_orderdate"), cutoff_ts)
@@ -419,7 +421,7 @@ def promo_revenue(sf_dir: str, lo: str = "1997-01-01",
     lo_ts = pa.scalar(pd.Timestamp(lo), pa.timestamp("us"))
     hi_ts = pa.scalar(pd.Timestamp(hi), pa.timestamp("us"))
 
-    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
                                  columns=["l_partkey", "l_extendedprice",
                                           "l_discount", "l_shipdate"])
 
@@ -478,7 +480,7 @@ def supplier_region_volume(sf_dir: str,
                              right_keys="r_regionkey") \
         .select(["n_nationkey", "r_name"])
 
-    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
                                  columns=["l_orderkey", "l_suppkey",
                                           "l_extendedprice", "l_discount"])
     orders_cols = ["o_orderkey", "o_custkey"]
@@ -492,7 +494,7 @@ def supplier_region_volume(sf_dir: str,
             line, read_small_table(orders_path, columns=orders_cols),
             on="l_orderkey", right_on="o_orderkey", join_type="inner")
     else:
-        orders = ray.data.read_parquet(orders_path, columns=orders_cols)
+        orders = sized_read_parquet(orders_path, columns=orders_cols)
         joined = line.join(orders, join_type="inner",
                            num_partitions=_join_partitions(num_partitions),
                            on=("l_orderkey",), right_on=("o_orderkey",))
@@ -538,9 +540,9 @@ def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
     market segment — the right side is filtered at the read, then
     ``join_type='left_anti'`` hash-shuffles both sides so neither needs to
     fit in memory (vs. the broadcast pattern of orders_per_nation)."""
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = sized_read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
 
     def big_orders(batch: pa.Table) -> pa.Table:
@@ -572,7 +574,7 @@ def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
 def top_events_per_user(sf_dir: str, k: int = 3, max_user: int = 30) -> "ray.data.Dataset":
     """Top-k rows per group (row_number window): groupby(user).map_groups
     with an in-group (value desc, event_id asc) sort and head(k)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "value"])
 
     def prefilter(batch: pa.Table) -> pa.Table:
@@ -595,7 +597,7 @@ def users_active_both_halves(sf_dir: str, split: str = "2024-01-16") -> "ray.dat
     seen_after) flags -> groupby Max -> filter both."""
     from ray.data.aggregate import Max
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
     split_ts = pa.scalar(pd.Timestamp(split), pa.timestamp("us"))
 
@@ -627,7 +629,7 @@ def doc_hash_sample(sf_dir: str) -> "ray.data.Dataset":
     cluster sizes (unlike random_sample), so the SQL twin matches exactly."""
     import hashlib
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def sample(batch: pa.Table) -> pa.Table:
@@ -648,7 +650,7 @@ def value_percentiles_by_type(sf_dir: str,
     (type, cent) Sum -> per-type cumulative walk.  Scales because the
     shuffle carries only |types|×|distinct cents| rows regardless of row
     count; the ANSI twin is percentile_disc (sorted[ceil(q*n)-1])."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
 
     def hist(batch: pa.Table) -> pa.Table:
@@ -657,14 +659,18 @@ def value_percentiles_by_type(sf_dir: str,
         g = t.group_by(["event_type", "value_c"]).aggregate([([], "count_all")])
         return g.rename_columns(["event_type", "value_c", "partial_n"])
 
-    agg = (ds.map_batches(hist, batch_format="pyarrow")
-             .groupby(["event_type", "value_c"])
-             .aggregate(Sum("partial_n", alias_name="n")))
+    # ONE shuffle: per-block histogram partials go straight to the
+    # per-type group, which merges them during its cumulative walk (a
+    # value_c repeated across blocks contributes multiple rows — the
+    # value-ordered cumsum absorbs duplicates without an extra
+    # (type, cent) pre-aggregation exchange).  Shuffle volume stays
+    # |blocks| x |types| x |distinct cents per block|.
+    agg = ds.map_batches(hist, batch_format="pyarrow")
 
     def percentiles(group: pa.Table) -> pa.Table:
-        group = group.sort_by([("value_c", "ascending")])
-        vals = group.column("value_c").to_numpy()
-        counts = group.column("n").to_numpy()
+        order = pc.sort_indices(group.column("value_c"))
+        vals = group.column("value_c").take(order).to_numpy()
+        counts = group.column("partial_n").take(order).to_numpy()
         cum = np.cumsum(counts)
         total = int(cum[-1])
         out = {"event_type": [group.column("event_type")[0].as_py()]}
@@ -688,7 +694,7 @@ def purchase_prev_click_asof(sf_dir: str) -> "ray.data.Dataset":
     Partitioning assumption: one user's rows fit in one group (true for
     event streams keyed by actor; salt the key if a single user exceeds a
     worker's heap)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id",
                                         "event_type"])
 
@@ -745,7 +751,7 @@ def events_value_bands(sf_dir: str, band_width: float = 100.0) -> "ray.data.Data
               for i in range(len(edges) - 1)]
     side = ray.put((edges, np.array(labels, dtype=object)))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -778,7 +784,7 @@ def engaged_users_union(sf_dir: str, min_value: float = 400.0) -> "ray.data.Data
     """Set UNION via ``Dataset.union``: users who purchased OR generated a
     high-value event — two filtered streams concatenated (union in Ray Data
     is a plan-level concat, no shuffle), deduplicated by one groupby."""
-    base = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    base = sized_read_parquet(f"{sf_dir}/events.parquet",
                                  columns=["user_id", "event_type", "value"])
 
     def purchasers(batch: pa.Table) -> pa.Table:

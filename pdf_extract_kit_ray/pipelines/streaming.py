@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.joins import sized_read_parquet
+
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
@@ -26,7 +28,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     session): groupby(user).map_groups with an in-group (ts, event_id) sort
     and a vectorized diff — the classic window-function shape re-expressed
     as a keyed group scan.  Emits (user_id, n_sessions, n_events)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "event_id"])
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -51,7 +53,7 @@ def hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
     table (estimate, precision p)."""
     from ..functions.sketches import make_hll_aggregator
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id"])
     res = ds.aggregate(make_hll_aggregator("user_id", p=p,
                                            name="distinct_users_est"))
@@ -69,7 +71,7 @@ def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
     requested quantiles and the exact count."""
     from ..functions.sketches import make_ddsketch_aggregator
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["value"])
     res = ds.aggregate(make_ddsketch_aggregator(
         "value", alpha=alpha, qs=qs, name="q", include_count=True))
@@ -99,7 +101,7 @@ def events_sliding_window(sf_dir: str, window_min: int = 60,
     slide_us = slide_min * 60 * 1_000_000
     window_us = window_min * 60 * 1_000_000
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "value"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -145,7 +147,7 @@ def hll_distinct_by_type(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
     register array per group, combined associatively by the shuffle."""
     from ..functions.sketches import make_hll_aggregator
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id"])
     return (ds.groupby("event_type")
               .aggregate(make_hll_aggregator("user_id", p=p,
@@ -157,7 +159,7 @@ def ddsketch_quantiles_by_type(sf_dir: str, alpha: float = 0.01) -> "ray.data.Da
     AggregateFnV2 — per-group quantiles without sorting any group."""
     from ..functions.sketches import make_ddsketch_aggregator
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
     agg = (ds.groupby("event_type")
              .aggregate(make_ddsketch_aggregator("value", alpha=alpha,

@@ -15,11 +15,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..functions.joins import sized_read_parquet
+
 _CJK_PATTERN = "[一-鿿]"
 
 
 def _read_docs(sf_dir: str, columns) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _token_count(text: pa.ChunkedArray) -> pa.Array:
@@ -130,7 +132,7 @@ def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
     the word-count vs subword-unit-count pair a training-data pipeline
     tracks.  Both are vectorized re2/pyarrow kernels (the round-2 per-row
     ``t.split()`` / ``findall`` loops are gone) with exact SQL twins."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -158,7 +160,7 @@ def stratified_sample(sf_dir: str, quota: int = 25) -> "ray.data.Dataset":
     source cardinality the same shape holds (groups shrink, not grow)."""
     import hashlib
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source"])
 
     def ranks(batch: pa.Table) -> pa.Table:
@@ -183,7 +185,7 @@ def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     one groupby, then sort+limit over the pre-reduced term table."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
