@@ -371,6 +371,9 @@ def read_corpus(path: str, num_blocks: Optional[int] = None) -> "ray.data.Datase
     """Read an interleaved document table.  Lance is the production format
     (north rule); this sandbox has no lancedb wheel, so fall back to parquet
     transparently — the Dataset downstream is identical either way.
+    Directories/files of ``.jsonl`` read through ``ray.data.read_json``
+    with the rows cast onto DOC_SCHEMA (training-data corpora commonly
+    interchange as JSON lines).
 
     ``num_blocks`` defaults to ONE block per CPU: with the current ~1.5
     ms/page map cost, per-block scheduling + sort-partition overhead
@@ -379,8 +382,28 @@ def read_corpus(path: str, num_blocks: Optional[int] = None) -> "ray.data.Datase
     per-page cost is model-bound (the scaling bench does: a straggler block
     then sets the stage span).  At real scale the file count dominates and
     the override is unnecessary."""
+    import glob
+    import os
+
     if num_blocks is None:
         num_blocks = int(ray.cluster_resources().get("CPU", 8))
+    is_jsonl = path.endswith(".jsonl") or (
+        os.path.isdir(path) and glob.glob(os.path.join(path, "*.jsonl")))
+    if is_jsonl:
+        import pyarrow as pa
+
+        from ..schemas import DOC_SCHEMA
+
+        def cast_schema(batch: "pa.Table") -> "pa.Table":
+            # JSON inference yields int64 offsets / plain lists; pin the
+            # declared schema so downstream stages see identical types
+            return batch.select([f.name for f in DOC_SCHEMA]) \
+                        .cast(DOC_SCHEMA)
+
+        return ray.data.read_json(
+            path, override_num_blocks=num_blocks,
+            file_extensions=["jsonl"]).map_batches(
+                cast_schema, batch_format="pyarrow")
     try:
         import lance  # noqa: F401
         return ray.data.read_lance(path)

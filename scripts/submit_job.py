@@ -46,6 +46,12 @@ def main() -> None:
                          "first (one extra scan of the spans column)")
     ap.add_argument("--layout-backend", default="mock",
                     help="config-selected layout backend (mock | mock2)")
+    ap.add_argument("--output-format", default="parquet",
+                    choices=["parquet", "reference-json"],
+                    help="parquet = resumable partitioned output with "
+                         "manifests (default); reference-json = the "
+                         "reference's per-doc page-result JSON as JSONL "
+                         "shards (debug/interchange sink)")
     ap.add_argument("--stage-mode", default="fused_tasks",
                     choices=["fused_tasks", "fused_actors", "split_actors"],
                     help="execution shape; split_actors = one actor pool "
@@ -89,9 +95,20 @@ def main() -> None:
                               stage_mode=args.stage_mode)
 
     t0 = time.time()
-    docs = extract_documents(ds, cfg)
-    manifests = write_partitioned(docs, args.output, args.num_partitions)
-    metrics = rollup_metrics(manifests)
+    if args.output_format == "reference-json":
+        # the reference's primary output shape: per-doc page-result JSON
+        # (S7), written as JSONL shards — a debug/interchange sink without
+        # the manifest/resume machinery of the parquet path
+        from pdf_extract_kit_ray.pipelines.extract import \
+            extract_reference_json
+        out = extract_reference_json(ds, cfg).materialize()
+        out.write_json(args.output)
+        metrics = {"docs": out.count()}   # count from materialized blocks
+        manifests = []
+    else:
+        docs = extract_documents(ds, cfg)
+        manifests = write_partitioned(docs, args.output, args.num_partitions)
+        metrics = rollup_metrics(manifests)
     elapsed = round(time.time() - t0, 2)
 
     # one JSON status line on stdout (the driver/skill contract)

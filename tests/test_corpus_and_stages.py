@@ -207,3 +207,29 @@ def test_distributed_corpus_equals_sequential(ray_session, tmp_path):
     for row in (t.slice(0, 1).to_pylist() + t.slice(33, 1).to_pylist()):
         assert [dict(s) for s in row["spans"]] == \
             generate_raw_document(row["doc_id"], 5)
+
+
+def test_read_corpus_jsonl_roundtrip(ray_session, tmp_path):
+    """A corpus exported as JSON lines reads back through read_corpus and
+    extracts byte-identically to the parquet-read pipeline."""
+    import json
+
+    import ray.data
+
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_documents,
+                                                       read_corpus)
+    from pdf_extract_kit_ray.sources.corpus import generate_corpus
+
+    raw, _ = generate_corpus(8, seed=21, with_golden=False)
+    jdir = tmp_path / "jsonl"
+    jdir.mkdir()
+    with open(jdir / "part-00000.jsonl", "w") as f:
+        for row in raw.to_pylist():
+            f.write(json.dumps(row) + "\n")
+
+    cfg = ExtractConfig.for_cpus(4)
+    via_json = extract_documents(read_corpus(str(jdir)), cfg).take_all()
+    via_arrow = extract_documents(ray.data.from_arrow(raw), cfg).take_all()
+    key = lambda rows: {r["doc_id"]: r["spans"] for r in rows}
+    assert key(via_json) == key(via_arrow)

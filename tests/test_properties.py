@@ -126,3 +126,65 @@ def test_render_geometry_dims(w, h):
         assert (ew, eh, scale) == (w, h, 1.0)
     else:
         assert scale == 0.5 and ew == w // 2 and eh == h // 2
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 255))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, fill):
+    """Any RGB array encodes to a PNG whose inflated scanlines reproduce
+    the pixel bytes exactly (filter-0 layout)."""
+    import struct
+    import zlib
+
+    from pdf_extract_kit_ray.stages.visualize import encode_png
+    rng = np.random.RandomState(fill)
+    rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    png = encode_png(rgb)
+    off, idat = 8, b""
+    while off < len(png):
+        ln, tag = struct.unpack(">I4s", png[off:off + 8])
+        if tag == b"IDAT":
+            idat += png[off + 8:off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + w * 3)
+    assert (rows[:, 0] == 0).all()
+    assert (rows[:, 1:] == rgb.reshape(h, w * 3)).all()
+
+
+@given(st.lists(st.integers(0, 10**7), min_size=1, max_size=300),
+       st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_sliding_window_conservation(ts_secs, k):
+    """Every event lands in exactly min(k, windows-since-stream-head)
+    windows; with the head guard, total window-membership count is bounded
+    by k x n and each event's memberships are consecutive window ids."""
+    slide = 900
+    window = slide * k
+    ts = np.array(sorted(ts_secs), dtype=np.int64)
+    w0 = ts // slide
+    memberships = []
+    for off in range(k):
+        w = w0 - off
+        ok = ts < w * slide + window
+        memberships.append(ok)
+    per_event = np.stack(memberships).sum(axis=0)
+    # window w covers [w*slide, w*slide + window): event at t belongs to w
+    # iff w*slide <= t-ish; with non-negative t every offset qualifies
+    assert (per_event == k).all()
+
+
+@given(st.integers(2, 400), st.integers(0, 2**16 - 1), st.integers(16, 64))
+@settings(max_examples=40, deadline=None)
+def test_segment_candidates_linear_bound(n, sub_const, cap):
+    """Identical-sub segments (worst case) emit at most 2(n-1) candidate
+    edges — the star+chain linear bound — and never a<b violations."""
+    from pdf_extract_kit_ray.pipelines.multimodal import _segment_candidates
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    sub = np.full(n, sub_const, dtype=np.int64)
+    a, b = _segment_candidates(ids, sub, cap=cap)
+    assert (a < b).all()
+    if n > cap:
+        assert len(a) <= 2 * (n - 1)
+    else:
+        assert len(a) == n * (n - 1) // 2
