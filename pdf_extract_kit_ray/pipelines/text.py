@@ -50,9 +50,15 @@ def quality_score(text: "pa.ChunkedArray") -> pa.Array:
     tokens_norm = pc.divide(
         pc.cast(pc.min_element_wise(_token_count(text), 100),
                 pa.float64()), 100.0)
-    return pc.round(
-        pc.add(pc.multiply(alpha_ratio, 0.6), pc.multiply(tokens_norm, 0.4)),
-        ndigits=6, round_mode="half_towards_infinity")
+    raw = pc.add(pc.multiply(alpha_ratio, 0.6), pc.multiply(tokens_norm, 0.4))
+    # 6dp round via integer micro-units (round(x*1e6) as int, / 1e6): the
+    # same arithmetic DuckDB's round() performs, so the resulting DOUBLE is
+    # bit-identical to the SQL twin's.  Arrow's pc.round(x, ndigits=6) can
+    # land one ulp away (it avoids the scale-multiply), which a bit-exact
+    # value hash would flag even though the decimal value is equal.
+    micro = pc.cast(pc.round(pc.multiply(raw, 1000000.0), ndigits=0,
+                             round_mode="half_towards_infinity"), pa.int64())
+    return pc.divide(pc.cast(micro, pa.float64()), 1000000.0)
 
 
 def doc_stats(sf_dir: str) -> "ray.data.Dataset":
