@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": text.doc_token_counts,
         "top_terms": text.top_terms,
         "stratified_sample": text.stratified_sample,
+        "tfidf_top_terms": text.tfidf_top_terms,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
@@ -216,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "events_sliding_window": streaming.events_sliding_window,
+        "distinct_users_by_type": streaming.distinct_users_by_type,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
         "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
         "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,  # non-SQL sketch
@@ -473,6 +475,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(quality * 1000000.0) AS BIGINT) / 1000000.0 AS quality
             FROM q WHERE quality >= 0.5
             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), df AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+                SELECT count(DISTINCT source) AS ns FROM tf
+            )
+            SELECT tf.source, tf.term,
+                   CAST(round(tf.tf * ln(CAST(n.ns AS DOUBLE) / df.df)
+                              * 1000000.0) AS BIGINT) / 1000000.0 AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.source
+                ORDER BY CAST(round(tf.tf * ln(CAST(n.ns AS DOUBLE) / df.df)
+                              * 1000000.0) AS BIGINT) DESC,
+                         tf.term ASC) <= 10
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM (

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "winnow_neardup",
     "doc_token_counts",
     "top_terms",
+    "tfidf_top_terms",
+    "distinct_users_by_type",
     "ann_topk",
     "embedding_neardup",
     "ivf_topk",

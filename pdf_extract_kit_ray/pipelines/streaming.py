@@ -140,6 +140,39 @@ def events_sliding_window(sf_dir: str, window_min: int = 60,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT COUNT(DISTINCT user_id) per event type — the ground-truth
+    companion of the HLL variant: per-batch (type, user) distinct partials
+    (the combiner collapses repeats before anything moves), ONE groupby on
+    the pair key to finish deduplication, then an in-batch count per type
+    rolled up with a Sum.  Shuffle volume is |distinct pairs|, not rows."""
+    from ray.data.aggregate import Sum
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"event_type": batch.column("event_type"),
+                       "user_id": batch.column("user_id")})
+             .group_by(["event_type", "user_id"])
+             .aggregate([([], "count_all")]))
+        return g.select(["event_type", "user_id"])
+
+    from ray.data.aggregate import Count
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["event_type", "user_id"])
+               .aggregate(Count(alias_name="_c")))   # native, one row/pair
+
+    def count_per_type(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"event_type": batch.column("event_type")})
+             .group_by("event_type").aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "partial_n"])
+
+    return (pairs.map_batches(count_per_type, batch_format="pyarrow")
+                 .groupby("event_type")
+                 .aggregate(Sum("partial_n", alias_name="distinct_users")))
+
+
 def hll_distinct_by_type(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
     """Approximate distinct users PER EVENT TYPE via the custom
     AggregateFnV2 HLL aggregator — the sketch as a first-class groupby

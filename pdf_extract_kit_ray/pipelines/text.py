@@ -185,6 +185,67 @@ def stratified_sample(sf_dir: str, quota: int = 25) -> "ray.data.Dataset":
               .map_groups(take_quota, batch_format="pyarrow"))
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Per-source TF-IDF top-k terms — the curation signal for source-level
+    vocabulary profiling.
+
+    Three bounded shuffles, no driver state:
+    1. per-batch (source, term) partial counts (the combiner) -> ONE
+       groupby sum = the tf table;
+    2. df = tf.groupby(term).count() (documents-frequency at source
+       granularity) — |vocab| rows;
+    3. tf ⨝ df hash join on term (both sides are already reduced — at any
+       corpus size these are vocab-bounded, not row-bounded), then a
+       per-source group emits its top-k by (tfidf desc, term asc).
+
+    ns (number of distinct sources) folds out of the tf table per group —
+    never materialized on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
+        toks = pc.list_flatten(split)
+        src = pc.list_parent_indices(split)
+        t = pa.table({"source": batch.column("source").take(src),
+                      "term": toks}).filter(pc.not_equal(toks, ""))
+        g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "term", "partial_tf"])
+
+    tf = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "term"])
+            .aggregate(Sum("partial_tf", alias_name="tf"))).materialize()
+
+    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    ns = tf.groupby("source").aggregate(Count(alias_name="_n")).count()
+
+    joined = tf.join(df, join_type="inner", num_partitions=8, on=("term",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf = pc.ln(pc.divide(float(ns),
+                              pc.cast(batch.column("df"), pa.float64())))
+        tfidf = pc.multiply(pc.cast(batch.column("tf"), pa.float64()), idf)
+        # 6dp micro-int round for bit-parity with the SQL twin
+        micro = pc.cast(pc.round(pc.multiply(tfidf, 1000000.0), ndigits=0,
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({
+            "source": batch.column("source"),
+            "term": batch.column("term"),
+            "tfidf": pc.divide(pc.cast(micro, pa.float64()), 1000000.0),
+        })
+
+    def topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("tfidf", "descending"), ("term", "ascending")])
+        return group.take(order.slice(0, k))
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+                  .groupby("source")
+                  .map_groups(topk, batch_format="pyarrow"))
+
+
 def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Distributed wordcount with global top-k: per-batch term counting
     (the combiner — each block ships its term histogram, not its words),
