@@ -26,14 +26,19 @@ from ..stages.media import (FrameSampleStage, ImagePreprocessStage,
 _BATCH = 32          # payload rows per batch: binary-heavy, keep small
 
 
-def _conc(chain: int = 1) -> int:
-    """Actor-pool size per stage, leaving headroom for read/reduce tasks.
-    Stacked pools RESERVE cpus; oversubscribing a small cluster stalls the
-    streaming executor waiting for actors that can never schedule."""
+def _conc(chain: int = 1) -> tuple:
+    """AUTOSCALING actor-pool bounds per stage: start at ONE actor and grow
+    toward the reservation-safe ceiling only when the stage backlogs —
+    fixed-size pools paid ~1.5-2 s of actor spin-up per query even when the
+    corpus needed two actors.  The floor must stay 1: chained pools RESERVE
+    their min actors up front, and a floor of 2 at a 4-CPU test cluster
+    (2 pools x 2 actors = every CPU) stalls the streaming executor forever
+    (measured: test_multimodal hang).  The ceiling leaves headroom for
+    read/reduce tasks."""
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(1, (cpus - 1) // (2 * chain))
+    return (1, max(1, (cpus - 1) // (2 * chain)))
 
 
 def _read_media(sf_dir: str) -> "ray.data.Dataset":
