@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dup_clusters": dedup.dup_clusters,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
@@ -590,6 +591,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
                   >= 0.5
+        """,
+        # Connected components over the duplicate graph: the recursive CTE
+        # propagates every label along edges to a fixpoint; MIN per node is
+        # the component minimum — the declarative twin of the engine's
+        # Hash-to-Min iteration (dedup.connected_components).
+        "dup_clusters": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents WHERE doc_id < 300
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM toks WHERE len(w) > 0
+            ), jp AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / CAST(len(a.s) + len(b.s)
+                               - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      >= 0.5
+            ), fps AS (
+                SELECT doc_id, {fp_expr} AS fp FROM documents
+            ), xp AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM fps a JOIN fps b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+            ), ed AS (
+                SELECT a, b FROM jp UNION SELECT a, b FROM xp
+            ), edges AS (
+                SELECT a AS u, b AS v FROM ed
+                UNION SELECT b AS u, a AS v FROM ed
+            ), reach(node, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+            ), cc AS (
+                SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT node AS doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM cc
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "ngram_jaccard_pairs",
+    "dup_clusters",
     "winnow_neardup",
     "doc_token_counts",
     "top_terms",

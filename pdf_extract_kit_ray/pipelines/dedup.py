@@ -695,3 +695,191 @@ def winnow_neardup(sf_dir: str, k: int = 16, w: int = 8,
                                              min_shared))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components over the duplicate graph (Hash-to-Min)
+# ---------------------------------------------------------------------------
+
+def _dup_edges(sf_dir: str, threshold: float, max_doc: int,
+               k: int) -> "ray.data.Dataset":
+    """Undirected edge list (a, b) of the duplicate graph: exact
+    content-fingerprint matches (star edges to each group's min doc) union
+    the n-gram Jaccard near-dup pairs.  Exact edges use the coarse-bucketed
+    groupby shape (fingerprints hashed into ~4096-row shuffle groups,
+    segments scanned vectorized) so the shuffle never dispatches per-doc."""
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    num_coarse = _num_coarse(ds.count())
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(batch)
+        t = pa.table({"fp": fp, "doc_id": batch.column("doc_id")})
+        t = t.filter(pc.is_valid(t.column("fp")))   # null text: no edges
+        # coarse shuffle key off the first 15 hex chars; segmentation below
+        # is on the FULL fp string, so truncation cannot create false edges
+        coarse = pa.array([int(h[:15], 16) % num_coarse
+                           for h in t.column("fp").to_pylist()], pa.int64())
+        return t.append_column("coarse", coarse)
+
+    def star_edges(group: pa.Table) -> pa.Table:
+        fp = np.asarray(group.column("fp").to_pylist(), dtype=object)
+        ids = group.column("doc_id").to_numpy()
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        new_seg = np.r_[True, fp[1:] != fp[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        rep = ids[new_seg][seg_id]
+        mask = ~new_seg
+        return pa.table({"a": pa.array(rep[mask], pa.int64()),
+                         "b": pa.array(ids[mask], pa.int64())})
+
+    exact = (ds.map_batches(fp_rows, batch_format="pyarrow")
+               .groupby("coarse")
+               .map_groups(star_edges, batch_format="pyarrow"))
+
+    def drop_j(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
+
+    near = ngram_jaccard_pairs(sf_dir, threshold, max_doc, k) \
+        .map_batches(drop_j, batch_format="pyarrow")
+    return exact.union(near)
+
+
+def connected_components(edges: "ray.data.Dataset",
+                         max_rounds: int = 12) -> "ray.data.Dataset":
+    """Connected components over an (a, b) int64 edge Dataset, distributed
+    as **Hash-to-Min** (Rastogi et al., ICDE 2012): the state is a Dataset
+    of (node, member) adjacency rows; each round, every node's group
+    computes m = min of its member set and emits (m, x) + (x, m) for every
+    member x — the whole round is ONE coarse-bucketed groupby, no joins, no
+    driver state, and it converges in O(log d) rounds to C_min = component,
+    C_other = {min}.  Convergence is detected by a row-set checksum (count
+    + keyed sum), two scalar aggregates per round on a materialized
+    few-int-columns dataset; the iterative loop is the one pattern Ray Data
+    cannot express declaratively, so the driver owns only the loop control,
+    never the data.
+
+    Output: (doc_id, cluster_id, cluster_size) for every node of the edge
+    graph (components of size >= 2 by construction), cluster_id = the
+    component-minimum node id.  The per-component group in the final
+    emission holds one row per member — the same "component fits one
+    group" bound any CC labeling has."""
+    n_edges = edges.count()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64()),
+                      "cluster_size": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+    num_coarse = _num_coarse(4 * n_edges)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        node = np.concatenate([a, b, a, b])
+        member = np.concatenate([b, a, a, b])      # neighbors + self rows
+        return pa.table({
+            "coarse": pa.array(node % num_coarse, pa.int64()),
+            "node": pa.array(node, pa.int64()),
+            "member": pa.array(member, pa.int64())})
+
+    def hash_to_min(group: pa.Table) -> pa.Table:
+        """Many node-segments per coarse group; per node, emit (m, x) and
+        (x, m) over its deduped member set, vectorized."""
+        node = group.column("node").to_numpy()
+        member = group.column("member").to_numpy()
+        order = np.lexsort((member, node))
+        node, member = node[order], member[order]
+        keep = np.r_[True, (node[1:] != node[:-1]) | (member[1:] != member[:-1])]
+        node, member = node[keep], member[keep]
+        new_seg = np.r_[True, node[1:] != node[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        # min member per segment: members sorted within segment -> first row
+        m = member[new_seg][seg_id]
+        out_node = np.concatenate([np.where(new_seg, node, m),
+                                   np.where(new_seg, node, member)])
+        out_member = np.concatenate([np.where(new_seg, m, member),
+                                     np.where(new_seg, m, m)])
+        # the np.where trick: each segment's first row emits (node, m) for
+        # both directions; subsequent rows emit (m, member) and (member, m)
+        return pa.table({
+            "coarse": pa.array(out_node % num_coarse, pa.int64()),
+            "node": pa.array(out_node, pa.int64()),
+            "member": pa.array(out_member, pa.int64())})
+
+    state = edges.map_batches(seed, batch_format="pyarrow").materialize()
+    prev_sig = None
+    for _ in range(max_rounds):
+        state = (state.groupby("coarse")
+                      .map_groups(hash_to_min, batch_format="pyarrow")
+                      .materialize())
+
+        def sig_cols(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy()
+            mm = batch.column("member").to_numpy()
+            return pa.table({"h": pa.array(
+                (n * np.int64(1000003) + mm) % np.int64(1 << 62), pa.int64())})
+
+        sig_ds = state.map_batches(sig_cols, batch_format="pyarrow")
+        sig = (sig_ds.count(), sig_ds.sum("h"))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def labels(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy()
+        member = group.column("member").to_numpy()
+        order = np.lexsort((member, node))
+        node, member = node[order], member[order]
+        new_seg = np.r_[True, node[1:] != node[:-1]]
+        lbl = member[new_seg]
+        n = node[new_seg]
+        keep = lbl != n                      # drop the cluster-min self label
+        out_n = np.concatenate([n[keep], lbl[keep]])
+        out_l = np.concatenate([lbl[keep], lbl[keep]])
+        t = pa.table({"doc_id": pa.array(out_n, pa.int64()),
+                      "cluster_id": pa.array(out_l, pa.int64())})
+        # the min node re-enters once per member; dedup before the shuffle
+        g = t.group_by(["doc_id", "cluster_id"]).aggregate([([], "count_all")])
+        return pa.table({
+            "ccoarse": pc.cast(pc.bit_wise_and(
+                g.column("cluster_id"), 0xFFFF), pa.int64()),
+            "doc_id": g.column("doc_id"),
+            "cluster_id": g.column("cluster_id")})
+
+    def sized(group: pa.Table) -> pa.Table:
+        cl = group.column("cluster_id").to_numpy()
+        ids = group.column("doc_id").to_numpy()
+        order = np.lexsort((ids, cl))
+        cl, ids = cl[order], ids[order]
+        # the (min, min) row is emitted once per coarse LABEL group above;
+        # dedup across those emissions before counting members
+        keep = np.r_[True, (cl[1:] != cl[:-1]) | (ids[1:] != ids[:-1])]
+        cl, ids = cl[keep], ids[keep]
+        new_seg = np.r_[True, cl[1:] != cl[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        sizes = np.bincount(seg_id)[seg_id]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(cl, pa.int64()),
+                         "cluster_size": pa.array(sizes, pa.int64())})
+
+    return (state.groupby("coarse")
+                 .map_groups(labels, batch_format="pyarrow")
+                 .groupby("ccoarse")
+                 .map_groups(sized, batch_format="pyarrow"))
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.5, max_doc: int = 300,
+                 k: int = 3, max_rounds: int = 12) -> "ray.data.Dataset":
+    """Duplicate-CLUSTER assignment: connected components over the
+    near-duplicate graph (exact-fingerprint edges union n-gram Jaccard
+    pairs), the step every dedup pipeline needs after pair emission
+    (pairs -> components -> one representative per component).
+
+    Output: (doc_id, cluster_id, cluster_size) for every doc in a
+    component of size >= 2, cluster_id = component-minimum doc_id.
+
+    Oracle: DuckDB recursive CTE propagating min labels over the same edge
+    set (see __ray_entry__.oracle_sql)."""
+    return connected_components(_dup_edges(sf_dir, threshold, max_doc, k),
+                                max_rounds)

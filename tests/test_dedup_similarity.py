@@ -275,3 +275,69 @@ def test_fingerprint_batch_null_text():
     assert fp[1].as_py() is None
     assert fp[0].as_py() == fp[3].as_py()        # whitespace-collapsed equal
     assert fp[2].as_py() is not None and fp[2].as_py() != fp[1].as_py()
+
+
+def _uf_clusters(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    return sorted((d, min(ms), len(ms)) for ms in comp.values() for d in ms)
+
+
+def _cc_of(edges, **kw):
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([a for a, _ in edges], pa.int64()),
+        "b": pa.array([b for _, b in edges], pa.int64())}))
+    got = dedup.connected_components(ds, **kw).take_all()
+    return sorted((r["doc_id"], r["cluster_id"], r["cluster_size"])
+                  for r in got)
+
+
+def test_connected_components_multihop():
+    """Transitivity: a 12-node path (worst-case diameter), a star, a clique,
+    and an isolated pair — labels must equal union-find's."""
+    path = [(i, i + 1) for i in range(11)]
+    star = [(100, x) for x in (101, 102, 103, 104)]
+    clique = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    pair = [(300, 301)]
+    edges = path + star + clique + pair
+    assert _cc_of(edges) == _uf_clusters(edges)
+
+
+def test_connected_components_bridged_and_duplicate_edges():
+    """Two clusters merged by one bridge edge, duplicate + reversed edges
+    in the input (LSH pair lists emit both), high node ids."""
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (10, 11), (11, 12),
+             (3, 10),                        # bridge
+             (10**9, 10**9 + 7), (10**9 + 7, 10**9)]
+    assert _cc_of(edges) == _uf_clusters(edges)
+
+
+def test_connected_components_empty():
+    ds = ray.data.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64())}))
+    assert dedup.connected_components(ds).take_all() == []
+
+
+def test_dup_clusters_planted(ray_session, tmp_path):
+    """dup_clusters over a planted corpus: exact dup (doc 100 = doc 0),
+    whitespace-variant (102 = 2), near dup (101 ~ 1) — each must land in
+    the right cluster with its source doc as the representative."""
+    sf_dir = _make_docs_table(str(tmp_path))
+    res = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup.dup_clusters(sf_dir, max_doc=200).take_all()}
+    assert res[100] == (0, 2) and res[0] == (0, 2)
+    assert res[102] == (2, 2) and res[2] == (2, 2)
+    assert res[101][0] == 1 and res[1][0] == 1
