@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": multimodal.image_thumbnails,
         "video_frame_sample": multimodal.video_frame_sample,
         "media_features": multimodal.media_features,
+        "resize_longest_side": multimodal.resize_longest_side,
         "media_feature_neardup": multimodal.media_feature_neardup,
         "ocr_preprocess_summary": multimodal.ocr_preprocess_summary,
     }

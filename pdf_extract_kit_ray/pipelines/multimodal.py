@@ -21,7 +21,7 @@ import ray.data
 from ..sources.media import media_table_path
 from ..stages.media import (FrameSampleStage, ImagePreprocessStage,
                             ImageResizeStage, MediaDecodeStage,
-                            MediaFeatureStage)
+                            MediaFeatureStage, ResizeLongestSideStage)
 
 _BATCH = 32          # payload rows per batch: binary-heavy, keep small
 
@@ -95,6 +95,14 @@ def ocr_preprocess_summary(sf_dir: str, inv: bool = False,
         ImagePreprocessStage, concurrency=_conc(), batch_size=_BATCH,
         batch_format="pyarrow",
         fn_constructor_kwargs={"inv": inv, "binarize": binarize})
+
+
+def resize_longest_side(sf_dir: str, img_size: int = 1280) -> "ray.data.Dataset":
+    """M7/P17: aspect-preserving model-input resize (longest side to
+    img_size, reference int-truncation geometry) over every image payload."""
+    return _read_media(sf_dir).map_batches(
+        ResizeLongestSideStage, concurrency=_conc(), batch_size=_BATCH,
+        batch_format="pyarrow", fn_constructor_kwargs={"img_size": img_size})
 
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":

@@ -299,3 +299,85 @@ class MediaFeatureStage:
             "features": pa.array([f.tolist() for f in feats],
                                  pa.list_(pa.float32())),
         })
+
+
+def resize_longest_side_shape(width: int, height: int, size: int):
+    """The reference's ResizeLongestSide geometry, exactly
+    (pdf_extract_kit/dataset/dataset.py:12-22): longest side scaled to
+    ``size``, the other side int()-TRUNCATED; a square goes down the
+    height branch (width > height is strict)."""
+    if width > height:
+        return size, int(height * (size / float(width)))
+    return int(width * (size / float(height))), size
+
+
+def bilinear_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic bilinear sampling (align_corners=False grid) of an
+    (H, W) or (H, W, C) uint8 array.  Pixel values are backend-defined
+    (PIL's BILINEAR uses a triangle filter this sandbox cannot replicate
+    bit-for-bit); the SEMANTIC contract — output geometry — is
+    resize_longest_side_shape's."""
+    h, w = arr.shape[:2]
+    out_h, out_w = max(out_h, 1), max(out_w, 1)
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    if arr.ndim == 3:
+        wy, wx = wy[..., None], wx[..., None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return np.clip(top * (1 - wy) + bot * wy + 0.5, 0, 255).astype(np.uint8)
+
+
+def ensure_bgr(arr: np.ndarray) -> np.ndarray:
+    """P10 ``check_img``/``img_decode`` channel semantics
+    (paddle_ocr.py:17-55): grayscale promotes to 3 channels, RGBA
+    composites over white then converts, RGB flips to BGR channel order."""
+    if arr.ndim == 2:
+        return np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.shape[2] == 1:
+        return np.repeat(arr, 3, axis=2)
+    if arr.shape[2] == 4:
+        arr = alpha_to_color(arr)
+    return arr[:, :, ::-1]
+
+
+@STAGE_REGISTRY.register("resize_longest_side")
+class ResizeLongestSideStage:
+    """M7/P17: the reference's aspect-preserving model-input resize as an
+    actor-pool stage — longest side to ``img_size`` with exact
+    int-truncation geometry, bilinear sampling, non-image rows dropped.
+    Emits (media_id, orig dims, new dims, resized crc)."""
+
+    def __init__(self, img_size: int = 1280, backend: str = "fake"):
+        _require_fake(backend, "resize longest side")
+        self.img_size = img_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ows, ohs, nws, nhs, crcs = [], [], [], [], [], []
+        for media_id, payload in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("payload").to_pylist()):
+            d = decode_payload(payload)
+            if d["kind"] != "image":
+                continue
+            w, h = d["width"], d["height"]
+            nw, nh = resize_longest_side_shape(w, h, self.img_size)
+            out = bilinear_resize(ensure_bgr(d["array"]), nw, nh)
+            ids.append(media_id)
+            ows.append(w); ohs.append(h)
+            nws.append(nw); nhs.append(nh)
+            crcs.append(zlib.crc32(out.tobytes()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ows, pa.int32()),
+            "height": pa.array(ohs, pa.int32()),
+            "new_width": pa.array(nws, pa.int32()),
+            "new_height": pa.array(nhs, pa.int32()),
+            "resized_crc": pa.array(crcs, pa.uint32()),
+        })

@@ -211,3 +211,51 @@ def test_media_neardup_pair_set_matches_bruteforce(ray_session):
     nd = mm.media_feature_neardup(sf).to_pandas()
     got = set(zip(nd.a.astype(int), nd.b.astype(int)))
     assert got == expected
+
+
+def test_resize_longest_side_geometry():
+    """The dims rule is the reference's exactly (dataset.py:12-22):
+    longest side -> size, other side int()-truncated, square takes the
+    height branch."""
+    from pdf_extract_kit_ray.stages.media import resize_longest_side_shape
+    assert resize_longest_side_shape(100, 50, 64) == (64, 32)
+    assert resize_longest_side_shape(50, 100, 64) == (32, 64)
+    assert resize_longest_side_shape(101, 67, 64) == (64, int(67 * (64 / 101.0)))
+    assert resize_longest_side_shape(64, 64, 64) == (64, 64)
+    # square of a different size: else-branch (height -> size)
+    assert resize_longest_side_shape(100, 100, 64) == (64, 64)
+    # upscale path
+    assert resize_longest_side_shape(10, 30, 64) == (int(10 * (64 / 30.0)), 64)
+
+
+def test_ensure_bgr_channel_semantics():
+    """P10 check_img/img_decode: gray promotes to 3 channels, RGBA
+    composites over white, RGB flips to BGR."""
+    import numpy as np
+    from pdf_extract_kit_ray.stages.media import ensure_bgr
+    gray = np.array([[7, 9]], np.uint8)
+    out = ensure_bgr(gray)
+    assert out.shape == (1, 2, 3) and (out[0, 0] == 7).all()
+    rgb = np.zeros((1, 1, 3), np.uint8)
+    rgb[0, 0] = (10, 20, 30)
+    assert tuple(ensure_bgr(rgb)[0, 0]) == (30, 20, 10)
+    rgba = np.zeros((1, 1, 4), np.uint8)
+    rgba[0, 0] = (100, 0, 0, 0)          # fully transparent -> white bg
+    assert tuple(ensure_bgr(rgba)[0, 0]) == (255, 255, 255)
+
+
+def test_resize_longest_side_query(ray_session):
+    import pyarrow.dataset as pads
+    from pdf_extract_kit_ray.pipelines import multimodal
+    from pdf_extract_kit_ray.stages.media import resize_longest_side_shape
+    res = multimodal.resize_longest_side("/root/testdata/sf0.001", img_size=64).to_pandas()
+    assert len(res) > 0
+    for _, r in res.iterrows():
+        assert (r["new_width"], r["new_height"]) == \
+            resize_longest_side_shape(r["width"], r["height"], 64)
+        assert max(r["new_width"], r["new_height"]) == 64
+    # deterministic across runs
+    res2 = multimodal.resize_longest_side("/root/testdata/sf0.001", img_size=64).to_pandas()
+    a = res.sort_values("media_id").reset_index(drop=True)
+    b = res2.sort_values("media_id").reset_index(drop=True)
+    assert a.equals(b)
