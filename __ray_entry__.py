@@ -202,11 +202,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": text.top_terms,
         "stratified_sample": text.stratified_sample,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "doc_chunks": text.doc_chunks,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
+        "contamination_check": dedup.contamination_check,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
@@ -501,6 +503,40 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY CAST(round(tf.tf * ln(CAST(n.ns AS DOUBLE) / df.df)
                               * 1000000.0) AS BIGINT) DESC,
                          tf.term ASC) <= 10
+        """,
+        "doc_chunks": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            )
+            SELECT doc_id, s // 48 AS chunk_id,
+                   CAST(len(t[s+1 : s+64]) AS BIGINT) AS n_tokens,
+                   array_to_string(t[s+1 : s+64], ' ') AS chunk_text
+            FROM tok, UNNEST(range(0, greatest(
+                     len(t) - 64 + 48,
+                     CASE WHEN len(t) > 0 THEN 1 ELSE 0 END), 48)) AS u(s)
+        """,
+        "contamination_check": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(lower(trim(text)),
+                                                    '\\s+')
+                       END AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, array_to_string(t[s+1 : s+8], ' ') AS g
+                FROM tok, UNNEST(range(0, len(t) - 7)) AS u(s)
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE (doc_id & 7) = 0
+            )
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bench b ON g.g = b.g
+            WHERE (g.doc_id & 7) <> 0
+            GROUP BY g.doc_id
         """,
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS distinct_users

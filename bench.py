@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "doc_token_counts",
     "top_terms",
     "tfidf_top_terms",
+    "doc_chunks",
+    "contamination_check",
     "distinct_users_by_type",
     "ann_topk",
     "embedding_neardup",

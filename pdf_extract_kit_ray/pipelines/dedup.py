@@ -598,6 +598,87 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     return sub.map_batches(pairs, batch_format="pyarrow")
 
 
+def _batch_ngrams(text: "pa.ChunkedArray | pa.Array",
+                  n: int) -> Tuple[pa.Array, np.ndarray]:
+    """Vectorized word-n-gram extraction for a whole batch: ONE Arrow
+    lower+trim+whitespace-split, then n shifted takes of the flat token
+    array joined element-wise — no per-row Python.  Returns (grams,
+    doc_index) where doc_index maps each gram to its row in the batch."""
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(text))
+    split = pc.utf8_split_whitespace(trimmed)
+    arr = (split.combine_chunks()
+           if isinstance(split, pa.ChunkedArray) else split)
+    off = arr.offsets.to_numpy().astype(np.int64)
+    n_tok = np.diff(off)
+    n_tok = np.where(np.asarray(pc.equal(trimmed, "")), 0, n_tok)
+    n_grams = np.maximum(n_tok - n + 1, 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        return pa.array([], pa.string()), np.array([], dtype=np.int64)
+    doc_rep = np.repeat(np.arange(len(n_tok)), n_grams)
+    cum = np.cumsum(n_grams) - n_grams
+    starts = off[doc_rep] + (np.arange(total) - cum[doc_rep])
+    flat = arr.values
+    cols = [flat.take(pa.array(starts + j, pa.int64())) for j in range(n)]
+    grams = pc.binary_join_element_wise(*cols, " ")
+    return grams, doc_rep
+
+
+def contamination_check(sf_dir: str, n: int = 8,
+                        bench_mask: int = 7) -> "ray.data.Dataset":
+    """Benchmark n-gram decontamination — the training-data hygiene op:
+    flag every corpus document sharing at least one word-8-gram with the
+    held-out benchmark set, with the number of overlapping gram
+    occurrences.  The benchmark here is the deterministic pseudo-eval
+    subset ``doc_id & bench_mask == 0`` (~1/(bench_mask+1) of docs);
+    in production it is an external eval-suite file.
+
+    Scale shape: real benchmark suites are MBs, so the bench gram set is
+    the classic SMALL SIDE — built once from a pushed-down parquet read,
+    deduped, shipped via ``ray.put``, and membership-tested inside every
+    map task with a vectorized ``pc.is_in``.  The corpus side streams:
+    one Arrow split + n shifted takes per batch, a bincount per doc —
+    a pure map with NO shuffle at any corpus size."""
+    import pyarrow.dataset as pads
+
+    bench_tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pc.bit_wise_and(pads.field("doc_id"), bench_mask) == 0)
+    bench_grams, _ = _batch_ngrams(bench_tbl.column("text"), n)
+    bench_set = pc.unique(bench_grams)
+    bench_ref = ray.put(bench_set)
+
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def hits(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        ids_col = batch.column("doc_id")
+        keep = pc.not_equal(
+            pc.bit_wise_and(ids_col, bench_mask), 0)
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return empty
+        grams, doc_rep = _batch_ngrams(batch.column("text"), n)
+        if len(grams) == 0:
+            return empty
+        member = np.asarray(
+            pc.is_in(grams, value_set=ray.get(bench_ref)))
+        per_doc = np.bincount(doc_rep, weights=member,
+                              minlength=batch.num_rows).astype(np.int64)
+        contaminated = np.flatnonzero(per_doc > 0)
+        if len(contaminated) == 0:
+            return empty
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(
+                pa.array(contaminated, pa.int64())),
+            "n_hits": pa.array(per_doc[contaminated], pa.int64()),
+        })
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints (rolling hash; Schleimer et al., SIGMOD 2003)
 # ---------------------------------------------------------------------------

@@ -153,6 +153,74 @@ def doc_token_counts(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
+def doc_chunks(sf_dir: str, window: int = 64,
+               stride: int = 48) -> "ray.data.Dataset":
+    """Context-window chunking with stride — the canonical pre-training
+    prep op: each document's whitespace tokens are cut into windows of
+    ``window`` tokens starting every ``stride`` tokens (overlap =
+    window - stride).  Emission stops once a window reaches the document
+    end — the trailing window may be short, but a tail fully contained
+    in the previous window is never emitted.  Emits one row per chunk
+    (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Pure map — embarrassingly parallel, no shuffle.  The whole batch is
+    chunked vectorized: one Arrow whitespace split, then numpy index
+    algebra builds a flat gather of every chunk's token positions and a
+    single ``pc.binary_join`` re-joins them — no per-row Python.  Chunks
+    overlap on token positions, so the gather (not slicing) is what keeps
+    it one pass."""
+    import numpy as np
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        split = pc.utf8_split_whitespace(trimmed)
+        arr = (split.combine_chunks()
+               if isinstance(split, pa.ChunkedArray) else split)
+        off = arr.offsets.to_numpy().astype(np.int64)
+        n_tok = np.diff(off)
+        # "" splits to [""] (one empty token): those docs have 0 tokens
+        n_tok = np.where(np.asarray(pc.equal(trimmed, "")), 0, n_tok)
+        # chunks while the previous window hasn't reached the end:
+        # 1 + max(ceil((n - window)/stride), 0) for n > 0
+        n_chunks = np.where(
+            n_tok > 0,
+            np.maximum((n_tok - window + stride - 1) // stride, 0) + 1, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(len(n_tok)), n_chunks)
+        cum = np.cumsum(n_chunks) - n_chunks
+        chunk_idx = np.arange(total) - cum[doc_rep]
+        starts = chunk_idx * stride
+        # clip: with stride > window (gap sampling) the last start can
+        # land exactly at the end -> an empty chunk, same as the SQL twin
+        lens = np.clip(np.minimum(window, n_tok[doc_rep] - starts), 0, None)
+        # flat gather positions: off[doc] + start + arange(len) per chunk
+        base = off[doc_rep] + starts
+        lcum = np.cumsum(lens) - lens
+        idx = np.repeat(base - lcum, lens) + np.arange(int(lens.sum()))
+        gathered = arr.values.take(pa.array(idx, pa.int64()))
+        lists = pa.LargeListArray.from_arrays(
+            np.r_[0, np.cumsum(lens)], gathered)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(
+                pa.array(doc_rep, pa.int64())),
+            "chunk_id": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": pc.binary_join(lists, " "),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
 def stratified_sample(sf_dir: str, quota: int = 25) -> "ray.data.Dataset":
     """Deterministic stratified sampling — the training-data curation step
     that takes a fixed quota of documents PER SOURCE, selected by md5 hash

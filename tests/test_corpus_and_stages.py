@@ -233,3 +233,37 @@ def test_read_corpus_jsonl_roundtrip(ray_session, tmp_path):
     via_arrow = extract_documents(ray.data.from_arrow(raw), cfg).take_all()
     key = lambda rows: {r["doc_id"]: r["spans"] for r in rows}
     assert key(via_json) == key(via_arrow)
+
+
+def test_doc_chunks_semantics(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines.text import doc_chunks
+    toks = [f"t{i}" for i in range(100)]
+    docs = [
+        {"doc_id": 0, "text": ""},                       # no chunks
+        {"doc_id": 1, "text": "   "},                    # whitespace-only
+        {"doc_id": 2, "text": "a b c"},                  # one short chunk
+        {"doc_id": 3, "text": " ".join(toks[:64])},      # exactly one window
+        {"doc_id": 4, "text": " ".join(toks[:65])},      # window + 1
+        {"doc_id": 5, "text": " ".join(toks)},           # 100 tokens
+    ]
+    pq.write_table(pa.Table.from_pylist(docs),
+                   str(tmp_path / "documents.parquet"))
+    df = (doc_chunks(str(tmp_path), window=64, stride=48).to_pandas()
+          .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    by_doc = {d: g for d, g in df.groupby("doc_id")}
+    assert 0 not in by_doc and 1 not in by_doc
+    assert list(by_doc[2]["chunk_text"]) == ["a b c"]
+    assert list(by_doc[2]["n_tokens"]) == [3]
+    assert list(by_doc[3]["n_tokens"]) == [64]      # window reached end
+    # 65 tokens -> chunks at 0 (64 toks) and 48 (17 toks)
+    assert list(by_doc[4]["n_tokens"]) == [64, 17]
+    assert by_doc[4]["chunk_text"].iloc[1] == " ".join(toks[48:65])
+    # 100 tokens -> starts 0 and 48 (the 48-window reaches the end;
+    # a start at 96 would be fully contained in it and is not emitted)
+    assert list(by_doc[5]["n_tokens"]) == [64, 52]
+    assert by_doc[5]["chunk_text"].iloc[1] == " ".join(toks[48:100])
+    # overlap region identical between consecutive chunks
+    c0, c1 = by_doc[5]["chunk_text"].iloc[0], by_doc[5]["chunk_text"].iloc[1]
+    assert c0.split()[48:] == c1.split()[:16]

@@ -341,3 +341,40 @@ def test_dup_clusters_planted(ray_session, tmp_path):
     assert res[100] == (0, 2) and res[0] == (0, 2)
     assert res[102] == (2, 2) and res[2] == (2, 2)
     assert res[101][0] == 1 and res[1][0] == 1
+
+
+def test_contamination_check_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines.dedup import contamination_check
+    bench_gram = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = [
+        # doc 0: bench member (0 & 7 == 0) holding the distinctive 8-gram
+        {"doc_id": 0, "text": f"intro {bench_gram} outro"},
+        # doc 3: contaminated, contains the gram TWICE (occurrence count)
+        {"doc_id": 3, "text": f"x {bench_gram} y {bench_gram} z"},
+        # doc 5: clean
+        {"doc_id": 5, "text": "totally disjoint filler words " * 10},
+        # doc 8: another bench member (8 & 7 == 0) — never reported
+        {"doc_id": 8, "text": f"pre {bench_gram} post"},
+    ]
+    pq.write_table(pa.Table.from_pylist(docs),
+                   str(tmp_path / "documents.parquet"))
+    out = contamination_check(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == {3: 2}
+
+
+def test_contamination_check_case_insensitive(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines.dedup import contamination_check
+    gram = "one two three four five six seven eight"
+    docs = [
+        {"doc_id": 0, "text": gram.upper()},
+        {"doc_id": 1, "text": f"lead {gram} tail"},
+    ]
+    pq.write_table(pa.Table.from_pylist(docs),
+                   str(tmp_path / "documents.parquet"))
+    out = contamination_check(str(tmp_path)).to_pandas()
+    assert dict(zip(out["doc_id"], out["n_hits"])) == {1: 1}
