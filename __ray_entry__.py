@@ -85,13 +85,16 @@ def _span_kind_counts(sf_dir: str):
     """Flagship output rolled up: spans per (kind) across the corpus —
     a stable, schema-fixed summary of the extraction result."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def explode(batch: pa.Table) -> pa.Table:
-        kinds = []
-        for spans in batch.column("spans").to_pylist():
-            kinds.extend(s["kind"] for s in spans)
-        t = pa.table({"kind": pa.array(kinds, pa.string())})
+        # list_flatten (not .values) so a sliced block can't leak
+        # out-of-slice spans into the count
+        flat = pc.list_flatten(batch.column("spans"))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        t = pa.table({"kind": flat.field("kind")})
         g = t.group_by("kind").aggregate([([], "count_all")])
         return g.rename_columns(["kind", "partial_n"])
 
