@@ -218,6 +218,11 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
 
     def make_partial(cref):
         def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"block_key": pa.array([], pa.int64()),
+                                 "sums": pa.array([], pa.list_(pa.float64())),
+                                 "counts": pa.array([], pa.list_(pa.int64())),
+                                 "inertia": pa.array([], pa.float64())})
             cents = ray.get(cref)
             x = np.array(batch.column("embedding").to_pylist(),
                          dtype=np.float64)
@@ -228,6 +233,8 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
             counts = np.bincount(assign, minlength=len(cents))
             inertia = d2[np.arange(len(x)), assign].sum()
             return pa.table({
+                "block_key": pa.array(
+                    [int(batch.column("vec_id")[0].as_py())], pa.int64()),
                 "sums": pa.array([sums.ravel().tolist()],
                                  pa.list_(pa.float64())),
                 "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
@@ -238,18 +245,27 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     inertia = float("nan")
     for _ in range(iters):
         cref = ray.put(centroids)
-        sums = np.zeros((k, dim))
-        counts = np.zeros(k, dtype=np.int64)
-        inertia = 0.0
+        # collect the KB-sized partials, then merge in block_key order:
+        # iter_batches yields blocks in nondeterministic arrival order, and
+        # float sums are order-sensitive at the ulp level — enough to flip
+        # boundary points between clusters across otherwise-identical runs
+        partials = []
         for b in ds.map_batches(make_partial(cref),
                                 batch_format="pyarrow").iter_batches(
                                     batch_format="pyarrow"):
-            for s, c, i in zip(b.column("sums").to_pylist(),
-                               b.column("counts").to_pylist(),
-                               b.column("inertia").to_pylist()):
-                sums += np.array(s).reshape(k, dim)
-                counts += np.array(c, dtype=np.int64)
-                inertia += i
+            for kb, s, c, i in zip(b.column("block_key").to_pylist(),
+                                   b.column("sums").to_pylist(),
+                                   b.column("counts").to_pylist(),
+                                   b.column("inertia").to_pylist()):
+                partials.append((kb, s, c, i))
+        partials.sort(key=lambda p: p[0])
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for _kb, s, c, i in partials:
+            sums += np.array(s).reshape(k, dim)
+            counts += np.array(c, dtype=np.int64)
+            inertia += i
         nonzero = counts > 0
         centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
 
