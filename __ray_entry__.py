@@ -167,8 +167,9 @@ def _table_sources(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pdf_extract_kit_ray.pipelines import (dedup, multimodal, relational,
-                                               similarity, streaming, text)
+    from pdf_extract_kit_ray.pipelines import (curation, dedup, multimodal,
+                                               relational, similarity,
+                                               streaming, text)
 
     return {
         # --- flagship extraction (non-SQL; driver rows-only check) ---
@@ -206,6 +207,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text.stratified_sample,
         "tfidf_top_terms": text.tfidf_top_terms,
         "doc_chunks": text.doc_chunks,
+        # --- corpus curation ---
+        "pii_redact": curation.pii_redact,
+        "doc_repetition": curation.doc_repetition,
+        "train_val_split": curation.train_val_split,
+        "source_mixture": curation.source_mixture,
+        "props_value_stats": curation.props_value_stats,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
@@ -521,6 +528,69 @@ def oracle_sql() -> dict[str, str]:
             FROM tok, UNNEST(range(0, greatest(
                      len(t) - 64 + 48,
                      CASE WHEN len(t) > 0 THEN 1 ELSE 0 END), 48)) AS u(s)
+        """,
+        "pii_redact": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ips,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '[IP]', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                       '[PHONE]', 'g') AS clean_text
+            FROM documents
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                       AS top_token_frac
+            FROM tc GROUP BY doc_id
+        """,
+        "train_val_split": """
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'val' ELSE 'train' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        "source_mixture": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE
+                       WHEN CAST(substr(source, 4) AS INT) < 4 THEN 1
+                       WHEN CAST(substr(source, 4) AS INT) < 12 THEN
+                           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 2) < '80' THEN 1 ELSE 0 END
+                       ELSE
+                           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 2) < '20' THEN 1 ELSE 0 END
+                   END) AS BIGINT) AS n_kept
+            FROM documents GROUP BY source
+        """,
+        "props_value_stats": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS total_value_micro
+            FROM events GROUP BY 1
         """,
         "contamination_check": """
             WITH tok AS (

@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "winnow_neardup",
     "doc_token_counts",
     "top_terms",
+    "pii_redact",
+    "doc_repetition",
+    "train_val_split",
+    "source_mixture",
+    "props_value_stats",
     "tfidf_top_terms",
     "doc_chunks",
     "contamination_check",

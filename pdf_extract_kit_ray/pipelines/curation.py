@@ -1,0 +1,220 @@
+"""Corpus-curation operators: PII scrubbing, repetition quality, dataset
+splitting, source mixing, and JSON property extraction.
+
+These are the remaining curation steps a 100 TB training-data pipeline runs
+between raw ingestion and tokenization.  Every operator here is a pure
+``map_batches`` pass or a partial-combine + one small ``groupby`` — no
+all-to-all over row-sized data — and each has an exact DuckDB-SQL twin in
+``__ray_entry__.oracle_sql`` (both engines run RE2 regexes and the same
+micro-int rounding, so value hashes are bit-identical).
+
+Determinism notes shared by the hash-based ops (`train_val_split`,
+`source_mixture`): assignment is by md5 of the document id's DECIMAL STRING
+(matching SQL ``md5(CAST(doc_id AS VARCHAR))``), so membership is a pure
+function of the row — stable across runs, workers, block layouts, and
+engine (no RNG state to synchronize, the property that makes hash-split the
+standard over `random()` sampling at scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.joins import sized_read_parquet
+
+# RE2 patterns, identical strings on the Arrow and DuckDB sides (both
+# engines are RE2, so alternation/word-boundary semantics agree).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def _read_docs(sf_dir: str, columns) -> "ray.data.Dataset":
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _round6(x) -> pa.Array:
+    """6dp round via integer micro-units, half away from zero — the same
+    arithmetic DuckDB's round() performs (see text.quality_score)."""
+    micro = pc.cast(pc.round(pc.multiply(x, 1000000.0), ndigits=0,
+                             round_mode="half_towards_infinity"), pa.int64())
+    return pc.divide(pc.cast(micro, pa.float64()), 1000000.0)
+
+
+def _md5_prefix2(ids: pa.ChunkedArray) -> list:
+    """First two hex chars of md5(decimal-string id) per row — the split
+    key.  md5 has no Arrow kernel; the per-row cost is one short-string
+    hash (amortized ~100 ns/row), not a text-sized scan."""
+    md5 = hashlib.md5
+    return [md5(str(i).encode()).hexdigest()[:2] for i in ids.to_pylist()]
+
+
+def pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII scrub — emails, IPv4s, and US-style phone numbers counted and
+    replaced with typed placeholder tokens, per document.
+
+    Pure map, no shuffle: counts come from ``pc.count_substring_regex`` on
+    the original text; the redacted text applies the three replacements in
+    a fixed order (email -> ip -> phone) so both engines transform
+    identically.  On a clean corpus this is a verified no-op (counts 0,
+    text unchanged) — the planted-PII path is pinned by unit tests."""
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        clean = pc.replace_substring_regex(text, PII_EMAIL, "[EMAIL]")
+        clean = pc.replace_substring_regex(clean, PII_IP, "[IP]")
+        clean = pc.replace_substring_regex(clean, PII_PHONE, "[PHONE]")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_emails": pc.cast(
+                pc.count_substring_regex(text, PII_EMAIL), pa.int64()),
+            "n_ips": pc.cast(
+                pc.count_substring_regex(text, PII_IP), pa.int64()),
+            "n_phones": pc.cast(
+                pc.count_substring_regex(text, PII_PHONE), pa.int64()),
+            "clean_text": clean,
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")
+
+
+def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Repetition-based quality signal (the Gopher-style "fraction of the
+    document that is its single most frequent token"): per doc —
+    n_tokens, n_distinct, top_token_frac.
+
+    Pure map: each batch splits on whitespace, counts (doc, token) pairs
+    with ONE Arrow group_by, reduces to per-doc (sum, max, count) with a
+    second — no Python loop, no shuffle (docs never span batches).  Docs
+    with zero tokens are dropped (same as the SQL twin, where they have no
+    token rows to group)."""
+    def rep(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "top_token_frac": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        split = pc.utf8_split_whitespace(batch.column("text"))
+        toks = pc.list_flatten(split)
+        idx = pc.list_parent_indices(split)
+        t = pa.table({"idx": idx, "tok": toks}).filter(
+            pc.not_equal(toks, ""))
+        if t.num_rows == 0:
+            return empty
+        tc = t.group_by(["idx", "tok"]).aggregate([([], "count_all")]) \
+            .rename_columns(["idx", "tok", "c"])
+        agg = tc.group_by("idx").aggregate(
+            [("c", "sum"), ("c", "max"), ("c", "count")]) \
+            .rename_columns(["idx", "n_tokens", "top_c", "n_distinct"])
+        frac = pc.divide(pc.cast(agg.column("top_c"), pa.float64()),
+                         pc.cast(agg.column("n_tokens"), pa.float64()))
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(agg.column("idx")),
+            "n_tokens": pc.cast(agg.column("n_tokens"), pa.int64()),
+            "n_distinct": pc.cast(agg.column("n_distinct"), pa.int64()),
+            "top_token_frac": _round6(frac),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow")
+
+
+# 'val' iff the first two md5 hex chars sort below this string: '1a' = 26
+# of 256 buckets ~ 10.2%.  Lexicographic compare of fixed-width lowercase
+# hex == numeric compare, and works identically in SQL.
+VAL_HEX_THRESHOLD = "1a"
+
+
+def train_val_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic train/validation split by id-hash, rolled up to
+    (split, n_docs, total_chars).  The per-batch combiner ships two rows
+    per block; the groupby sums block partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h2 = pa.array(_md5_prefix2(batch.column("doc_id")), pa.string())
+        split = pc.if_else(pc.less(h2, VAL_HEX_THRESHOLD), "val", "train")
+        t = pa.table({"split": split, "n_chars": batch.column("n_chars")})
+        g = t.group_by("split").aggregate([([], "count_all"),
+                                           ("n_chars", "sum")])
+        return g.rename_columns(["split", "partial_docs", "partial_chars"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("split").aggregate(
+            Sum("partial_docs", alias_name="n_docs"),
+            Sum("partial_chars", alias_name="total_chars"))
+
+
+# Per-source sampling rates for the mixture: heavy sources kept whole,
+# mid-tier at 1/2, tail at 1/8 — thresholds again as 2-hex-char strings.
+_MIX_FULL_BELOW = 4        # src0..src3: keep all
+_MIX_HALF_BELOW = 12       # src4..src11: keep hash < '80' (128/256)
+_MIX_HALF_HEX = "80"
+_MIX_TAIL_HEX = "20"       # src12+: keep hash < '20' (32/256)
+
+
+def source_mixture(sf_dir: str) -> "ray.data.Dataset":
+    """Data-mixture downsampling: each source keeps a deterministic
+    hash-fraction of its documents (1.0 / 0.5 / 0.125 by source tier),
+    reported as (source, n_docs, n_kept).  The real pipeline would emit
+    the kept rows; the rollup form keeps the oracle comparison small while
+    exercising the same per-row membership predicate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        num = pc.cast(pc.utf8_slice_codeunits(src, 3, 32), pa.int64())
+        h2 = pa.array(_md5_prefix2(batch.column("doc_id")), pa.string())
+        keep = pc.if_else(
+            pc.less(num, _MIX_FULL_BELOW), pa.scalar(True),
+            pc.if_else(pc.less(num, _MIX_HALF_BELOW),
+                       pc.less(h2, _MIX_HALF_HEX),
+                       pc.less(h2, _MIX_TAIL_HEX)))
+        t = pa.table({"source": src,
+                      "kept": pc.cast(keep, pa.int64())})
+        g = t.group_by("source").aggregate([([], "count_all"),
+                                            ("kept", "sum")])
+        return g.rename_columns(["source", "partial_docs", "partial_kept"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("partial_docs", alias_name="n_docs"),
+            Sum("partial_kept", alias_name="n_kept"))
+
+
+def props_value_stats(sf_dir: str) -> "ray.data.Dataset":
+    """JSON property extraction + rollup over the event stream: parse the
+    integer ``k`` out of the ``props`` JSON string (vectorized
+    ``pc.extract_regex`` — the fixed {"k": N} shape needs no tree parser)
+    and aggregate per k: event count and the value total in exact
+    micro-units (int64) so the parallel sum is order-insensitive — the
+    float-sum twin would hash-differ run to run."""
+    from ray.data.aggregate import Sum
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["props", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        micro = pc.cast(pc.round(pc.multiply(batch.column("value"), 1e6),
+                                 ndigits=0,
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"k": k, "micro": micro})
+        g = t.group_by("k").aggregate([([], "count_all"), ("micro", "sum")])
+        return g.rename_columns(["k", "partial_n", "partial_micro"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(
+            Sum("partial_n", alias_name="n_events"),
+            Sum("partial_micro", alias_name="total_value_micro"))

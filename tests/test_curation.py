@@ -1,0 +1,91 @@
+"""Curation operators: planted-PII redaction, repetition scoring, and the
+hash-split determinism contracts (the clean-corpus no-op paths are covered
+by the oracle-twin parametrized test)."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def planted_dir(tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "contact me at alice.smith+x@example.org for details",
+            "server 10.0.255.3 responded then 192.168.1.1 timed out",
+            "call 555-867-5309 or 555.123.4567 now",
+            "clean text with no pii at all",
+        ], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["src0"] * 4, pa.string()),
+        "n_chars": pa.array([10, 10, 10, 10], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_pii_redact_planted(ray_session, planted_dir):
+    from pdf_extract_kit_ray.pipelines.curation import pii_redact
+    df = pii_redact(planted_dir).to_pandas().set_index("doc_id").sort_index()
+    assert df.loc[1, "n_emails"] == 1 and "[EMAIL]" in df.loc[1, "clean_text"]
+    assert "alice" not in df.loc[1, "clean_text"]
+    assert df.loc[2, "n_ips"] == 2 and df.loc[2, "clean_text"].count("[IP]") == 2
+    assert df.loc[3, "n_phones"] == 2 \
+        and df.loc[3, "clean_text"].count("[PHONE]") == 2
+    assert df.loc[4, ["n_emails", "n_ips", "n_phones"]].sum() == 0
+    assert df.loc[4, "clean_text"] == "clean text with no pii at all"
+
+
+def test_pii_redact_matches_duckdb_on_planted(ray_session, planted_dir):
+    """The RE2 patterns behave identically in Arrow and DuckDB on text
+    that actually contains PII (the sf corpus exercises only the no-op
+    path)."""
+    import __ray_entry__ as entrymod
+    from pdf_extract_kit_ray.pipelines.curation import pii_redact
+    ray_df = pii_redact(planted_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{planted_dir}/documents.parquet')")
+    duck_df = con.execute(entrymod.oracle_sql()["pii_redact"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_emails", "n_ips", "n_phones", "clean_text"]:
+        assert list(ray_df[col]) == list(duck_df[col]), col
+
+
+def test_doc_repetition_planted(ray_session, planted_dir):
+    from pdf_extract_kit_ray.pipelines.curation import doc_repetition
+    df = doc_repetition(planted_dir).to_pandas().set_index("doc_id")
+    # doc 4: "clean text with no pii at all" — 7 tokens, all distinct
+    assert df.loc[4, "n_tokens"] == 7
+    assert df.loc[4, "n_distinct"] == 7
+    assert abs(df.loc[4, "top_token_frac"] - round(1 / 7, 6)) < 1e-9
+    # doc 3 repeats "or"-free but has two "555..." distinct tokens; just
+    # sanity: fractions in (0, 1]
+    assert ((df["top_token_frac"] > 0) & (df["top_token_frac"] <= 1)).all()
+
+
+def test_train_val_split_deterministic(ray_session):
+    from pdf_extract_kit_ray.pipelines.curation import train_val_split
+    sf = "/root/testdata/sf0.001"
+    a = train_val_split(sf).to_pandas().sort_values("split") \
+        .reset_index(drop=True)
+    b = train_val_split(sf).to_pandas().sort_values("split") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    total = a.n_docs.sum()
+    val = a.set_index("split").loc["val", "n_docs"]
+    # 26/256 expected; at 50 docs allow a wide band but require both splits
+    assert 0 < val < total
+
+
+def test_source_mixture_rates(ray_session):
+    from pdf_extract_kit_ray.pipelines.curation import source_mixture
+    df = source_mixture("/root/testdata/sf0.01").to_pandas()
+    df["num"] = df.source.str.slice(3).astype(int)
+    full = df[df.num < 4]
+    assert (full.n_kept == full.n_docs).all()          # tier 1: keep all
+    tail = df[df.num >= 12]
+    assert (tail.n_kept < tail.n_docs).all()           # tier 3: downsampled
