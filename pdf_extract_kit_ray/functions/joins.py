@@ -153,6 +153,53 @@ def broadcast_join(ds: "ray.data.Dataset", small: pa.Table,
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+# sides whose PRUNED columns fit under this take the broadcast path (one
+# object-store ship + per-worker cached index) instead of a hash-shuffle
+# Dataset.join; past it the pruned side no longer fits every worker's heap
+BROADCAST_BYTES = 128 << 20
+
+
+def join_partitions(num_partitions: "int | None" = None) -> int:
+    """Hash-join partition count: ~CPUs/4, min 8.  Each partition is a
+    long-lived aggregator ACTOR; more partitions than ~CPUs/4
+    oversubscribes a node (measured at 32 CPUs, sf0.1: 8 parts ≈ 3.9 s,
+    32 parts ≈ 8-16 s, 64 parts ≈ 10-40 s).  On a multi-node cluster the
+    same rule spreads the aggregators across nodes; per-partition data
+    volume, not count, is the scale knob."""
+    if num_partitions is not None:
+        return num_partitions
+    cpus = 32
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    return max(8, cpus // 4)
+
+
+def sized_join(left: "ray.data.Dataset", right_path: str,
+               right_cols: List[str], *, on: str, right_on: str,
+               join_type: str = "inner",
+               num_partitions: "int | None" = None,
+               broadcast_bytes: int = BROADCAST_BYTES) -> "ray.data.Dataset":
+    """THE size-based join rule, as one named plan-time decision: if the
+    right side's PRUNED columns (metadata-estimated, no data read) fit
+    under ``broadcast_bytes``, broadcast-join it (no shuffle); otherwise
+    fall back to the partitioned hash-shuffle ``Dataset.join`` — the
+    100 TB shape where the right side is itself a fact table.
+
+    Queries whose right side needs a pre-join transform (filter,
+    semi-join) per branch keep the rule inline (q3_shipping_priority);
+    everything with a plain pruned right side goes through here so the
+    threshold and fallback shape cannot drift between queries."""
+    if pruned_parquet_bytes(right_path, right_cols) <= broadcast_bytes:
+        return broadcast_join(left,
+                              read_small_table(right_path,
+                                               columns=right_cols),
+                              on=on, right_on=right_on, join_type=join_type)
+    right = sized_read_parquet(right_path, columns=right_cols)
+    return left.join(right, join_type=join_type,
+                     num_partitions=join_partitions(num_partitions),
+                     on=(on,), right_on=(right_on,))
+
+
 def read_small_table(path: str, columns: Optional[List[str]] = None,
                      filter=None) -> pa.Table:
     """Load a dimension table for broadcasting (pruned columns + optional
@@ -181,7 +228,9 @@ def sized_read_parquet(path: str, columns: Optional[List[str]] = None,
         cpus = int(ray.cluster_resources().get("CPU", 8))
     total = pruned_parquet_bytes(path, columns) if columns else \
         pruned_parquet_bytes(path, _all_columns(path))
-    nb = max(cpus // 4, total // target_block_bytes)
+    # floor of 1: cpus//4 is 0 on a 2-3 CPU cluster and read_parquet
+    # rejects override_num_blocks=0
+    nb = max(1, cpus // 4, total // target_block_bytes)
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=int(nb))
 

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.joins import sized_read_parquet
+from ..functions.num import round6
 
 # RE2 patterns, identical strings on the Arrow and DuckDB sides (both
 # engines are RE2, so alternation/word-boundary semantics agree).
@@ -35,14 +36,6 @@ PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 
 def _read_docs(sf_dir: str, columns) -> "ray.data.Dataset":
     return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
-
-
-def _round6(x) -> pa.Array:
-    """6dp round via integer micro-units, half away from zero — the same
-    arithmetic DuckDB's round() performs (see text.quality_score)."""
-    micro = pc.cast(pc.round(pc.multiply(x, 1000000.0), ndigits=0,
-                             round_mode="half_towards_infinity"), pa.int64())
-    return pc.divide(pc.cast(micro, pa.float64()), 1000000.0)
 
 
 def _md5_prefix2(ids: pa.ChunkedArray) -> list:
@@ -117,7 +110,7 @@ def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
             "doc_id": batch.column("doc_id").take(agg.column("idx")),
             "n_tokens": pc.cast(agg.column("n_tokens"), pa.int64()),
             "n_distinct": pc.cast(agg.column("n_distinct"), pa.int64()),
-            "top_token_frac": _round6(frac),
+            "top_token_frac": round6(frac),
         })
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(

@@ -249,28 +249,20 @@ def _candidate_pairs_ds(ds: "ray.data.Dataset", text_col: str,
               .map_groups(coarse_pairs, batch_format="pyarrow"))
 
 
-_MEMBER_SCHEMA = pa.schema([("mcoarse", pa.int64()),
-                            ("member_id", pa.int64()),
-                            ("keep_id", pa.int64()),
-                            ("dup_id", pa.int64()),
-                            ("text", pa.string())])
-
-
 def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
                   shingle_k: int = 3, threshold: float = 0.5,
                   table: str = "documents") -> "ray.data.Dataset":
     """Near-duplicate pairs (keep_id < dup_id) whose verified word-shingle
     Jaccard similarity is >= threshold.
 
-    Verification is FULLY DISTRIBUTED (nothing is materialized on the
-    driver): candidate pairs are exploded to per-doc membership rows
-    (member_id = each side of the pair), unioned with the corpus's
-    (doc_id, text) rows, and ONE hash shuffle on member_id attaches each
-    doc's text to every pair it participates in.  A second (candidate-sized)
-    groupby on the pair key brings the two texts together and computes exact
-    Jaccard inside ``map_groups``.  Shuffle volume: corpus text once +
-    O(|candidates|) small rows — the 100 TB-safe semi-join shape.
+    Verification is FULLY DISTRIBUTED via the shared membership-union
+    semi-join primitive (``functions.pairs.verify_candidate_pairs``):
+    corpus text ships through exactly ONE hash shuffle, candidate pairs
+    explode to per-doc membership rows, and a candidate-sized groupby
+    computes exact Jaccard per pair — nothing materializes on the driver.
     """
+    from ..functions.pairs import verify_candidate_pairs
+
     path = f"{sf_dir}/{table}.parquet"
     ds = sized_read_parquet(path, columns=["doc_id", "text"])
     cand = _candidate_pairs_ds(ds, "text", "doc_id", num_perm, bands, shingle_k)
@@ -279,106 +271,24 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
     # into each group keeps the group bodies vectorized/amortized)
     num_coarse = _num_coarse(ds.count())
 
-    def pair_members(batch: pa.Table) -> pa.Table:
-        keep = batch.column("keep_id").to_numpy()
-        dup = batch.column("dup_id").to_numpy()
-        member = np.concatenate([keep, dup])
-        return pa.table({
-            "mcoarse": pa.array(member % num_coarse, pa.int64()),
-            "member_id": pa.array(member, pa.int64()),
-            "keep_id": pa.array(np.concatenate([keep, keep]), pa.int64()),
-            "dup_id": pa.array(np.concatenate([dup, dup]), pa.int64()),
-            "text": pa.nulls(2 * len(keep), pa.string()),
-        }, schema=_MEMBER_SCHEMA)
-
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = batch.column("doc_id").cast(pa.int64())
-        return pa.table({
-            "mcoarse": pc.cast(
-                pc.subtract(ids, pc.multiply(
-                    pc.divide(ids, num_coarse), num_coarse)), pa.int64()),
-            "member_id": ids,
-            "keep_id": pa.array(np.full(n, -1), pa.int64()),
-            "dup_id": pa.array(np.full(n, -1), pa.int64()),
-            "text": batch.column("text"),
-        }, schema=_MEMBER_SCHEMA)
-
-    def attach_text(group: pa.Table) -> pa.Table:
-        """One coarse member group: text rows + membership rows for MANY
-        docs — membership triples deduped across bands, each side row
-        emitted with its doc's text attached via an in-group dict."""
-        empty = pa.table({"pcoarse": pa.array([], pa.int64()),
-                          "keep_id": pa.array([], pa.int64()),
-                          "dup_id": pa.array([], pa.int64()),
-                          "is_keep": pa.array([], pa.bool_()),
-                          "text": pa.array([], pa.string())})
-        is_doc = pc.equal(group.column("keep_id"), -1).combine_chunks()
-        doc_part = group.filter(is_doc)
-        members = group.filter(pc.invert(is_doc))
-        if members.num_rows == 0 or doc_part.num_rows == 0:
-            return empty
-        texts = dict(zip(doc_part.column("member_id").to_pylist(),
-                         doc_part.column("text").to_pylist()))
-        m = members.column("member_id").to_numpy()
-        k = members.column("keep_id").to_numpy()
-        d = members.column("dup_id").to_numpy()
-        order = np.lexsort((d, k, m))
-        m, k, d = m[order], k[order], d[order]
-        dedup = np.r_[True, (m[1:] != m[:-1]) | (k[1:] != k[:-1])
-                      | (d[1:] != d[:-1])]
-        m, k, d = m[dedup], k[dedup], d[dedup]
-        out_text = [texts.get(int(x)) for x in m]
-        valid = np.fromiter((t is not None for t in out_text),
-                            dtype=bool, count=len(out_text))
-        m, k, d = m[valid], k[valid], d[valid]
-        out_text = [t for t in out_text if t is not None]
-        pcoarse = (k * np.int64(1000003) + d) % num_coarse
-        return pa.table({
-            "pcoarse": pa.array(pcoarse, pa.int64()),
-            "keep_id": pa.array(k, pa.int64()),
-            "dup_id": pa.array(d, pa.int64()),
-            "is_keep": pa.array(m == k, pa.bool_()),
-            "text": pa.array(out_text, pa.string())})
-
-    def verify_pairs(group: pa.Table) -> pa.Table:
-        """One coarse pair group: MANY candidate pairs, each with its two
-        text-carrying side rows; exact Jaccard per pair."""
-        empty = pa.table({"keep_id": pa.array([], pa.int64()),
-                          "dup_id": pa.array([], pa.int64()),
-                          "jaccard": pa.array([], pa.float64())})
-        k = group.column("keep_id").to_numpy()
-        d = group.column("dup_id").to_numpy()
-        is_keep = group.column("is_keep").to_numpy(zero_copy_only=False)
-        texts = group.column("text").to_pylist()
-        order = np.lexsort((~is_keep, d, k))
-        k, d, is_keep = k[order], d[order], is_keep[order]
-        texts = [texts[i] for i in order]
-        new_pair = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
-        bounds = np.r_[np.flatnonzero(new_pair), len(k)]
-        sizes = np.diff(bounds)
+    def verify(keep_ids, dup_ids, texts_a, texts_b) -> pa.Table:
+        """Exact Jaccard per complete pair (keep side aligned first)."""
+        ta, tb = texts_a.to_pylist(), texts_b.to_pylist()
         out_k, out_d, out_j = [], [], []
-        for s, size in zip(bounds[:-1], sizes):
-            if size != 2:
-                continue               # a side's doc text was missing
-            j = round(jaccard(texts[s], texts[s + 1], shingle_k), 6)
+        for i in range(len(keep_ids)):
+            j = round(jaccard(ta[i], tb[i], shingle_k), 6)
             if j >= threshold:
-                out_k.append(k[s])
-                out_d.append(d[s])
+                out_k.append(keep_ids[i])
+                out_d.append(dup_ids[i])
                 out_j.append(j)
-        if not out_k:
-            return empty
         return pa.table({"keep_id": pa.array(out_k, pa.int64()),
                          "dup_id": pa.array(out_d, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    members = cand.map_batches(pair_members, batch_format="pyarrow")
-    docs = ds.map_batches(doc_rows, batch_format="pyarrow")
-    return (docs.union(members)
-                .groupby("mcoarse")
-                .map_groups(attach_text, batch_format="pyarrow")
-                .groupby("pcoarse")
-                .map_groups(verify_pairs, batch_format="pyarrow"))
+    return verify_candidate_pairs(
+        ds, cand, id_col="doc_id", payload_col="text",
+        payload_type=pa.string(), num_coarse=num_coarse, verify=verify,
+        a_col="keep_id", b_col="dup_id")
 
 
 # ---------------------------------------------------------------------------
@@ -919,6 +829,7 @@ def connected_components(edges: "ray.data.Dataset",
 
     state = edges.map_batches(seed, batch_format="pyarrow").materialize()
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         state = (state.groupby("coarse")
                       .map_groups(hash_to_min, batch_format="pyarrow")
@@ -933,8 +844,17 @@ def connected_components(edges: "ray.data.Dataset",
         sig_ds = state.map_batches(sig_cols, batch_format="pyarrow")
         sig = (sig_ds.count(), sig_ds.sum("h"))
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Hash-to-Min reach roughly squares per round, so non-convergence
+        # within max_rounds means a pathologically deep component; emitting
+        # the current labels would SILENTLY under-merge (multiple
+        # cluster_ids for one true component), so fail loudly instead
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds; "
+            f"raise max_rounds (components of diameter d need ~log2(d)+2)")
 
     def labels(group: pa.Table) -> pa.Table:
         node = group.column("node").to_numpy()

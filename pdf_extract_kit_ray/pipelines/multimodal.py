@@ -122,13 +122,6 @@ _MFND_BAND_BITS = 16
 _MFND_SUB_BITS = 16          # refinement hyperplanes for cap-splitting
 _MFND_BUCKET_CAP = 512
 
-_MFEAT_SCHEMA = pa.schema([("mcoarse", pa.int64()),
-                           ("member_id", pa.int64()),
-                           ("a", pa.int64()),
-                           ("b", pa.int64()),
-                           ("features", pa.list_(pa.float32()))])
-
-
 def _segment_candidates(ids, sub, cap=_MFND_BUCKET_CAP):
     """Candidate (a, b) pairs within one (band, bucket) segment, population-
     capped.
@@ -281,117 +274,39 @@ def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
         return pa.table({"a": pa.array(np.concatenate(outs_a), pa.int64()),
                          "b": pa.array(np.concatenate(outs_b), pa.int64())})
 
-    # the verification shuffles are COARSE-bucketed like every other LSH
-    # groupby here: per-key map_groups dispatch (~1 ms/group) over one
-    # group per media item was the round-3-interim bottleneck — hashing
-    # many keys into each group lets the group body stay one vectorized
-    # numpy pass
-    num_coarse_m = num_coarse
-
-    def pair_members(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy()
-        b = batch.column("b").to_numpy()
-        member = np.concatenate([a, b])
-        return pa.table({
-            "mcoarse": pa.array(member % num_coarse_m, pa.int64()),
-            "member_id": pa.array(member, pa.int64()),
-            "a": pa.array(np.concatenate([a, a]), pa.int64()),
-            "b": pa.array(np.concatenate([b, b]), pa.int64()),
-            "features": pa.nulls(2 * len(a), pa.list_(pa.float32())),
-        }, schema=_MFEAT_SCHEMA)
-
-    def feat_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = batch.column("media_id").cast(pa.int64())
-        return pa.table({
-            "mcoarse": pc.cast(
-                pc.subtract(ids, pc.multiply(
-                    pc.divide(ids, num_coarse_m), num_coarse_m)), pa.int64()),
-            "member_id": ids,
-            "a": pa.array(np.full(n, -1), pa.int64()),
-            "b": pa.array(np.full(n, -1), pa.int64()),
-            "features": batch.column("features"),
-        }, schema=_MFEAT_SCHEMA)
-
-    def attach_features(group: pa.Table) -> pa.Table:
-        """One coarse member group: feature rows + membership rows for MANY
-        media ids, attached vectorized (sorted feature ids + searchsorted
-        lookup; (member, a, b) triples deduped across bands)."""
-        empty = pa.table({"pcoarse": pa.array([], pa.int64()),
-                          "a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64()),
-                          "is_a": pa.array([], pa.bool_()),
-                          "features": pa.array([], pa.list_(pa.float32()))})
-        is_feat = pc.equal(group.column("a"), -1).combine_chunks()
-        feat_part = group.filter(is_feat)
-        members = group.filter(pc.invert(is_feat))
-        if members.num_rows == 0 or feat_part.num_rows == 0:
-            return empty
-        fid = feat_part.column("member_id").to_numpy()
-        fvec = pc.list_flatten(feat_part.column("features")) \
-            .to_numpy().reshape(len(fid), -1)
-        forder = np.argsort(fid)
-        fid, fvec = fid[forder], fvec[forder]
-        m = members.column("member_id").to_numpy()
-        a = members.column("a").to_numpy()
-        b = members.column("b").to_numpy()
-        order = np.lexsort((b, a, m))
-        m, a, b = m[order], a[order], b[order]
-        keep = np.r_[True, (m[1:] != m[:-1]) | (a[1:] != a[:-1])
-                     | (b[1:] != b[:-1])]
-        m, a, b = m[keep], a[keep], b[keep]
-        pos = np.searchsorted(fid, m)
-        valid = (pos < len(fid)) & (fid[np.minimum(pos, len(fid) - 1)] == m)
-        m, a, b, pos = m[valid], a[valid], b[valid], pos[valid]
-        if not len(m):
-            return empty
-        pcoarse = (a * np.int64(1000003) + b) % num_coarse_m
-        return pa.table({
-            "pcoarse": pa.array(pcoarse, pa.int64()),
-            "a": pa.array(a, pa.int64()),
-            "b": pa.array(b, pa.int64()),
-            "is_a": pa.array(m == a, pa.bool_()),
-            "features": pa.array(list(fvec[pos]), pa.list_(pa.float32()))})
-
-    def verify_pairs(group: pa.Table) -> pa.Table:
-        """One coarse pair group: MANY (a, b) candidates, each with its two
-        feature-carrying side rows; exact cosine computed in one vectorized
-        pass over the segment-aligned sides."""
+    def verify(a_ids, b_ids, feats_a, feats_b) -> pa.Table:
+        """Exact cosine per complete pair, one vectorized pass over the
+        pair-aligned sides."""
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
                           "score": pa.array([], pa.float64())})
-        a = group.column("a").to_numpy()
-        b = group.column("b").to_numpy()
-        is_a = group.column("is_a").to_numpy(zero_copy_only=False)
-        vec = pc.list_flatten(group.column("features")) \
-            .to_numpy().reshape(len(a), -1).astype(np.float64)
-        # sort pairs together, a-side first within each pair
-        order = np.lexsort((~is_a, b, a))
-        a, b, is_a, vec = a[order], b[order], is_a[order], vec[order]
-        new_pair = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        bounds = np.r_[np.flatnonzero(new_pair), len(a)]
-        sizes = np.diff(bounds)
-        starts = bounds[:-1][sizes == 2]       # both sides present
-        if not len(starts):
+        if not len(a_ids):
             return empty
-        va, vb = vec[starts], vec[starts + 1]
+        va = pc.list_flatten(feats_a).to_numpy() \
+            .reshape(len(a_ids), -1).astype(np.float64)
+        vb = pc.list_flatten(feats_b).to_numpy() \
+            .reshape(len(b_ids), -1).astype(np.float64)
         na = np.linalg.norm(va, axis=1)
         nb = np.linalg.norm(vb, axis=1)
         denom = na * nb
+        # zero-norm side -> score 0 (never a near-dup): a zero vector
+        # LSH-collides with anything whose band dots are all non-positive,
+        # and scoring those pairs 1.0 would emit false duplicates
         score = np.where(denom > 0, (va * vb).sum(axis=1) / np.where(
-            denom > 0, denom, 1.0), 1.0)
+            denom > 0, denom, 1.0), 0.0)
         hit = score >= threshold
-        return pa.table({"a": pa.array(a[starts][hit], pa.int64()),
-                         "b": pa.array(b[starts][hit], pa.int64()),
+        return pa.table({"a": pa.array(a_ids[hit], pa.int64()),
+                         "b": pa.array(b_ids[hit], pa.int64()),
                          "score": pa.array(score[hit], pa.float64())})
 
     cand = (feats.map_batches(bucketize, batch_format="pyarrow")
                  .groupby("coarse")
                  .map_groups(coarse_candidates, batch_format="pyarrow"))
-    members = cand.map_batches(pair_members, batch_format="pyarrow")
-    sides = feats.map_batches(feat_rows, batch_format="pyarrow")
-    return (sides.union(members)
-                 .groupby("mcoarse")
-                 .map_groups(attach_features, batch_format="pyarrow")
-                 .groupby("pcoarse")
-                 .map_groups(verify_pairs, batch_format="pyarrow"))
+    # verification: the shared membership-union semi-join (features ship
+    # ONCE through one hash shuffle, never replicated per band); both
+    # groupbys inside are coarse-bucketed so group bodies stay vectorized
+    from ..functions.pairs import verify_candidate_pairs
+    return verify_candidate_pairs(
+        feats, cand, id_col="media_id", payload_col="features",
+        payload_type=pa.list_(pa.float32()), num_coarse=num_coarse,
+        verify=verify)

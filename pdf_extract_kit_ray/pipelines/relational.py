@@ -237,25 +237,11 @@ def user_running_totals(sf_dir: str, max_user: int = 50) -> "ray.data.Dataset":
 # joins (Dataset.join: hash-shuffle partitioned join, ray 2.49)
 # ---------------------------------------------------------------------------
 
-def _join_partitions(num_partitions: "int | None") -> int:
-    """Hash-join partition count: ~CPUs/4, min 8.  Each partition is a
-    long-lived aggregator ACTOR; more partitions than ~CPUs/4 oversubscribes
-    a node (measured at 32 CPUs, sf0.1: 8 parts ≈ 3.9 s, 32 parts ≈ 8-16 s,
-    64 parts ≈ 10-40 s).  On a multi-node cluster the same rule spreads the
-    aggregators across nodes; per-partition data volume, not count, is the
-    scale knob."""
-    if num_partitions is not None:
-        return num_partitions
-    cpus = 32
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 32))
-    return max(8, cpus // 4)
-
-
-# sides whose PRUNED columns fit under this take the broadcast path (one
-# object-store ship + per-worker cached index) instead of a hash-shuffle
-# Dataset.join; past it the pruned side no longer fits every worker's heap
-_BROADCAST_BYTES = 128 << 20
+# the join-plan rule lives in functions/joins.py (shared, so the
+# threshold/partition-count policy cannot drift between queries)
+from ..functions.joins import (BROADCAST_BYTES as _BROADCAST_BYTES,
+                               join_partitions as _join_partitions,
+                               sized_join)
 
 
 def order_priority_revenue(sf_dir: str,
@@ -268,24 +254,13 @@ def order_priority_revenue(sf_dir: str,
     the partitioned hash join (the 100 TB shape, where orders is itself a
     fact table).  Either way each post-join batch pre-reduces to
     (priority, partials) so the final groupby is over ~|priorities| rows."""
-    from ..functions.joins import (broadcast_join, pruned_parquet_bytes,
-                                   read_small_table)
-
     line = sized_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    orders_cols = ["o_orderkey", "o_orderpriority"]
-    orders_path = f"{sf_dir}/orders.parquet"
-
-    if pruned_parquet_bytes(orders_path, orders_cols) <= _BROADCAST_BYTES:
-        joined = broadcast_join(
-            line, read_small_table(orders_path, columns=orders_cols),
-            on="l_orderkey", right_on="o_orderkey", join_type="inner")
-    else:
-        orders = sized_read_parquet(orders_path, columns=orders_cols)
-        joined = line.join(orders, join_type="inner",
-                           num_partitions=_join_partitions(num_partitions),
-                           on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = sized_join(line, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderpriority"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
 
     def partial(batch: pa.Table) -> pa.Table:
         revenue = pc.multiply(batch.column("l_extendedprice"),
@@ -451,7 +426,15 @@ def promo_revenue(sf_dir: str, lo: str = "1997-01-01",
     # outside the data range)
     promo_c = agg["promo_c"] or 0
     total_c = agg["total_c"] or 0
-    pct = round((100.0 * promo_c) / total_c, 6) if total_c else 0.0
+    # 6dp round via integer micro-units, half away from zero — the same
+    # arithmetic DuckDB's round() performs (Python's round() is
+    # correctly-rounded half-to-even and can land one ulp away, which the
+    # driver's bit-exact value hash would flag); same Arrow kernel as
+    # text.quality_score so every ratio in the repo rounds identically
+    pct = (pc.round(pa.scalar((100.0 * promo_c) / total_c * 1e6),
+                    ndigits=0,
+                    round_mode="half_towards_infinity").as_py() / 1e6
+           if total_c else 0.0)
     return ray.data.from_arrow(pa.table({
         "promo_pct": pa.array([pct], pa.float64()),
         "total_revenue": pa.array([total_c / 100.0], pa.float64()),
@@ -483,21 +466,10 @@ def supplier_region_volume(sf_dir: str,
     line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
                                  columns=["l_orderkey", "l_suppkey",
                                           "l_extendedprice", "l_discount"])
-    orders_cols = ["o_orderkey", "o_custkey"]
-    orders_path = f"{sf_dir}/orders.parquet"
-
-    # same size-based rule as order_priority_revenue: the pruned orders
-    # side broadcasts while its metadata-estimated bytes fit a worker heap
-    from ..functions.joins import pruned_parquet_bytes
-    if pruned_parquet_bytes(orders_path, orders_cols) <= _BROADCAST_BYTES:
-        joined = broadcast_join(
-            line, read_small_table(orders_path, columns=orders_cols),
-            on="l_orderkey", right_on="o_orderkey", join_type="inner")
-    else:
-        orders = sized_read_parquet(orders_path, columns=orders_cols)
-        joined = line.join(orders, join_type="inner",
-                           num_partitions=_join_partitions(num_partitions),
-                           on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = sized_join(line, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_custkey"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
     joined = broadcast_join(joined, cust, on="o_custkey",
                             right_on="c_custkey")
     joined = broadcast_join(joined, supp, on="l_suppkey",

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.joins import sized_read_parquet
+from ..functions.num import round6
 
 _CJK_PATTERN = "[一-鿿]"
 
@@ -51,14 +52,7 @@ def quality_score(text: "pa.ChunkedArray") -> pa.Array:
         pc.cast(pc.min_element_wise(_token_count(text), 100),
                 pa.float64()), 100.0)
     raw = pc.add(pc.multiply(alpha_ratio, 0.6), pc.multiply(tokens_norm, 0.4))
-    # 6dp round via integer micro-units (round(x*1e6) as int, / 1e6): the
-    # same arithmetic DuckDB's round() performs, so the resulting DOUBLE is
-    # bit-identical to the SQL twin's.  Arrow's pc.round(x, ndigits=6) can
-    # land one ulp away (it avoids the scale-multiply), which a bit-exact
-    # value hash would flag even though the decimal value is equal.
-    micro = pc.cast(pc.round(pc.multiply(raw, 1000000.0), ndigits=0,
-                             round_mode="half_towards_infinity"), pa.int64())
-    return pc.divide(pc.cast(micro, pa.float64()), 1000000.0)
+    return round6(raw)
 
 
 def doc_stats(sf_dir: str) -> "ray.data.Dataset":
@@ -294,14 +288,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         idf = pc.ln(pc.divide(float(ns),
                               pc.cast(batch.column("df"), pa.float64())))
         tfidf = pc.multiply(pc.cast(batch.column("tf"), pa.float64()), idf)
-        # 6dp micro-int round for bit-parity with the SQL twin
-        micro = pc.cast(pc.round(pc.multiply(tfidf, 1000000.0), ndigits=0,
-                                 round_mode="half_towards_infinity"),
-                        pa.int64())
         return pa.table({
             "source": batch.column("source"),
             "term": batch.column("term"),
-            "tfidf": pc.divide(pc.cast(micro, pa.float64()), 1000000.0),
+            "tfidf": round6(tfidf),      # micro-int round, SQL bit-parity
         })
 
     def topk(group: pa.Table) -> pa.Table:

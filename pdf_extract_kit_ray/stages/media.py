@@ -330,8 +330,12 @@ def bilinear_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     if arr.ndim == 3:
         wy, wx = wy[..., None], wx[..., None]
     a = arr.astype(np.float64)
-    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
-    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    # gather each source row band once: a[y0]/a[y1] are (out_h, W, C)
+    # copies, the dominant allocation of the resize — materializing them
+    # twice (once per x-gather) doubled the hot path's memory traffic
+    r0, r1 = a[y0], a[y1]
+    top = r0[:, x0] * (1 - wx) + r0[:, x1] * wx
+    bot = r1[:, x0] * (1 - wx) + r1[:, x1] * wx
     return np.clip(top * (1 - wy) + bot * wy + 0.5, 0, 255).astype(np.uint8)
 
 
