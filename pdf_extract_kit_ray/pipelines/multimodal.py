@@ -215,6 +215,20 @@ def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
     sub_weights = (1 << np.arange(_MFND_SUB_BITS, dtype=np.int64))
 
     feats = media_features(sf_dir).materialize()
+    # SHUFFLE-AWARE re-blocking: the actor-pool feature stage emits one
+    # block per ~32-row payload batch (60 blocks for a 2k-item table), and
+    # the three downstream sorts inherit that as their partition count —
+    # each partition carrying ~50-100 ms fixed scheduling cost.  The
+    # feature table is 1000x smaller than the payloads (8 floats/row), so
+    # re-block it by DATA SIZE (32 MB target, floor cpus/4) exactly like
+    # sized_read_parquet; at 10^9 items the byte term dominates and the
+    # count grows naturally.
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    target_blocks = max(1, cpus // 4,
+                        int(feats.size_bytes() // (32 << 20)))
+    if target_blocks < feats.num_blocks():
+        feats = feats.repartition(target_blocks).materialize()
     from ..pipelines.dedup import _num_coarse
     num_coarse = _num_coarse(feats.count() * n_bands)
 
