@@ -21,6 +21,7 @@ from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -199,12 +200,15 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     Returns per-cluster (cluster, n, inertia) after ``iters`` passes.
 
     Iterative algorithms don't fit a single Dataset DAG; the loop lives on
-    the driver but every pass streams the full dataset through map_batches
-    (nothing is materialized)."""
+    the driver but every pass streams the full dataset through map_batches.
+    The pruned (vec_id, embedding) input is materialized ONCE into the
+    object store — the standard shape for iterative workloads (it saves
+    iters-1 re-reads; blocks spill under pressure, nothing touches the
+    driver)."""
     import numpy as np
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+                               columns=["vec_id", "embedding"]).materialize()
 
     # deterministic init (vec_id < k) via a pushed-down metadata filter on
     # the parquet — not a full-scan Python-lambda row filter
@@ -224,8 +228,11 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
                                  "counts": pa.array([], pa.list_(pa.int64())),
                                  "inertia": pa.array([], pa.float64())})
             cents = ray.get(cref)
-            x = np.array(batch.column("embedding").to_pylist(),
-                         dtype=np.float64)
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            x = pc.list_flatten(emb).to_numpy() \
+                .reshape(batch.num_rows, -1).astype(np.float64)
             d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             sums = np.zeros_like(cents)
