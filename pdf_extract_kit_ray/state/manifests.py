@@ -41,6 +41,7 @@ MANIFEST_SCHEMA = pa.schema([
     ("n_spans", pa.int64()),
     ("checksum", pa.int64()),
     ("path", pa.string()),
+    ("elapsed_ms", pa.int64()),      # per-partition write wall time
 ])
 
 
@@ -100,6 +101,8 @@ def write_partitioned(docs: "ray.data.Dataset", out_dir: str,
         return batch.append_column("partition_id", pids)
 
     def write_group(group: pa.Table) -> pa.Table:
+        import time
+        t0 = time.monotonic()
         pid = group.column("partition_id")[0].as_py()
         group = group.sort_by("doc_id").drop_columns(["partition_id"])
         group = group.cast(DOC_SCHEMA)
@@ -116,7 +119,8 @@ def write_partitioned(docs: "ray.data.Dataset", out_dir: str,
             n_spans += len(row["spans"])
         manifest = {"partition_id": pid, "n_docs": len(group),
                     "n_spans": n_spans, "checksum": checksum,
-                    "path": data_path}
+                    "path": data_path,
+                    "elapsed_ms": int((time.monotonic() - t0) * 1000)}
         # manifest commit mirrors the data-file protocol (tmp + atomic
         # rename): manifest EXISTENCE means COMPLETE, so a crash mid-write
         # must not leave a truncated _MANIFEST.json behind
