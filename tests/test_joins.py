@@ -61,3 +61,41 @@ def test_select_prunes_columns(left_ds):
     out = broadcast_join(left_ds, DIM, on="k", right_on="key",
                          select=["name", "v"]).to_pandas()
     assert list(out.columns) == ["name", "v"]
+
+
+def test_verify_candidate_pairs_primitive(ray_session):
+    """Direct contract test for the shared membership-union verifier:
+    payloads attach to every candidate pair exactly once (duplicate
+    candidate rows across bands dedupe), pairs missing a side's payload
+    are dropped, and the verify kernel sees pair-aligned a/b sides."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdf_extract_kit_ray.functions.pairs import verify_candidate_pairs
+
+    items = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 5], pa.int64()),
+        "text": pa.array(["one", "two", "three", "five"], pa.string()),
+    }))
+    # (1,2) twice (band duplicate), (2,3) once, (3,4): 4 has no payload
+    cand = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2, 3], pa.int64()),
+        "b": pa.array([2, 2, 3, 4], pa.int64()),
+    }))
+
+    def verify(a_ids, b_ids, pa_a, pa_b):
+        ta, tb = pa_a.to_pylist(), pa_b.to_pylist()
+        return pa.table({
+            "a": pa.array(a_ids, pa.int64()),
+            "b": pa.array(b_ids, pa.int64()),
+            "combined": pa.array([f"{x}|{y}" for x, y in zip(ta, tb)],
+                                 pa.string())})
+
+    out = verify_candidate_pairs(
+        items, cand, id_col="id", payload_col="text",
+        payload_type=pa.string(), num_coarse=4,
+        verify=verify).to_pandas().sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    assert list(out["a"]) == [1, 2]          # (3,4) dropped: no payload for 4
+    assert list(out["b"]) == [2, 3]
+    assert list(out["combined"]) == ["one|two", "two|three"]
