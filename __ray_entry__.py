@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": curation.train_val_split,
         "source_mixture": curation.source_mixture,
         "props_value_stats": curation.props_value_stats,
+        "incremental_dedup": curation.incremental_dedup,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
@@ -591,6 +592,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
                         AS BIGINT) AS total_value_micro
             FROM events GROUP BY 1
+        """,
+        "incremental_dedup": f"""
+            SELECT d.doc_id, {fp_expr} AS fp,
+                   {fp_expr} IN (
+                       SELECT {fp_expr} FROM documents
+                       WHERE doc_id % 8 = 0) AS is_dup
+            FROM documents d
+            WHERE d.doc_id % 8 <> 0
         """,
         "contamination_check": """
             WITH tok AS (

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "train_val_split",
     "source_mixture",
     "props_value_stats",
+    "incremental_dedup",
     "tfidf_top_terms",
     "doc_chunks",
     "contamination_check",

@@ -211,3 +211,54 @@ def props_value_stats(sf_dir: str) -> "ray.data.Dataset":
         .groupby("k").aggregate(
             Sum("partial_n", alias_name="n_events"),
             Sum("partial_micro", alias_name="total_value_micro"))
+
+
+def incremental_dedup(sf_dir: str, mask: int = 7) -> "ray.data.Dataset":
+    """Incremental-ingest dedup: flag every NEW document whose content
+    fingerprint already exists in the ESTABLISHED corpus — the shape every
+    growing training corpus needs (dedup the day's shard against the
+    index, not the whole corpus against itself).
+
+    The established corpus here is the deterministic pseudo-subset
+    ``doc_id % (mask+1) == 0`` (in production: the prior snapshot's
+    fingerprint index).  Scale shape: the index is the SMALL side — built
+    from a pushed-down parquet read, deduped, shipped once via
+    ``ray.put`` (16 B/doc: 10^9 established docs ≈ 16 GB, the practical
+    broadcast ceiling) — and the new shard streams through a pure map
+    with a vectorized ``pc.is_in`` membership probe, NO shuffle.  Past
+    the broadcast ceiling the same predicate runs as a hash-shuffle
+    semi-join (the ``exact_dedup`` groupby shape).
+
+    Output: (doc_id, fp, is_dup) for every NEW doc — is_dup marks a
+    collision with the established index (the downstream ingest filter
+    keeps ``NOT is_dup``; emitting the full flag column keeps the result
+    schema-stable even on a collision-free corpus).
+    """
+    import pyarrow.dataset as pads
+    import ray
+
+    from .text import fingerprint_batch
+
+    path = f"{sf_dir}/documents.parquet"
+    base = pads.dataset(path).to_table(
+        columns=["doc_id", "text"],
+        filter=pc.bit_wise_and(pads.field("doc_id"), mask) == 0)
+    base_fp = pc.unique(fingerprint_batch(base))
+    fp_ref = ray.put(base_fp)
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        new = batch.filter(pc.not_equal(
+            pc.bit_wise_and(batch.column("doc_id"), mask), 0))
+        if new.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.string()),
+                             "is_dup": pa.array([], pa.bool_())})
+        fps = fingerprint_batch(new)
+        hit = pc.is_in(fps, value_set=ray.get(fp_ref))
+        return pa.table({"doc_id": new.column("doc_id"),
+                         "fp": fps,
+                         "is_dup": hit})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

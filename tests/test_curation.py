@@ -89,3 +89,23 @@ def test_source_mixture_rates(ray_session):
     assert (full.n_kept == full.n_docs).all()          # tier 1: keep all
     tail = df[df.num >= 12]
     assert (tail.n_kept < tail.n_docs).all()           # tier 3: downsampled
+
+
+def test_incremental_dedup_planted(ray_session, tmp_path):
+    """A new-shard doc whose text matches an established doc (doc_id%8==0)
+    must flag is_dup; distinct new docs must not."""
+    import pyarrow.parquet as pq
+    docs = pa.table({
+        "doc_id": pa.array([0, 8, 1, 2], pa.int64()),    # 0,8 established
+        "text": pa.array(["alpha beta", "gamma delta",
+                          "ALPHA   beta", "unique text"], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["src0"] * 4, pa.string()),
+        "n_chars": pa.array([10, 11, 12, 11], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    from pdf_extract_kit_ray.pipelines.curation import incremental_dedup
+    df = incremental_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert set(df.index) == {1, 2}            # only NEW docs emitted
+    assert bool(df.loc[1, "is_dup"])          # normalized match vs doc 0
+    assert not bool(df.loc[2, "is_dup"])
