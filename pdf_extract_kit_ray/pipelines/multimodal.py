@@ -241,8 +241,13 @@ def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
         if batch.num_rows == 0:          # empty block: norm() would raise
             return empty
         R = ray.get(planes_ref)
-        ids = np.asarray(batch.column("media_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("features").to_pylist(), dtype=np.float64)
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        f = batch.column("features")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        mat = pc.list_flatten(f).to_numpy() \
+            .reshape(len(ids), -1).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = mat / norms
