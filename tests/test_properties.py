@@ -188,3 +188,46 @@ def test_segment_candidates_linear_bound(n, sub_const, cap):
         assert len(a) <= 2 * (n - 1)
     else:
         assert len(a) == n * (n - 1) // 2
+
+
+# --- PII regex parity: Arrow RE2 kernels vs DuckDB RE2 on adversarial text
+_pii_fragment = st.one_of(
+    st.text(alphabet="abcdefXYZ0123456789 .@-+_%\n\t", max_size=20),
+    st.sampled_from([
+        "a@b.co", "alice.smith+x@example.org", "not@an@email",
+        "1.2.3.4", "999.999.999.999", "10.0.0.1.2", "1.2.3",
+        "555-867-5309", "555.123.4567", "12-34-5678", "555-8675-309",
+        "x@y.z", "@@", "127.0.0.1:8080", "+1 555-123-4567",
+    ]))
+
+
+@given(st.lists(_pii_fragment, min_size=0, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_pii_patterns_arrow_duckdb_parity(fragments):
+    """The three PII regexes behave identically in Arrow and DuckDB (both
+    RE2) for counting AND replacement, on adversarial near-miss text —
+    the property the pii_redact oracle twin relies on."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pdf_extract_kit_ray.pipelines.curation import (PII_EMAIL, PII_IP,
+                                                        PII_PHONE)
+    text = " ".join(fragments)
+    arr = pa.array([text], pa.string())
+    clean = pc.replace_substring_regex(arr, PII_EMAIL, "[EMAIL]")
+    clean = pc.replace_substring_regex(clean, PII_IP, "[IP]")
+    clean = pc.replace_substring_regex(clean, PII_PHONE, "[PHONE]")
+    counts = [pc.count_substring_regex(arr, p)[0].as_py()
+              for p in (PII_EMAIL, PII_IP, PII_PHONE)]
+
+    con = duckdb.connect()
+    row = con.execute(
+        """SELECT len(regexp_extract_all($1, $2)),
+                  len(regexp_extract_all($1, $3)),
+                  len(regexp_extract_all($1, $4)),
+                  regexp_replace(regexp_replace(regexp_replace($1,
+                      $2, '[EMAIL]', 'g'), $3, '[IP]', 'g'),
+                      $4, '[PHONE]', 'g')""",
+        [text, PII_EMAIL, PII_IP, PII_PHONE]).fetchone()
+    assert counts == list(row[:3])
+    assert clean[0].as_py() == row[3]
