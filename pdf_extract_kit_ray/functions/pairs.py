@@ -51,7 +51,10 @@ def verify_candidate_pairs(items: "ray.data.Dataset",
     coarse pair group with numpy id arrays and pair-aligned Arrow payload
     arrays (a-side, b-side); MUST return a correctly-typed table even for
     zero pairs.  Pairs where either side's payload is missing are dropped
-    before ``verify`` (the size==2 contract)."""
+    before ``verify`` (the size==2 contract).  Self pairs (a == b) are
+    NOT supported — their two membership rows dedupe to one and the pair
+    is silently dropped; candidate generators never emit them (a < b by
+    construction)."""
     schema = pa.schema([("mcoarse", pa.int64()), ("member_id", pa.int64()),
                         ("a", pa.int64()), ("b", pa.int64()),
                         ("payload", payload_type)])

@@ -231,3 +231,47 @@ def test_pii_patterns_arrow_duckdb_parity(fragments):
         [text, PII_EMAIL, PII_IP, PII_PHONE]).fetchone()
     assert counts == list(row[:3])
     assert clean[0].as_py() == row[3]
+
+
+# --- shared pair-verification primitive vs naive reference
+_ids_st = st.lists(st.integers(0, 40), min_size=1, max_size=15, unique=True)
+
+
+@given(_ids_st,
+       st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=0, max_size=25),
+       st.integers(1, 7))
+@settings(max_examples=15, deadline=None)
+def test_verify_candidate_pairs_matches_naive(item_ids, raw_pairs,
+                                              num_coarse):
+    """For random item sets and candidate pair lists (duplicates, self
+    pairs, and dangling ids included), the distributed membership-union
+    verifier hands the kernel exactly the deduped pairs whose BOTH sides
+    have payloads — matching a naive dict-based reference."""
+    import pyarrow as pa
+    import ray.data
+    from pdf_extract_kit_ray.functions.pairs import verify_candidate_pairs
+
+    pairs = [(a, b) for a, b in raw_pairs if a != b]
+    items = ray.data.from_arrow(pa.table({
+        "id": pa.array(item_ids, pa.int64()),
+        "text": pa.array([f"t{i}" for i in item_ids], pa.string())}))
+    cand = ray.data.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64())}))
+
+    def verify(a_ids, b_ids, pa_a, pa_b):
+        return pa.table({"a": pa.array(a_ids, pa.int64()),
+                         "b": pa.array(b_ids, pa.int64()),
+                         "ta": pa_a, "tb": pa_b})
+
+    out = verify_candidate_pairs(
+        items, cand, id_col="id", payload_col="text",
+        payload_type=pa.string(), num_coarse=num_coarse,
+        verify=verify).to_pandas()
+    got = {(r.a, r.b, r.ta, r.tb) for r in out.itertuples()}
+
+    payload = {i: f"t{i}" for i in item_ids}
+    want = {(a, b, payload[a], payload[b]) for a, b in set(pairs)
+            if a in payload and b in payload}
+    assert got == want
