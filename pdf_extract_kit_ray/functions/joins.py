@@ -221,18 +221,27 @@ def sized_read_parquet(path: str, columns: Optional[List[str]] = None,
     ``target_block_bytes`` of uncompressed pruned bytes — with a floor of
     cpus/4 so map stages keep some parallelism; at 100 TB the byte term
     dominates and the count grows naturally."""
-    import ray
     import ray.data
+    total = pruned_parquet_bytes(path, columns) if columns else \
+        pruned_parquet_bytes(path, _all_columns(path))
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=target_num_blocks(total, target_block_bytes))
+
+
+def target_num_blocks(total_bytes: int,
+                      target_block_bytes: int = 32 << 20) -> int:
+    """THE block-count policy: one block per ``target_block_bytes`` of
+    uncompressed data, floor cpus/4 for map parallelism, floor 1 because
+    ``override_num_blocks=0`` is rejected (and cpus//4 is 0 on a 2-3 CPU
+    cluster).  Shared by ``sized_read_parquet`` and any mid-pipeline
+    re-blocking (e.g. the media LSH feature table) so the sizing rule
+    cannot drift."""
+    import ray
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    total = pruned_parquet_bytes(path, columns) if columns else \
-        pruned_parquet_bytes(path, _all_columns(path))
-    # floor of 1: cpus//4 is 0 on a 2-3 CPU cluster and read_parquet
-    # rejects override_num_blocks=0
-    nb = max(1, cpus // 4, total // target_block_bytes)
-    return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=int(nb))
+    return int(max(1, cpus // 4, total_bytes // target_block_bytes))
 
 
 def _all_columns(path: str) -> List[str]:

@@ -96,6 +96,11 @@ def verify_candidate_pairs(items: "ray.data.Dataset",
                           "payload": pa.array([], payload_type)})
         is_item = pc.equal(group.column("a"), -1).combine_chunks()
         item_part = group.filter(is_item)
+        # a NULL payload counts as a MISSING side (its pairs drop at the
+        # size==2 gate) — without this, null-text docs / null feature
+        # lists would reach the caller's verify kernel and crash it
+        item_part = item_part.filter(
+            pc.is_valid(item_part.column("payload")))
         members = group.filter(pc.invert(is_item))
         if members.num_rows == 0 or item_part.num_rows == 0:
             return empty

@@ -92,7 +92,10 @@ def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
                           "top_token_frac": pa.array([], pa.float64())})
         if batch.num_rows == 0:
             return empty
-        split = pc.utf8_split_whitespace(batch.column("text"))
+        # split on RE2 '\s+' (ASCII whitespace), NOT utf8_split_whitespace
+        # (Unicode whitespace): the oracle twin's string_split_regex is
+        # RE2, and e.g. U+00A0 would tokenize differently otherwise
+        split = pc.split_pattern_regex(batch.column("text"), r"\s+")
         toks = pc.list_flatten(split)
         idx = pc.list_parent_indices(split)
         t = pa.table({"idx": idx, "tok": toks}).filter(
@@ -240,10 +243,17 @@ def incremental_dedup(sf_dir: str, mask: int = 7) -> "ray.data.Dataset":
     from .text import fingerprint_batch
 
     path = f"{sf_dir}/documents.parquet"
-    base = pads.dataset(path).to_table(
-        columns=["doc_id", "text"],
+    # build the index STREAMING: fingerprint one record batch at a time
+    # and keep only the fp set — never the established corpus's text —
+    # so driver memory is bounded by the 16 B/doc index, not by 1/8 of
+    # the corpus
+    scanner = pads.dataset(path).scanner(
+        columns=["text"],
         filter=pc.bit_wise_and(pads.field("doc_id"), mask) == 0)
-    base_fp = pc.unique(fingerprint_batch(base))
+    fp_chunks = [fingerprint_batch(pa.Table.from_batches([rb]))
+                 for rb in scanner.to_batches() if rb.num_rows]
+    base_fp = pc.unique(pa.chunked_array(fp_chunks)) if fp_chunks \
+        else pa.array([], pa.string())
     fp_ref = ray.put(base_fp)
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])

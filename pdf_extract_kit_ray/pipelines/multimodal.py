@@ -220,13 +220,10 @@ def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
     # the three downstream sorts inherit that as their partition count —
     # each partition carrying ~50-100 ms fixed scheduling cost.  The
     # feature table is 1000x smaller than the payloads (8 floats/row), so
-    # re-block it by DATA SIZE (32 MB target, floor cpus/4) exactly like
-    # sized_read_parquet; at 10^9 items the byte term dominates and the
-    # count grows naturally.
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    target_blocks = max(1, cpus // 4,
-                        int(feats.size_bytes() // (32 << 20)))
+    # re-block it by DATA SIZE via the shared block-count policy; at 10^9
+    # items the byte term dominates and the count grows naturally.
+    from ..functions.joins import target_num_blocks
+    target_blocks = target_num_blocks(feats.size_bytes())
     if target_blocks < feats.num_blocks():
         feats = feats.repartition(target_blocks).materialize()
     from ..pipelines.dedup import _num_coarse

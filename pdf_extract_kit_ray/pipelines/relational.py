@@ -426,15 +426,11 @@ def promo_revenue(sf_dir: str, lo: str = "1997-01-01",
     # outside the data range)
     promo_c = agg["promo_c"] or 0
     total_c = agg["total_c"] or 0
-    # 6dp round via integer micro-units, half away from zero — the same
-    # arithmetic DuckDB's round() performs (Python's round() is
-    # correctly-rounded half-to-even and can land one ulp away, which the
-    # driver's bit-exact value hash would flag); same Arrow kernel as
-    # text.quality_score so every ratio in the repo rounds identically
-    pct = (pc.round(pa.scalar((100.0 * promo_c) / total_c * 1e6),
-                    ndigits=0,
-                    round_mode="half_towards_infinity").as_py() / 1e6
-           if total_c else 0.0)
+    # THE shared DuckDB-bit-identical rounding (Python's round() is
+    # half-to-even and can land one ulp away, which the driver's
+    # bit-exact value hash would flag)
+    from ..functions.num import round6_scalar
+    pct = round6_scalar((100.0 * promo_c) / total_c) if total_c else 0.0
     return ray.data.from_arrow(pa.table({
         "promo_pct": pa.array([pct], pa.float64()),
         "total_revenue": pa.array([total_c / 100.0], pa.float64()),

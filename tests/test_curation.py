@@ -109,3 +109,28 @@ def test_incremental_dedup_planted(ray_session, tmp_path):
     assert set(df.index) == {1, 2}            # only NEW docs emitted
     assert bool(df.loc[1, "is_dup"])          # normalized match vs doc 0
     assert not bool(df.loc[2, "is_dup"])
+
+
+def test_doc_repetition_unicode_whitespace_parity(ray_session, tmp_path):
+    """Tokenization must match the RE2 '\\s+' oracle even on non-ASCII
+    whitespace (U+00A0 is NOT a token separator for either engine)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    docs = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b a b c"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "source": pa.array(["src0"], pa.string()),
+        "n_chars": pa.array([11], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    import __ray_entry__ as entrymod
+    from pdf_extract_kit_ray.pipelines.curation import doc_repetition
+    df = doc_repetition(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(entrymod.oracle_sql()["doc_repetition"]).df()
+    assert df.iloc[0]["n_tokens"] == o.iloc[0]["n_tokens"] == 3
+    assert df.iloc[0]["n_distinct"] == o.iloc[0]["n_distinct"] == 2
+    assert df.iloc[0]["top_token_frac"] == o.iloc[0]["top_token_frac"]

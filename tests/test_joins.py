@@ -74,13 +74,15 @@ def test_verify_candidate_pairs_primitive(ray_session):
     from pdf_extract_kit_ray.functions.pairs import verify_candidate_pairs
 
     items = ray.data.from_arrow(pa.table({
-        "id": pa.array([1, 2, 3, 5], pa.int64()),
-        "text": pa.array(["one", "two", "three", "five"], pa.string()),
+        "id": pa.array([1, 2, 3, 5, 6], pa.int64()),
+        "text": pa.array(["one", "two", "three", "five", None],
+                         pa.string()),
     }))
-    # (1,2) twice (band duplicate), (2,3) once, (3,4): 4 has no payload
+    # (1,2) twice (band duplicate), (2,3) once, (3,4): 4 has no payload,
+    # (5,6): 6 has a NULL payload -> missing side, pair dropped
     cand = ray.data.from_arrow(pa.table({
-        "a": pa.array([1, 1, 2, 3], pa.int64()),
-        "b": pa.array([2, 2, 3, 4], pa.int64()),
+        "a": pa.array([1, 1, 2, 3, 5], pa.int64()),
+        "b": pa.array([2, 2, 3, 4, 6], pa.int64()),
     }))
 
     def verify(a_ids, b_ids, pa_a, pa_b):
@@ -96,6 +98,6 @@ def test_verify_candidate_pairs_primitive(ray_session):
         payload_type=pa.string(), num_coarse=4,
         verify=verify).to_pandas().sort_values(["a", "b"]) \
         .reset_index(drop=True)
-    assert list(out["a"]) == [1, 2]          # (3,4) dropped: no payload for 4
+    assert list(out["a"]) == [1, 2]   # (3,4): no payload; (5,6): NULL payload
     assert list(out["b"]) == [2, 3]
     assert list(out["combined"]) == ["one|two", "two|three"]
