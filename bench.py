@@ -213,20 +213,30 @@ def run_bench(sf_dir: str, num_cpus: int, samples: int = 3) -> dict:
     }
 
 
-def run_stats(sf_dir: str, num_cpus: int) -> None:
-    """Run the flagship once and print the Ray Data operator-level profile
-    (ds.stats()) — the feedback loop for per-stage tuning."""
+def run_stats(sf_dir: str, num_cpus: int, query: "str | None" = None) -> None:
+    """Run the flagship (default) or any named ``queries()`` entry once and
+    print the Ray Data operator-level profile (ds.stats()) — the feedback
+    loop for per-stage tuning."""
     ray = _init_ray(num_cpus)
     import dataclasses
     import __ray_entry__ as em
-    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
-                                                       extract_documents,
-                                                       read_corpus)
-    raw_path = em._corpus_path(sf_dir)
-    cfg = dataclasses.replace(ExtractConfig.for_cpus(num_cpus),
-                              emulate_inference_ms=EMULATE_MS)
-    m = extract_documents(read_corpus(raw_path), cfg).materialize()
-    print(m.stats())
+    if query:
+        import ray.data as rd
+        res = em.queries()[query](sf_dir)
+        if isinstance(res, rd.Dataset):
+            print(res.materialize().stats())
+        else:
+            print(f"{query} returns {type(res).__name__}: no Dataset "
+                  f"stats (driver-side result)")
+    else:
+        from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                           extract_documents,
+                                                           read_corpus)
+        raw_path = em._corpus_path(sf_dir)
+        cfg = dataclasses.replace(ExtractConfig.for_cpus(num_cpus),
+                                  emulate_inference_ms=EMULATE_MS)
+        m = extract_documents(read_corpus(raw_path), cfg).materialize()
+        print(m.stats())
     ray.shutdown()
 
 
@@ -381,14 +391,17 @@ def main():
     ap.add_argument("--scaling-high", type=int, default=16)
     ap.add_argument("--stats", action="store_true",
                     help="print the flagship's ds.stats() operator profile")
+    ap.add_argument("--stats-query", default=None,
+                    help="with --stats: profile this queries() entry "
+                         "instead of the flagship")
     ap.add_argument("--samples", type=int, default=3,
                     help="timing passes per query; median reported")
     ap.add_argument("--inner", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--emulate-ms", type=float, default=0.0,
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
-    if args.stats:
-        run_stats(args.sf_dir, args.num_cpus)
+    if args.stats or args.stats_query:
+        run_stats(args.sf_dir, args.num_cpus, args.stats_query)
         return
     if args.inner:
         print(json.dumps(run_inner_extract(args.sf_dir, args.num_cpus,
