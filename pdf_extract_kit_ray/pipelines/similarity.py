@@ -126,12 +126,19 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.2,
 
 
 def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
-             nlist: int = 16, nprobe: int = 4,
+             nlist: int = 16, nprobe: int = 8,
              sample_size: int = 2048, iters: int = 5) -> "ray.data.Dataset":
     """IVF-style approximate top-k: coarse centroids from a seeded sample
     (driver-side k-means on a few thousand vectors — small by construction),
     then each batch ranks only rows whose nearest centroid is among the
-    query's ``nprobe`` probed cells."""
+    query's ``nprobe`` probed cells.
+
+    ``nprobe`` is the recall/speed knob: at 100k isotropic-gaussian
+    vectors (the worst case for cell pruning), nprobe=4 gives 0.575 top-k
+    agreement with exact and nprobe=8 gives 0.838 at the SAME wall time
+    (the mask cost dominates the saved distance math until nlist is much
+    larger), both ~3.5x faster than brute force — so 8 is the default
+    (scripts/similarity_headroom.py measures both)."""
     import pyarrow.dataset as pads
     sample = pads.dataset(f"{sf_dir}/embeddings.parquet").head(sample_size)
     smat = _normalize(np.asarray(

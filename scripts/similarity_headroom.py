@@ -64,13 +64,16 @@ def main() -> None:
     exact = similarity.ann_topk(OUT).to_pandas()
     res["ann_exact_sec"] = round(time.time() - t0, 1)
 
-    t0 = time.time()
-    ivf = similarity.ivf_topk(OUT).to_pandas()
-    res["ivf_sec"] = round(time.time() - t0, 1)
-    # IVF agreement: fraction of exact (query, neighbor) hits recovered
+    # IVF at two nprobe settings: the recall/speed knob (isotropic
+    # gaussian vectors are the worst case for cell pruning — real
+    # clustered embeddings trade far better)
     e = {(int(q), int(n)) for q, n in zip(exact.query_id, exact.neighbor_id)}
-    i = {(int(q), int(n)) for q, n in zip(ivf.query_id, ivf.neighbor_id)}
-    res["ivf_recall_vs_exact"] = round(len(e & i) / len(e), 3)
+    for nprobe in (4, 8):
+        t0 = time.time()
+        ivf = similarity.ivf_topk(OUT, nprobe=nprobe).to_pandas()
+        res[f"ivf_nprobe{nprobe}_sec"] = round(time.time() - t0, 1)
+        i = {(int(q), int(n)) for q, n in zip(ivf.query_id, ivf.neighbor_id)}
+        res[f"ivf_nprobe{nprobe}_recall"] = round(len(e & i) / len(e), 3)
 
     t0 = time.time()
     km = similarity.embedding_kmeans(OUT).to_pandas()
