@@ -17,8 +17,6 @@
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
