@@ -28,8 +28,17 @@ from ..sources.media import MAGIC_AUDIO, MAGIC_IMAGE, MAGIC_VIDEO
 
 
 def decode_payload(payload: bytes) -> dict:
-    """Parse a fake-container payload into a numpy array + metadata."""
+    """Parse a media payload into a numpy array + metadata.  Accepts the
+    deterministic fake containers (FIMG/FAUD/FVID) AND real PNG bytes
+    (decoded by the pure-stdlib ``visualize.decode_png``) — so the same
+    stage chain ingests the reference's actual demo images
+    (assets/demo/**/*.png) without raster libraries."""
     magic = payload[:4]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .visualize import decode_png
+        arr = decode_png(payload)
+        h, w = arr.shape[:2]
+        return {"kind": "image", "array": arr, "width": w, "height": h}
     if magic == MAGIC_IMAGE:
         w, h, c = struct.unpack("<HHB", payload[4:9])
         arr = np.frombuffer(payload, np.uint8, w * h * c, 9).reshape(h, w, c)

@@ -137,3 +137,95 @@ class VisualizeStage:
                 with open(path, "w") as f:
                     f.write(page_to_svg(w, h, dets))
         return batch
+
+
+def decode_png(data: bytes) -> "object":
+    """Decode a PNG into a uint8 numpy array — pure stdlib (zlib + struct),
+    the inverse of :func:`encode_png` and the REAL-image ingestion path for
+    the reference's demo assets (assets/demo/**/*.png) in this
+    raster-lib-free sandbox.
+
+    Supports the PNG baseline the demo corpus uses: bit depth 8, color
+    types 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA),
+    interlace 0.  Returns (h, w) for gray, else (h, w, channels).
+
+    Filters 0-2 (None/Sub/Up) unfilter fully vectorized (Sub is a
+    cumulative sum mod 256 along the row); filters 3-4 (Average/Paeth)
+    are inherently sequential per pixel and fall back to a per-pixel
+    loop — fine for demo-sized images, and a real deployment swaps this
+    whole function for libpng via PIL behind the same signature."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth}, ctype={ctype}, "
+            f"interlace={interlace}) — baseline 8-bit non-interlaced only")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        f, r = int(filters[y]), rows[y]
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            recon[y] = r
+        elif f == 1:   # Sub: cumulative per channel-phase mod 256
+            rr = r.reshape(w, bpp)
+            recon[y] = (np.cumsum(rr, axis=0) % 256).reshape(stride)
+        elif f == 2:   # Up
+            recon[y] = (r + prev) % 256
+        elif f == 3:   # Average (sequential in x)
+            out = recon[y]
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                out[x] = (r[x] + (a + prev[x]) // 2) % 256
+        elif f == 4:   # Paeth (sequential in x)
+            out = recon[y]
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                out[x] = (r[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    img = recon.astype(np.uint8)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[img.reshape(h, w)]
+    if channels == 1:
+        return img.reshape(h, w)
+    return img.reshape(h, w, channels)
