@@ -81,13 +81,22 @@ def encode_png(rgb: "object") -> bytes:
             + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
-def page_to_png(width: int, height: int, dets, scale: float = 0.25) -> bytes:
+def page_to_png(width: int, height: int, dets, scale: float = 0.25,
+                background: "object" = None) -> bytes:
     """Rasterize a page's detection boxes (2px outlines, per-class colors)
-    onto a white canvas and return PNG bytes.  ``scale`` downsamples the
-    page so debug dumps stay small."""
+    and return PNG bytes.  ``scale`` downsamples the page so debug dumps
+    stay small.  ``background``: an (H, W[, C]) uint8 page image to draw
+    ON (the reference overlays boxes on the real page,
+    visualization.py:45-89 — pair with ``decode_png`` for real inputs);
+    None draws on a white canvas (the synthetic-corpus default)."""
     import numpy as np
     w, h = max(1, int(width * scale)), max(1, int(height * scale))
-    canvas = np.full((h, w, 3), 255, dtype=np.uint8)
+    if background is not None:
+        from ..stages.media import bilinear_resize, ensure_bgr
+        canvas = np.ascontiguousarray(
+            bilinear_resize(ensure_bgr(np.asarray(background)), w, h)[:, :, ::-1])
+    else:
+        canvas = np.full((h, w, 3), 255, dtype=np.uint8)
     for det in dets:
         color = np.array(_hex_rgb(CLASS_COLORS.get(det["kind"], "#808080")),
                          dtype=np.uint8)

@@ -62,3 +62,21 @@ def test_demo_png_ocr_preprocess(ray_session):
         ImagePreprocessStage, concurrency=1, batch_size=1,
         batch_format="pyarrow").to_pandas()
     assert len(df) == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO), reason="reference assets absent")
+def test_overlay_on_real_page_image():
+    """Detection boxes render ONTO a real decoded demo page (the
+    reference's draw-on-page behavior), and the output PNG round-trips."""
+    from pdf_extract_kit_ray.stages.visualize import (decode_png,
+                                                      page_to_png)
+    p = os.path.join(DEMO, "layout_detection", "exam_paper.png")
+    page = decode_png(open(p, "rb").read())
+    h, w = page.shape[:2]
+    dets = [{"kind": "title", "x0": 10, "y0": 10, "x1": w // 2,
+             "y1": h // 10, "score": 0.9}]
+    png = page_to_png(w, h, dets, scale=0.1, background=page)
+    out = decode_png(png)
+    assert out.shape == (max(1, int(h * 0.1)), max(1, int(w * 0.1)), 3)
+    # the canvas is the page, not white: plenty of non-255 pixels
+    assert (out != 255).mean() > 0.05
