@@ -212,22 +212,28 @@ def decode_png(data: bytes) -> "object":
             recon[y] = (np.cumsum(rr, axis=0) % 256).reshape(stride)
         elif f == 2:   # Up
             recon[y] = (r + prev) % 256
-        elif f == 3:   # Average (sequential in x)
-            out = recon[y]
+        elif f == 3:   # Average (sequential in x; list loop — numpy
+            rl = r.tolist()          # scalar indexing is ~5x slower here)
+            pl = prev.tolist()
+            out = [0] * stride
             for x in range(stride):
                 a = out[x - bpp] if x >= bpp else 0
-                out[x] = (r[x] + (a + prev[x]) // 2) % 256
+                out[x] = (rl[x] + (a + pl[x]) // 2) % 256
+            recon[y] = out
         elif f == 4:   # Paeth (sequential in x)
-            out = recon[y]
+            rl = r.tolist()
+            pl = prev.tolist()
+            out = [0] * stride
             for x in range(stride):
                 a = out[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa_ <= pb and pa_ <= pc_) else \
                     (b if pb <= pc_ else c)
-                out[x] = (r[x] + pred) % 256
+                out[x] = (rl[x] + pred) % 256
+            recon[y] = out
         else:
             raise ValueError(f"bad PNG filter {f}")
     img = recon.astype(np.uint8)
