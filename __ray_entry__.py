@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "promo_revenue": relational.promo_revenue,
         "supplier_region_volume": relational.supplier_region_volume,
+        "big_orders": relational.big_orders,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
         "doc_hash_sample": relational.doc_hash_sample,
@@ -398,6 +399,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "big_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum(CAST(floor(l_quantity*100.0) AS BIGINT))
+                        AS BIGINT)/100.0 AS total_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, 5
+            HAVING sum(CAST(floor(l_quantity*100.0) AS BIGINT)) > 300 * 100
         """,
         "top_events_per_user": """
             SELECT event_id, user_id, value,

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "promo_revenue",
     "supplier_region_volume",
+    "big_orders",
     "value_percentiles_by_type",
     "sessionize",
     "events_sliding_window",

@@ -771,3 +771,66 @@ def engaged_users_union(sf_dir: str, min_value: float = 400.0) -> "ray.data.Data
              .groupby("user_id")
              .aggregate(Count(alias_name="_n"))
              .select_columns(["user_id"]))
+
+
+def big_orders(sf_dir: str, qty_threshold: int = 300,
+               ) -> "ray.data.Dataset":
+    """TPC-H Q18-shaped (large-volume orders): aggregate lineitem per
+    order, keep orders whose total quantity exceeds the threshold (the
+    HAVING filter), then join the surviving keys back to orders +
+    customer — the aggregate-filter -> semi-join-back shape the suite
+    didn't cover elsewhere.
+
+    Scale shape: the per-order quantity sum is partial-combined per batch
+    before its ONE shuffle; the post-HAVING key set is heavy-hitters-only
+    (bounded by construction — at any corpus size only orders with > 
+    threshold total quantity survive), so it broadcasts and the join back
+    to orders/customer is shuffle-free.  Quantities sum in exact cents."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import broadcast_join, read_small_table
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "qty_c": _cents(batch.column("l_quantity"))})
+        g = t.group_by("l_orderkey").aggregate([("qty_c", "sum")])
+        return g.rename_columns(["l_orderkey", "partial_qty_c"])
+
+    totals = (line.map_batches(partial, batch_format="pyarrow")
+                  .groupby("l_orderkey")
+                  .aggregate(Sum("partial_qty_c", alias_name="qty_c")))
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("qty_c"), qty_threshold * 100))
+
+    # bounded by the HAVING contract: only heavy-hitter orders survive
+    big = pa.Table.from_pandas(
+        totals.map_batches(having, batch_format="pyarrow").to_pandas(),
+        preserve_index=False)
+
+    orders = sized_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = broadcast_join(orders, big, on="o_orderkey",
+                            right_on="l_orderkey", join_type="inner")
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name"])
+    joined = broadcast_join(joined, cust, on="o_custkey",
+                            right_on="c_custkey", join_type="inner")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": batch.column("c_name"),
+            "c_custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_totalprice": batch.column("o_totalprice"),
+            "total_qty": pc.divide(
+                pc.cast(batch.column("qty_c"), pa.float64()), 100.0),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")
