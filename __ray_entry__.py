@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": relational.promo_revenue,
         "supplier_region_volume": relational.supplier_region_volume,
         "big_orders": relational.big_orders,
+        "nation_trade_volume": relational.nation_trade_volume,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
         "doc_hash_sample": relational.doc_hash_sample,
@@ -409,6 +410,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY 1, 2, 3, 4, 5
             HAVING sum(CAST(floor(l_quantity*100.0) AS BIGINT)) > 300 * 100
+        """,
+        "nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                            AS BIGINT))/100.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
         """,
         "top_events_per_user": """
             SELECT event_id, user_id, value,

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "promo_revenue",
     "supplier_region_volume",
     "big_orders",
+    "nation_trade_volume",
     "value_percentiles_by_type",
     "sessionize",
     "events_sliding_window",

@@ -834,3 +834,86 @@ def big_orders(sf_dir: str, qty_threshold: int = 300,
         })
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def nation_trade_volume(sf_dir: str,
+                        nation_pair: "tuple | None" = None,
+                        num_partitions: "int | None" = None,
+                        ) -> "ray.data.Dataset":
+    """TPC-H Q7-shaped (volume shipping between nations): lineitem ⨝
+    orders (the size-ruled join), then broadcast supplier-nation and
+    customer-nation dimensions, keep cross-nation rows only, and roll up
+    revenue per (supp_nation, cust_nation, year) — temporal extraction
+    (``pc.year``) inside a join rollup, partial-combined per batch.
+
+    ``nation_pair``: restrict to two named nations (the literal Q7 form);
+    None computes the full cross-nation trade matrix (the synthetic
+    corpus is too small for any single pair to trade at every scale)."""
+    import pyarrow.dataset as pads
+
+    from ..functions.joins import broadcast_join, read_small_table
+
+    nfilter = (pads.field("n_name").isin(list(nation_pair))
+               if nation_pair else None)
+    nations = read_small_table(f"{sf_dir}/nation.parquet",
+                               columns=["n_nationkey", "n_name"],
+                               filter=nfilter)
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"]) \
+        .join(nations, keys="s_nationkey", right_keys="n_nationkey") \
+        .select(["s_suppkey", "n_name"]).rename_columns(
+            ["s_suppkey", "supp_nation"])
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"]) \
+        .join(nations, keys="c_nationkey", right_keys="n_nationkey") \
+        .select(["c_custkey", "n_name"]).rename_columns(
+            ["c_custkey", "cust_nation"])
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_extendedprice", "l_discount"])
+    # suppliers of the two nations first: shrinks the big side before the
+    # orderkey join
+    line = broadcast_join(line, supp, on="l_suppkey", right_on="s_suppkey",
+                          join_type="inner")
+    joined = sized_join(line, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_custkey", "o_orderdate"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
+    joined = broadcast_join(joined, cust, on="o_custkey",
+                            right_on="c_custkey", join_type="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("supp_nation"),
+                            batch.column("cust_nation"))
+        batch = batch.filter(keep)
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0,
+                                               batch.column("l_discount"))))
+        t = pa.table({
+            "supp_nation": batch.column("supp_nation"),
+            "cust_nation": batch.column("cust_nation"),
+            "yr": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+            "rev_c": rev_c,
+        })
+        g = t.group_by(["supp_nation", "cust_nation", "yr"]).aggregate(
+            [("rev_c", "sum"), ("rev_c", "count")])
+        return g.rename_columns(["supp_nation", "cust_nation", "yr",
+                                 "partial_rev_c", "partial_n"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["supp_nation", "cust_nation", "yr"])
+                 .aggregate(Sum("partial_rev_c", alias_name="rev_c"),
+                            Sum("partial_n", alias_name="n_items")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": batch.column("supp_nation"),
+            "cust_nation": batch.column("cust_nation"),
+            "yr": batch.column("yr"),
+            "revenue": pc.divide(
+                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+            "n_items": batch.column("n_items"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
