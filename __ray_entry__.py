@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": curation.source_mixture,
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
+        "sequence_pack": curation.sequence_pack,
+        "training_order": curation.training_order,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
@@ -619,6 +621,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
                         AS BIGINT) AS total_value_micro
             FROM events GROUP BY 1
+        """,
+        # global-prefix-scan operators (functions/scan.py): the window-
+        # function twins are exact — the engine's two-phase bucket scan
+        # must reproduce SUM()/row_number() OVER a global ORDER BY
+        "sequence_pack": f"""
+            WITH t AS (SELECT doc_id, CAST({tokens_expr} AS BIGINT)
+                              AS n_tokens FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+                    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS token_start
+                  FROM t)
+            SELECT doc_id, n_tokens, token_start,
+                   token_start // 1024 AS seq_id,
+                   token_start % 1024 AS seq_off
+            FROM s
+        """,
+        "training_order": """
+            SELECT doc_id,
+                   md5('42-' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('42-' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) - 1 AS BIGINT) AS train_rank
+            FROM documents
         """,
         "incremental_dedup": f"""
             SELECT d.doc_id, {fp_expr} AS fp,

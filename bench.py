@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "source_mixture",
     "props_value_stats",
     "incremental_dedup",
+    "sequence_pack",
+    "training_order",
     "tfidf_top_terms",
     "doc_chunks",
     "contamination_check",

@@ -272,3 +272,101 @@ def incremental_dedup(sf_dir: str, mask: int = 7) -> "ray.data.Dataset":
                          "is_dup": hit})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def sequence_pack(sf_dir: str, budget: int = 1024,
+                  n_buckets: int = 1 << 12) -> "ray.data.Dataset":
+    """Concat-and-chunk sequence packing — assign every document a GLOBAL
+    token offset in doc_id order and derive which fixed-size training
+    sequence (context window of ``budget`` tokens) it starts in:
+
+        token_start = sum of n_tokens over all docs with smaller doc_id
+        seq_id      = token_start // budget
+        seq_off     = token_start %  budget
+
+    the bookkeeping a "concatenate the corpus, split every N tokens"
+    pre-training tokenizer run needs, computed WITHOUT concatenating
+    anything.  The core is the two-phase distributed prefix scan
+    (functions/scan.py): tokenize once into a materialized int-only table
+    (16 B/row — the object store holds it, text is never re-read), pull
+    O(n_buckets) bucket sums to the driver, broadcast exclusive prefixes,
+    and cumsum inside each order-preserving bucket group.  One hash
+    shuffle of int rows; no global sort.
+
+    SQL twin: a SUM() OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING AND
+    1 PRECEDING) window — hash-verified row-for-row.
+    """
+    import numpy as np
+
+    from ..functions.scan import int_range_buckets, ordered_prefix_scan
+    from .text import _token_count
+
+    def tok(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(_token_count(batch.column("text")),
+                                pa.int64()),
+        })
+
+    toks = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow").materialize()
+
+    # key-range bounds from a pruned single-column pass over the already-
+    # materialized int table (no re-tokenization)
+    from ray.data.aggregate import Max, Min
+    bounds = toks.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+
+    scanned = ordered_prefix_scan(
+        toks, ["doc_id"], int_range_buckets("doc_id", lo, hi, n_buckets),
+        value_col="n_tokens", out_col="token_start")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ts = batch.column("token_start").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": batch.column("n_tokens"),
+            "token_start": batch.column("token_start"),
+            "seq_id": pa.array(ts // budget, pa.int64()),
+            "seq_off": pa.array(ts % budget, pa.int64()),
+        })
+
+    return scanned.map_batches(pack, batch_format="pyarrow")
+
+
+def training_order(sf_dir: str, seed: str = "42") -> "ray.data.Dataset":
+    """Deterministic seeded global shuffle for training order: every doc
+    gets ``shuffle_key = md5(seed || '-' || doc_id)`` and its 0-based
+    GLOBAL rank in (shuffle_key, doc_id) order — a reproducible
+    random-looking permutation of the corpus that is a pure function of
+    (seed, doc_id): stable across runs, workers, and block layouts, the
+    property ``random_shuffle()`` cannot give.
+
+    The rank is a count-scan on the shared distributed-prefix-scan
+    primitive: buckets are the first 4 hex chars of the key (65,536
+    order-preserving buckets), so the driver holds at most 64 Ki ints and
+    the only exchange is one hash shuffle of (doc_id, 32-byte key) rows.
+    A downstream epoch reader sorts or range-partitions by ``train_rank``.
+
+    SQL twin: row_number() OVER (ORDER BY md5(...), doc_id) — hash-
+    verified.
+    """
+    import hashlib
+
+    from ..functions.scan import hex_prefix_buckets, ordered_prefix_scan
+
+    md5 = hashlib.md5
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [md5(f"{seed}-{i}".encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "shuffle_key": pa.array(keys, pa.string())})
+
+    keyed_ds = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        keyed, batch_format="pyarrow").materialize()
+
+    return ordered_prefix_scan(
+        keyed_ds, ["shuffle_key", "doc_id"],
+        hex_prefix_buckets("shuffle_key", 4), out_col="train_rank")
