@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": similarity.embedding_neardup,
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
+        "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "events_sliding_window": streaming.events_sliding_window,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "purchase_prev_click_asof",
     "embedding_kmeans",
+    "semantic_dedup",
     "hll_distinct_users",
     "ddsketch_value_quantiles",
     "ddsketch_quantiles_by_type",

@@ -123,20 +123,11 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.2,
     return ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096)
 
 
-def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
-             nlist: int = 16, nprobe: int = 8,
-             sample_size: int = 2048, iters: int = 5) -> "ray.data.Dataset":
-    """IVF-style approximate top-k: coarse centroids from a seeded sample
-    (driver-side k-means on a few thousand vectors — small by construction),
-    then each batch ranks only rows whose nearest centroid is among the
-    query's ``nprobe`` probed cells.
-
-    ``nprobe`` is the recall/speed knob: at 100k isotropic-gaussian
-    vectors (the worst case for cell pruning), nprobe=4 gives 0.575 top-k
-    agreement with exact and nprobe=8 gives 0.838 at the SAME wall time
-    (the mask cost dominates the saved distance math until nlist is much
-    larger), both ~3.5x faster than brute force — so 8 is the default
-    (scripts/similarity_headroom.py measures both)."""
+def _train_coarse_centroids(sf_dir: str, nlist: int, sample_size: int = 2048,
+                            iters: int = 5) -> np.ndarray:
+    """Seeded sample-trained spherical k-means quantizer (driver-side on a
+    few thousand vectors — small by construction).  Shared by ``ivf_topk``
+    (cell pruning) and ``semantic_dedup`` (cluster partitioning)."""
     import pyarrow.dataset as pads
     sample = pads.dataset(f"{sf_dir}/embeddings.parquet").head(sample_size)
     smat = _normalize(np.asarray(
@@ -153,6 +144,100 @@ def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
                 n = np.linalg.norm(v)
                 if n > 0:
                     cent[c] = v / n
+    return cent
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.95,
+                   nlist: int = 0, target_cluster: int = 2048,
+                   sample_size: int = 2048, iters: int = 5,
+                   tile: int = 1024) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a sample-trained
+    spherical-k-means quantizer, then WITHIN each cluster flag every vector
+    whose cosine similarity to a lower-``vec_id`` cluster member reaches
+    ``threshold`` — the keep-first-id rule, so the kept set is a pure
+    function of the data (no RNG, no iteration order).
+
+    Output: (vec_id, cluster, is_dup, max_prior_sim) for every vector;
+    the downstream filter keeps ``NOT is_dup``.  ``max_prior_sim`` is the
+    max cosine against earlier cluster members (-1.0 for a cluster's first
+    member), the paper's per-item "semantic redundancy" diagnostic.
+
+    Scale shape: centroids broadcast once via ``ray.put`` (nlist × dim
+    floats — the broadcast ceiling is ~10^6 centroids); assignment is a
+    vectorized per-batch matmul; ONE hash shuffle on cluster id moves each
+    (vec_id, embedding) row exactly once.  The within-cluster scan is the
+    paper's O(m²) pairwise pass — ``nlist`` auto-scales to keep expected
+    cluster occupancy at ``target_cluster`` (m ≈ 2048 → ~2M dot products
+    per cluster), and the scan is TILED (``tile`` × m blocks) so per-task
+    memory stays flat even on a skewed cluster.  Like the paper, a cluster
+    far above target (quantizer skew) costs quadratic time in its own size
+    only; the dedup-vs-LSH tradeoff is intentional — SemDeDup's contract
+    is ALL within-cluster pairs, not banded recall."""
+    import pyarrow.dataset as pads
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if nlist <= 0:
+        n_total = pads.dataset(path).count_rows()   # parquet metadata only
+        nlist = max(8, min(1 << 16,
+                           (n_total + target_cluster - 1) // target_cluster))
+    cent_ref = ray.put(_train_coarse_centroids(sf_dir, nlist, sample_size,
+                                               iters))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
+        x = _normalize(_embedding_matrix(batch))
+        cell = (x @ ray.get(cent_ref).T).argmax(axis=1)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(cell.astype(np.int64), pa.int64()),
+                         "embedding": batch.column("embedding")})
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        g = group.take(pa.array(order))
+        ids = ids[order]
+        x = _normalize(_embedding_matrix(g))
+        n = len(ids)
+        best = np.full(n, -np.inf)
+        for s in range(1, n, tile):
+            e = min(s + tile, n)
+            sims = x[s:e] @ x.T                      # (tile, n)
+            mask = np.arange(n)[None, :] < np.arange(s, e)[:, None]
+            best[s:e] = np.where(mask, sims, -np.inf).max(axis=1)
+        finite = np.isfinite(best)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": g.column("cluster"),
+            "is_dup": pa.array(finite & (best >= threshold), pa.bool_()),
+            "max_prior_sim": pa.array(
+                np.round(np.where(finite, best, -1.0), 6), pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return (ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+              .groupby("cluster")
+              .map_groups(prune, batch_format="pyarrow"))
+
+
+def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
+             nlist: int = 16, nprobe: int = 8,
+             sample_size: int = 2048, iters: int = 5) -> "ray.data.Dataset":
+    """IVF-style approximate top-k: coarse centroids from a seeded sample
+    (driver-side k-means on a few thousand vectors — small by construction),
+    then each batch ranks only rows whose nearest centroid is among the
+    query's ``nprobe`` probed cells.
+
+    ``nprobe`` is the recall/speed knob: at 100k isotropic-gaussian
+    vectors (the worst case for cell pruning), nprobe=4 gives 0.575 top-k
+    agreement with exact and nprobe=8 gives 0.838 at the SAME wall time
+    (the mask cost dominates the saved distance math until nlist is much
+    larger), both ~3.5x faster than brute force — so 8 is the default
+    (scripts/similarity_headroom.py measures both)."""
+    cent = _train_coarse_centroids(sf_dir, nlist, sample_size, iters)
 
     qt = _load_queries(sf_dir, num_queries)
     q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)

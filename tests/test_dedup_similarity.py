@@ -378,3 +378,47 @@ def test_contamination_check_case_insensitive(ray_session, tmp_path):
                    str(tmp_path / "documents.parquet"))
     out = contamination_check(str(tmp_path)).to_pandas()
     assert dict(zip(out["doc_id"], out["n_hits"])) == {1: 1}
+
+
+def test_semantic_dedup_planted_and_bruteforce(ray_session, tmp_path):
+    """Planted near-identical vectors are flagged (the later vec_id of each
+    pair), and the full flag set equals a brute-force recomputation under
+    the operator's OWN cluster assignment — pinning the keep-first-id
+    within-cluster semantics exactly."""
+    sf_dir = _make_embeddings(str(tmp_path))   # vec 50 ~ vec 3 planted
+    res = similarity.semantic_dedup(sf_dir, threshold=0.99,
+                                    nlist=8).to_pandas()
+    assert len(res) == 200
+    flags = dict(zip(res["vec_id"], res["is_dup"]))
+    assert flags[50] and not flags[3]          # later id pruned, first kept
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.asarray([list(v) for v in t.column("embedding").to_pylist()],
+                     dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cluster = dict(zip(res["vec_id"], res["cluster"]))
+    for _, row in res.iterrows():
+        vid, c = int(row["vec_id"]), row["cluster"]
+        earlier = [i for i in range(vid) if cluster[i] == c]
+        expect = bool(earlier) and \
+            float((mat[earlier] @ mat[vid]).max()) >= 0.99
+        assert bool(row["is_dup"]) == expect, vid
+        if earlier:
+            assert abs(row["max_prior_sim"]
+                       - round(float((mat[earlier] @ mat[vid]).max()), 6)) \
+                < 1e-9
+        else:
+            assert row["max_prior_sim"] == -1.0
+
+
+def test_semantic_dedup_tiled_matches_untiled(ray_session, tmp_path):
+    """A tile smaller than any cluster exercises the tiled scan path; the
+    result must be identical to the one-shot (huge-tile) scan."""
+    sf_dir = _make_embeddings(str(tmp_path), n=120)
+    a = similarity.semantic_dedup(sf_dir, threshold=0.9, nlist=4,
+                                  tile=7).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = similarity.semantic_dedup(sf_dir, threshold=0.9, nlist=4,
+                                  tile=10_000).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
