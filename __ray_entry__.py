@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": dedup.curated_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
+        "dup_spans": dedup.dup_spans,
         "contamination_check": dedup.contamination_check,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
@@ -654,6 +655,36 @@ def oracle_sql() -> dict[str, str]:
                        WHERE doc_id % 8 = 0) AS is_dup
             FROM documents d
             WHERE d.doc_id % 8 <> 0
+        """,
+        # exact duplicated-substring extents: cross-doc 8-gram filter +
+        # gaps-and-islands merge — the window twin of the engine's
+        # segmented running-max scan
+        "dup_spans": r"""
+            WITH tok AS (SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(lower(trim(text)), '\s+')
+                   END AS t FROM documents),
+            grams AS (SELECT doc_id, s, array_to_string(t[s+1 : s+8], ' ')
+                             AS g
+                      FROM tok, UNNEST(range(0, len(t) - 7)) AS u(s)),
+            dupg AS (SELECT g FROM grams GROUP BY g
+                     HAVING count(DISTINCT doc_id) > 1),
+            hits AS (SELECT doc_id, s AS st, s + 8 AS en FROM grams
+                     WHERE g IN (SELECT g FROM dupg)),
+            m AS (SELECT doc_id, st, en,
+                    MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+                  FROM hits),
+            b AS (SELECT doc_id, st, en,
+                    CASE WHEN prev_max IS NULL OR st > prev_max
+                         THEN 1 ELSE 0 END AS brk FROM m),
+            i AS (SELECT doc_id, st, en,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY st
+                                   ROWS UNBOUNDED PRECEDING) AS gid FROM b)
+            SELECT doc_id, CAST(MIN(st) AS BIGINT) AS span_start,
+                   CAST(MAX(en) AS BIGINT) AS span_end
+            FROM i GROUP BY doc_id, gid
         """,
         "contamination_check": """
             WITH tok AS (

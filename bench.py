@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "dup_clusters",
+    "dup_spans",
     "winnow_neardup",
     "doc_token_counts",
     "top_terms",

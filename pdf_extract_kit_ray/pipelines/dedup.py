@@ -513,7 +513,8 @@ def _batch_ngrams(text: "pa.ChunkedArray | pa.Array",
     """Vectorized word-n-gram extraction for a whole batch: ONE Arrow
     lower+trim+whitespace-split, then n shifted takes of the flat token
     array joined element-wise — no per-row Python.  Returns (grams,
-    doc_index) where doc_index maps each gram to its row in the batch."""
+    doc_index, pos) where doc_index maps each gram to its row in the batch
+    and pos is the gram's 0-based token offset within its document."""
     trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(text))
     split = pc.utf8_split_whitespace(trimmed)
     arr = (split.combine_chunks()
@@ -524,14 +525,16 @@ def _batch_ngrams(text: "pa.ChunkedArray | pa.Array",
     n_grams = np.maximum(n_tok - n + 1, 0)
     total = int(n_grams.sum())
     if total == 0:
-        return pa.array([], pa.string()), np.array([], dtype=np.int64)
+        return (pa.array([], pa.string()), np.array([], dtype=np.int64),
+                np.array([], dtype=np.int64))
     doc_rep = np.repeat(np.arange(len(n_tok)), n_grams)
     cum = np.cumsum(n_grams) - n_grams
-    starts = off[doc_rep] + (np.arange(total) - cum[doc_rep])
+    pos = np.arange(total) - cum[doc_rep]
+    starts = off[doc_rep] + pos
     flat = arr.values
     cols = [flat.take(pa.array(starts + j, pa.int64())) for j in range(n)]
     grams = pc.binary_join_element_wise(*cols, " ")
-    return grams, doc_rep
+    return grams, doc_rep, pos
 
 
 def contamination_check(sf_dir: str, n: int = 8,
@@ -554,7 +557,7 @@ def contamination_check(sf_dir: str, n: int = 8,
     bench_tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"],
         filter=pc.bit_wise_and(pads.field("doc_id"), bench_mask) == 0)
-    bench_grams, _ = _batch_ngrams(bench_tbl.column("text"), n)
+    bench_grams, _, _ = _batch_ngrams(bench_tbl.column("text"), n)
     bench_set = pc.unique(bench_grams)
     bench_ref = ray.put(bench_set)
 
@@ -570,7 +573,7 @@ def contamination_check(sf_dir: str, n: int = 8,
         batch = batch.filter(keep)
         if batch.num_rows == 0:
             return empty
-        grams, doc_rep = _batch_ngrams(batch.column("text"), n)
+        grams, doc_rep, _ = _batch_ngrams(batch.column("text"), n)
         if len(grams) == 0:
             return empty
         member = np.asarray(
@@ -913,3 +916,154 @@ def dup_clusters(sf_dir: str, threshold: float = 0.5, max_doc: int = 300,
     set (see __ray_entry__.oracle_sql)."""
     return connected_components(_dup_edges(sf_dir, threshold, max_doc, k),
                                 max_rounds)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022, arXiv:2107.06499 shape)
+# ---------------------------------------------------------------------------
+
+def _string_coarse_hash(arr: "pa.Array", num_coarse: int) -> np.ndarray:
+    """Vectorized coarse bucket key for a string array, straight off the
+    Arrow buffers (no per-row Python): FNV-mix of length plus up to the
+    first/last 8 bytes.  Equal strings always share a bucket; unequal
+    strings spread well enough for a COARSE key (collisions only co-bucket,
+    they never merge groups — the in-bucket segment scan compares the full
+    strings)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                        count=len(arr) + 1, offset=arr.offset * 4) \
+        .astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, ends = off[:-1], off[1:]
+    ln = ends - starts
+    nonempty = ln > 0
+    FNV = np.uint64(0x100000001B3)
+    h = ln.astype(np.uint64) * FNV
+    for j in range(8):
+        i1 = np.where(nonempty, np.minimum(starts + j, ends - 1), 0)
+        b1 = data[i1].astype(np.uint64) * nonempty
+        h = (h ^ b1) * FNV
+        i2 = np.where(nonempty, np.maximum(ends - 1 - j, starts), 0)
+        b2 = data[i2].astype(np.uint64) * nonempty
+        h = (h ^ b2) * FNV
+    return (h % np.uint64(num_coarse)).astype(np.int64)
+
+
+def dup_spans(sf_dir: str, n: int = 8) -> "ray.data.Dataset":
+    """Maximal duplicated-substring extents per document — the exact-
+    substring-dedup shape of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), re-expressed over word n-grams instead
+    of a monolithic suffix array: a token span is DUPLICATED when every
+    ``n``-gram in it also occurs in some OTHER document; overlapping
+    duplicated grams merge into maximal (doc_id, span_start, span_end)
+    token extents — the ranges a substring-dedup pass would cut.
+
+    Distributed shape (two shuffles, both coarse-bucketed so per-group
+    dispatch amortizes and group bodies stay vectorized):
+
+    1. **gram occurrences**: one vectorized pass emits (gram, doc_id, pos)
+       per token position (the _batch_ngrams shifted-take join), with a
+       coarse key hashed off the Arrow string buffer.
+    2. **cross-doc filter**: groupby(coarse) sorts each bucket by
+       (gram, doc_id) once; segment boundaries + a per-segment any(doc
+       changed) bincount flag grams seen in >= 2 distinct docs — all numpy,
+       no per-gram Python.  A pathologically hot gram costs its own
+       occurrence count, linear not quadratic.
+    3. **islands merge**: surviving (doc_id, st, en=st+n) hits shuffle once
+       on a doc_id coarse key; a segmented running-max merges overlapping
+       extents per doc (the gaps-and-islands scan, vectorized with a
+       per-doc rank offset so one ``np.maximum.accumulate`` handles every
+       doc in the bucket).
+
+    At 100 TB the gram shuffle is the cost (one row per token); hashing the
+    gram text down to int64 before the shuffle is the production knob (8x
+    fewer shuffle bytes for a 2^-64 collision risk) — kept as text here so
+    the DuckDB islands-merge twin is hash-exact.
+    """
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    # ~tokens/doc estimate only sizes the coarse key space; correctness
+    # never depends on it
+    n_docs = ds.count()
+    num_coarse = _num_coarse(n_docs * 64)
+    num_coarse_docs = _num_coarse(n_docs)
+
+    def gram_occ(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"coarse": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        grams, doc_rep, pos = _batch_ngrams(batch.column("text"), n)
+        if len(grams) == 0:
+            return empty
+        return pa.table({
+            "coarse": pa.array(_string_coarse_hash(grams, num_coarse),
+                               pa.int64()),
+            "g": grams,
+            "doc_id": batch.column("doc_id").take(
+                pa.array(doc_rep, pa.int64())),
+            "s": pa.array(pos, pa.int64()),
+        })
+
+    def cross_doc_hits(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("g", "ascending"),
+                                                ("doc_id", "ascending")])
+        g = group.take(idx)
+        garr = g.column("g")
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        m = len(garr)
+        if m < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        new_seg = np.r_[True, ~np.asarray(
+            pc.equal(garr.slice(1), garr.slice(0, m - 1)))]
+        seg_id = np.cumsum(new_seg) - 1
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_change = np.r_[False, doc[1:] != doc[:-1]] & ~new_seg
+        n_seg = seg_id[-1] + 1
+        flagged = np.zeros(n_seg, dtype=bool)
+        flagged[seg_id[doc_change]] = True
+        keep = flagged[seg_id]
+        kept = g.filter(pa.array(keep))
+        return pa.table({"doc_id": kept.column("doc_id"),
+                         "s": kept.column("s")})
+
+    def add_doc_coarse(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = (d * np.int64(0x9E3779B1)) % num_coarse_docs
+        return batch.append_column("coarse", pa.array(c, pa.int64()))
+
+    def islands(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        st = group.column("s").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((st, doc))
+        doc, st = doc[order], st[order]
+        en = st + n
+        # dense per-doc rank so ONE accumulate handles every doc: the
+        # offset dominates any within-doc token position
+        doc_rank = np.cumsum(np.r_[False, doc[1:] != doc[:-1]])
+        OFF = np.int64(1) << 40
+        adj_en = en + doc_rank * OFF
+        run = np.maximum.accumulate(adj_en)
+        brk = np.r_[True, (st[1:] + doc_rank[1:] * OFF) > run[:-1]]
+        heads = np.flatnonzero(brk)
+        span_end = np.maximum.reduceat(en, heads)
+        return pa.table({
+            "doc_id": pa.array(doc[heads], pa.int64()),
+            "span_start": pa.array(st[heads], pa.int64()),
+            "span_end": pa.array(span_end, pa.int64()),
+        })
+
+    occ = ds.map_batches(gram_occ, batch_format="pyarrow")
+    hits = occ.groupby("coarse").map_groups(cross_doc_hits,
+                                            batch_format="pyarrow")
+    return (hits.map_batches(add_doc_coarse, batch_format="pyarrow")
+                .groupby("coarse")
+                .map_groups(islands, batch_format="pyarrow"))

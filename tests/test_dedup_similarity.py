@@ -422,3 +422,38 @@ def test_semantic_dedup_tiled_matches_untiled(ray_session, tmp_path):
                                   tile=10_000).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dup_spans_planted_extents(ray_session, tmp_path):
+    """Two docs share a 12-token run and a separate 8-token run; a third
+    doc is clean.  dup_spans must emit exactly the maximal extents (merged
+    overlapping 8-grams), nothing for the clean doc."""
+    shared_a = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"        # 12 tokens
+    shared_b = "u0 u1 u2 u3 u4 u5 u6 u7"                      # 8 tokens
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"{shared_a} filler1 filler2 {shared_b}",
+            f"lead1 lead2 {shared_a} mid1 mid2 mid3 {shared_b} tail1",
+            "clean words only here nothing shared at all nine ten",
+        ], pa.string()),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    res = dedup.dup_spans(str(tmp_path)).to_pandas() \
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    got = list(res.itertuples(index=False, name=None))
+    # doc 1: tokens 0-11 (shared_a), 14-21 (shared_b)
+    # doc 2: tokens 2-13 (shared_a), 17-24 (shared_b)
+    assert got == [(1, 0, 12), (1, 14, 22), (2, 2, 14), (2, 17, 25)]
+
+
+def test_string_coarse_hash_equal_strings_cobucket():
+    from pdf_extract_kit_ray.pipelines.dedup import _string_coarse_hash
+    vals = ["alpha beta gamma", "alpha beta gamma", "", "x", "alpha beta gammb"]
+    arr = pa.array(vals, pa.string())
+    h = _string_coarse_hash(arr, 1 << 20)
+    assert h[0] == h[1]
+    assert h[0] != h[4]          # last-byte difference spreads
+    # sliced array (non-zero offset) must hash identically
+    h2 = _string_coarse_hash(arr.slice(1), 1 << 20)
+    assert list(h2) == list(h[1:])
