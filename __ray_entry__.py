@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": curation.incremental_dedup,
         "sequence_pack": curation.sequence_pack,
         "training_order": curation.training_order,
+        "quality_percentile_filter": curation.quality_percentile_filter,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
@@ -623,6 +624,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
                         AS BIGINT) AS total_value_micro
             FROM events GROUP BY 1
+        """,
+        # global quantile filter: the engine derives the percentile_disc
+        # threshold from a bounded-domain micro-int histogram (no sort)
+        "quality_percentile_filter": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       CAST(round(round((CASE WHEN length(text) > 0
+                              THEN CAST({alpha_expr} AS DOUBLE)/CAST(length(text) AS DOUBLE)
+                              ELSE 0.0 END) * 0.6
+                             + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
+                             6) * 1000000.0) AS BIGINT) AS q_micro
+                FROM documents
+            ),
+            t AS (SELECT percentile_disc(0.9) WITHIN GROUP
+                         (ORDER BY q_micro) AS thr FROM q)
+            SELECT doc_id, CAST(q_micro AS DOUBLE) / 1000000.0 AS quality
+            FROM q, t WHERE q_micro >= thr
         """,
         # global-prefix-scan operators (functions/scan.py): the window-
         # function twins are exact — the engine's two-phase bucket scan

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "sequence_pack",
     "training_order",
+    "quality_percentile_filter",
     "tfidf_top_terms",
     "doc_chunks",
     "contamination_check",

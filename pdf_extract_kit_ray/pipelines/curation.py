@@ -370,3 +370,61 @@ def training_order(sf_dir: str, seed: str = "42") -> "ray.data.Dataset":
     return ordered_prefix_scan(
         keyed_ds, ["shuffle_key", "doc_id"],
         hex_prefix_buckets("shuffle_key", 4), out_col="train_rank")
+
+
+def quality_percentile_filter(sf_dir: str, p: float = 0.9) -> "ray.data.Dataset":
+    """Keep the top (1-p) quality tail of the corpus by GLOBAL percentile —
+    "train on the best 10%" — without sorting anything: quality scores are
+    exact micro-ints (the shared 6dp ``text.quality_score``), so the global
+    percentile_disc threshold comes from a bounded-domain histogram
+    (<= 1e6+1 distinct values regardless of corpus size) pulled once to the
+    driver, and the keep-pass is a pure vectorized filter map.
+
+    Scale shape: one pass computes (doc_id, q_micro) into a materialized
+    int table (16 B/row — text is read exactly once); histogram partials
+    combine per batch before the tiny groupby; no shuffle ever carries a
+    per-doc row.  SQL twin: percentile_disc WITHIN GROUP — hash-exact."""
+    import numpy as np
+
+    from .text import quality_score
+
+    def qm(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch.column("text"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "q_micro": pc.cast(pc.round(pc.multiply(q, 1000000.0)),
+                               pa.int64()),
+        })
+
+    scored = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        qm, batch_format="pyarrow").materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["q_micro"]).group_by("q_micro") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["q_micro", "partial_n"])
+
+    counts = (scored.map_batches(hist, batch_format="pyarrow")
+                    .groupby("q_micro").sum("partial_n").take_all())
+    counts.sort(key=lambda r: r["q_micro"])
+    vals = np.array([r["q_micro"] for r in counts], dtype=np.int64)
+    cum = np.cumsum(np.array([r["sum(partial_n)"] for r in counts],
+                             dtype=np.int64))
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return scored.map_batches(
+            lambda b: pa.table({"doc_id": pa.array([], pa.int64()),
+                                "quality": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    target = int(np.ceil(p * total))          # percentile_disc rank
+    thr = int(vals[int(np.searchsorted(cum, target))])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.greater_equal(batch.column("q_micro"), thr))
+        return pa.table({
+            "doc_id": sel.column("doc_id"),
+            "quality": pc.divide(pc.cast(sel.column("q_micro"),
+                                         pa.float64()), 1000000.0),
+        })
+
+    return scored.map_batches(keep, batch_format="pyarrow")

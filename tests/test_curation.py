@@ -134,3 +134,28 @@ def test_doc_repetition_unicode_whitespace_parity(ray_session, tmp_path):
     assert df.iloc[0]["n_tokens"] == o.iloc[0]["n_tokens"] == 3
     assert df.iloc[0]["n_distinct"] == o.iloc[0]["n_distinct"] == 2
     assert df.iloc[0]["top_token_frac"] == o.iloc[0]["top_token_frac"]
+
+
+def test_quality_percentile_filter_tie_and_rank(ray_session, tmp_path):
+    """percentile_disc semantics on a tiny corpus with score ties: the
+    threshold is the value at rank ceil(p*n), and EVERY doc at the
+    threshold survives (ties are kept, like the SQL twin)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines.curation import \
+        quality_percentile_filter
+    # identical texts -> identical scores (a tie group at the top)
+    texts = ["low 1"] * 6 + ["The quick brown fox jumps high"] * 4
+    docs = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 10, pa.string()),
+        "source": pa.array(["src0"] * 10, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    res = quality_percentile_filter(str(tmp_path), p=0.7).to_pandas()
+    # rank ceil(0.7*10)=7 in ascending order -> threshold = the high
+    # score; all 4 high docs kept, all 6 low dropped
+    assert sorted(res["doc_id"].tolist()) == [6, 7, 8, 9]
+    assert res["quality"].nunique() == 1
