@@ -76,8 +76,10 @@ def ordered_prefix_scan(
         return pa.table({"bucket": pa.array(ub, pa.int64()),
                          "partial": pa.array(sums, pa.int64())})
 
-    bucket_sums = (ds.map_batches(partials, batch_format="pyarrow")
-                     .groupby("bucket").sum("partial"))
+    from .agg import coarse_grouped_aggregate
+    bucket_sums = coarse_grouped_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "bucket", [("partial", "sum", "total")])
     # Bounded driver pull: one row per DISTINCT bucket (<= max_buckets).
     rows = bucket_sums.take_all()
     if len(rows) > max_buckets:
@@ -86,7 +88,7 @@ def ordered_prefix_scan(
             f"{max_buckets}; widen bucket granularity deliberately")
     rows.sort(key=lambda r: r["bucket"])
     ids = np.array([r["bucket"] for r in rows], dtype=np.int64)
-    sums = np.array([r["sum(partial)"] for r in rows], dtype=np.int64)
+    sums = np.array([r["total"] for r in rows], dtype=np.int64)
     excl = np.cumsum(sums) - sums
     prefix_ref = ray.put((ids, excl))
 

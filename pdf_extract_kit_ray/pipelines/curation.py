@@ -404,12 +404,13 @@ def quality_percentile_filter(sf_dir: str, p: float = 0.9) -> "ray.data.Dataset"
             .aggregate([([], "count_all")])
         return g.rename_columns(["q_micro", "partial_n"])
 
-    counts = (scored.map_batches(hist, batch_format="pyarrow")
-                    .groupby("q_micro").sum("partial_n").take_all())
+    from ..functions.agg import coarse_grouped_aggregate
+    counts = coarse_grouped_aggregate(
+        scored.map_batches(hist, batch_format="pyarrow"),
+        "q_micro", [("partial_n", "sum", "n")]).take_all()
     counts.sort(key=lambda r: r["q_micro"])
     vals = np.array([r["q_micro"] for r in counts], dtype=np.int64)
-    cum = np.cumsum(np.array([r["sum(partial_n)"] for r in counts],
-                             dtype=np.int64))
+    cum = np.cumsum(np.array([r["n"] for r in counts], dtype=np.int64))
     total = int(cum[-1]) if len(cum) else 0
     if total == 0:
         return scored.map_batches(
@@ -428,3 +429,72 @@ def quality_percentile_filter(sf_dir: str, p: float = 0.9) -> "ray.data.Dataset"
         })
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def curate_corpus(docs: "ray.data.Dataset",
+                  min_quality: float = 0.5) -> "ray.data.Dataset":
+    """The end-to-end curation pipeline over a raw document table — the
+    composition a training-data job runs before tokenization:
+
+        quality filter -> exact dedup (keep lowest doc_id) -> PII redact
+
+    emitting (doc_id, text [redacted], lang, source, quality, n_tokens).
+
+    One pass computes quality + fingerprint and drops low-quality rows;
+    ONE fingerprint shuffle performs keep-first dedup — coarse-bucketed
+    (the _string_coarse_hash pattern) so group dispatch amortizes and the
+    in-bucket winner scan is a vectorized sort + segment-head take, not
+    per-group Python.  PII redaction and token counting run on the
+    surviving rows only.  Unlike ``curated_docs`` (the SQL-twinned
+    diagnostic projection), this keeps full text columns — it IS the
+    writer's input."""
+    from ..pipelines.dedup import _num_coarse, _string_coarse_hash
+    from .text import _token_count, fingerprint_batch, quality_score
+
+    num_coarse = _num_coarse(docs.count())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        quality = quality_score(batch.column("text"))
+        batch = batch.append_column("quality", quality).filter(
+            pc.greater_equal(quality, min_quality))
+        if batch.num_rows == 0:
+            fp = pa.array([], pa.string())
+        else:
+            fp = fingerprint_batch(batch)
+        coarse = _string_coarse_hash(fp, num_coarse) if len(fp) else []
+        return (batch.append_column("fp", fp)
+                     .append_column("coarse",
+                                    pa.array(coarse, pa.int64())))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("fp", "ascending"),
+                                                ("doc_id", "ascending")])
+        g = group.take(idx)
+        fp = g.column("fp")
+        if isinstance(fp, pa.ChunkedArray):
+            fp = fp.combine_chunks()
+        m = len(fp)
+        import numpy as np
+        head = np.r_[True, ~np.asarray(
+            pc.equal(fp.slice(1), fp.slice(0, m - 1)))] if m > 1 \
+            else np.array([True][:m])
+        return g.filter(pa.array(head)).drop_columns(["coarse", "fp"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        clean = pc.replace_substring_regex(text, PII_EMAIL, "[EMAIL]")
+        clean = pc.replace_substring_regex(clean, PII_IP, "[IP]")
+        clean = pc.replace_substring_regex(clean, PII_PHONE, "[PHONE]")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": clean,
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "quality": batch.column("quality"),
+            "n_tokens": pc.cast(_token_count(text), pa.int64()),
+        })
+
+    return (docs.map_batches(prep, batch_format="pyarrow")
+                .groupby("coarse")
+                .map_groups(keep_first, batch_format="pyarrow")
+                .map_batches(finish, batch_format="pyarrow"))

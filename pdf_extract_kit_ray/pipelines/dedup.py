@@ -129,15 +129,23 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Group by content fingerprint; keep the minimum doc_id per group.
     Returns (fp, keep_id, n) — the canonical doc and duplicate count per
     distinct content."""
+    from ..functions.agg import coarse_grouped_aggregate
+
     def fp(batch: pa.Table) -> pa.Table:
-        return pa.table({"fp": fingerprint_batch(batch),
-                         "doc_id": batch.column("doc_id")})
+        t = pa.table({"fp": fingerprint_batch(batch),
+                      "doc_id": batch.column("doc_id")})
+        # per-batch partial combine (min doc_id + count per fp), then the
+        # coarse Arrow aggregate: fp cardinality ~ corpus size, which is
+        # exactly where Dataset.aggregate's per-group reduce collapses
+        g = t.group_by("fp").aggregate([("doc_id", "min"),
+                                        ([], "count_all")])
+        return g.rename_columns(["fp", "partial_keep", "partial_n"])
+
     ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return (ds.map_batches(fp, batch_format="pyarrow")
-              .groupby("fp")
-              .aggregate(Min("doc_id", alias_name="keep_id"),
-                         Count(alias_name="n")))
+    return coarse_grouped_aggregate(
+        ds.map_batches(fp, batch_format="pyarrow"), "fp",
+        [("partial_keep", "min", "keep_id"), ("partial_n", "sum", "n")])
 
 
 def curated_docs(sf_dir: str, min_quality: float = 0.5) -> "ray.data.Dataset":
@@ -167,11 +175,16 @@ def curated_docs(sf_dir: str, min_quality: float = 0.5) -> "ray.data.Dataset":
         # carries its quality through a native aggregate
         pack = pc.add(pc.multiply(batch_q.column("doc_id"), 10_000_000),
                       batch_q.column("q_micro"))
-        return pa.table({"fp": fingerprint_batch(batch_q),
-                         "pack": pack})
+        t = pa.table({"fp": fingerprint_batch(batch_q), "pack": pack})
+        # per-batch partial min before the coarse Arrow aggregate (fp
+        # cardinality ~ corpus size)
+        return t.group_by("fp").aggregate([("pack", "min")]) \
+            .rename_columns(["fp", "pack"])
 
-    agg = (ds.map_batches(prep, batch_format="pyarrow")
-             .groupby("fp").aggregate(Min("pack", alias_name="pack")))
+    from ..functions.agg import coarse_grouped_aggregate
+    agg = coarse_grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), "fp",
+        [("pack", "min", "pack")])
 
     def unpack(batch: pa.Table) -> pa.Table:
         pack = batch.column("pack")

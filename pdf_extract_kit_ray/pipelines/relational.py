@@ -357,9 +357,13 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             [("rev_c", "sum")])
         return g.rename_columns(["l_orderkey", "o_orderdate", "partial_c"])
 
-    agg = (joined.map_batches(partial, batch_format="pyarrow")
-                 .groupby(["l_orderkey", "o_orderdate"])
-                 .aggregate(Sum("partial_c", alias_name="rev_c")))
+    # high-cardinality key (one group per qualifying order): the coarse
+    # Arrow aggregate avoids per-group reduce dispatch; o_orderdate is
+    # functionally dependent on l_orderkey so it rides the same bucket
+    from ..functions.agg import coarse_grouped_aggregate
+    agg = coarse_grouped_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate"], [("partial_c", "sum", "rev_c")])
 
     def finish(batch: pa.Table) -> pa.Table:
         # keep the us precision through the sort (Ray's sort round-trips
@@ -799,9 +803,13 @@ def big_orders(sf_dir: str, qty_threshold: int = 300,
         g = t.group_by("l_orderkey").aggregate([("qty_c", "sum")])
         return g.rename_columns(["l_orderkey", "partial_qty_c"])
 
-    totals = (line.map_batches(partial, batch_format="pyarrow")
-                  .groupby("l_orderkey")
-                  .aggregate(Sum("partial_qty_c", alias_name="qty_c")))
+    # coarse-grouped Arrow aggregate: ~150k distinct orders at sf0.1 made
+    # Dataset.aggregate's per-group reduce the whole query's cost (10.6 s
+    # measured; 1.5 s after the switch, identical rows)
+    from ..functions.agg import coarse_grouped_aggregate
+    totals = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "l_orderkey", [("partial_qty_c", "sum", "qty_c")])
 
     def having(batch: pa.Table) -> pa.Table:
         return batch.filter(

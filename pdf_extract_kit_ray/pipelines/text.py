@@ -284,11 +284,14 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
         return g.rename_columns(["source", "term", "partial_tf"])
 
-    tf = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["source", "term"])
-            .aggregate(Sum("partial_tf", alias_name="tf"))).materialize()
+    # both reduces have vocab-scale key cardinality — the coarse Arrow
+    # aggregate keeps per-key work in C++ (term first: it drives the hash)
+    from ..functions.agg import coarse_grouped_aggregate
+    tf = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term", "source"], [("partial_tf", "sum", "tf")]).materialize()
 
-    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    df = coarse_grouped_aggregate(tf, "term", [(None, "count_all", "df")])
     ns = tf.groupby("source").aggregate(Count(alias_name="_n")).count()
 
     joined = tf.join(df, join_type="inner", num_partitions=8, on=("term",))
@@ -333,8 +336,8 @@ def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
             .aggregate([([], "count_all")])
         return g.rename_columns(["term", "partial_n"])
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("term")
-              .aggregate(Sum("partial_n", alias_name="n"))
-              .sort(["n", "term"], descending=[True, False])
-              .limit(k))
+    from ..functions.agg import coarse_grouped_aggregate
+    counts = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "term", [("partial_n", "sum", "n")])
+    return counts.sort(["n", "term"], descending=[True, False]).limit(k)

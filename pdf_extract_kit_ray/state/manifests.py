@@ -151,3 +151,92 @@ def _xor_all(values) -> int:
     for v in values:
         acc ^= v
     return acc
+
+
+# ---------------------------------------------------------------------------
+# generic (schema-agnostic) resumable partitioned writer
+# ---------------------------------------------------------------------------
+
+TABLE_MANIFEST_SCHEMA = pa.schema([
+    ("partition_id", pa.int32()),
+    ("n_rows", pa.int64()),
+    ("checksum", pa.int64()),
+    ("path", pa.string()),
+    ("elapsed_ms", pa.int64()),
+])
+
+
+def write_partitioned_table(ds: "ray.data.Dataset", out_dir: str,
+                            num_partitions: int = 32,
+                            key_col: str = "doc_id") -> "ray.data.Dataset":
+    """The extraction sink's checkpoint/lineage protocol for ANY flat
+    table (the curation-job sink): partition by crc32 of the key column's
+    decimal string, one atomic data file + manifest-last commit per
+    partition, manifest rows as the lineage roll-up.
+
+    The partition checksum is crc32 of the partition's Arrow IPC bytes
+    AFTER an in-partition sort by ``key_col`` — deterministic across runs,
+    workers, and block layouts without any per-row Python."""
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pids = pa.array([partition_of(str(k), num_partitions)
+                         for k in batch.column(key_col).to_pylist()],
+                        pa.int32())
+        return batch.append_column("partition_id", pids)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        import time
+        t0 = time.monotonic()
+        pid = group.column("partition_id")[0].as_py()
+        group = group.sort_by(key_col).drop_columns(["partition_id"])
+        part_dir = os.path.join(out_dir, "part=%05d" % pid)
+        os.makedirs(part_dir, exist_ok=True)
+        data_path = os.path.join(part_dir, "data.parquet")
+        tmp_path = data_path + ".tmp"
+        pq.write_table(group, tmp_path)
+        os.replace(tmp_path, data_path)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, group.schema) as w:
+            w.write_table(group)
+        checksum = zlib.crc32(sink.getvalue().to_pybytes())
+        manifest = {"partition_id": pid, "n_rows": group.num_rows,
+                    "checksum": checksum, "path": data_path,
+                    "elapsed_ms": int((time.monotonic() - t0) * 1000)}
+        manifest_path = os.path.join(part_dir, MANIFEST_NAME)
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(manifest_path + ".tmp", manifest_path)
+        return pa.Table.from_pylist([manifest],
+                                    schema=TABLE_MANIFEST_SCHEMA)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("partition_id")
+              .map_groups(write_group, batch_format="pyarrow"))
+
+
+def filter_completed_table(ds: "ray.data.Dataset", out_dir: str,
+                           num_partitions: int,
+                           key_col: str = "doc_id") -> "ray.data.Dataset":
+    """Resume anti-join for the generic writer (string-keyed partition_of
+    over the key column)."""
+    done = completed_partitions(out_dir)
+    if not done:
+        return ds
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = [partition_of(str(k), num_partitions) not in done
+                for k in batch.column(key_col).to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def rollup_table_metrics(manifests: "ray.data.Dataset") -> dict:
+    rows = manifests.take_all()
+    return {
+        "partitions": len(rows),
+        "rows": int(sum(r["n_rows"] for r in rows)),
+        "checksum": _xor_all(r["checksum"] for r in rows),
+    }
