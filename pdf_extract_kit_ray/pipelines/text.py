@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -260,20 +261,28 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Per-source TF-IDF top-k terms — the curation signal for source-level
     vocabulary profiling.
 
-    Three bounded shuffles, no driver state:
-    1. per-batch (source, term) partial counts (the combiner) -> ONE
-       groupby sum = the tf table;
-    2. df = tf.groupby(term).count() (documents-frequency at source
-       granularity) — |vocab| rows;
-    3. tf ⨝ df hash join on term (both sides are already reduced — at any
-       corpus size these are vocab-bounded, not row-bounded), then a
-       per-source group emits its top-k by (tfidf desc, term asc).
+    Two shuffles total, no driver state:
+    1. per-batch (source, term) partial counts (the combiner) -> ONE coarse
+       shuffle hashed on *term*.  Because the coarse key co-locates every
+       row of a term, the bucket reduce computes tf (Arrow group_by sum),
+       df (distinct-source count per term = tf rows per term), the tfidf
+       score, AND a per-(bucket, source) partial top-k in one C++ pass —
+       no tf/df join, no second vocab-scale shuffle.
+    2. the final groupby(source) sees only <= num_coarse * k rows per
+       source (each bucket's terms are disjoint, so per-bucket top-k is a
+       lossless candidate filter) and takes the global top-k.
 
-    ns (number of distinct sources) folds out of the tf table per group —
-    never materialized on the driver."""
-    from ray.data.aggregate import Count, Sum
-
+    ns (distinct sources) comes from a pruned one-column scan with per-batch
+    unique partials — bounded by |sources| * blocks rows, never corpus-sized.
+    """
     ds = _read_docs(sf_dir, ["source", "text"])
+
+    # ns first: the idf factor ln(ns/df) is needed inside the bucket reduce.
+    ns = (_read_docs(sf_dir, ["source"])
+          .map_batches(lambda b: pa.table(
+              {"source": pc.unique(b.column("source"))}),
+              batch_format="pyarrow")
+          .groupby("source").count().count())
 
     def partial(batch: pa.Table) -> pa.Table:
         split = pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
@@ -284,36 +293,53 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
         return g.rename_columns(["source", "term", "partial_tf"])
 
-    # both reduces have vocab-scale key cardinality — the coarse Arrow
-    # aggregate keeps per-key work in C++ (term first: it drives the hash)
-    from ..functions.agg import coarse_grouped_aggregate
-    tf = coarse_grouped_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["term", "source"], [("partial_tf", "sum", "tf")]).materialize()
+    from ..functions.agg import _coarse_of, _default_num_coarse
+    nc = _default_num_coarse()
 
-    df = coarse_grouped_aggregate(tf, "term", [(None, "count_all", "df")])
-    ns = tf.groupby("source").aggregate(Count(alias_name="_n")).count()
+    def tag(batch: pa.Table) -> pa.Table:
+        coarse = _coarse_of(batch.column("term"), nc)
+        return batch.append_column("__coarse", pa.array(coarse, pa.int64()))
 
-    joined = tf.join(df, join_type="inner", num_partitions=8, on=("term",))
-
-    def score(batch: pa.Table) -> pa.Table:
+    def reduce_score_topk(group: pa.Table) -> pa.Table:
+        tf = (group.select(["term", "source", "partial_tf"])
+                   .group_by(["term", "source"])
+                   .aggregate([("partial_tf", "sum")])
+                   .rename_columns(["term", "source", "tf"]))
+        # df per term = number of (term, source) rows — exact here because
+        # the coarse key hashes term, so every source of a term is present
+        df = (tf.select(["term"]).group_by("term")
+                .aggregate([([], "count_all")])
+                .rename_columns(["term", "df"]))
+        scored = tf.join(df, keys="term", join_type="inner")  # in-memory C++
         idf = pc.ln(pc.divide(float(ns),
-                              pc.cast(batch.column("df"), pa.float64())))
-        tfidf = pc.multiply(pc.cast(batch.column("tf"), pa.float64()), idf)
-        return pa.table({
-            "source": batch.column("source"),
-            "term": batch.column("term"),
-            "tfidf": round6(tfidf),      # micro-int round, SQL bit-parity
-        })
+                              pc.cast(scored.column("df"), pa.float64())))
+        tfidf = pc.multiply(pc.cast(scored.column("tf"), pa.float64()), idf)
+        cand = pa.table({"source": scored.column("source"),
+                         "term": scored.column("term"),
+                         "tfidf": round6(tfidf)})  # micro-int, SQL bit-parity
+        # per-(bucket, source) partial top-k: buckets own disjoint terms,
+        # so the global per-source top-k is a subset of these candidates
+        order = pc.sort_indices(cand, sort_keys=[
+            ("source", "ascending"), ("tfidf", "descending"),
+            ("term", "ascending")])
+        cand = cand.take(order)
+        src = cand.column("source").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        rank = np.arange(len(src)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(src)]))
+        return cand.filter(pa.array(rank < k))
 
     def topk(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
             group, sort_keys=[("tfidf", "descending"), ("term", "ascending")])
         return group.take(order.slice(0, k))
 
-    return (joined.map_batches(score, batch_format="pyarrow")
-                  .groupby("source")
-                  .map_groups(topk, batch_format="pyarrow"))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(tag, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(reduce_score_topk, batch_format="pyarrow")
+              .groupby("source")
+              .map_groups(topk, batch_format="pyarrow"))
 
 
 def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
