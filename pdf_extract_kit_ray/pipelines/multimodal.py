@@ -1,10 +1,12 @@
 """Multimodal pipelines over the binary media table.
 
-Each pipeline is read_parquet -> actor-pool map_batches stages from
-stages/media.py.  Payload bytes dominate block size, so every stage runs
-with a small ``batch_size`` and drops the payload column as soon as it has
-been consumed (the "never carry images past the stage that needs them" rule,
-SURVEY.md §7).
+Each pipeline is read_parquet -> map_batches stages from stages/media.py,
+run in TASK mode (``task_stage``: per-process cached instances) because the
+sandbox's fake codec backends are stateless — a weights-loading backend
+would switch back to the actor-pool classes unchanged.  Payload bytes
+dominate block size, so every stage runs with a small ``batch_size`` and
+drops the payload column as soon as it has been consumed (the "never carry
+images past the stage that needs them" rule, SURVEY.md §7).
 
 These are non-SQL queries (payload synthesis/decoding has no DuckDB twin);
 the driver records rows-only checks, and tests/test_multimodal.py pins the
@@ -21,24 +23,10 @@ import ray.data
 from ..sources.media import media_table_path
 from ..stages.media import (FrameSampleStage, ImagePreprocessStage,
                             ImageResizeStage, MediaDecodeStage,
-                            MediaFeatureStage, ResizeLongestSideStage)
+                            MediaFeatureStage, ResizeLongestSideStage,
+                            task_stage)
 
 _BATCH = 32          # payload rows per batch: binary-heavy, keep small
-
-
-def _conc(chain: int = 1) -> tuple:
-    """AUTOSCALING actor-pool bounds per stage: start at ONE actor and grow
-    toward the reservation-safe ceiling only when the stage backlogs —
-    fixed-size pools paid ~1.5-2 s of actor spin-up per query even when the
-    corpus needed two actors.  The floor must stay 1: chained pools RESERVE
-    their min actors up front, and a floor of 2 at a 4-CPU test cluster
-    (2 pools x 2 actors = every CPU) stalls the streaming executor forever
-    (measured: test_multimodal hang).  The ceiling leaves headroom for
-    read/reduce tasks."""
-    cpus = 8
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(1, (cpus - 1) // (2 * chain)))
 
 
 def _read_media(sf_dir: str) -> "ray.data.Dataset":
@@ -49,16 +37,15 @@ def _read_media(sf_dir: str) -> "ray.data.Dataset":
 def media_decode_summary(sf_dir: str) -> "ray.data.Dataset":
     """Decode every payload -> (media_id, kind, dims, content_crc)."""
     return _read_media(sf_dir).map_batches(
-        MediaDecodeStage, concurrency=_conc(), batch_size=_BATCH,
+        task_stage(MediaDecodeStage), batch_size=_BATCH,
         batch_format="pyarrow")
 
 
 def image_thumbnails(sf_dir: str) -> "ray.data.Dataset":
     """Images resized to 64x64 thumbnails -> (media_id, dims, thumb crc)."""
     ds = _read_media(sf_dir).map_batches(
-        ImageResizeStage, concurrency=_conc(), batch_size=_BATCH,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"out_width": 64, "out_height": 64})
+        task_stage(ImageResizeStage, out_width=64, out_height=64),
+        batch_size=_BATCH, batch_format="pyarrow")
 
     def crc(batch: pa.Table) -> pa.Table:
         import zlib
@@ -77,12 +64,11 @@ def image_thumbnails(sf_dir: str) -> "ray.data.Dataset":
 def video_frame_sample(sf_dir: str, every_n: int = 4) -> "ray.data.Dataset":
     """Videos exploded to every-Nth-frame rows, then decoded as images —
     demonstrates frame containers composing with the image stage chain."""
-    conc = _conc(chain=2)
     frames = _read_media(sf_dir).map_batches(
-        FrameSampleStage, concurrency=conc, batch_size=_BATCH,
-        batch_format="pyarrow", fn_constructor_kwargs={"every_n": every_n})
+        task_stage(FrameSampleStage, every_n=every_n),
+        batch_size=_BATCH, batch_format="pyarrow")
     return frames.map_batches(
-        MediaDecodeStage, concurrency=conc, batch_size=_BATCH,
+        task_stage(MediaDecodeStage), batch_size=_BATCH,
         batch_format="pyarrow")
 
 
@@ -92,23 +78,22 @@ def ocr_preprocess_summary(sf_dir: str, inv: bool = False,
     optional invert, Otsu binarize — paddle_ocr.py:340-346) over every image
     payload, emitting per-image preprocessed digests."""
     return _read_media(sf_dir).map_batches(
-        ImagePreprocessStage, concurrency=_conc(), batch_size=_BATCH,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"inv": inv, "binarize": binarize})
+        task_stage(ImagePreprocessStage, inv=inv, binarize=binarize),
+        batch_size=_BATCH, batch_format="pyarrow")
 
 
 def resize_longest_side(sf_dir: str, img_size: int = 1280) -> "ray.data.Dataset":
     """M7/P17: aspect-preserving model-input resize (longest side to
     img_size, reference int-truncation geometry) over every image payload."""
     return _read_media(sf_dir).map_batches(
-        ResizeLongestSideStage, concurrency=_conc(), batch_size=_BATCH,
-        batch_format="pyarrow", fn_constructor_kwargs={"img_size": img_size})
+        task_stage(ResizeLongestSideStage, img_size=img_size),
+        batch_size=_BATCH, batch_format="pyarrow")
 
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":
     """Feature vectors (list<float32>, dim 8) for every media item."""
     return _read_media(sf_dir).map_batches(
-        MediaFeatureStage, concurrency=_conc(), batch_size=_BATCH,
+        task_stage(MediaFeatureStage), batch_size=_BATCH,
         batch_format="pyarrow")
 
 

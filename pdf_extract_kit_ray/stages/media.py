@@ -62,6 +62,35 @@ def _require_fake(backend: str, what: str):
             f"in this sandbox (PIL/libav); use backend='fake'")
 
 
+_TASK_STAGE_CACHE: dict = {}
+
+
+def task_stage(cls, **kwargs):
+    """Task-mode wrapper for a STATELESS media stage: a plain function for
+    ``map_batches`` that instantiates the stage once per worker PROCESS
+    (cached) instead of spinning up an actor pool.
+
+    Same rationale as ``fused_extract_batch`` (extract_stages.py): the fake
+    codec backends hold no weights, so plain tasks — which reuse warm worker
+    processes and let the streaming executor use every CPU immediately —
+    beat an actor pool that pays per-query spin-up and autoscales from one
+    actor (measured: the whole 2k-item feature pass costs 0.5 s of UDF time
+    but 6 s through a cold autoscaling pool).  The actor-pool classes remain
+    the deployment shape for weights-loading backends and stay wired in the
+    registry/YAML path."""
+    key = (cls.__name__,) + tuple(sorted(kwargs.items()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _TASK_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = _TASK_STAGE_CACHE[key] = cls(**kwargs)
+        return stage(batch)
+
+    fn.__name__ = f"task_{cls.__name__}"
+    fn.__qualname__ = fn.__name__
+    return fn
+
+
 @STAGE_REGISTRY.register("media_decode")
 class MediaDecodeStage:
     """payload binary -> decoded metadata + a stable content digest.
