@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
+        "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
         "distinct_users_by_type": streaming.distinct_users_by_type,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
@@ -735,6 +736,14 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
                                     doc_id ASC) AS rk
                 FROM documents) WHERE rk <= 25
+        """,
+        "heavy_hitter_users": """
+            -- exact twin: the Misra-Gries summary is lossless (err 0)
+            -- whenever distinct keys <= k, which holds on the test corpora
+            SELECT user_id, count(*) AS est_count,
+                   CAST(0 AS BIGINT) AS max_undercount
+            FROM events GROUP BY user_id
+            ORDER BY est_count DESC, user_id ASC LIMIT 20
         """,
         "events_sliding_window": """
             WITH e AS (

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "semantic_dedup",
     "hll_distinct_users",
+    "heavy_hitter_users",
     "ddsketch_value_quantiles",
     "ddsketch_quantiles_by_type",
     "hll_distinct_by_type",

@@ -13,8 +13,16 @@ rows the input has.
   of the merged bin histogram is within a*v of the true value.  Implemented
   here as (bin -> count) dict partials (sparse; zero/negative values tracked
   in a dedicated underflow bin).
+* **Misra-Gries** heavy hitters (Misra & Gries 1982; merge rule from
+  Agarwal et al., "Mergeable Summaries", PODS 2012): at most k counters;
+  merge sums counters pointwise then subtracts the (k+1)-th largest count
+  from every counter, dropping non-positive ones.  Any key with true
+  frequency > n/(k+1) is guaranteed to survive, and every reported count
+  undercounts by at most the tracked ``err`` (<= n/(k+1)).  When the
+  true distinct-key count never exceeds k the summary is LOSSLESS
+  (err stays 0 and counts are exact).
 
-Both are deterministic: hashing is splitmix64, never Python ``hash()``.
+All are deterministic: hashing is splitmix64, never Python ``hash()``.
 """
 
 from __future__ import annotations
@@ -127,6 +135,112 @@ class DDSketch:
                 # bias-centered representative
                 return float(self.gamma ** k * 2 / (self.gamma + 1))
         return float(self.gamma ** max(self.bins) * 2 / (self.gamma + 1))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+class MisraGries:
+    """Mergeable k-counter heavy-hitters summary over int64 keys.
+
+    ``counters[key]`` undercounts the key's true frequency by at most
+    ``err``; keys with true frequency > n/(k+1) are guaranteed present
+    (the classic epsilon = 1/(k+1) deterministic guarantee, preserved
+    under the PODS'12 merge rule below)."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.counters: Dict[int, int] = {}
+        self.err = 0
+
+    def add_block(self, values: np.ndarray) -> None:
+        """Fold a block's exact histogram in (an exact histogram is itself
+        an MG summary with err 0, so this is just a merge)."""
+        uniq, counts = np.unique(values.astype(np.int64), return_counts=True)
+        for key, c in zip(uniq.tolist(), counts.tolist()):
+            self.counters[key] = self.counters.get(key, 0) + c
+        self._shrink()
+
+    def merge(self, other: "MisraGries") -> None:
+        for key, c in other.counters.items():
+            self.counters[key] = self.counters.get(key, 0) + c
+        self.err += other.err
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        counts = np.fromiter(self.counters.values(), dtype=np.int64,
+                             count=len(self.counters))
+        # the (k+1)-th largest counter value
+        thresh = int(np.partition(counts, -(self.k + 1))[-(self.k + 1)])
+        self.err += thresh
+        self.counters = {key: c - thresh
+                         for key, c in self.counters.items() if c > thresh}
+
+    def top(self, n: int) -> list:
+        """Top-n (key, estimate) by (estimate desc, key asc) — the
+        deterministic tie-break shared with the SQL twin."""
+        items = sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        return items[:n]
+
+
+def make_mg_aggregator(on: str, k: int = 1024, name: str = None):
+    """Misra-Gries heavy hitters as an ``AggregateFnV2``: the accumulator is
+    the packed int64 summary (err, keys..., counts...), combine is the
+    mergeable-summaries merge, finalize emits the flattened
+    ``[err, key1, count1, key2, count2, ...]`` list (unpack downstream).
+    Like the HLL/DDSketch aggregators, partials are a few KB per block and
+    merge inside the aggregation tree — no driver-side merge, no shuffle of
+    the key stream."""
+    from ray.data.aggregate import AggregateFnV2
+
+    def _pack(sk: MisraGries) -> bytes:
+        keys = np.fromiter(sk.counters.keys(), dtype=np.int64,
+                           count=len(sk.counters))
+        counts = np.fromiter(sk.counters.values(), dtype=np.int64,
+                             count=len(sk.counters))
+        return np.concatenate(([sk.err], keys, counts)).tobytes()
+
+    def _unpack(acc: bytes) -> MisraGries:
+        sk = MisraGries(k)
+        if not acc:
+            return sk
+        arr = np.frombuffer(acc, np.int64)
+        m = (len(arr) - 1) // 2
+        sk.counters = dict(zip(arr[1:1 + m].tolist(), arr[1 + m:].tolist()))
+        sk.err = int(arr[0])
+        return sk
+
+    class HeavyHitters(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name or f"heavy_hitters({on})",
+                             zero_factory=lambda: b"",
+                             on=on, ignore_nulls=True)
+
+        def aggregate_block(self, block) -> bytes:
+            sk = MisraGries(k)
+            col = block.column(on) if hasattr(block, "column") else block[on]
+            sk.add_block(np.asarray(
+                col.to_numpy() if hasattr(col, "to_numpy") else col,
+                dtype=np.int64))
+            return _pack(sk)
+
+        def combine(self, a: bytes, b: bytes) -> bytes:
+            sk = _unpack(a)
+            sk.merge(_unpack(b))
+            return _pack(sk)
+
+        def finalize(self, acc: bytes):
+            sk = _unpack(acc)
+            out = [sk.err]
+            for key, c in sorted(sk.counters.items(),
+                                 key=lambda kv: (-kv[1], kv[0])):
+                out.extend((key, c))
+            return out
+
+    return HeavyHitters()
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,32 @@ def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
     return pa.table(cols)
 
 
+def heavy_hitter_users(sf_dir: str, k: int = 1024, top: int = 20) -> pa.Table:
+    """Top event producers via a Misra-Gries heavy-hitters summary run as an
+    ``AggregateFnV2`` global aggregate — the bounded-memory alternative to
+    the exact ``top_users`` groupby: each block reduces to <= k counters
+    (~16 KB), partials merge associatively in the aggregation tree, and no
+    key stream is ever shuffled.  Guarantees: every user with frequency
+    > n/(k+1) is present, each count undercounts by at most the reported
+    ``max_undercount`` (0 whenever the true distinct-key count never
+    exceeded k — the regime of the test corpora, which makes the exact SQL
+    twin a valid oracle; the eviction/merge path is pinned by unit tests
+    with distinct >> k).  Output ordered (est_count desc, user_id asc)."""
+    from ..functions.sketches import make_mg_aggregator
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    res = ds.aggregate(make_mg_aggregator("user_id", k=k, name="hh"))
+    flat = res["hh"]
+    err, pairs = int(flat[0]), flat[1:]
+    users = [int(pairs[i]) for i in range(0, min(len(pairs), 2 * top), 2)]
+    counts = [int(pairs[i + 1]) for i in range(0, min(len(pairs), 2 * top), 2)]
+    return pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "est_count": pa.array(counts, pa.int64()),
+        "max_undercount": pa.array([err] * len(users), pa.int64()),
+    })
+
+
 def events_sliding_window(sf_dir: str, window_min: int = 60,
                           slide_min: int = 15) -> "ray.data.Dataset":
     """Hopping/sliding-window aggregate over the event stream: count and

@@ -125,3 +125,76 @@ def test_ddsketch_aggregator_v2_groupby(ray_session):
     for _, r in df.iterrows():
         e = ex.loc[r["event_type"], "p50"]
         assert abs(r["p50"] - e) / e < 0.011
+
+
+def test_misra_gries_guarantees():
+    """Heavy hitters survive, estimates undercount by at most err, and the
+    merge rule preserves both — driven far into the eviction regime
+    (distinct keys >> k)."""
+    import numpy as np
+    from pdf_extract_kit_ray.functions.sketches import MisraGries
+
+    rng = np.random.RandomState(7)
+    # zipf-ish stream: 10 planted whales + 50k tail keys
+    whales = np.repeat(np.arange(10), 5000)              # 5000 each
+    tail = rng.randint(1000, 51000, size=50000)
+    stream = np.concatenate([whales, tail])
+    rng.shuffle(stream)
+    n = len(stream)
+    k = 64
+
+    exact: dict = {}
+    for v in stream.tolist():
+        exact[v] = exact.get(v, 0) + 1
+
+    # single-summary pass
+    sk = MisraGries(k)
+    for i in range(0, n, 1000):
+        sk.add_block(stream[i:i + 1000])
+    assert len(sk.counters) <= k
+    assert sk.err <= n // (k + 1)
+    for key, est in sk.counters.items():
+        assert est <= exact[key] <= est + sk.err
+    for w in range(10):                      # freq 5000 > n/(k+1) ≈ 1538
+        assert w in sk.counters
+
+    # merged summaries agree with the same guarantees
+    a, b = MisraGries(k), MisraGries(k)
+    half = n // 2
+    for i in range(0, half, 1000):
+        a.add_block(stream[i:i + 1000])
+    for i in range(half, n, 1000):
+        b.add_block(stream[i:i + 1000])
+    a.merge(b)
+    assert len(a.counters) <= k
+    assert a.err <= n // (k + 1)
+    for key, est in a.counters.items():
+        assert est <= exact[key] <= est + a.err
+    for w in range(10):
+        assert w in a.counters
+
+
+def test_misra_gries_lossless_regime():
+    """distinct <= k -> err 0 and exact counts (the oracle-valid regime)."""
+    import numpy as np
+    from pdf_extract_kit_ray.functions.sketches import MisraGries
+
+    sk = MisraGries(100)
+    sk.add_block(np.repeat(np.arange(50), 7))
+    sk.add_block(np.repeat(np.arange(30), 3))
+    assert sk.err == 0
+    assert sk.counters[10] == 10 and sk.counters[40] == 7
+
+
+def test_heavy_hitter_users_pipeline(ray_session):
+    import duckdb
+    from pdf_extract_kit_ray.pipelines.streaming import heavy_hitter_users
+    sf = "/root/testdata/sf0.001"
+    df = heavy_hitter_users(sf).to_pandas()
+    ex = duckdb.sql(
+        f"""SELECT user_id, count(*) AS c
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1 ORDER BY c DESC, user_id ASC LIMIT 20""").df()
+    assert (df["max_undercount"] == 0).all()          # lossless at test scale
+    assert df["user_id"].tolist() == ex["user_id"].tolist()
+    assert df["est_count"].tolist() == ex["c"].tolist()
