@@ -54,6 +54,7 @@ def coarse_grouped_aggregate(
     key_cols: "str | List[str]",
     aggs: List[Tuple[Optional[str], str, str]],
     num_coarse: Optional[int] = None,
+    hash_cols: Optional[List[str]] = None,
 ) -> "ray.data.Dataset":
     """Group ``ds`` by ``key_cols`` applying Arrow group_by aggregations.
 
@@ -64,21 +65,30 @@ def coarse_grouped_aggregate(
     min-of-mins, count = sum of partial counts: pass the partial count
     column with fn "sum").
 
-    The coarse shuffle key hashes the FIRST key column — put the
-    high-cardinality key first (a functionally-dependent second key, e.g.
-    (l_orderkey, o_orderdate), rides along untouched).
+    The coarse shuffle key hashes ``hash_cols`` (default: the FIRST key
+    column — put the high-cardinality key first; a functionally-dependent
+    second key, e.g. (l_orderkey, o_orderdate), rides along untouched).
+    When no single key is high-cardinality, pass every key column so the
+    buckets spread over the COMBINED cardinality instead of one column's
+    few distinct values (e.g. a (nation, nation, year) rollup has 25
+    distinct first-key values — 25 usable buckets — but 4200 distinct
+    tuples).
 
     Returns one row per distinct key tuple: (*key_cols, *out_names)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hcols = hash_cols or [keys[0]]
     nc = num_coarse or _default_num_coarse()
     in_cols = keys + [c for c, _, _ in aggs if c is not None]
     arrow_aggs = [((c if c is not None else []), f) for c, f, _ in aggs]
     out_names = keys + [o for _, _, o in aggs]
 
     def tag(batch: pa.Table) -> pa.Table:
-        coarse = _coarse_of(batch.column(keys[0]), nc)
+        coarse = _coarse_of(batch.column(hcols[0]), 1 << 62)
+        for c in hcols[1:]:
+            coarse = (coarse * _GOLDEN
+                      + _coarse_of(batch.column(c), 1 << 62))
         return batch.append_column("__coarse",
-                                   pa.array(coarse, pa.int64()))
+                                   pa.array(coarse % nc, pa.int64()))
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
         g = group.select(in_cols).group_by(keys).aggregate(arrow_aggs)

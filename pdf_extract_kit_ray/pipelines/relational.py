@@ -909,10 +909,16 @@ def nation_trade_volume(sf_dir: str,
         return g.rename_columns(["supp_nation", "cust_nation", "yr",
                                  "partial_rev_c", "partial_n"])
 
-    agg = (joined.map_batches(partial, batch_format="pyarrow")
-                 .groupby(["supp_nation", "cust_nation", "yr"])
-                 .aggregate(Sum("partial_rev_c", alias_name="rev_c"),
-                            Sum("partial_n", alias_name="n_items")))
+    # coarse-grouped final rollup hashing the full key tuple: no single key
+    # is high-cardinality (25 nations, ~7 years), but the tuple space is
+    # 4200 groups — the native Aggregate spent ~1.9 s on these tiny
+    # partials where the Arrow-kernel bucket reduce spends ~0.4 s
+    from ..functions.agg import coarse_grouped_aggregate
+    agg = coarse_grouped_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "yr"],
+        [("partial_rev_c", "sum", "rev_c"), ("partial_n", "sum", "n_items")],
+        hash_cols=["supp_nation", "cust_nation", "yr"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
