@@ -192,22 +192,27 @@ def build_line_context(raw_dets: Sequence[dict]) -> dict:
     y0 = _np.array([r["y0"] for r in lines], dtype=_np.float64)
     x1 = _np.array([r["x1"] for r in lines], dtype=_np.float64)
     y1 = _np.array([r["y1"] for r in lines], dtype=_np.float64)
-    cx, chars = [], []
+    # per-line char grid as SCALARS (origin + cell width + the text string):
+    # the grid is uniform, so a quad's char capture is an O(1) index-range
+    # computation (mock_ocr) — materializing per-char cx/char arrays here
+    # cost more numpy dispatch than the whole capture does now
+    lx0, cellw, texts = [], [], []
     for r in lines:
         text = r["text"]
         width = r["x1"] - r["x0"]
         if text and width > 0:
-            cell = width / len(text)
-            cx.append(r["x0"] + (_np.arange(len(text)) + 0.5) * cell)
-            chars.append(_np.array(list(text), dtype=object))
+            cellw.append(width / len(text))
+            lx0.append(float(r["x0"]))
+            texts.append(text)
         else:
-            cx.append(None)
-            chars.append(None)
+            cellw.append(None)
+            lx0.append(0.0)
+            texts.append("")
     return {"n": len(lines), "x0": x0, "y0": y0, "x1": x1, "y1": y1,
             "cy": (y0 + y1) / 2.0, "cxc": (x0 + x1) / 2.0,
             "score": _np.array([r["score"] for r in lines],
                                dtype=_np.float64),
-            "cx": cx, "chars": chars}
+            "lx0": lx0, "cellw": cellw, "text": texts}
 
 
 def _visible_lines(ctx: dict, region: Tuple[float, float, float, float]):
@@ -291,46 +296,66 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
     quads = merge_det_quads(quads)
     quads = mask_quads_with_formulas(quads, formula_bboxes_crop)
 
-    # the region-dependent part of each line's grid is just the clip mask;
-    # cx/chars/cy come precomputed from the page-level context.  The
-    # visible-index tiebreak below is monotone in raw emission order, same
-    # as the old position-in-visible-list key.
-    import numpy as _np
+    # per-line capture state: the char grid is uniform (cx_i = x0+(i+0.5)*c,
+    # strictly increasing), so "chars with lo <= cx <= hi" is an index
+    # RANGE — computed arithmetically and boundary-adjusted with the exact
+    # grid expression, reproducing the elementwise (cx >= lo) & (cx <= hi)
+    # comparisons bit-for-bit.  The visible-index tiebreak is monotone in
+    # raw emission order, same as the old position-in-visible-list key.
+    import math as _math
     line_cache = []
     for li, clip in zip(vis_idx, vis_clip):
-        cx = line_ctx["cx"][li]
-        if cx is None:
+        cell = line_ctx["cellw"][li]
+        if cell is None:
             continue
-        clip_mask = (cx >= clip[0]) & (cx <= clip[2])
-        line_cache.append((li, cx, line_ctx["chars"][li], clip_mask,
-                           line_ctx["cy"][li], line_ctx["score"][li]))
+        line_cache.append((int(li), line_ctx["lx0"][li], cell,
+                           line_ctx["text"][li],
+                           float(clip[0]), float(clip[2]),
+                           float(line_ctx["cy"][li]),
+                           float(line_ctx["score"][li])))
 
     results = []
     for quad in quads:
         page_bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
         qx0, qy0, qx1, qy1 = page_bbox
-        cx_parts, li_parts, ch_parts = [], [], []
-        scores: List[float] = []
-        for li, cx, chars, clip_mask, cy, score in line_cache:
+        picked: List[tuple] = []              # (cx, li, char)
+        raw_score = None
+        for li, x0l, cell, text, c0, c2, cy, score in line_cache:
             if not (qy0 <= cy <= qy1):
                 continue
-            sel = clip_mask & (cx >= qx0) & (cx <= qx1)
-            if sel.any():
-                cx_parts.append(cx[sel])
-                li_parts.append(_np.full(int(sel.sum()), li))
-                ch_parts.append(chars[sel])
-                scores.append(score)
-        if not cx_parts:
+            lo = c0 if c0 > qx0 else qx0      # clip ∩ quad x-range
+            hi = c2 if c2 < qx1 else qx1
+            if lo > hi:
+                continue
+            n = len(text)
+            # first index with cx >= lo (arith guess, exact-expr adjust)
+            i0 = _math.ceil((lo - x0l) / cell - 0.5)
+            if i0 < 0:
+                i0 = 0
+            while i0 > 0 and x0l + ((i0 - 1) + 0.5) * cell >= lo:
+                i0 -= 1
+            while i0 < n and x0l + (i0 + 0.5) * cell < lo:
+                i0 += 1
+            # last index with cx <= hi
+            i1 = _math.floor((hi - x0l) / cell - 0.5)
+            if i1 > n - 1:
+                i1 = n - 1
+            while i1 < n - 1 and x0l + ((i1 + 1) + 0.5) * cell <= hi:
+                i1 += 1
+            while i1 >= 0 and x0l + (i1 + 0.5) * cell > hi:
+                i1 -= 1
+            if i1 < i0:
+                continue
+            for i in range(i0, i1 + 1):
+                picked.append((x0l + (i + 0.5) * cell, li, text[i]))
+            raw_score = score if raw_score is None else min(raw_score, score)
+        if not picked:
             continue
-        cx_all = _np.concatenate(cx_parts)
-        li_all = _np.concatenate(li_parts)
-        ch_all = _np.concatenate(ch_parts)
-        order = _np.lexsort((li_all, cx_all))   # sort by (cx, li)
-        text = "".join(ch_all[order])
-        raw_score = min(scores)
+        picked.sort(key=lambda t: (t[0], t[1]))  # (cx, li) — unique pairs
+        text_out = "".join(p[2] for p in picked)
         if raw_score < drop_score:  # drop BEFORE rounding (paddle_ocr.py:442-447)
             continue
-        results.append((quad, (text, round(raw_score, 2))))
+        results.append((quad, (text_out, round(raw_score, 2))))
     return results
 
 
