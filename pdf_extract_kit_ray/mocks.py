@@ -186,16 +186,19 @@ def build_line_context(raw_dets: Sequence[dict]) -> dict:
     visibility test run as one vectorized mask instead of a Python loop
     over lines.  Identical double arithmetic to the per-dict path (int
     coordinates convert exactly to float64)."""
-    import numpy as _np
     lines = [raw for raw in raw_dets if raw["kind"] == "text_line"]
-    x0 = _np.array([r["x0"] for r in lines], dtype=_np.float64)
-    y0 = _np.array([r["y0"] for r in lines], dtype=_np.float64)
-    x1 = _np.array([r["x1"] for r in lines], dtype=_np.float64)
-    y1 = _np.array([r["y1"] for r in lines], dtype=_np.float64)
+    x0 = [float(r["x0"]) for r in lines]
+    y0 = [float(r["y0"]) for r in lines]
+    x1 = [float(r["x1"]) for r in lines]
+    y1 = [float(r["y1"]) for r in lines]
     # per-line char grid as SCALARS (origin + cell width + the text string):
     # the grid is uniform, so a quad's char capture is an O(1) index-range
     # computation (mock_ocr) — materializing per-char cx/char arrays here
-    # cost more numpy dispatch than the whole capture does now
+    # cost more numpy dispatch than the whole capture does now.  Everything
+    # is plain Python lists: a page's line count is BOUNDED (~tens,
+    # independent of corpus size) and scalar loops beat small-array numpy
+    # dispatch at that size (measured; the array variants are in git
+    # history).
     lx0, cellw, texts = [], [], []
     for r in lines:
         text = r["text"]
@@ -209,9 +212,9 @@ def build_line_context(raw_dets: Sequence[dict]) -> dict:
             lx0.append(0.0)
             texts.append("")
     return {"n": len(lines), "x0": x0, "y0": y0, "x1": x1, "y1": y1,
-            "cy": (y0 + y1) / 2.0, "cxc": (x0 + x1) / 2.0,
-            "score": _np.array([r["score"] for r in lines],
-                               dtype=_np.float64),
+            "cy": [(a + b) / 2.0 for a, b in zip(y0, y1)],
+            "cxc": [(a + b) / 2.0 for a, b in zip(x0, x1)],
+            "score": [float(r["score"]) for r in lines],
             "lx0": lx0, "cellw": cellw, "text": texts}
 
 
@@ -219,39 +222,37 @@ def _visible_lines(ctx: dict, region: Tuple[float, float, float, float]):
     """Indices + clipped bboxes of the text_lines visible in an unpadded
     crop region (center inside the region, bbox clipped to it — a region
     crop only "sees" its pixels)."""
-    import numpy as _np
-    idx_list, clip_list = batch_visible_lines(ctx, _np.asarray([region]))
+    idx_list, clip_list = batch_visible_lines(ctx, [region])
     return idx_list[0], clip_list[0]
 
 
 def batch_visible_lines(ctx: dict, regions) -> Tuple[list, list]:
-    """Visibility for ALL of a page's regions in one (R x L) broadcast —
-    per-region numpy calls dominate when lines-per-page is small (~20), so
-    the page's ~7 region crops share a single mask/clip computation.
-    Returns parallel lists of (line indices, clipped bboxes) per region."""
-    import numpy as _np
-    regions = _np.asarray(regions, dtype=_np.float64)
-    R = len(regions)
-    if ctx["n"] == 0 or R == 0:
-        z = _np.array([], dtype=_np.int64)
-        return [z] * R, [_np.empty((0, 4))] * R
-    rx0 = regions[:, 0:1]
-    ry0 = regions[:, 1:2]
-    rx1 = regions[:, 2:3]
-    ry1 = regions[:, 3:4]
-    cxc, cy = ctx["cxc"][None, :], ctx["cy"][None, :]
-    inside = ((rx0 <= cxc) & (cxc <= rx1) & (ry0 <= cy) & (cy <= ry1))
-    cx0 = _np.maximum(ctx["x0"][None, :], rx0)
-    cy0 = _np.maximum(ctx["y0"][None, :], ry0)
-    cx1 = _np.minimum(ctx["x1"][None, :], rx1)
-    cy1 = _np.minimum(ctx["y1"][None, :], ry1)
-    ok = inside & (cx1 > cx0) & (cy1 > cy0)
+    """Visibility of a page's lines in each region crop (center inside the
+    region, bbox clipped to it).  Plain scalar loops: both line count and
+    region count per page are BOUNDED (~20 x ~7, independent of corpus
+    size), where the loop beats the (R x L) numpy broadcast this replaced
+    (in git history) on dispatch overhead alone.  Returns parallel lists
+    of (line index list, clipped (x0,y0,x1,y1) tuple list) per region."""
     idx_list, clip_list = [], []
-    for r in range(R):
-        idx = _np.flatnonzero(ok[r])
+    n = ctx["n"]
+    x0, y0, x1, y1 = ctx["x0"], ctx["y0"], ctx["x1"], ctx["y1"]
+    cxc, cy = ctx["cxc"], ctx["cy"]
+    for region in regions:
+        rx0, ry0, rx1, ry1 = region
+        idx, clips = [], []
+        for i in range(n):
+            c, m = cxc[i], cy[i]
+            if not (rx0 <= c <= rx1 and ry0 <= m <= ry1):
+                continue
+            cx0 = x0[i] if x0[i] > rx0 else rx0
+            cy0_ = y0[i] if y0[i] > ry0 else ry0
+            cx1 = x1[i] if x1[i] < rx1 else rx1
+            cy1_ = y1[i] if y1[i] < ry1 else ry1
+            if cx1 > cx0 and cy1_ > cy0_:
+                idx.append(i)
+                clips.append((cx0, cy0_, cx1, cy1_))
         idx_list.append(idx)
-        clip_list.append(_np.stack([cx0[r, idx], cy0[r, idx],
-                                    cx1[r, idx], cy1[r, idx]], axis=1))
+        clip_list.append(clips)
     return idx_list, clip_list
 
 
@@ -351,7 +352,10 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
             raw_score = score if raw_score is None else min(raw_score, score)
         if not picked:
             continue
-        picked.sort(key=lambda t: (t[0], t[1]))  # (cx, li) — unique pairs
+        # plain tuple sort == sort by (cx, li): the pairs are unique (a
+        # line's grid is strictly increasing), so the char element is
+        # never compared
+        picked.sort()
         text_out = "".join(p[2] for p in picked)
         if raw_score < drop_score:  # drop BEFORE rounding (paddle_ocr.py:442-447)
             continue
