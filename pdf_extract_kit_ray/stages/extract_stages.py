@@ -488,13 +488,17 @@ def reassemble_chunk(group: pa.Table) -> pa.Table:
     salt = group.column("salt")[0].as_py()
     group = group.filter(pc.greater_equal(group.column("block_idx"), 0))
     group = group.sort_by([("page_no", "ascending"), ("block_idx", "ascending")])
-    return pa.Table.from_pydict({
-        "doc_id": [doc_id],
-        "salt": [salt],
-        "kinds": [group.column("kind").to_pylist()],
-        "texts": [group.column("text").to_pylist()],
-        "media_refs": [group.column("media_ref").to_pylist()],
-    }, schema=_CHUNK_SCHEMA)
+    n = group.num_rows
+    offsets = pa.array([0, n], pa.int32())
+
+    def as_list(col: str) -> pa.Array:
+        return pa.ListArray.from_arrays(offsets,
+                                        group.column(col).combine_chunks())
+
+    return pa.Table.from_arrays(
+        [pa.array([doc_id], pa.string()), pa.array([salt], pa.int32()),
+         as_list("kind"), as_list("text"), as_list("media_ref")],
+        schema=_CHUNK_SCHEMA)
 
 
 def merge_doc_chunks(group: pa.Table) -> pa.Table:
@@ -506,17 +510,37 @@ def merge_doc_chunks(group: pa.Table) -> pa.Table:
     but the doc's full span DATA still converges here, packed inside the
     chunk rows: the one-row-per-doc output contract makes that peak
     per-group byte size inherent to any reassembly, salted or not."""
+    import numpy as np
     doc_id = group.column("doc_id")[0].as_py()
     group = group.sort_by([("salt", "ascending")])
-    spans = []
-    for kinds, texts, medias in zip(group.column("kinds").to_pylist(),
-                                    group.column("texts").to_pylist(),
-                                    group.column("media_refs").to_pylist()):
-        for k, t, m in zip(kinds, texts, medias):
-            spans.append({"kind": k, "text": t, "media_ref": m,
-                          "offset": len(spans)})
-    return pa.Table.from_pydict({"doc_id": [doc_id], "spans": [spans]},
+    # list_flatten concatenates in row (= salt) order: the chunk columns
+    # become the doc's span columns with no per-span Python
+    kinds = pc.list_flatten(group.column("kinds").combine_chunks())
+    texts = pc.list_flatten(group.column("texts").combine_chunks())
+    medias = pc.list_flatten(group.column("media_refs").combine_chunks())
+    n = len(kinds)
+    st = pa.StructArray.from_arrays(
+        [kinds, texts, medias,
+         pa.array(np.arange(n, dtype=np.int32), pa.int32())],
+        names=["kind", "text", "media_ref", "offset"])
+    spans = pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), st)
+    return pa.Table.from_arrays([pa.array([doc_id], pa.string()), spans],
                                 schema=DOC_SCHEMA)
+
+
+def _spans_list_column(group: pa.Table) -> pa.Array:
+    """One-row list<SPAN_TYPE> column from a sorted span-row group, built
+    directly on the Arrow arrays (no per-span Python dicts): the kind/text/
+    media_ref columns are reused zero-copy, offsets are a dense arange."""
+    import numpy as np
+    n = group.num_rows
+    st = pa.StructArray.from_arrays(
+        [group.column("kind").combine_chunks(),
+         group.column("text").combine_chunks(),
+         group.column("media_ref").combine_chunks(),
+         pa.array(np.arange(n, dtype=np.int32), pa.int32())],
+        names=["kind", "text", "media_ref", "offset"])
+    return pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), st)
 
 
 def reassemble_document(group: pa.Table) -> pa.Table:
@@ -527,10 +551,6 @@ def reassemble_document(group: pa.Table) -> pa.Table:
     doc_id = group.column("doc_id")[0].as_py()
     group = group.filter(pc.greater_equal(group.column("block_idx"), 0))
     group = group.sort_by([("page_no", "ascending"), ("block_idx", "ascending")])
-    spans = [{"kind": k, "text": t, "media_ref": m, "offset": i}
-             for i, (k, t, m) in enumerate(zip(
-                 group.column("kind").to_pylist(),
-                 group.column("text").to_pylist(),
-                 group.column("media_ref").to_pylist()))]
-    return pa.Table.from_pydict({"doc_id": [doc_id], "spans": [spans]},
-                                schema=DOC_SCHEMA)
+    return pa.Table.from_arrays(
+        [pa.array([doc_id], pa.string()), _spans_list_column(group)],
+        schema=DOC_SCHEMA)
