@@ -315,6 +315,13 @@ def sequence_pack(sf_dir: str, budget: int = 1024,
     # materialized int table (no re-tokenization)
     from ray.data.aggregate import Max, Min
     bounds = toks.aggregate(Min("doc_id"), Max("doc_id"))
+    if not bounds or bounds.get("min(doc_id)") is None:   # empty corpus
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "token_start": pa.array([], pa.int64()),
+            "seq_id": pa.array([], pa.int64()),
+            "seq_off": pa.array([], pa.int64())}))
     lo, hi = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
 
     scanned = ordered_prefix_scan(

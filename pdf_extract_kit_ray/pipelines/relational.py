@@ -512,19 +512,33 @@ def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
     market segment — the right side is filtered at the read, then
     ``join_type='left_anti'`` hash-shuffles both sides so neither needs to
     fit in memory (vs. the broadcast pattern of orders_per_nation)."""
+    import pyarrow.dataset as pads
+    # Ray's hash-shuffle join loses the key schema when a side is entirely
+    # empty (FieldRef.Name(c_custkey) ArrowInvalid); both guards below are
+    # parquet-metadata row counts, not scans.
+    if pads.dataset(f"{sf_dir}/customer.parquet").count_rows() == 0:
+        return ray.data.from_arrow(pa.table({
+            "c_mktsegment": pa.array([], pa.string()),
+            "n_customers": pa.array([], pa.int64())}))
     cust = sized_read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
-    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_custkey", "o_totalprice"])
 
-    def big_orders(batch: pa.Table) -> pa.Table:
-        keep = pc.greater(batch.column("o_totalprice"), min_price)
-        return pa.table({"o_custkey": batch.column("o_custkey").filter(keep)})
+    if pads.dataset(f"{sf_dir}/orders.parquet").count_rows() == 0:
+        anti = cust                          # anti-join vs empty = identity
+    else:
+        orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                       columns=["o_custkey", "o_totalprice"])
 
-    anti = cust.join(orders.map_batches(big_orders, batch_format="pyarrow"),
-                     join_type="left_anti",
-                     num_partitions=_join_partitions(num_partitions),
-                     on=("c_custkey",), right_on=("o_custkey",))
+        def big_orders(batch: pa.Table) -> pa.Table:
+            keep = pc.greater(batch.column("o_totalprice"), min_price)
+            return pa.table(
+                {"o_custkey": batch.column("o_custkey").filter(keep)})
+
+        anti = cust.join(orders.map_batches(big_orders,
+                                            batch_format="pyarrow"),
+                         join_type="left_anti",
+                         num_partitions=_join_partitions(num_partitions),
+                         on=("c_custkey",), right_on=("o_custkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -30,6 +30,14 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _matrix_from_lists(rows) -> np.ndarray:
+    """list<float> column values -> (n, dim) float64 matrix; an EMPTY input
+    yields shape (0, 0) instead of the 1-D array np.asarray would produce
+    (which crashes every axis=1 consumer downstream)."""
+    m = np.asarray([list(v) for v in rows], dtype=np.float64)
+    return m.reshape(0, 0) if m.ndim == 1 else m
+
+
 def _embedding_matrix(batch: pa.Table) -> np.ndarray:
     col = batch.column("embedding")
     if isinstance(col, pa.ChunkedArray):
@@ -50,12 +58,21 @@ def ann_topk(sf_dir: str, k: int = 10, num_queries: int = 8) -> "ray.data.Datase
     table for each of the first ``num_queries`` vectors (self included).
     Deterministic tie-break: higher score first, then lower neighbor_id."""
     qt = _load_queries(sf_dir, num_queries)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if qt.num_rows == 0:                     # empty embeddings table
+        return ray.data.from_arrow(empty)
     q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
-    q_mat = _normalize(np.asarray(
-        [list(v) for v in qt.column("embedding").to_pylist()], dtype=np.float64))
+    q_mat = _normalize(_matrix_from_lists(
+        qt.column("embedding").to_pylist()))
     q_ref = ray.put((q_ids, q_mat))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:              # empty block
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "raw_score": pa.array([], pa.float64())})
         ids, qm = ray.get(q_ref)
         x = _normalize(_embedding_matrix(batch))
         vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -95,9 +112,13 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.2,
     vec_id < max_id subset.  The subset matrix is broadcast once; each batch
     scans its rows against the full subset and keeps only b > a pairs."""
     sub = _load_queries(sf_dir, max_id)
+    if sub.num_rows == 0:                    # empty embeddings table
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
     all_ids = np.asarray(sub.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = _normalize(np.asarray(
-        [list(v) for v in sub.column("embedding").to_pylist()], dtype=np.float64))
+    mat = _normalize(_matrix_from_lists(
+        sub.column("embedding").to_pylist()))
     ref = ray.put((all_ids, mat))
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -130,9 +151,10 @@ def _train_coarse_centroids(sf_dir: str, nlist: int, sample_size: int = 2048,
     (cell pruning) and ``semantic_dedup`` (cluster partitioning)."""
     import pyarrow.dataset as pads
     sample = pads.dataset(f"{sf_dir}/embeddings.parquet").head(sample_size)
-    smat = _normalize(np.asarray(
-        [list(v) for v in sample.column("embedding").to_pylist()],
-        dtype=np.float64))
+    smat = _normalize(_matrix_from_lists(
+        sample.column("embedding").to_pylist()))
+    if smat.shape[0] == 0:                   # empty embeddings table
+        return smat
     rng = np.random.RandomState(0)
     cent = smat[rng.choice(len(smat), size=min(nlist, len(smat)), replace=False)]
     for _ in range(iters):
@@ -181,8 +203,14 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.95,
         n_total = pads.dataset(path).count_rows()   # parquet metadata only
         nlist = max(8, min(1 << 16,
                            (n_total + target_cluster - 1) // target_cluster))
-    cent_ref = ray.put(_train_coarse_centroids(sf_dir, nlist, sample_size,
-                                               iters))
+    cent = _train_coarse_centroids(sf_dir, nlist, sample_size, iters)
+    if cent.shape[0] == 0:                   # empty embeddings table
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "is_dup": pa.array([], pa.bool_()),
+            "max_prior_sim": pa.array([], pa.float64())}))
+    cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -240,6 +268,11 @@ def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
     cent = _train_coarse_centroids(sf_dir, nlist, sample_size, iters)
 
     qt = _load_queries(sf_dir, num_queries)
+    if cent.shape[0] == 0 or qt.num_rows == 0:   # empty embeddings table
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
     q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
     q_mat = _normalize(np.asarray(
         [list(v) for v in qt.column("embedding").to_pylist()], dtype=np.float64))
@@ -308,6 +341,10 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
         filter=pads.field("vec_id") < k).sort_by("vec_id")
     centroids = np.array(init.column("embedding").to_pylist(),
                          dtype=np.float64)
+    if centroids.size == 0:                  # empty embeddings table
+        return pa.table({"cluster": pa.array([], pa.int32()),
+                         "n": pa.array([], pa.int64()),
+                         "inertia_total": pa.array([], pa.float64())})
     dim = centroids.shape[1]
 
     def make_partial(cref):

@@ -57,8 +57,11 @@ def hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
                                columns=["user_id"])
     res = ds.aggregate(make_hll_aggregator("user_id", p=p,
                                            name="distinct_users_est"))
-    return pa.table({"distinct_users_est": pa.array(
-                        [res["distinct_users_est"]], pa.float64()),
+    est = (res or {}).get("distinct_users_est")
+    if est is None:                          # empty events table
+        return pa.table({"distinct_users_est": pa.array([], pa.float64()),
+                         "precision_p": pa.array([], pa.int32())})
+    return pa.table({"distinct_users_est": pa.array([est], pa.float64()),
                      "precision_p": pa.array([p], pa.int32())})
 
 
@@ -75,7 +78,11 @@ def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
                                columns=["value"])
     res = ds.aggregate(make_ddsketch_aggregator(
         "value", alpha=alpha, qs=qs, name="q", include_count=True))
-    vals = res["q"]
+    vals = res["q"] if res else None
+    if vals is None:                         # empty events table
+        cols = {f"p{int(q * 100)}": pa.array([], pa.float64()) for q in qs}
+        cols["n"] = pa.array([], pa.int64())
+        return pa.table(cols)
     cols = {f"p{int(q * 100)}": pa.array([vals[i]], pa.float64())
             for i, q in enumerate(qs)}
     cols["n"] = pa.array([int(vals[len(qs)])], pa.int64())
@@ -97,7 +104,7 @@ def heavy_hitter_users(sf_dir: str, k: int = 1024, top: int = 20) -> pa.Table:
 
     ds = sized_read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     res = ds.aggregate(make_mg_aggregator("user_id", k=k, name="hh"))
-    flat = res["hh"]
+    flat = (res or {}).get("hh") or [0]      # empty events table -> err 0
     err, pairs = int(flat[0]), flat[1:]
     users = [int(pairs[i]) for i in range(0, min(len(pairs), 2 * top), 2)]
     counts = [int(pairs[i + 1]) for i in range(0, min(len(pairs), 2 * top), 2)]
