@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text.stratified_sample,
         "tfidf_top_terms": text.tfidf_top_terms,
         "doc_chunks": text.doc_chunks,
+        "unigram_logprob": text.unigram_logprob,
+        "bigram_pmi": text.bigram_pmi,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
         "doc_repetition": curation.doc_repetition,
@@ -237,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
+        "event_funnel": streaming.event_funnel,
+        "user_retention": streaming.user_retention,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
         "distinct_users_by_type": streaming.distinct_users_by_type,
@@ -744,6 +748,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS max_undercount
             FROM events GROUP BY user_id
             ORDER BY est_count DESC, user_id ASC LIMIT 20
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                 AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR
+                WHERE e.event_type = 'click' GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                 AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 24 HOUR
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT * FROM (
+                SELECT 'signup' AS stage, 1 AS stage_idx,
+                       (SELECT count(*) FROM s1) AS n_users
+                UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+                UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3))
+            ORDER BY stage_idx
+        """,
+        "user_retention": """
+            WITH firsts AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cw
+                FROM events GROUP BY 1
+            ), act AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                FROM events
+            )
+            SELECT f.cw AS cohort_week,
+                   CAST(date_diff('week', f.cw, a.w) AS BIGINT) AS week_offset,
+                   count(*) AS n_users
+            FROM firsts f JOIN act a USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "unigram_logprob": """
+            -- per-token -ln(c/s) snapped to integer micro-units (the
+            -- engine's round6 arithmetic) so the per-doc average is exact
+            -- integer math in both engines
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), cnt AS (
+                SELECT term, count(*) AS c FROM tok GROUP BY 1
+            ), tot AS (
+                SELECT sum(c) AS s FROM cnt
+            ), m AS (
+                SELECT term,
+                       CAST(round(-ln(CAST(c AS DOUBLE) / s) * 1000000.0)
+                            AS BIGINT) AS m
+                FROM cnt CROSS JOIN tot
+            )
+            SELECT tok.doc_id, count(*) AS n_tokens,
+                   CAST(round((CAST(sum(m.m) AS DOUBLE)
+                               / (count(*) * 1000000.0)) * 1000000.0)
+                        AS BIGINT) / 1000000.0 AS avg_neg_logprob
+            FROM tok JOIN m USING (term) GROUP BY tok.doc_id
+        """,
+        "bigram_pmi": """
+            WITH l AS (
+                SELECT list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), z AS (
+                SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+                FROM l WHERE len(l) >= 2
+            ), bc AS (
+                SELECT p[1] AS w1, p[2] AS w2, count(*) AS c
+                FROM z GROUP BY 1, 2
+            ), tb AS (
+                SELECT sum(c) AS s FROM bc
+            ), uni AS (
+                SELECT term, count(*) AS c FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(text, '\\s+'),
+                        x -> x <> '')) AS term FROM documents)
+                GROUP BY 1
+            ), tu AS (
+                SELECT sum(c) AS s FROM uni
+            )
+            SELECT bc.w1, bc.w2, bc.c AS n_pairs,
+                   CAST(round(ln((bc.c / tb.s)
+                                 / ((u1.c / tu.s) * (u2.c / tu.s)))
+                              * 1000000.0) AS BIGINT) / 1000000.0 AS pmi
+            FROM bc CROSS JOIN tb CROSS JOIN tu
+            JOIN uni u1 ON u1.term = bc.w1
+            JOIN uni u2 ON u2.term = bc.w2
+            WHERE bc.c >= 5
+            ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20
         """,
         "events_sliding_window": """
             WITH e AS (

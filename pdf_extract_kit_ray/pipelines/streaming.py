@@ -173,6 +173,124 @@ def events_sliding_window(sf_dir: str, window_min: int = 60,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def event_funnel(sf_dir: str,
+                 stages: tuple = ("signup", "click", "purchase"),
+                 window_hours: int = 24) -> pa.Table:
+    """Ordered conversion funnel with a per-step conversion window: a user
+    reaches stage i+1 when an event of that type occurs STRICTLY after the
+    timestamp at which they reached stage i and within ``window_hours`` of
+    it (stage times are the earliest qualifying event, computed greedily
+    stage by stage — the standard funnel semantics).
+
+    Scale shape: events are pre-filtered to funnel types at the map (the
+    only rows that shuffle), ONE groupby(user_id) computes each user's
+    funnel depth with a per-stage vectorized min over the group, and the
+    depth column rolls up through a per-batch histogram combiner + a
+    <= len(stages)-row groupby.  The final cumulative step touches one row
+    per stage on the driver."""
+    from ray.data.aggregate import Sum
+
+    stage_list = [str(s) for s in stages]
+    win_us = window_hours * 3600 * 1_000_000
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(stage_list))
+        return batch.filter(keep).select(["user_id", "ts", "event_type"])
+
+    def depth(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        d, t_prev = 0, None
+        for s in stage_list:
+            mask = et == s
+            if d > 0:
+                mask &= (ts > t_prev) & (ts <= t_prev + win_us)
+            if not mask.any():
+                break
+            t_prev = int(ts[mask].min())
+            d += 1
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()],
+                                pa.int64()),
+            "depth": pa.array([d], pa.int64())})
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["depth"]).group_by("depth")
+                  .aggregate([([], "count_all")]))
+        return g.rename_columns(["depth", "partial_n"])
+
+    agg = (ds.map_batches(prefilter, batch_format="pyarrow")
+             .groupby("user_id").map_groups(depth, batch_format="pyarrow")
+             .map_batches(hist, batch_format="pyarrow")
+             .groupby("depth").aggregate(Sum("partial_n", alias_name="n"))
+             .take_all())                         # <= len(stages)+1 rows
+    by_depth = {int(r["depth"]): int(r["n"]) for r in agg}
+    reached = [sum(n for d, n in by_depth.items() if d >= i + 1)
+               for i in range(len(stage_list))]
+    return pa.table({
+        "stage": pa.array(stage_list, pa.string()),
+        "stage_idx": pa.array(range(1, len(stage_list) + 1), pa.int32()),
+        "n_users": pa.array(reached, pa.int64())})
+
+
+def user_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Weekly cohort retention: users are cohorted by the ISO week (Monday
+    start) of their first event; for every (cohort_week, week_offset) the
+    count of cohort users active in that week.
+
+    Scale shape: each batch reduces to DISTINCT (user_id, week) pairs (the
+    combiner — shuffle volume is bounded by users x weeks, not events),
+    ONE groupby(user_id) finds the cohort week and emits the user's
+    (cohort, offset) rows, and the rollup is a per-batch histogram partial
+    into a tiny (cohort, offset)-keyed groupby."""
+    from ray.data.aggregate import Sum
+
+    us_per_day = 86_400_000_000
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def week_pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        d = ts // us_per_day
+        week_day = d - ((d + 3) % 7)      # epoch day of the week's Monday
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "week_day": pa.array(week_day, pa.int64())})
+        return (t.group_by(["user_id", "week_day"])
+                 .aggregate([([], "count_all")])
+                 .select(["user_id", "week_day"]))
+
+    def per_user(group: pa.Table) -> pa.Table:
+        weeks = np.unique(group.column("week_day").to_numpy())
+        cohort = int(weeks.min())
+        return pa.table({
+            "cohort_day": pa.array([cohort] * len(weeks), pa.int64()),
+            "week_offset": pa.array((weeks - cohort) // 7, pa.int64())})
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = (batch.group_by(["cohort_day", "week_offset"])
+                  .aggregate([([], "count_all")]))
+        return g.rename_columns(["cohort_day", "week_offset", "partial_n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": pc.cast(
+                pc.multiply(batch.column("cohort_day"), us_per_day),
+                pa.timestamp("us")),
+            "week_offset": batch.column("week_offset"),
+            "n_users": batch.column("n_users")})
+
+    return (ds.map_batches(week_pairs, batch_format="pyarrow")
+              .groupby("user_id").map_groups(per_user,
+                                             batch_format="pyarrow")
+              .map_batches(hist, batch_format="pyarrow")
+              .groupby(["cohort_day", "week_offset"])
+              .aggregate(Sum("partial_n", alias_name="n_users"))
+              .map_batches(finish, batch_format="pyarrow"))
+
+
 def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
     """EXACT COUNT(DISTINCT user_id) per event type — the ground-truth
     companion of the HLL variant: per-batch (type, user) distinct partials

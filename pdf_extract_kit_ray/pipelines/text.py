@@ -342,6 +342,182 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
               .map_groups(topk, batch_format="pyarrow"))
 
 
+def _corpus_unigram_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed wordcount over raw (not lowercased) whitespace tokens:
+    per-batch histogram combiner -> coarse-keyed Arrow aggregate.  Shared
+    by the language-model scorers below.  Returns (term, n)."""
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text"))))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"term": toks}).group_by("term") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["term", "partial_n"])
+
+    from ..functions.agg import coarse_grouped_aggregate
+    return coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "term", [("partial_n", "sum", "n")])
+
+
+def unigram_logprob(sf_dir: str, vocab_size: int = 1 << 17) -> "ray.data.Dataset":
+    """Per-document unigram language-model score — the CCNet-style quality
+    signal: avg over the doc's tokens of -ln(corpus_count(token) / total),
+    plus the token count.  Low values = stereotyped text, high = rare-token
+    soup; curation filters both tails.
+
+    Scale shape: one wordcount shuffle builds the corpus LM; the top
+    ``vocab_size`` terms (plus the total token count) broadcast via
+    ``ray.put`` — kilobytes at test scale, bounded by the vocab cap at any
+    scale — and scoring is a pure map (a hashed gather per token, a
+    segmented integer sum per doc).  Out-of-vocab tokens (possible only
+    when distinct terms exceed ``vocab_size``; never on the test corpora)
+    score as count 0.5.
+
+    Bit-parity with the SQL twin: each token's -ln(c/total) is snapped to
+    integer micro-units (1e-6, half away from zero — one value per
+    DISTINCT count, so both engines round the same handful of doubles);
+    per-doc summation is then exact integer math, immune to float
+    reassociation across engines/block orders."""
+    counts = _corpus_unigram_counts(sf_dir).materialize()
+    total = counts.sum("n") or 0
+    if total == 0:                           # empty corpus
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "avg_neg_logprob": pa.array([], pa.float64())}))
+    vocab = counts.sort(["n", "term"], descending=[True, False]) \
+                  .limit(vocab_size).to_pandas()
+    # micro-int neg-logprob per vocab term (same expression as the twin:
+    # round(-ln(c/s) * 1e6) half away from zero)
+    micro = pc.cast(pc.round(
+        pc.multiply(pc.negate(pc.ln(pc.divide(
+            vocab["n"].to_numpy().astype(np.float64), float(total)))),
+            1_000_000.0),
+        ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+    mdict = dict(zip(vocab["term"], micro.to_numpy()))
+    m_oov = int(round(-np.log(0.5 / total) * 1e6))
+    ref = ray.put((mdict, m_oov))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "avg_neg_logprob": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        md, mo = ray.get(ref)
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        if len(flat) == 0:
+            return empty
+        import pandas as pd
+        m = pd.Series(flat.to_pandas()).map(md).fillna(mo) \
+              .to_numpy(dtype=np.int64)
+        par = parent.to_numpy()
+        starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+        msum = np.add.reduceat(m, starts)
+        n = np.diff(np.r_[starts, len(par)]).astype(np.int64)
+        from ..functions.num import round6
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(
+                pa.array(par[starts], pa.int64())),
+            "n_tokens": pa.array(n, pa.int64()),
+            "avg_neg_logprob": round6(pa.array(
+                msum.astype(np.float64) / (n * 1_000_000.0))),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> "ray.data.Dataset":
+    """Top-k adjacent-token bigrams by pointwise mutual information —
+    Mikolov-style phrase mining over the corpus:
+    pmi = ln( (c_pair/total_pairs) / ((c_w1/total_toks)(c_w2/total_toks)) )
+    for pairs with c_pair >= ``min_count``.
+
+    Scale shape: per-batch bigram histograms (the combiner) feed ONE
+    coarse shuffle keyed on the (w1, w2) pair; unigram counts come from
+    the shared wordcount and only terms with count >= min_count are pulled
+    (lossless: a pair at min_count implies both words at min_count), so
+    the broadcast side is bounded by the frequent-term vocabulary; the
+    min_count filter prunes the pair table before the final global
+    sort+limit."""
+    counts = _corpus_unigram_counts(sf_dir).materialize()
+    total_uni = counts.sum("n") or 0
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "pmi": pa.array([], pa.float64())})
+    if total_uni == 0:
+        return ray.data.from_arrow(empty)
+    freq = pa.concat_tables(
+        b for b in counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    udict = dict(zip(freq.column("term").to_pylist(),
+                     freq.column("n").to_pylist()))
+    uref = ray.put(udict)
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        arr = (split.combine_chunks()
+               if isinstance(split, pa.ChunkedArray) else split)
+        # list_flatten/list_parent_indices (not .values) — both slice-aware
+        vals = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(arr).to_numpy()
+        if len(vals) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "partial_n": pa.array([], pa.int64())})
+        adj = (par[:-1] == par[1:]) & (vals[:-1] != "") & (vals[1:] != "")
+        t = pa.table({"w1": pa.array(vals[:-1][adj], pa.string()),
+                      "w2": pa.array(vals[1:][adj], pa.string())})
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "partial_n"])
+
+    from ..functions.agg import coarse_grouped_aggregate
+    pairs = coarse_grouped_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"], [("partial_n", "sum", "n_pairs")],
+        hash_cols=["w1", "w2"]).materialize()
+    total_bg = pairs.sum("n_pairs") or 0
+    if total_bg == 0:
+        return ray.data.from_arrow(empty)
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater_equal(batch.column("n_pairs"), min_count))
+        if batch.num_rows == 0:
+            return empty
+        ud = ray.get(uref)
+        import pandas as pd
+        c1 = pd.Series(batch.column("w1").to_pandas()).map(ud) \
+               .to_numpy(dtype=np.float64)
+        c2 = pd.Series(batch.column("w2").to_pandas()).map(ud) \
+               .to_numpy(dtype=np.float64)
+        c = batch.column("n_pairs").to_numpy().astype(np.float64)
+        pmi = np.log((c / total_bg)
+                     / ((c1 / total_uni) * (c2 / total_uni)))
+        return pa.table({"w1": batch.column("w1"),
+                         "w2": batch.column("w2"),
+                         "n_pairs": batch.column("n_pairs"),
+                         "pmi": round6(pa.array(pmi))})
+
+    return (pairs.map_batches(score, batch_format="pyarrow")
+                 .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+                 .limit(k))
+
+
 def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Distributed wordcount with global top-k: per-batch term counting
     (the combiner — each block ships its term histogram, not its words),
