@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "nation_trade_volume",
     "value_percentiles_by_type",
     "sessionize",
+    "event_funnel",
+    "user_retention",
+    "unigram_logprob",
+    "bigram_pmi",
     "events_sliding_window",
     "stratified_sample",
     "purchase_prev_click_asof",
@@ -98,6 +102,7 @@ BENCH_QUERIES = [
     "events_value_bands",
     "engaged_users_union",
     "media_features",
+    "resize_longest_side",
     "image_thumbnails",
     "media_feature_neardup",
     "ocr_preprocess_summary",

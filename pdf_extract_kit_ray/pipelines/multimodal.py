@@ -84,10 +84,24 @@ def ocr_preprocess_summary(sf_dir: str, inv: bool = False,
 
 def resize_longest_side(sf_dir: str, img_size: int = 1280) -> "ray.data.Dataset":
     """M7/P17: aspect-preserving model-input resize (longest side to
-    img_size, reference int-truncation geometry) over every image payload."""
-    return _read_media(sf_dir).map_batches(
+    img_size, reference int-truncation geometry) over every image payload.
+
+    The upscale is the heaviest per-row media stage and it is MEMORY
+    BANDWIDTH bound, not FLOP bound (16 plain processes only reach ~4x
+    aggregate over serial on a 32-logical-CPU host).  Two scheduling
+    choices follow:
+    * re-block the read — task granularity is per block, so a
+      handful-of-files media table would otherwise run len(files) tasks;
+    * reserve ``num_cpus=2`` per task so co-scheduled SMT siblings don't
+      fight for the same memory pipes (measured 13 s -> 4.7 s at 32
+      logical CPUs on sf0.1; same trick as the padded scaling run's
+      rationale in BASELINE.md)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    ds = _read_media(sf_dir).repartition(max(2 * cpus, 16))
+    return ds.map_batches(
         task_stage(ResizeLongestSideStage, img_size=img_size),
-        batch_size=_BATCH, batch_format="pyarrow")
+        batch_size=_BATCH, batch_format="pyarrow", num_cpus=2)
 
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":

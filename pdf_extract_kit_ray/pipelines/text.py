@@ -417,8 +417,14 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1 << 17) -> "ray.data.Dataset
         if len(flat) == 0:
             return empty
         import pandas as pd
-        m = pd.Series(flat.to_pandas()).map(md).fillna(mo) \
-              .to_numpy(dtype=np.int64)
+        # dictionary-encode first: the md lookup runs over the batch's
+        # UNIQUE tokens (vocab-bounded), then fans out by index gather
+        denc = pc.dictionary_encode(flat)
+        arr = (denc.combine_chunks()
+               if isinstance(denc, pa.ChunkedArray) else denc)
+        m_uniq = pd.Series(arr.dictionary.to_pandas()).map(md).fillna(mo) \
+                   .to_numpy(dtype=np.int64)
+        m = m_uniq[arr.indices.to_numpy()]
         par = parent.to_numpy()
         starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
         msum = np.add.reduceat(m, starts)

@@ -201,7 +201,9 @@ class ImagePreprocessStage:
                                    self.inv, self.binarize)
             ids.append(media_id)
             kinds.append(d["kind"])
-            crcs.append(zlib.crc32(out.tobytes()))
+            # crc straight off the array buffer (no tobytes copy);
+            # ascontiguousarray is a no-op for the usual contiguous case
+            crcs.append(zlib.crc32(np.ascontiguousarray(out)))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "kind": pa.array(kinds, pa.string()),
@@ -355,6 +357,11 @@ def bilinear_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     (PIL's BILINEAR uses a triangle filter this sandbox cannot replicate
     bit-for-bit); the SEMANTIC contract — output geometry — is
     resize_longest_side_shape's."""
+    # ensure_bgr hands over a negative-stride channel-reversed VIEW; numpy
+    # fancy-gathers from it run ~16x slower than from contiguous memory,
+    # and the copy is source-sized (cheap)
+    if not arr.flags.c_contiguous:
+        arr = np.ascontiguousarray(arr)
     h, w = arr.shape[:2]
     out_h, out_w = max(out_h, 1), max(out_w, 1)
     ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
@@ -424,7 +431,9 @@ class ResizeLongestSideStage:
             ids.append(media_id)
             ows.append(w); ohs.append(h)
             nws.append(nw); nhs.append(nh)
-            crcs.append(zlib.crc32(out.tobytes()))
+            # crc straight off the array buffer (no tobytes copy);
+            # ascontiguousarray is a no-op for the usual contiguous case
+            crcs.append(zlib.crc32(np.ascontiguousarray(out)))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "width": pa.array(ows, pa.int32()),
