@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": streaming.sessionize,
         "event_funnel": streaming.event_funnel,
         "user_retention": streaming.user_retention,
+        "value_zscore_outliers": streaming.value_zscore_outliers,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
         "distinct_users_by_type": streaming.distinct_users_by_type,
@@ -842,6 +843,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.term = bc.w2
             WHERE bc.c >= 5
             ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20
+        """,
+        "value_zscore_outliers": """
+            -- exact integer moments (cents) -> mu/var as the identical
+            -- doubles the engine derives; k = 3 sigma
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100.0) AS BIGINT) AS cents
+                FROM events
+            ), m AS (
+                SELECT event_type, count(*) AS n, sum(cents) AS s,
+                       sum(cents * cents) AS ss
+                FROM c GROUP BY 1
+            )
+            SELECT c.event_type,
+                   CAST(sum(CASE WHEN
+                        (c.cents - CAST(m.s AS DOUBLE) / m.n)
+                        * (c.cents - CAST(m.s AS DOUBLE) / m.n)
+                        > 9.0 * (CAST(m.ss AS DOUBLE) / m.n
+                                 - (CAST(m.s AS DOUBLE) / m.n)
+                                   * (CAST(m.s AS DOUBLE) / m.n))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   CAST(any_value(m.n) AS BIGINT) AS n_events
+            FROM c JOIN m USING (event_type)
+            GROUP BY 1 ORDER BY 1
         """,
         "events_sliding_window": """
             WITH e AS (

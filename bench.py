@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sessionize",
     "event_funnel",
     "user_retention",
+    "value_zscore_outliers",
     "unigram_logprob",
     "bigram_pmi",
     "events_sliding_window",

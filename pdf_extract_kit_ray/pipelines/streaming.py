@@ -291,6 +291,77 @@ def user_retention(sf_dir: str) -> "ray.data.Dataset":
               .map_batches(finish, batch_format="pyarrow"))
 
 
+def value_zscore_outliers(sf_dir: str, k_sigma: float = 3.0) -> pa.Table:
+    """Per-event-type z-score outlier counts — the two-pass standardize
+    pattern: pass 1 reduces each batch to integer moment partials
+    (n, sum cents, sum cents^2) per type, a tiny groupby merges them, the
+    per-type moments broadcast, and pass 2 is a pure map counting events
+    with (v - mu)^2 > k^2 * var.
+
+    Exactness: moments are integer cents (floor(value*100), the suite's
+    cents convention), so mu/var derive from exact integers with one
+    float op each — the SQL twin computes the identical doubles in the
+    identical order, immune to summation-order drift.  The int64 cents^2
+    sum bounds each (type, batch) partial at ~3.7e9 rows per type for
+    values <= $500 — beyond that, widen to per-batch float partials or
+    split the key."""
+    from ray.data.aggregate import Sum
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "cents": cents,
+                      "cents2": pc.multiply(cents, cents)})
+        g = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("cents", "sum"), ("cents2", "sum")])
+        return g.rename_columns(["event_type", "pn", "ps", "pss"])
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("pn", alias_name="n"),
+                        Sum("ps", alias_name="s"),
+                        Sum("pss", alias_name="ss")).take_all())
+    if not agg:                               # empty events table
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_outliers": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    stats = {}
+    for r in agg:
+        n = int(r["n"])
+        mu = float(r["s"]) / n
+        var = float(r["ss"]) / n - mu * mu
+        stats[r["event_type"]] = (n, mu, var)
+    ref = ray.put((stats, k_sigma * k_sigma))
+
+    def count_outliers(batch: pa.Table) -> pa.Table:
+        st, k2 = ray.get(ref)
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64()).to_numpy().astype(np.float64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        types, counts = [], []
+        for t in np.unique(et):
+            _, mu, var = st[t]
+            d = cents[et == t] - mu
+            types.append(t)
+            counts.append(int((d * d > k2 * var).sum()))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "partial_n": pa.array(counts, pa.int64())})
+
+    out = (ds.map_batches(count_outliers, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("partial_n", alias_name="n_outliers")).take_all())
+    n_out = {r["event_type"]: int(r["n_outliers"]) for r in out}
+    keys = sorted(stats)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_outliers": pa.array([n_out.get(t, 0) for t in keys], pa.int64()),
+        "n_events": pa.array([stats[t][0] for t in keys], pa.int64())})
+
+
 def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
     """EXACT COUNT(DISTINCT user_id) per event type — the ground-truth
     companion of the HLL variant: per-batch (type, user) distinct partials

@@ -78,6 +78,27 @@ def test_user_retention_cohorts(ray_session, tmp_path):
                     ("2024-01-08T00:00:00", 0, 1)]
 
 
+def test_value_zscore_outliers_planted(ray_session, tmp_path):
+    d = str(tmp_path / "zs")
+    t0 = 1_700_000_000_000_000
+    rows = [(1, t0 + i, "spiky") for i in range(50)]
+    rows.append((1, t0 + 99, "spiky"))       # the planted outlier
+    rows += [(2, t0 + i, "flat") for i in range(50)]
+    os.makedirs(d, exist_ok=True)
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * 50 + [500.0] + [2.0] * 50, pa.float64()),
+    })
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    res = {r["event_type"]: r for r in
+           streaming.value_zscore_outliers(d).to_pylist()}
+    assert res["spiky"]["n_outliers"] == 1 and res["spiky"]["n_events"] == 51
+    assert res["flat"]["n_outliers"] == 0 and res["flat"]["n_events"] == 50
+
+
 def test_unigram_logprob_oov_path(ray_session, tmp_path):
     d = str(tmp_path / "lm")
     _write_docs(d, ["a a a b", "a b"])     # counts: a=4, b=2, total=6
