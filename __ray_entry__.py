@@ -275,6 +275,16 @@ def oracle_sql() -> dict[str, str]:
     alpha_expr = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
     tokens_expr = ("CASE WHEN trim(text) = '' THEN 0 "
                    "ELSE length(string_split_regex(trim(text), '\\s+')) END")
+    # THE quality definition (shared by doc_stats / curated_docs /
+    # quality_percentile_filter).  NULL text is pinned to 0.0 explicitly:
+    # without the outer CASE, DuckDB's NULL-ignoring least() would give
+    # null docs an accidental 0.4.
+    quality_expr = f"""CASE WHEN text IS NULL THEN 0.0 ELSE
+                   round((CASE WHEN length(text) > 0
+                               THEN CAST({alpha_expr} AS DOUBLE)/CAST(length(text) AS DOUBLE)
+                               ELSE 0.0 END) * 0.6
+                         + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
+                         6) END"""
     return {
         # Flagship extraction vs the MATERIALIZED GOLDEN TABLE (the
         # straight-line oracle's output, written at corpus generation):
@@ -481,11 +491,7 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars,
                    {tokens_expr} AS n_tokens,
                    {alpha_expr} AS n_alpha,
-                   round((CASE WHEN length(text) > 0
-                               THEN CAST({alpha_expr} AS DOUBLE)/CAST(length(text) AS DOUBLE)
-                               ELSE 0.0 END) * 0.6
-                         + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
-                         6) AS quality
+                   {quality_expr} AS quality
             FROM documents
         """,
         "lang_profile": """
@@ -517,11 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "curated_docs": f"""
             WITH q AS (
                 SELECT doc_id, {fp_expr} AS fp,
-                       round((CASE WHEN length(text) > 0
-                              THEN CAST({alpha_expr} AS DOUBLE)/CAST(length(text) AS DOUBLE)
-                              ELSE 0.0 END) * 0.6
-                             + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
-                             6) AS quality
+                       {quality_expr} AS quality
                 FROM documents
             )
             SELECT doc_id,
@@ -636,11 +638,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_filter": f"""
             WITH q AS (
                 SELECT doc_id,
-                       CAST(round(round((CASE WHEN length(text) > 0
-                              THEN CAST({alpha_expr} AS DOUBLE)/CAST(length(text) AS DOUBLE)
-                              ELSE 0.0 END) * 0.6
-                             + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
-                             6) * 1000000.0) AS BIGINT) AS q_micro
+                       CAST(round(({quality_expr}) * 1000000.0) AS BIGINT)
+                           AS q_micro
                 FROM documents
             ),
             t AS (SELECT percentile_disc(0.9) WITHIN GROUP
@@ -652,7 +651,8 @@ def oracle_sql() -> dict[str, str]:
         # function twins are exact — the engine's two-phase bucket scan
         # must reproduce SUM()/row_number() OVER a global ORDER BY
         "sequence_pack": f"""
-            WITH t AS (SELECT doc_id, CAST({tokens_expr} AS BIGINT)
+            WITH t AS (SELECT doc_id,
+                              CAST(COALESCE({tokens_expr}, 0) AS BIGINT)
                               AS n_tokens FROM documents),
             s AS (SELECT doc_id, n_tokens,
                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -674,9 +674,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup": f"""
             SELECT d.doc_id, {fp_expr} AS fp,
-                   {fp_expr} IN (
+                   COALESCE({fp_expr} IN (
                        SELECT {fp_expr} FROM documents
-                       WHERE doc_id % 8 = 0) AS is_dup
+                       WHERE doc_id % 8 = 0), FALSE) AS is_dup
             FROM documents d
             WHERE d.doc_id % 8 <> 0
         """,

@@ -252,8 +252,10 @@ def incremental_dedup(sf_dir: str, mask: int = 7) -> "ray.data.Dataset":
         filter=pc.bit_wise_and(pads.field("doc_id"), mask) == 0)
     fp_chunks = [fingerprint_batch(pa.Table.from_batches([rb]))
                  for rb in scanner.to_batches() if rb.num_rows]
-    base_fp = pc.unique(pa.chunked_array(fp_chunks)) if fp_chunks \
-        else pa.array([], pa.string())
+    # null fingerprints (null-text docs) never enter the index: a null can
+    # match nothing, per the twin's COALESCE(fp IN (...), FALSE)
+    base_fp = pc.drop_null(pc.unique(pa.chunked_array(fp_chunks))) \
+        if fp_chunks else pa.array([], pa.string())
     fp_ref = ray.put(base_fp)
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -266,7 +268,9 @@ def incremental_dedup(sf_dir: str, mask: int = 7) -> "ray.data.Dataset":
                              "fp": pa.array([], pa.string()),
                              "is_dup": pa.array([], pa.bool_())})
         fps = fingerprint_batch(new)
-        hit = pc.is_in(fps, value_set=ray.get(fp_ref))
+        hit = pc.fill_null(pc.and_kleene(
+            pc.is_valid(fps), pc.is_in(fps, value_set=ray.get(fp_ref))),
+            False)
         return pa.table({"doc_id": new.column("doc_id"),
                          "fp": fps,
                          "is_dup": hit})
@@ -302,10 +306,12 @@ def sequence_pack(sf_dir: str, budget: int = 1024,
     from .text import _token_count
 
     def tok(batch: pa.Table) -> pa.Table:
+        # null text packs as 0 tokens (COALESCE in the SQL twin): the
+        # global offset scan needs a number for every doc
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_tokens": pc.cast(_token_count(batch.column("text")),
-                                pa.int64()),
+            "n_tokens": pc.fill_null(
+                pc.cast(_token_count(batch.column("text")), pa.int64()), 0),
         })
 
     toks = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(

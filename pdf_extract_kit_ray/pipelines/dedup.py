@@ -46,7 +46,9 @@ def _perm_params(num_perm: int, seed: int = 1) -> Tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def word_shingles(text: str, k: int = 3) -> Set[str]:
+def word_shingles(text: "str | None", k: int = 3) -> Set[str]:
+    if text is None:          # null text: no shingles, joins never see it
+        return set()
     toks = text.lower().split()
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
@@ -227,6 +229,8 @@ def _candidate_pairs_ds(ds: "ray.data.Dataset", text_col: str,
         texts = batch.column(text_col).to_pylist()
         out = {"band_id": [], "band_hash": [], id_col: []}
         for doc_id, text in zip(ids, texts):
+            if text is None:      # null text: no signature, never a candidate
+                continue
             sig = minhash_signature(text, a, b, shingle_k)
             for band in range(bands):
                 chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
@@ -413,6 +417,8 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
         ids = batch.column("doc_id").to_pylist()
         out = {"band_id": [], "band_hash": [], "doc_id": [], "sig": []}
         for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            if text is None:      # null text: no signature, never a candidate
+                continue
             sig = simhash64(text)
             for band in range(4):
                 out["band_id"].append(band)
@@ -659,6 +665,8 @@ def winnow_neardup(sf_dir: str, k: int = 16, w: int = 8,
         fps, ids = [], []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
+            if text is None:      # null text: no fingerprints
+                continue
             f = winnow_fingerprints(text, k, w)
             fps.append(f)
             ids.append(np.full(len(f), doc_id, dtype=np.int64))

@@ -50,7 +50,12 @@ def quality_score(text: "pa.ChunkedArray") -> pa.Array:
     and ``curated_docs`` so the two cannot drift.  Rounds half away from
     zero (``half_towards_infinity``) to match DuckDB's ``round`` on
     midpoint values; Arrow's default half-to-even would diverge from the
-    SQL twins on exact 1e-6 midpoints."""
+    SQL twins on exact 1e-6 midpoints.
+
+    NULL text scores 0.0 (same as empty text) — pinned explicitly here
+    and in the twins' shared quality expression, because the naive SQL
+    spelling accidentally gives NULL docs 0.4 (DuckDB's ``least()``
+    ignores NULL arguments)."""
     n_chars = pc.utf8_length(text)
     n_alpha = pc.count_substring_regex(text, "[a-zA-Z]")
     alpha_ratio = pc.if_else(
@@ -62,7 +67,7 @@ def quality_score(text: "pa.ChunkedArray") -> pa.Array:
         pc.cast(pc.min_element_wise(_token_count(text), 100),
                 pa.float64()), 100.0)
     raw = pc.add(pc.multiply(alpha_ratio, 0.6), pc.multiply(tokens_norm, 0.4))
-    return round6(raw)
+    return pc.fill_null(round6(raw), 0.0)
 
 
 def doc_stats(sf_dir: str) -> "ray.data.Dataset":
@@ -86,8 +91,11 @@ def lang_profile(sf_dir: str) -> "ray.data.Dataset":
     per (source, lang_guess) with a partial combine inside map_batches so the
     shuffle moves only (source, lang, count) partials."""
     def partial(batch: pa.Table) -> pa.Table:
-        has_cjk = pc.greater(
-            pc.count_substring_regex(batch.column("text"), _CJK_PATTERN), 0)
+        # null text takes the ELSE branch ('en'), matching the SQL twin's
+        # CASE WHEN regexp_matches(NULL) semantics
+        has_cjk = pc.fill_null(pc.greater(
+            pc.count_substring_regex(batch.column("text"), _CJK_PATTERN), 0),
+            False)
         lang = pc.if_else(has_cjk, "zh", "en")
         t = pa.table({"source": batch.column("source"), "lang_guess": lang})
         return t.group_by(["source", "lang_guess"]).aggregate([([], "count_all")]) \
