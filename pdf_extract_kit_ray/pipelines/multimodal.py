@@ -101,7 +101,9 @@ def resize_longest_side(sf_dir: str, img_size: int = 1280) -> "ray.data.Dataset"
     ds = _read_media(sf_dir).repartition(max(2 * cpus, 16))
     return ds.map_batches(
         task_stage(ResizeLongestSideStage, img_size=img_size),
-        batch_size=_BATCH, batch_format="pyarrow", num_cpus=2)
+        batch_size=_BATCH, batch_format="pyarrow",
+        # floor at the node size so a 1-CPU session can still schedule
+        num_cpus=min(2, max(cpus, 1)))
 
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":

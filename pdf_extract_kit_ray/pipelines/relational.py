@@ -523,20 +523,24 @@ def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
     cust = sized_read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
 
-    if pads.dataset(f"{sf_dir}/orders.parquet").count_rows() == 0:
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def big_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("o_totalprice"), min_price)
+        return pa.table(
+            {"o_custkey": batch.column("o_custkey").filter(keep)})
+
+    # The emptiness probe must run on the FILTERED side (an empty filter
+    # result crashes the join the same way an empty file does), so
+    # materialize the projected key column — it is the join's shuffle
+    # payload anyway — and branch on its metadata count.
+    big = orders.map_batches(big_orders, batch_format="pyarrow") \
+                .materialize()
+    if big.count() == 0:
         anti = cust                          # anti-join vs empty = identity
     else:
-        orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
-                                       columns=["o_custkey", "o_totalprice"])
-
-        def big_orders(batch: pa.Table) -> pa.Table:
-            keep = pc.greater(batch.column("o_totalprice"), min_price)
-            return pa.table(
-                {"o_custkey": batch.column("o_custkey").filter(keep)})
-
-        anti = cust.join(orders.map_batches(big_orders,
-                                            batch_format="pyarrow"),
-                         join_type="left_anti",
+        anti = cust.join(big, join_type="left_anti",
                          num_partitions=_join_partitions(num_partitions),
                          on=("c_custkey",), right_on=("o_custkey",))
 

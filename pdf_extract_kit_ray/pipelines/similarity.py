@@ -274,8 +274,8 @@ def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
             "neighbor_id": pa.array([], pa.int64()),
             "score": pa.array([], pa.float64())}))
     q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
-    q_mat = _normalize(np.asarray(
-        [list(v) for v in qt.column("embedding").to_pylist()], dtype=np.float64))
+    q_mat = _normalize(_matrix_from_lists(
+        qt.column("embedding").to_pylist()))
     probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
     ref = ray.put((q_ids, q_mat, cent, probes))
 

@@ -183,48 +183,59 @@ def event_funnel(sf_dir: str,
     stage by stage — the standard funnel semantics).
 
     Scale shape: events are pre-filtered to funnel types at the map (the
-    only rows that shuffle), ONE groupby(user_id) computes each user's
-    funnel depth with a per-stage vectorized min over the group, and the
-    depth column rolls up through a per-batch histogram combiner + a
-    <= len(stages)-row groupby.  The final cumulative step touches one row
-    per stage on the driver."""
+    only rows that shuffle), ONE groupby on a COARSE user-hash key
+    co-locates each user's rows while keeping Python dispatch per BUCKET
+    (the coarse_grouped_aggregate rule — not per user), the per-bucket
+    kernel computes every user's depth with segmented numpy mins (one
+    ``minimum.reduceat`` per stage), and each bucket emits its own depth
+    HISTOGRAM, so the final groupby sees <= buckets x stages rows."""
     from ray.data.aggregate import Sum
+    from ..functions.agg import _default_num_coarse, _GOLDEN
 
     stage_list = [str(s) for s in stages]
     win_us = window_hours * 3600 * 1_000_000
+    nc = _default_num_coarse()
     ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts", "event_type"])
 
     def prefilter(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch.column("event_type"),
                         value_set=pa.array(stage_list))
-        return batch.filter(keep).select(["user_id", "ts", "event_type"])
+        batch = batch.filter(keep).select(["user_id", "ts", "event_type"])
+        coarse = (batch.column("user_id").to_numpy(zero_copy_only=False)
+                  .astype(np.int64) * _GOLDEN) % nc
+        return batch.append_column("coarse", pa.array(coarse, pa.int64()))
 
-    def depth(group: pa.Table) -> pa.Table:
+    def depth_hist(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("user_id", "ascending"),
+                               ("ts", "ascending")])
         ts = group.column("ts").cast(pa.int64()).to_numpy()
+        uid = group.column("user_id").to_numpy()
         et = group.column("event_type").to_numpy(zero_copy_only=False)
-        d, t_prev = 0, None
-        for s in stage_list:
-            mask = et == s
-            if d > 0:
-                mask &= (ts > t_prev) & (ts <= t_prev + win_us)
-            if not mask.any():
-                break
-            t_prev = int(ts[mask].min())
-            d += 1
-        return pa.table({
-            "user_id": pa.array([group.column("user_id")[0].as_py()],
-                                pa.int64()),
-            "depth": pa.array([d], pa.int64())})
-
-    def hist(batch: pa.Table) -> pa.Table:
-        g = (batch.select(["depth"]).group_by("depth")
-                  .aggregate([([], "count_all")]))
-        return g.rename_columns(["depth", "partial_n"])
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        big = np.iinfo(np.int64).max
+        t_prev = np.zeros(len(starts), dtype=np.int64)
+        reached = np.ones(len(starts), dtype=bool)
+        depth = np.zeros(len(starts), dtype=np.int64)
+        for i, s in enumerate(stage_list):
+            cond = et == s
+            if i > 0:
+                tp = t_prev[seg_id]
+                cond &= reached[seg_id] & (ts > tp) & (ts <= tp + win_us)
+            tmin = np.minimum.reduceat(np.where(cond, ts, big), starts)
+            ok = reached & (tmin < big)
+            t_prev = np.where(ok, tmin, t_prev)
+            depth += ok
+            reached = ok
+        d, n = np.unique(depth, return_counts=True)
+        return pa.table({"depth": pa.array(d, pa.int64()),
+                         "partial_n": pa.array(n, pa.int64())})
 
     agg = (ds.map_batches(prefilter, batch_format="pyarrow")
-             .groupby("user_id").map_groups(depth, batch_format="pyarrow")
-             .map_batches(hist, batch_format="pyarrow")
+             .groupby("coarse")
+             .map_groups(depth_hist, batch_format="pyarrow")
              .groupby("depth").aggregate(Sum("partial_n", alias_name="n"))
              .take_all())                         # <= len(stages)+1 rows
     by_depth = {int(r["depth"]): int(r["n"]) for r in agg}
@@ -243,12 +254,15 @@ def user_retention(sf_dir: str) -> "ray.data.Dataset":
 
     Scale shape: each batch reduces to DISTINCT (user_id, week) pairs (the
     combiner — shuffle volume is bounded by users x weeks, not events),
-    ONE groupby(user_id) finds the cohort week and emits the user's
-    (cohort, offset) rows, and the rollup is a per-batch histogram partial
-    into a tiny (cohort, offset)-keyed groupby."""
+    ONE groupby on a coarse user-hash key co-locates each user's pairs
+    with per-BUCKET Python dispatch, and the bucket kernel derives every
+    user's cohort/offsets with segmented numpy and emits its own
+    (cohort, offset) histogram for the tiny final groupby."""
     from ray.data.aggregate import Sum
+    from ..functions.agg import _default_num_coarse, _GOLDEN
 
     us_per_day = 86_400_000_000
+    nc = _default_num_coarse()
     ds = sized_read_parquet(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])
 
@@ -258,20 +272,31 @@ def user_retention(sf_dir: str) -> "ray.data.Dataset":
         week_day = d - ((d + 3) % 7)      # epoch day of the week's Monday
         t = pa.table({"user_id": batch.column("user_id"),
                       "week_day": pa.array(week_day, pa.int64())})
-        return (t.group_by(["user_id", "week_day"])
-                 .aggregate([([], "count_all")])
-                 .select(["user_id", "week_day"]))
+        t = (t.group_by(["user_id", "week_day"])
+              .aggregate([([], "count_all")])
+              .select(["user_id", "week_day"]))
+        coarse = (t.column("user_id").to_numpy(zero_copy_only=False)
+                  .astype(np.int64) * _GOLDEN) % nc
+        return t.append_column("coarse", pa.array(coarse, pa.int64()))
 
-    def per_user(group: pa.Table) -> pa.Table:
-        weeks = np.unique(group.column("week_day").to_numpy())
-        cohort = int(weeks.min())
-        return pa.table({
-            "cohort_day": pa.array([cohort] * len(weeks), pa.int64()),
-            "week_offset": pa.array((weeks - cohort) // 7, pa.int64())})
-
-    def hist(batch: pa.Table) -> pa.Table:
-        g = (batch.group_by(["cohort_day", "week_offset"])
-                  .aggregate([([], "count_all")]))
+    def bucket_hist(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("user_id", "ascending"),
+                               ("week_day", "ascending")])
+        uid = group.column("user_id").to_numpy()
+        wd = group.column("week_day").to_numpy()
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        # per-batch distinct still leaves cross-batch repeats of the same
+        # (user, week): drop consecutive duplicates after the sort
+        keep = new_seg | np.r_[True, wd[1:] != wd[:-1]]
+        uid, wd, new_seg = uid[keep], wd[keep], new_seg[keep]
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        cohort = wd[starts][seg_id]       # first (min) week per user
+        t = pa.table({
+            "cohort_day": pa.array(cohort, pa.int64()),
+            "week_offset": pa.array((wd - cohort) // 7, pa.int64())})
+        g = (t.group_by(["cohort_day", "week_offset"])
+              .aggregate([([], "count_all")]))
         return g.rename_columns(["cohort_day", "week_offset", "partial_n"])
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -283,9 +308,8 @@ def user_retention(sf_dir: str) -> "ray.data.Dataset":
             "n_users": batch.column("n_users")})
 
     return (ds.map_batches(week_pairs, batch_format="pyarrow")
-              .groupby("user_id").map_groups(per_user,
-                                             batch_format="pyarrow")
-              .map_batches(hist, batch_format="pyarrow")
+              .groupby("coarse").map_groups(bucket_hist,
+                                            batch_format="pyarrow")
               .groupby(["cohort_day", "week_offset"])
               .aggregate(Sum("partial_n", alias_name="n_users"))
               .map_batches(finish, batch_format="pyarrow"))

@@ -406,7 +406,11 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1 << 17) -> "ray.data.Dataset
             1_000_000.0),
         ndigits=0, round_mode="half_towards_infinity"), pa.int64())
     mdict = dict(zip(vocab["term"], micro.to_numpy()))
-    m_oov = int(round(-np.log(0.5 / total) * 1e6))
+    # same half-away-from-zero micro snap as the in-vocab values (Python
+    # round() is half-to-even and would break the convention on midpoints)
+    m_oov = int(pc.round(pa.scalar(-np.log(0.5 / total) * 1e6),
+                         ndigits=0,
+                         round_mode="half_towards_infinity").as_py())
     ref = ray.put((mdict, m_oov))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -471,10 +475,13 @@ def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> "ray.data.Datase
                       "pmi": pa.array([], pa.float64())})
     if total_uni == 0:
         return ray.data.from_arrow(empty)
+    freq_batches = list(counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    # a filter-all pipeline can yield ZERO batches; seed with a typed empty
     freq = pa.concat_tables(
-        b for b in counts.map_batches(
-            lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        [pa.table({"term": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64())})] + freq_batches)
     udict = dict(zip(freq.column("term").to_pylist(),
                      freq.column("n").to_pylist()))
     uref = ray.put(udict)

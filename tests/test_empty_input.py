@@ -34,7 +34,10 @@ def _make_empty_dir():
     os.makedirs(EMPTY_DIR, exist_ok=True)
     for f in glob.glob("/root/testdata/sf0.001/*.parquet"):
         out = os.path.join(EMPTY_DIR, os.path.basename(f))
-        if not os.path.exists(out):
+        # regenerate when the source table is newer, so schema changes
+        # cannot leave a stale cached fixture in /tmp
+        if (not os.path.exists(out)
+                or os.path.getmtime(out) < os.path.getmtime(f)):
             pq.write_table(pq.read_table(f).schema.empty_table(), out)
 
 

@@ -101,3 +101,19 @@ def test_verify_candidate_pairs_primitive(ray_session):
     assert list(out["a"]) == [1, 2]   # (3,4): no payload; (5,6): NULL payload
     assert list(out["b"]) == [2, 3]
     assert list(out["combined"]) == ["one|two", "two|three"]
+
+
+def test_customers_without_orders_filter_to_empty(ray_session):
+    """A min_price above every order empties the join's right side AFTER
+    the filter — the case the raw-file row-count guard cannot see (Ray's
+    hash-shuffle join loses the key schema on an all-empty side).  Every
+    customer must come back unmatched."""
+    from pdf_extract_kit_ray.pipelines.relational import (
+        customers_without_orders)
+    import pyarrow.dataset as pads
+
+    res = customers_without_orders("/root/testdata/sf0.001",
+                                   min_price=1e12).to_pandas()
+    n_cust = pads.dataset(
+        "/root/testdata/sf0.001/customer.parquet").count_rows()
+    assert res["n_customers"].sum() == n_cust

@@ -38,7 +38,9 @@ def _make_null_dir():
     os.makedirs(NULL_DIR, exist_ok=True)
     for f in glob.glob(f"{SRC}/*.parquet"):
         out = os.path.join(NULL_DIR, os.path.basename(f))
-        if os.path.exists(out):
+        # regenerate when the source table is newer (stale-schema guard)
+        if os.path.exists(out) and \
+                os.path.getmtime(out) >= os.path.getmtime(f):
             continue
         t = pq.read_table(f)
         if os.path.basename(f) == "documents.parquet":
