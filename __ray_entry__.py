@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": similarity.embedding_neardup,
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
+        "label_centroids": similarity.label_centroids,
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
@@ -843,6 +844,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.term = bc.w2
             WHERE bc.c >= 5
             ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20
+        """,
+        "label_centroids": """
+            -- element values snap to integer micro-units before the sum
+            -- (round6 arithmetic), so both engines average exact integers
+            WITH e AS (
+                SELECT label, unnest(embedding) AS v,
+                       unnest(range(1, len(embedding)+1)) AS dim
+                FROM embeddings
+            ), m AS (
+                SELECT label, dim,
+                       CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)
+                           AS vm
+                FROM e
+            )
+            SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                   CAST(round((CAST(sum(vm) AS DOUBLE)
+                               / (count(*) * 1000000.0)) * 1000000.0)
+                        AS BIGINT) / 1000000.0 AS centroid
+            FROM m GROUP BY 1, 2
         """,
         "value_zscore_outliers": """
             -- exact integer moments (cents) -> mu/var as the identical

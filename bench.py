@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "purchase_prev_click_asof",
     "embedding_kmeans",
+    "label_centroids",
     "semantic_dedup",
     "hll_distinct_users",
     "heavy_hitter_users",

@@ -315,6 +315,71 @@ def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
               .map_groups(final_topk, batch_format="pyarrow"))
 
 
+def label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label centroid (prototype) vectors over the embedding column —
+    the class-prototype computation behind nearest-centroid labeling and
+    dataset cartography.  Emits one row per (label, dim): count and the
+    mean element value.
+
+    Scale shape: each batch reduces to one (label, dim-sums, n) partial
+    row per label present (a k x dim int64 matrix — kilobytes), ONE tiny
+    groupby on the low-cardinality label merges partials, and the result
+    explodes to (label, dim) rows.  Shuffle volume is labels x blocks
+    partial rows, never the vector stream.
+
+    Bit-parity: elements snap to integer micro-units before summation
+    (round6 arithmetic), so partial sums merge in any order and both
+    engines divide the same exact integers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    empty_partial = pa.table({
+        "label": pa.array([], pa.int32()),
+        "sums": pa.array([], pa.list_(pa.int64())),
+        "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_partial
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb)
+        dim = len(flat) // batch.num_rows
+        vm = pc.cast(pc.round(
+            pc.multiply(pc.cast(flat, pa.float64()), 1_000_000.0),
+            ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy().reshape(batch.num_rows, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, codes, vm)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq, pa.int32()),
+            "sums": pa.array([row.tolist() for row in sums],
+                             pa.list_(pa.int64())),
+            "n": pa.array(counts, pa.int64())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        from ..functions.num import round6
+        label = group.column("label")[0].as_py()
+        sums = np.asarray(group.column("sums").to_pylist(),
+                          dtype=np.int64).sum(axis=0)
+        n = int(np.asarray(group.column("n").to_pylist()).sum())
+        dim = len(sums)
+        return pa.table({
+            "label": pa.array([label] * dim, pa.int32()),
+            "dim": pa.array(range(1, dim + 1), pa.int64()),
+            "n": pa.array([n] * dim, pa.int64()),
+            "centroid": round6(pa.array(
+                sums.astype(np.float64) / (n * 1_000_000.0))),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("label")
+              .map_groups(merge, batch_format="pyarrow"))
+
+
 def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     """Distributed k-means over the embedding column (Lloyd's algorithm):
     centroids are broadcast per iteration (``ray.put``), each batch reduces
