@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_volume": relational.supplier_region_volume,
         "big_orders": relational.big_orders,
         "nation_trade_volume": relational.nation_trade_volume,
+        "nation_year_rollup": relational.nation_year_rollup,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
         "doc_hash_sample": relational.doc_hash_sample,
@@ -844,6 +845,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.term = bc.w2
             WHERE bc.c >= 5
             ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20
+        """,
+        "nation_year_rollup": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) / 100.0
+                       AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY ROLLUP(nation, o_year)
         """,
         "label_centroids": """
             -- element values snap to integer micro-units before the sum

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "supplier_region_volume",
     "big_orders",
     "nation_trade_volume",
+    "nation_year_rollup",
     "value_percentiles_by_type",
     "sessionize",
     "event_funnel",

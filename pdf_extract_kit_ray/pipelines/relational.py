@@ -131,6 +131,75 @@ def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def nation_year_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUPING SETS / ROLLUP(nation, year) over order revenue — the OLAP
+    subtotal shape Ray Data lacks natively: one pass emits partials for
+    ALL THREE grouping levels ((nation, year), (nation), ()) from each
+    batch, so a single small groupby produces detail rows, per-nation
+    subtotals and the grand total together.
+
+    Rolled-up key positions travel through the shuffle as sentinels
+    ("" / -1 — values the data cannot contain) because Ray's sort-based
+    group partitioning cannot order NULL keys; the finish map restores
+    SQL ROLLUP's NULLs.  Exact-cents arithmetic as everywhere."""
+    from ..functions.joins import broadcast_join, read_small_table
+
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+    nation = read_small_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey") \
+              .select(["c_custkey", "n_name"])
+
+    ds = sized_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    joined = broadcast_join(ds, dim, on="o_custkey", right_on="c_custkey",
+                            select=["n_name", "o_totalprice", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nat = batch.column("n_name")
+        year = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        cents = _cents(batch.column("o_totalprice"))
+        blank = pa.array([""] * batch.num_rows, pa.string())
+        none_y = pa.array([-1] * batch.num_rows, pa.int64())
+        t = pa.table({
+            "nation_s": pa.concat_arrays(
+                [nat.combine_chunks(), nat.combine_chunks(), blank]),
+            "year_s": pa.concat_arrays(
+                [year.combine_chunks()
+                 if isinstance(year, pa.ChunkedArray) else year,
+                 none_y, none_y]),
+            "cents": pa.concat_arrays([cents.combine_chunks()
+                                       if isinstance(cents, pa.ChunkedArray)
+                                       else cents] * 3),
+        })
+        g = t.group_by(["nation_s", "year_s"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["nation_s", "year_s",
+                                 "partial_cents", "partial_n"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["nation_s", "year_s"])
+                 .aggregate(Sum("partial_n", alias_name="n_orders"),
+                            Sum("partial_cents", alias_name="cents")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nat = batch.column("nation_s")
+        year = batch.column("year_s")
+        return pa.table({
+            "nation": pc.if_else(pc.equal(nat, ""),
+                                 pa.scalar(None, pa.string()), nat),
+            "o_year": pc.if_else(pc.equal(year, -1),
+                                 pa.scalar(None, pa.int64()), year),
+            "n_orders": batch.column("n_orders"),
+            "total_price": pc.divide(
+                pc.cast(batch.column("cents"), pa.float64()), 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 1-hour window aggregate over the event stream table, with
     per-batch partial combine before the shuffle."""
