@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": curation.sequence_pack,
         "training_order": curation.training_order,
         "quality_percentile_filter": curation.quality_percentile_filter,
+        "quality_weighted_sample": curation.quality_weighted_sample,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
@@ -244,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": streaming.event_funnel,
         "user_retention": streaming.user_retention,
         "value_zscore_outliers": streaming.value_zscore_outliers,
+        "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
         "distinct_users_by_type": streaming.distinct_users_by_type,
@@ -845,6 +847,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.term = bc.w2
             WHERE bc.c >= 5
             ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20
+        """,
+        "quality_weighted_sample": f"""
+            WITH q AS (
+                SELECT doc_id, {quality_expr} AS quality FROM documents
+            )
+            SELECT doc_id, quality FROM q
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < printf('%08x', CAST(least(floor(quality * 4294967296.0),
+                                              4294967295) AS BIGINT))
+        """,
+        "events_daily_pivot": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   count(*) AS n_total
+            FROM events GROUP BY 1
         """,
         "nation_year_rollup": """
             SELECT n.n_name AS nation,

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "sequence_pack",
     "training_order",
     "quality_percentile_filter",
+    "quality_weighted_sample",
+    "events_daily_pivot",
     "tfidf_top_terms",
     "doc_chunks",
     "contamination_check",

@@ -126,6 +126,46 @@ def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
 VAL_HEX_THRESHOLD = "1a"
 
 
+def quality_weighted_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Quality-WEIGHTED deterministic sampling (the DCLM/DataComp-style
+    curation step): each document is kept with probability equal to its
+    quality score, decided by comparing the md5 hash fraction of its
+    doc_id against the score — stable across runs/workers/cluster sizes,
+    no RNG state, reproducible joins against the kept set.
+
+    Pure map, no shuffle.  The hash-int comparison is bit-identical to
+    the SQL twin's fixed-width hex-string comparison (threshold clamped
+    to 2^32-1 so a quality of exactly 1.0 cannot produce a 9-hex-digit
+    threshold that breaks lexicographic compare).  Emits (doc_id,
+    quality) for kept docs."""
+    import numpy as np
+
+    from .text import quality_score
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "quality": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        q = quality_score(batch.column("text"))
+        thr = pc.cast(pc.min_element_wise(
+            pc.floor(pc.multiply(q, 4294967296.0)), 4294967295.0),
+            pa.int64()).to_numpy()
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in batch.column("doc_id").to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        keep = pa.array(h < thr)
+        return pa.table({"doc_id": batch.column("doc_id").filter(keep),
+                         "quality": q.filter(keep)
+                         if not isinstance(q, pa.ChunkedArray)
+                         else q.combine_chunks().filter(keep)})
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 def train_val_split(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic train/validation split by id-hash, rolled up to
     (split, n_docs, total_chars).  The per-batch combiner ships two rows

@@ -315,6 +315,53 @@ def user_retention(sf_dir: str) -> "ray.data.Dataset":
               .map_batches(finish, batch_format="pyarrow"))
 
 
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def events_daily_pivot(sf_dir: str,
+                       types: tuple = _PIVOT_TYPES) -> "ray.data.Dataset":
+    """Long-to-wide PIVOT: one row per day with a count column per event
+    type plus the total — the reporting-matrix shape.  Each batch reduces
+    to one row per (day) with conditional-count partials (the combiner),
+    so the single small groupby sums tiny wide rows; column set is the
+    fixed type vocabulary (a pivot over an unbounded vocabulary is a
+    different operator — use groupby rows instead)."""
+    from ray.data.aggregate import Sum
+
+    us_per_day = 86_400_000_000
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(batch.column("ts").cast(pa.int64()),
+                                us_per_day), pa.int64())
+        cols = {"day": day}
+        et = batch.column("event_type")
+        for t in types:
+            cols[f"p_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        cols["p_total"] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        t2 = pa.table(cols)
+        g = t2.group_by("day").aggregate(
+            [(c, "sum") for c in cols if c != "day"])
+        return g.rename_columns(["day"] + [c for c in cols if c != "day"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(*[Sum(f"p_{t}", alias_name=f"n_{t}")
+                          for t in types],
+                        Sum("p_total", alias_name="n_total")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = {"day": pc.cast(pc.multiply(batch.column("day"), us_per_day),
+                              pa.timestamp("us"))}
+        for t in types:
+            out[f"n_{t}"] = batch.column(f"n_{t}")
+        out["n_total"] = batch.column("n_total")
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def value_zscore_outliers(sf_dir: str, k_sigma: float = 3.0) -> pa.Table:
     """Per-event-type z-score outlier counts — the two-pass standardize
     pattern: pass 1 reduces each batch to integer moment partials
