@@ -277,8 +277,12 @@ def oracle_sql() -> dict[str, str]:
                             "*.parquet")
     fp_expr = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
     alpha_expr = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
-    tokens_expr = ("CASE WHEN trim(text) = '' THEN 0 "
-                   "ELSE length(string_split_regex(trim(text), '\\s+')) END")
+    # DuckDB's trim() strips only SPACES; Python str.split() (the engine
+    # contract) treats \t\n\r\f\v as whitespace too, so edge-whitespace
+    # must be stripped with a regex (found by the fuzz-corpus tests)
+    ws_trim = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    tokens_expr = (f"CASE WHEN {ws_trim} = '' THEN 0 "
+                   f"ELSE length(string_split_regex({ws_trim}, '\\s+')) END")
     # THE quality definition (shared by doc_stats / curated_docs /
     # quality_percentile_filter).  NULL text is pinned to 0.0 explicitly:
     # without the outer CASE, DuckDB's NULL-ignoring least() would give
@@ -559,11 +563,11 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0) AS BIGINT) DESC,
                          tf.term ASC) <= 10
         """,
-        "doc_chunks": """
+        "doc_chunks": f"""
             WITH tok AS (
                 SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                            ELSE string_split_regex(trim(text), '\\s+')
+                       CASE WHEN {ws_trim} = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex({ws_trim}, '\\s+')
                        END AS t
                 FROM documents
             )
@@ -687,10 +691,10 @@ def oracle_sql() -> dict[str, str]:
         # exact duplicated-substring extents: cross-doc 8-gram filter +
         # gaps-and-islands merge — the window twin of the engine's
         # segmented running-max scan
-        "dup_spans": r"""
+        "dup_spans": rf"""
             WITH tok AS (SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                        ELSE string_split_regex(lower(trim(text)), '\s+')
+                   CASE WHEN {ws_trim} = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(lower({ws_trim}), '\s+')
                    END AS t FROM documents),
             grams AS (SELECT doc_id, s, array_to_string(t[s+1 : s+8], ' ')
                              AS g
@@ -714,11 +718,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(en) AS BIGINT) AS span_end
             FROM i GROUP BY doc_id, gid
         """,
-        "contamination_check": """
+        "contamination_check": f"""
             WITH tok AS (
                 SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                            ELSE string_split_regex(lower(trim(text)),
+                       CASE WHEN {ws_trim} = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(lower({ws_trim}),
                                                     '\\s+')
                        END AS t
                 FROM documents

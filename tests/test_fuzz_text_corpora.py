@@ -1,0 +1,82 @@
+"""Deterministic fuzz of the text-query twins on adversarial corpora.
+
+Seeded generators build documents full of the edge shapes real web text
+has — runs of spaces/tabs/newlines, leading/trailing whitespace, empty
+and punctuation-only docs, digits, CJK, very long tokens — and every
+ASCII-whitespace-contract query must still hash-match its DuckDB twin.
+(U+00A0-style exotic whitespace is deliberately excluded: the documented
+tokenization contract scopes the SQL twins to ASCII whitespace.)
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entrymod
+
+QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
+           "doc_chunks", "lang_profile", "unigram_logprob"]
+
+_PIECES = [
+    "word", "Word", "WORD", "w0rd", "123", "!!!", "a,b.c", "$x$",
+    "\t", "\n", "  ", " ", "longtoken" * 40, "一二三", "mixed一x",
+    "", "trailing ", " leading", "CR\r\nLF",
+]
+
+
+def _make_corpus(tmpdir: str, seed: int) -> str:
+    d = os.path.join(tmpdir, f"fuzz{seed}")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    texts = []
+    for i in range(60):
+        k = rng.randint(0, 12)
+        texts.append("".join(rng.choice(_PIECES)
+                             for _ in range(k)) if k else "")
+    # force the classic edge docs in every corpus
+    texts[:6] = ["", " ", "\t\n", "a", " a  b\tc \n", "一二三 一二三"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array([f"src{i % 3}" for i in range(len(texts))],
+                           pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort",
+                          ignore_index=True)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("name", QUERIES)
+def test_fuzz_corpus_matches_oracle(ray_session, tmp_path, seed, name):
+    import ray.data
+    sf = _make_corpus(str(tmp_path), seed)
+    res = entrymod.queries()[name](sf)
+    if isinstance(res, (ray.data.Dataset, pa.Table)):
+        res = res.to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    oracle = con.execute(entrymod.oracle_sql()[name]).df()
+    a, b = _canon(pd.DataFrame(res)), _canon(oracle)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  obj=f"{name} seed={seed}")
