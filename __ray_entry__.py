@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": text.top_terms,
         "stratified_sample": text.stratified_sample,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "bm25_topk": text.bm25_topk,
         "doc_chunks": text.doc_chunks,
         "unigram_logprob": text.unigram_logprob,
         "bigram_pmi": text.bigram_pmi,
@@ -239,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
         "label_centroids": similarity.label_centroids,
+        "knn_classify": similarity.knn_classify,
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
@@ -248,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
+        "user_event_entropy": streaming.user_event_entropy,
         "distinct_users_by_type": streaming.distinct_users_by_type,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
         "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
@@ -523,6 +526,55 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
             FROM documents
+        """,
+        # BM25: every float snapped to micro-ints in the same association
+        # order as the engine (see text.bm25_topk docstring); constants are
+        # written as the same literals ((1.2 + 1.0), not 2.2) so both
+        # engines fold them through identical IEEE additions.
+        "bm25_topk": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, CAST({tokens_expr} AS BIGINT) AS dl
+                FROM documents
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(round((CAST(coalesce(sum(dl), 0) AS DOUBLE)
+                                   * 1000000.0) / count(*)) AS BIGINT)
+                           AS avg_micro
+                FROM dl
+            ), q AS (
+                SELECT unnest(['data', 'join', 'stream']) AS term
+            ), tf AS (
+                SELECT tok.doc_id, tok.term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok JOIN q USING (term) GROUP BY 1, 2
+            ), df AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ), idf AS (
+                SELECT term,
+                       CAST(round(ln(1.0 + ((stats.n - df.df) + 0.5)
+                                            / (df.df + 0.5))
+                                  * 1000000.0) AS BIGINT) AS idf_micro
+                FROM df CROSS JOIN stats
+            ), scored AS (
+                SELECT tf.doc_id,
+                       CAST(round((idf.idf_micro / 1000000.0)
+                            * ((tf.tf * (1.2 + 1.0))
+                               / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * (dl.dl / (stats.avg_micro
+                                                     / 1000000.0)))))
+                            * 1000000.0) AS BIGINT) AS c_micro
+                FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN stats
+            )
+            SELECT doc_id, count(*) AS n_terms_hit,
+                   sum(c_micro) / 1000000.0 AS score
+            FROM scored GROUP BY doc_id
+            HAVING sum(c_micro) > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
@@ -951,6 +1003,23 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT user_id FROM events WHERE value > 400.0
         """,
+        "user_event_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY 1, 2
+            ), n AS (
+                SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+                FROM c GROUP BY 1
+            )
+            SELECT c.user_id,
+                   n.n AS n_events,
+                   count(*) AS n_types,
+                   round(sum(c.c * CAST(round(
+                             -ln(CAST(c.c AS DOUBLE) / n.n) * 1000000.0)
+                         AS BIGINT)) / (n.n * 1000000.0), 6) AS entropy
+            FROM c JOIN n USING (user_id)
+            GROUP BY c.user_id, n.n
+        """,
         "events_value_bands": """
             WITH bands AS (
                 SELECT '[' || CAST(CAST(g*100 AS BIGINT) AS VARCHAR) || ',' ||
@@ -1065,6 +1134,31 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.query_id
                 ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
                          e.vec_id ASC) <= 10
+        """,
+        "knn_classify": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                              label AS true_label
+                       FROM embeddings WHERE vec_id < 64),
+            nn AS (
+                SELECT q.query_id, q.true_label, e.label AS nlabel
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id >= 64
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(
+                        CAST(q.qe AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                             e.vec_id ASC) <= 10
+            ), votes AS (
+                SELECT query_id, true_label, nlabel, count(*) AS n_votes
+                FROM nn GROUP BY 1, 2, 3
+            )
+            SELECT query_id AS vec_id, true_label, nlabel AS pred_label,
+                   n_votes
+            FROM votes
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY n_votes DESC, nlabel ASC) = 1
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b,

@@ -73,10 +73,12 @@ BENCH_QUERIES = [
     "quality_weighted_sample",
     "events_daily_pivot",
     "tfidf_top_terms",
+    "bm25_topk",
     "doc_chunks",
     "contamination_check",
     "distinct_users_by_type",
     "ann_topk",
+    "knn_classify",
     "embedding_neardup",
     "ivf_topk",
     "order_priority_revenue",
@@ -94,6 +96,7 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "bigram_pmi",
     "events_sliding_window",
+    "user_event_entropy",
     "stratified_sample",
     "purchase_prev_click_asof",
     "embedding_kmeans",
@@ -297,8 +300,12 @@ def run_inner_extract(sf_dir: str, num_cpus: int,
 
 def run_scaling(sf_dir: str, low: int, high: int) -> dict:
     """Two parallelism levels x two modes (model-burn-padded and unpadded)
-    x two attempts each, all in fresh processes.  BOTH attempts are
-    reported (no best-of-two); efficiency uses the per-level MEAN.  The
+    x three attempts each, all in fresh processes.  ALL attempts are
+    reported (no best-of-N); efficiency uses the per-level MEDIAN — the
+    same median policy the main bench uses, because this host's wall time
+    drifts up to 2x in noisy-neighbor episodes (BASELINE.md host caveat).
+    Attempts are INTERLEAVED across the two levels (low, high, low, high,
+    ...) so a drift episode biases both levels rather than just one.  The
     padded mode is the headline (it emulates model-bound stage cost — the
     target workload); the unpadded pipeline's own scaling is recorded
     alongside so the burn's contribution is auditable."""
@@ -318,30 +325,34 @@ def run_scaling(sf_dir: str, low: int, high: int) -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     factor = high / low
+    n_samples = 3
     modes = {}
     for mode, ms in (("padded", EMULATE_MS), ("unpadded", 0.0)):
-        runs = {cpus: [one(cpus, ms) for _ in range(2)]
-                for cpus in (low, high)}
-        mean = {cpus: sum(r["elapsed"] for r in rs) / len(rs)
-                for cpus, rs in runs.items()}
+        runs = {cpus: [] for cpus in (low, high)}
+        for _ in range(n_samples):          # interleave levels per attempt
+            for cpus in (low, high):
+                runs[cpus].append(one(cpus, ms))
+        med = {cpus: sorted(r["elapsed"] for r in rs)[len(rs) // 2]
+               for cpus, rs in runs.items()}
+        pages = runs[low][0]["pages"]
         modes[mode] = {
             "elapsed_runs": {str(c): [r["elapsed"] for r in rs]
                              for c, rs in runs.items()},
-            "elapsed_mean": {str(c): round(v, 3) for c, v in mean.items()},
-            "pages_per_sec_mean": {
-                str(c): round(sum(r["pages_per_sec"] for r in rs) / len(rs), 2)
-                for c, rs in runs.items()},
-            "efficiency": round(mean[low] / (factor * mean[high]), 3),
+            "elapsed_median": {str(c): round(v, 3) for c, v in med.items()},
+            "pages_per_sec_median": {
+                str(c): round(pages / med[c], 2) for c in (low, high)},
+            "efficiency": round(med[low] / (factor * med[high]), 3),
         }
     pad = modes["padded"]
     report = {
         "metric": "extraction scaling efficiency (fresh processes, "
-                  f"num_cpus={low} vs {high}, mean of 2 runs/level, "
+                  f"num_cpus={low} vs {high}, median of {n_samples} "
+                  "interleaved runs/level, "
                   f"{EMULATE_MS} ms/page model burn; unpadded alongside)",
         "value": pad["efficiency"],
         "unit": "efficiency",
-        "queries": {f"extract@{low}cpus": pad["elapsed_mean"][str(low)],
-                    f"extract@{high}cpus": pad["elapsed_mean"][str(high)]},
+        "queries": {f"extract@{low}cpus": pad["elapsed_median"][str(low)],
+                    f"extract@{high}cpus": pad["elapsed_median"][str(high)]},
         "sf": sf_dir,
         "num_cpus": high,
         "modes": modes,
@@ -375,16 +386,18 @@ def _record_scaling(report: dict) -> None:
         if nxt != -1:
             tail = rest[nxt:]
     lines = [f"\n- input: flagship extraction corpus at `{report['sf']}` "
-             f"scale; every number below is from fresh processes, BOTH runs "
-             f"per level shown (no best-of-N)"]
+             f"scale; every number below is from fresh processes, ALL runs "
+             f"per level shown (no best-of-N; attempts interleaved across "
+             f"levels; efficiency from per-level medians — the main bench's "
+             f"median policy, per the host-drift caveat)"]
     for mode, m in report["modes"].items():
         burn = (f"{report['emulate_inference_ms']} ms/page model burn"
                 if mode == "padded" else "no burn")
         per_level = "; ".join(
             f"{c} cpus: {m['elapsed_runs'][c]} s "
-            f"(mean {m['elapsed_mean'][c]} s, "
-            f"{m['pages_per_sec_mean'][c]} pages/s)"
-            for c in m["elapsed_mean"])
+            f"(median {m['elapsed_median'][c]} s, "
+            f"{m['pages_per_sec_median'][c]} pages/s)"
+            for c in m["elapsed_median"])
         lines.append(f"- **{mode}** ({burn}): {per_level} -> "
                      f"efficiency **{m['efficiency']}**")
     lines.append(

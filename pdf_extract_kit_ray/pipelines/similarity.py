@@ -473,3 +473,89 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
         "n": pa.array(counts.tolist(), pa.int64()),
         "inertia_total": pa.array([float(inertia)] * k, pa.float64()),
     })
+
+
+def knn_classify(sf_dir: str, k: int = 10,
+                 num_queries: int = 64) -> "ray.data.Dataset":
+    """Majority-label k-NN classification: each held-out query vector
+    (vec_id < ``num_queries`` — bounded by contract, the `ann_topk`
+    convention) is assigned the majority label of its ``k`` nearest
+    neighbors by cosine among the REMAINING corpus (vec_id >=
+    ``num_queries``) — the label-propagation / embedding-quality-eval op
+    of a training-data pipeline.
+
+    Scale shape: the query matrix (+ true labels) broadcasts once via
+    ``ray.put``; each candidate batch emits only its partial top-k per
+    query (vote rows, never vectors), and a final tiny
+    ``groupby(query_id)`` reduces partials and takes the vote.
+    Tie-breaks are deterministic end-to-end: neighbors by (score desc,
+    vec_id asc), votes by (count desc, label asc)."""
+    import pyarrow.dataset as pads
+
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < num_queries)
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "true_label": pa.array([], pa.int32()),
+                      "pred_label": pa.array([], pa.int32()),
+                      "n_votes": pa.array([], pa.int64())})
+    if qt.num_rows == 0:                     # empty embeddings table
+        return ray.data.from_arrow(empty)
+    q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    q_true = np.asarray(qt.column("label").to_pylist(), dtype=np.int32)
+    q_mat = _normalize(_matrix_from_lists(qt.column("embedding").to_pylist()))
+    q_ref = ray.put((q_ids, q_true, q_mat))
+
+    def partial_votes(batch: pa.Table) -> pa.Table:
+        out = pa.table({"query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "nlabel": pa.array([], pa.int32()),
+                        "raw_score": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return out
+        ids, _, qm = ray.get(q_ref)
+        x = _normalize(_embedding_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+        labels = np.asarray(batch.column("label").to_pylist(),
+                            dtype=np.int32)
+        sims = x @ qm.T                      # (batch, num_queries)
+        kk = min(k, len(vec_ids))
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for qi in range(len(ids)):
+            s = sims[:, qi]
+            order = np.lexsort((vec_ids, -s))[:kk]
+            out_q.extend([ids[qi]] * len(order))
+            out_n.extend(vec_ids[order].tolist())
+            out_l.extend(labels[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "nlabel": pa.array(out_l, pa.int32()),
+                         "raw_score": pa.array(out_s, pa.float64())})
+
+    true_ref = ray.put(dict(zip(q_ids.tolist(), q_true.tolist())))
+
+    def vote(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        n = np.asarray(group.column("neighbor_id").to_pylist(),
+                       dtype=np.int64)
+        lab = np.asarray(group.column("nlabel").to_pylist(), dtype=np.int32)
+        s = np.asarray(group.column("raw_score").to_pylist(),
+                       dtype=np.float64)
+        order = np.lexsort((n, -s))[:k]      # global top-k from partials
+        winners, counts = np.unique(lab[order], return_counts=True)
+        best = np.lexsort((winners, -counts))[0]  # votes desc, label asc
+        return pa.table({
+            "vec_id": pa.array([qid], pa.int64()),
+            "true_label": pa.array([ray.get(true_ref)[qid]], pa.int32()),
+            "pred_label": pa.array([int(winners[best])], pa.int32()),
+            "n_votes": pa.array([int(counts[best])], pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"],
+                               filter=pads.field("vec_id") >= num_queries)
+    return (ds.map_batches(partial_votes, batch_format="pyarrow",
+                           batch_size=4096)
+              .groupby("query_id")
+              .map_groups(vote, batch_format="pyarrow"))

@@ -466,6 +466,70 @@ def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
                  .aggregate(Sum("partial_n", alias_name="distinct_users")))
 
 
+def user_event_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity quality signal (bots/scrapers show near-zero
+    entropy: one event type repeated; engaged users spread across types).
+
+    Scale shape (the `user_retention` shape): each batch reduces to
+    (user_id, event_type) partial counts (the combiner — shuffle volume is
+    bounded by users x types, not events), ONE groupby on a coarse
+    user-hash key co-locates each user's counts, and the bucket kernel
+    finishes the counts with Arrow group_by then computes every user's
+    entropy with segmented numpy — no per-user dispatch anywhere.
+
+    Bit-parity with the SQL twin: each type's -ln(c/n) is snapped to
+    integer micro-units (half away from zero; one value per distinct
+    (c, n) pair), the per-user sum of c_i * m_i is exact integer math,
+    and only the final division is floating (rounded to 6dp) — the same
+    convention as `unigram_logprob`."""
+    from ..functions.agg import _default_num_coarse, _GOLDEN
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def type_counts(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": batch.column("user_id"),
+                       "event_type": batch.column("event_type")})
+             .group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all")]))
+        g = g.rename_columns(["user_id", "event_type", "partial_c"])
+        coarse = (g.column("user_id").to_numpy(zero_copy_only=False)
+                  .astype(np.int64) * _GOLDEN) % nc
+        return g.append_column("coarse", pa.array(coarse, pa.int64()))
+
+    def bucket_entropy(group: pa.Table) -> pa.Table:
+        g = (group.select(["user_id", "event_type", "partial_c"])
+             .group_by(["user_id", "event_type"])
+             .aggregate([("partial_c", "sum")])
+             .sort_by([("user_id", "ascending")]))
+        uid = g.column("user_id").to_numpy()
+        c = g.column("partial_c_sum").to_numpy().astype(np.int64)
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        n = np.add.reduceat(c, starts)[seg_id]      # per-user total, per row
+        # micro-int snap of -ln(c/n), half away from zero (values are >= 0,
+        # so floor(x + 0.5) IS half-away; np.round would be half-to-even)
+        m = np.floor(-np.log(c / n) * 1e6 + 0.5).astype(np.int64)
+        ent_sum = np.add.reduceat(c * m, starts)
+        n_user = np.add.reduceat(c, starts)
+        n_types = np.diff(np.r_[starts, len(uid)]).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(n_user, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "entropy": round6(pa.array(
+                ent_sum.astype(np.float64) / (n_user * 1e6), pa.float64())),
+        })
+
+    return (ds.map_batches(type_counts, batch_format="pyarrow")
+              .groupby("coarse")
+              .map_groups(bucket_entropy, batch_format="pyarrow"))
+
+
 def hll_distinct_by_type(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
     """Approximate distinct users PER EVENT TYPE via the custom
     AggregateFnV2 HLL aggregator — the sketch as a first-class groupby

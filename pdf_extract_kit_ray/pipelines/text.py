@@ -564,3 +564,118 @@ def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         ds.map_batches(partial, batch_format="pyarrow"),
         "term", [("partial_n", "sum", "n")])
     return counts.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+_BM25_TERMS = ("data", "join", "stream")
+
+
+def bm25_topk(sf_dir: str, terms: tuple = _BM25_TERMS, k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> "ray.data.Dataset":
+    """BM25 lexical search: the top-``k`` documents for a bag-of-terms
+    query, scored with Okapi BM25 — the classic retrieval ranking a
+    training-data pipeline uses for benchmark decontamination lookups and
+    quality-targeted corpus slicing (the lexical sibling of `ann_topk`).
+
+    Scale shape: pass 1 reduces each batch to ONE stats row (doc count,
+    token total, per-query-term document frequency — the per-batch
+    combiner), finished by a scalar global aggregate (kilobytes; bounded
+    by the query size, never the corpus).  The resulting IDF table and
+    average doc length are plain floats closed over by pass 2, a pure
+    scoring map with a per-batch partial top-k; the final sort+limit sees
+    only ``blocks x k`` rows.  No corpus-sized shuffle anywhere.
+
+    Bit-parity with the SQL twin: IDF and the average doc length are
+    snapped to integer micro-units (half away from zero; one ln() call
+    per term), each (doc, term) contribution is snapped to micro-units
+    after an identically-associated double expression, and per-doc
+    summation is exact integer math (`unigram_logprob` convention).
+    Tie-break: score desc, doc_id asc."""
+    import math
+
+    terms = tuple(terms)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_terms_hit": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+
+    def _tokens(text):
+        split = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        return flat.filter(keep), parent.filter(keep)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        dl = pc.fill_null(pc.cast(_token_count(text), pa.int64()), 0)
+        flat, parent = _tokens(text)
+        par = parent.to_numpy(zero_copy_only=False)
+        cols = {"n_docs": [batch.num_rows],
+                "total_tokens": [int(pc.sum(dl).as_py() or 0)]}
+        for i, t in enumerate(terms):
+            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            cols[f"df_{i}"] = [int(np.unique(par[eq]).size)]
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in cols.items()})
+
+    tot = ds.map_batches(stats, batch_format="pyarrow").sum(
+        ["n_docs", "total_tokens"] + [f"df_{i}" for i in range(len(terms))])
+    if not tot:                              # zero-block input
+        return ray.data.from_arrow(empty)
+    n_docs = int(tot.get("sum(n_docs)") or 0)
+    if n_docs == 0:                          # empty corpus
+        return ray.data.from_arrow(empty)
+    total_tokens = int(tot.get("sum(total_tokens)") or 0)
+    nf = float(n_docs)
+    # micro-int snaps, half away from zero (all values are positive, so
+    # floor(x + 0.5) IS half-away; the SQL twin uses DuckDB round())
+    avg_micro = math.floor((float(total_tokens) * 1e6) / nf + 0.5)
+    avgdl = avg_micro / 1e6
+    idf = []                                 # idf_micro/1e6 per term
+    for i in range(len(terms)):
+        df = float(int(tot.get(f"sum(df_{i})") or 0))
+        if df == 0.0:                        # absent term: no tf rows anywhere
+            idf.append(None)
+            continue
+        m = math.floor(math.log(1.0 + ((nf - df) + 0.5) / (df + 0.5))
+                       * 1e6 + 0.5)
+        idf.append(m / 1e6)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        text = batch.column("text")
+        dl = (pc.fill_null(pc.cast(_token_count(text), pa.int64()), 0)
+              .to_numpy(zero_copy_only=False).astype(np.float64))
+        flat, parent = _tokens(text)
+        par = parent.to_numpy(zero_copy_only=False)
+        # SQL-identical association: tf + 1.2*((1.0-0.75) + 0.75*(dl/avgdl))
+        den_base = k1 * ((1.0 - b) + b * (dl / avgdl))
+        score_micro = np.zeros(n, dtype=np.int64)
+        hits = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(terms):
+            if idf[i] is None:
+                continue
+            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(par[eq], minlength=n).astype(np.float64)
+            m = tf > 0
+            contrib = np.floor(
+                idf[i] * ((tf[m] * (k1 + 1.0)) / (tf[m] + den_base[m]))
+                * 1e6 + 0.5).astype(np.int64)
+            score_micro[m] += contrib
+            hits[m] += 1
+        ids = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        sel = score_micro > 0
+        ids, hits, sm = ids[sel], hits[sel], score_micro[sel]
+        order = np.lexsort((ids, -sm))[:k]   # partial top-k, global tie-break
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_terms_hit": pa.array(hits[order], pa.int64()),
+            "score": pa.array(sm[order].astype(np.float64) / 1e6,
+                              pa.float64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .sort(["score", "doc_id"], descending=[True, False])
+              .limit(k))
