@@ -66,28 +66,129 @@ from ..sources.corpus import PAGE_H, PAGE_W, split_pages_geom
 def explode_pages(batch: pa.Table) -> pa.Table:
     """One doc row -> N page rows carrying the parsed page payload.  Page
     dims come from the per-page render geometry (S3: dpi-144 render with the
-    >3000px dpi-72 downshift applied by split_pages_geom)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    spans_col = batch.column("spans").to_pylist()
-    out = {"doc_id": [], "page_no": [], "width": [], "height": [], "raw_dets": []}
-    for doc_id, spans in zip(doc_ids, spans_col):
-        pages = split_pages_geom(spans)
-        if not pages:
-            # zero-page doc: sentinel page keeps the doc_id alive through
-            # the shuffle so the output contains (doc_id, []) — the
-            # reference writes an empty result for an empty input, it
-            # doesn't drop the document (tasks/ocr/task.py:106-114)
-            pages = [{"width": PAGE_W, "height": PAGE_H, "els": []}]
-            page_nos = [-1]
-        else:
-            page_nos = range(len(pages))
-        for page_no, page in zip(page_nos, pages):
-            out["doc_id"].append(doc_id)
-            out["page_no"].append(page_no)
-            out["width"].append(page["width"])
-            out["height"].append(page["height"])
-            out["raw_dets"].append(page["els"])
-    return pa.Table.from_pydict(out, schema=PAGE_SCHEMA)
+    >3000px dpi-72 downshift, corpus.render_geometry).
+
+    Fully vectorized: the ``geom://`` encoding is parsed with ONE RE2 pass
+    (pc.extract_regex) over the flat span arrays, page segmentation /
+    render-geometry / the dpi-72 coordinate downshift are numpy over the
+    same flat arrays, and the output list<struct> column is built directly
+    from Arrow offsets — no per-span Python.  Semantics are pinned against
+    the straight-line ``split_pages_geom`` twin (the oracle path) by
+    byte-equality tests."""
+    import numpy as np
+
+    empty = pa.Table.from_pydict(
+        {n: [] for n in PAGE_SCHEMA.names}, schema=PAGE_SCHEMA)
+    n_docs = batch.num_rows
+    if n_docs == 0:
+        return empty
+    la = batch.column("spans").combine_chunks()
+    abs_off = la.offsets.to_numpy().astype(np.int64)
+    lo, hi = int(abs_off[0]), int(abs_off[-1])
+    rel = abs_off - lo                       # per-doc span ranges, 0-based
+    flat = la.values.slice(lo, hi - lo)
+    n_spans = hi - lo
+
+    doc_ids = batch.column("doc_id")
+    spans_per_doc = np.diff(rel)
+
+    if n_spans == 0:                         # every doc is zero-page
+        sentinel_dets = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_docs + 1, np.int32)),
+            pa.array([], RAW_DET_TYPE))
+        return pa.Table.from_arrays(
+            [doc_ids, pa.array([-1] * n_docs, pa.int32()),
+             pa.array([PAGE_W] * n_docs, pa.int32()),
+             pa.array([PAGE_H] * n_docs, pa.int32()), sentinel_dets],
+            schema=PAGE_SCHEMA)
+
+    # one RE2 pass parses every geom:// payload (media prefix optional)
+    g = pc.extract_regex(
+        flat.field("media_ref"),
+        r"^(?:(?P<m>[^|]*)\|)?geom://"
+        r"(?P<x0>-?\d+),(?P<y0>-?\d+),(?P<x1>-?\d+),(?P<y1>-?\d+)"
+        r"/(?P<s>-?[\d.]+)$")
+    media = pc.fill_null(pc.struct_field(g, "m"), "")
+    coords = [pc.cast(pc.struct_field(g, f), pa.int64()).to_numpy(
+                  zero_copy_only=False)
+              for f in ("x0", "y0", "x1", "y1")]
+    score = pc.cast(pc.struct_field(g, "s"), pa.float64())
+
+    # page segmentation: a page starts at offset==0 and at each doc's
+    # first span (split_pages_geom's `offset == 0 or not pages`)
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    page_start = off == 0
+    page_start[rel[:-1][spans_per_doc > 0]] = True
+    page_id = np.cumsum(page_start) - 1      # monotone over spans
+    n_pages = int(page_id[-1]) + 1
+    doc_of_span = np.repeat(np.arange(n_docs), spans_per_doc)
+    doc_of_page = doc_of_span[page_start]
+
+    # render geometry: the LAST page_geom row of a page wins (the
+    # sequential `pages[-1].update` semantics); ascending assignment
+    # reproduces that
+    kind = flat.field("kind")
+    is_pg = np.asarray(
+        pc.equal(kind, "page_geom").to_numpy(zero_copy_only=False),
+        dtype=bool)
+    w_arr = np.full(n_pages, PAGE_W, np.int64)
+    h_arr = np.full(n_pages, PAGE_H, np.int64)
+    pg_pos = np.flatnonzero(is_pg)
+    w_arr[page_id[pg_pos]] = coords[2][pg_pos]
+    h_arr[page_id[pg_pos]] = coords[3][pg_pos]
+    big = (w_arr > 3000) | (h_arr > 3000)
+    w_arr = np.where(big, w_arr // 2, w_arr)
+    h_arr = np.where(big, h_arr // 2, h_arr)
+
+    # element rows (page_geom pseudo-spans dropped), dpi-72 downshift
+    # int-truncated exactly like corpus._scale_els (int() truncates toward
+    # zero; np.trunc matches for negatives where // would not)
+    keep = ~is_pg
+    half = big[page_id] & keep
+    xy = []
+    for c in coords:
+        scaled = np.where(half, np.trunc(c * 0.5), c)
+        xy.append(pa.array(scaled.astype(np.int32), pa.int32()))
+    keep_idx = np.flatnonzero(keep)
+    keep_i = pa.array(keep_idx, pa.int64())
+    struct = pa.StructArray.from_arrays(
+        [kind.take(keep_i),
+         xy[0].take(keep_i), xy[1].take(keep_i),
+         xy[2].take(keep_i), xy[3].take(keep_i),
+         score.take(keep_i), flat.field("text").take(keep_i),
+         media.take(keep_i)],
+        names=[f.name for f in RAW_DET_TYPE])
+
+    # splice sentinel pages for zero-span docs, in (doc, page_no) order
+    pages_per_doc = np.bincount(doc_of_page, minlength=n_docs)
+    is_empty_doc = pages_per_doc == 0
+    out_per_doc = np.where(is_empty_doc, 1, pages_per_doc)
+    n_out = int(out_per_doc.sum())
+    sentinel = np.repeat(is_empty_doc, out_per_doc)
+    real = ~sentinel
+
+    first_page_of_doc = np.concatenate(
+        [[0], np.cumsum(pages_per_doc)[:-1]])
+    page_no_real = np.arange(n_pages) - first_page_of_doc[doc_of_page]
+    page_no = np.full(n_out, -1, np.int64)
+    page_no[real] = page_no_real
+    w_out = np.full(n_out, PAGE_W, np.int64)
+    h_out = np.full(n_out, PAGE_H, np.int64)
+    w_out[real], h_out[real] = w_arr, h_arr
+
+    els_per_page = np.bincount(page_id[keep], minlength=n_pages)
+    len_out = np.zeros(n_out, np.int64)
+    len_out[real] = els_per_page
+    offsets = np.concatenate([[0], np.cumsum(len_out)]).astype(np.int32)
+    raw_dets = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+    out_doc = doc_ids.take(
+        pa.array(np.repeat(np.arange(n_docs), out_per_doc), pa.int64()))
+    return pa.Table.from_arrays(
+        [out_doc, pa.array(page_no.astype(np.int32), pa.int32()),
+         pa.array(w_out.astype(np.int32), pa.int32()),
+         pa.array(h_out.astype(np.int32), pa.int32()), raw_dets],
+        schema=PAGE_SCHEMA)
 
 
 def _pages_out(batch_cols: dict, dets_lists: List[List[dict]]) -> pa.Table:
