@@ -38,13 +38,14 @@ from .mocks import (
 from .sources.corpus import split_pages
 
 
-def extract_document(raw_spans: List[dict]) -> List[Dict]:
+def extract_document(raw_spans: List[dict],
+                     render_backend: str = "fitz") -> List[Dict]:
     """One raw document's span stream -> the golden extracted span sequence
     ``[{kind, text, media_ref, offset}, ...]`` with dense offsets.  Render
     geometry (the S3 dpi-72 downshift for >3000px pages) is applied inside
     split_pages, identically to the Ray pipeline's explode stage."""
     out: List[Dict] = []
-    for page_spans in extract_document_pages(raw_spans):
+    for page_spans in extract_document_pages(raw_spans, render_backend):
         for span in page_spans:
             out.append(dict(span, offset=len(out)))
     return out
@@ -59,10 +60,11 @@ def extract_markdown_document(raw_spans: List[dict]) -> str:
                        for p in extract_document_pages(raw_spans))
 
 
-def extract_document_pages(raw_spans: List[dict]) -> List[List[Dict]]:
+def extract_document_pages(raw_spans: List[dict],
+                           render_backend: str = "fitz") -> List[List[Dict]]:
     """Per-page ordered span lists (no global offsets) — the common core of
     the span-sequence and markdown goldens."""
-    pages = split_pages(raw_spans)
+    pages = split_pages(raw_spans, render_backend)
 
     # Pass A: layout + MFD per page; queue formula crops doc-wide.
     page_dets: List[List[dict]] = []

@@ -61,6 +61,11 @@ class ExtractConfig:
     # config-selected layout backend (the reference's YOLO-vs-LayoutLMv3
     # switch): "mock" or "mock2" (higher score threshold) in the sandbox
     layout_backend: str = "mock"
+    # config-selected render-geometry backend (S3 vs S4): "fitz" = dpi-144
+    # with the >3000px dpi-72 downshift (the reference main path);
+    # "pdf2image" = the poppler variant's uniform 200-dpi render
+    # (pdf_extract_kit/utils/pdf_utils.py:3-5, no size cap)
+    render_backend: str = "fitz"
     # >0 salts the reassembly shuffle key into page ranges of this many
     # pages (two-phase reassembly): enable when the corpus has page-count
     # outliers whose span rows would exceed one group's heap (SURVEY §7
@@ -91,7 +96,8 @@ def extract_page_spans(ds: "ray.data.Dataset",
     cfg = config or ExtractConfig()
     cpus = cfg.actor_num_cpus
     emulate = cfg.emulate_inference_ms
-    pages = ds.map_batches(explode_pages, batch_format="pyarrow")
+    pages = ds.map_batches(explode_pages, batch_format="pyarrow",
+                           fn_kwargs={"backend": cfg.render_backend})
     if cfg.stage_mode == "fused_tasks":
         return pages.map_batches(
             fused_extract_batch,
@@ -228,7 +234,8 @@ def extract_table_sources(ds: "ray.data.Dataset",
     import functools
 
     cfg = config or ExtractConfig()
-    pages = ds.map_batches(explode_pages, batch_format="pyarrow")
+    pages = ds.map_batches(explode_pages, batch_format="pyarrow",
+                           fn_kwargs={"backend": cfg.render_backend})
     if cfg.stage_mode in ("fused_tasks", "fused_actors"):
         # layout + table parse in one task pass (stateless mocks; the
         # split pools below remain the heterogeneous-backend shape)
@@ -277,7 +284,8 @@ def _det_chain(ds: "ray.data.Dataset", cfg: ExtractConfig) -> "ray.data.Dataset"
     from ..stages.extract_stages import (LayoutStage, MFDStage, MFRStage,
                                          OCRStage, explode_pages)
     kw = {"num_cpus": cfg.actor_num_cpus, "batch_format": "pyarrow"}
-    pages = ds.map_batches(explode_pages, batch_format="pyarrow")
+    pages = ds.map_batches(explode_pages, batch_format="pyarrow",
+                           fn_kwargs={"backend": cfg.render_backend})
     pages = pages.map_batches(
         LayoutStage, concurrency=cfg.layout_concurrency,
         batch_size=cfg.page_batch_size,
@@ -313,7 +321,8 @@ def extract_reference_json(ds: "ray.data.Dataset",
         # one fused task pass for the whole model chain (same dets as the
         # split pools, at a fifth of the Arrow<->Python round-trips)
         from ..stages.extract_stages import explode_pages, fused_dets_batch
-        pages = ds.map_batches(explode_pages, batch_format="pyarrow") \
+        pages = ds.map_batches(explode_pages, batch_format="pyarrow",
+                           fn_kwargs={"backend": cfg.render_backend}) \
             .map_batches(functools.partial(fused_dets_batch,
                                            backend=cfg.layout_backend,
                                            drop_score=0.5),

@@ -74,14 +74,34 @@ def parse_raw_span(span: dict) -> dict:
     }
 
 
-def render_geometry(width: int, height: int) -> Tuple[int, int, float]:
-    """The reference's render-resolution rule
-    (pdf_extract_kit/utils/data_preprocess.py:5-11): pages render at dpi 144
-    (zoom 2.0 over the PDF's dpi-72 user space), but if either side of the
-    dpi-144 render exceeds 3000 px the page is re-rendered at dpi 72 —
-    exactly half the dims — so detector coordinates stay in the expected
-    dynamic range.  Input: the dpi-144 render dims; returns the effective
+# S4 (pdf2image/poppler variant): pdf2image.convert_from_path renders at
+# its default 200 dpi with NO size cap (pdf_extract_kit/utils/
+# pdf_utils.py:3-5 passes no dpi argument).  Relative to the corpus's
+# dpi-144 coordinate frame that is a uniform 200/144 upscale.
+_PDF2IMAGE_SCALE = 200.0 / 144.0
+
+
+def render_geometry(width: int, height: int,
+                    backend: str = "fitz") -> Tuple[int, int, float]:
+    """The reference's render-resolution rule per backend.
+
+    ``fitz`` (the main path, pdf_extract_kit/utils/data_preprocess.py:5-11):
+    pages render at dpi 144 (zoom 2.0 over the PDF's dpi-72 user space), but
+    if either side of the dpi-144 render exceeds 3000 px the page is
+    re-rendered at dpi 72 — exactly half the dims — so detector coordinates
+    stay in the expected dynamic range.
+
+    ``pdf2image`` (S4, pdf_extract_kit/utils/pdf_utils.py:3-5): poppler
+    renders every page at the library-default 200 dpi with no size cap —
+    a uniform 200/144 upscale of the dpi-144 frame.
+
+    Input: the dpi-144 render dims; returns the effective
     (width, height, scale) the pipeline must operate in."""
+    if backend == "pdf2image":
+        return (int(width * _PDF2IMAGE_SCALE), int(height * _PDF2IMAGE_SCALE),
+                _PDF2IMAGE_SCALE)
+    if backend != "fitz":
+        raise ValueError(f"unknown render backend: {backend!r}")
     if width > 3000 or height > 3000:
         return width // 2, height // 2, 0.5
     return width, height, 1.0
@@ -101,12 +121,15 @@ def _scale_els(els: List[dict], scale: float) -> List[dict]:
     return els
 
 
-def split_pages_geom(raw_spans: Iterable[dict]) -> List[dict]:
+def split_pages_geom(raw_spans: Iterable[dict],
+                     backend: str = "fitz") -> List[dict]:
     """Partition a raw span stream into pages with render geometry applied:
     a page starts at offset==0; a leading ``page_geom`` pseudo-span carries
     the page's dpi-144 render dims (older corpora without it default to the
     A4 dpi-144 dims).  Element coordinates are brought into the effective
-    render frame per ``render_geometry`` — the >3000px dpi-72 downshift."""
+    render frame per ``render_geometry`` for the selected backend — the
+    >3000px dpi-72 downshift (fitz) or the uniform 200-dpi upscale
+    (pdf2image, S4)."""
     pages: List[dict] = []
     for span in raw_spans:
         if span["offset"] == 0 or not pages:
@@ -114,7 +137,8 @@ def split_pages_geom(raw_spans: Iterable[dict]) -> List[dict]:
                           "els": []})
         el = parse_raw_span(span)
         if el["kind"] == "page_geom":
-            w, h, scale = render_geometry(int(el["x1"]), int(el["y1"]))
+            w, h, scale = render_geometry(int(el["x1"]), int(el["y1"]),
+                                          backend)
             pages[-1].update(width=w, height=h, scale=scale)
         else:
             pages[-1]["els"].append(el)
@@ -123,10 +147,11 @@ def split_pages_geom(raw_spans: Iterable[dict]) -> List[dict]:
     return pages
 
 
-def split_pages(raw_spans: Iterable[dict]) -> List[List[dict]]:
+def split_pages(raw_spans: Iterable[dict],
+                backend: str = "fitz") -> List[List[dict]]:
     """Back-compat view of ``split_pages_geom``: just the per-page element
     payload lists (geometry applied)."""
-    return [p["els"] for p in split_pages_geom(raw_spans)]
+    return [p["els"] for p in split_pages_geom(raw_spans, backend)]
 
 
 # ---------------------------------------------------------------------------

@@ -55,7 +55,8 @@ from ..schemas import (
     SPAN_TYPE,
 )
 from ..registry import STAGE_REGISTRY
-from ..sources.corpus import PAGE_H, PAGE_W, split_pages_geom
+from ..sources.corpus import (PAGE_H, PAGE_W, _PDF2IMAGE_SCALE,
+                              split_pages_geom)
 
 
 # ---------------------------------------------------------------------------
@@ -63,10 +64,13 @@ from ..sources.corpus import PAGE_H, PAGE_W, split_pages_geom
 # ---------------------------------------------------------------------------
 
 @STAGE_REGISTRY.register("explode_pages")
-def explode_pages(batch: pa.Table) -> pa.Table:
+def explode_pages(batch: pa.Table, backend: str = "fitz") -> pa.Table:
     """One doc row -> N page rows carrying the parsed page payload.  Page
     dims come from the per-page render geometry (S3: dpi-144 render with the
-    >3000px dpi-72 downshift, corpus.render_geometry).
+    >3000px dpi-72 downshift, corpus.render_geometry) — or, with
+    ``backend="pdf2image"``, the S4 poppler variant's uniform 200-dpi
+    upscale (pdf_extract_kit/utils/pdf_utils.py:3-5 renders at the
+    pdf2image default 200 dpi with no size cap).
 
     Fully vectorized: the ``geom://`` encoding is parsed with ONE RE2 pass
     (pc.extract_regex) over the flat span arrays, page segmentation /
@@ -136,18 +140,35 @@ def explode_pages(batch: pa.Table) -> pa.Table:
     pg_pos = np.flatnonzero(is_pg)
     w_arr[page_id[pg_pos]] = coords[2][pg_pos]
     h_arr[page_id[pg_pos]] = coords[3][pg_pos]
-    big = (w_arr > 3000) | (h_arr > 3000)
-    w_arr = np.where(big, w_arr // 2, w_arr)
-    h_arr = np.where(big, h_arr // 2, h_arr)
+    # per-page scale: applied only to pages that CARRY a page_geom row
+    # (split_pages_geom calls render_geometry only then; default pages
+    # keep scale 1.0 and the A4 dpi-144 dims under every backend)
+    page_scale = np.ones(n_pages, np.float64)
+    if backend == "pdf2image":
+        has_pg = np.zeros(n_pages, bool)
+        has_pg[page_id[pg_pos]] = True
+        page_scale[has_pg] = _PDF2IMAGE_SCALE
+        w_arr = np.where(has_pg, np.trunc(w_arr * _PDF2IMAGE_SCALE),
+                         w_arr).astype(np.int64)
+        h_arr = np.where(has_pg, np.trunc(h_arr * _PDF2IMAGE_SCALE),
+                         h_arr).astype(np.int64)
+    elif backend == "fitz":
+        big = (w_arr > 3000) | (h_arr > 3000)
+        page_scale[big] = 0.5
+        w_arr = np.where(big, w_arr // 2, w_arr)
+        h_arr = np.where(big, h_arr // 2, h_arr)
+    else:
+        raise ValueError(f"unknown render backend: {backend!r}")
 
-    # element rows (page_geom pseudo-spans dropped), dpi-72 downshift
+    # element rows (page_geom pseudo-spans dropped), coordinate rescale
     # int-truncated exactly like corpus._scale_els (int() truncates toward
     # zero; np.trunc matches for negatives where // would not)
     keep = ~is_pg
-    half = big[page_id] & keep
+    el_scale = page_scale[page_id]
+    rescale = (el_scale != 1.0) & keep
     xy = []
     for c in coords:
-        scaled = np.where(half, np.trunc(c * 0.5), c)
+        scaled = np.where(rescale, np.trunc(c * el_scale), c)
         xy.append(pa.array(scaled.astype(np.int32), pa.int32()))
     keep_idx = np.flatnonzero(keep)
     keep_i = pa.array(keep_idx, pa.int64())

@@ -163,6 +163,87 @@ def test_oversized_page_extracts_identically():
     assert a == b and len(a) > 0
 
 
+def test_pdf2image_render_backend_geometry():
+    """S4 (reference pdf_extract_kit/utils/pdf_utils.py:3-5): the poppler
+    variant renders at the pdf2image default 200 dpi with NO size cap — a
+    uniform 200/144 upscale of the dpi-144 frame, applied to pages that
+    carry render dims.  The vectorized explode must equal the straight-line
+    twin element-for-element."""
+    from pdf_extract_kit_ray.sources.corpus import (generate_corpus,
+                                                    render_geometry,
+                                                    split_pages_geom)
+
+    s = 200.0 / 144.0
+    assert render_geometry(1654, 2339, "pdf2image") == (
+        int(1654 * s), int(2339 * s), s)
+    # no >3000px downshift in the poppler path
+    assert render_geometry(3308, 4678, "pdf2image") == (
+        int(3308 * s), int(4678 * s), s)
+    with pytest.raises(ValueError):
+        render_geometry(100, 100, "nonsense")
+
+    raw, _ = generate_corpus(14, seed=9, with_golden=False)
+    pages_vec = explode_pages(raw, backend="pdf2image").to_pylist()
+    i = 0
+    diffs = 0
+    for doc in raw.to_pylist():
+        twin = split_pages_geom(doc["spans"], "pdf2image")
+        fitz = split_pages_geom(doc["spans"], "fitz")
+        for page, ref in zip(pages_vec[i:i + len(twin)], twin):
+            assert page["doc_id"] == doc["doc_id"]
+            assert (page["width"], page["height"]) == (ref["width"],
+                                                       ref["height"])
+            got = [(d["kind"], d["x0"], d["y0"], d["x1"], d["y1"],
+                    d["text"], d["media_ref"]) for d in page["raw_dets"]]
+            exp = [(d["kind"], d["x0"], d["y0"], d["x1"], d["y1"],
+                    d["text"], d["media_ref"]) for d in ref["els"]]
+            assert got == exp
+        # discriminating: the 200-dpi frame really differs from fitz's
+        if any(p["width"] != f["width"] for p, f in zip(twin, fitz)):
+            diffs += 1
+        i += len(twin)
+    assert diffs > 0
+
+
+def test_pdf2image_backend_pipeline_equals_oracle(ray_session):
+    """Full pipeline with render_backend='pdf2image' must reproduce the
+    straight-line oracle run with the same backend (span-sequence
+    equality), and must NOT equal the fitz-backend goldens on a corpus
+    with oversized pages."""
+    from pdf_extract_kit_ray.oracle import extract_document
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_documents)
+    from pdf_extract_kit_ray.sources.corpus import generate_corpus
+
+    raw, _ = generate_corpus(10, seed=13, with_golden=False)
+    golden = {d["doc_id"]: extract_document(d["spans"], "pdf2image")
+              for d in raw.to_pylist()}
+    fitz_golden = {d["doc_id"]: extract_document(d["spans"], "fitz")
+                   for d in raw.to_pylist()}
+    out = extract_documents(
+        ray.data.from_arrow(raw),
+        ExtractConfig.for_cpus(4, render_backend="pdf2image")).take_all()
+    assert len(out) == len(golden)
+    key = lambda s: (s["kind"], s["text"], s["media_ref"], s["offset"])
+    for row in out:
+        got = [key(s) for s in row["spans"]]
+        exp = [key(s) for s in golden[row["doc_id"]]]
+        assert got == exp and len(got) > 0
+    # span output is scale-invariant on this corpus (uniform upscale keeps
+    # reading order and crop content), so discriminate the backends at the
+    # S7 JSON surface: page_info carries the render dims and det polys
+    # carry render-frame coordinates.
+    del fitz_golden
+    from pdf_extract_kit_ray.pipelines.extract import extract_reference_json
+    j_pdf = {r["doc_id"]: r["json"] for r in extract_reference_json(
+        ray.data.from_arrow(raw),
+        ExtractConfig.for_cpus(4, render_backend="pdf2image")).take_all()}
+    j_fitz = {r["doc_id"]: r["json"] for r in extract_reference_json(
+        ray.data.from_arrow(raw),
+        ExtractConfig.for_cpus(4)).take_all()}
+    assert any(j_pdf[d] != j_fitz[d] for d in j_pdf)
+
+
 def test_golden_requires_reordering():
     """Raw order is a shuffle of reading order: the identity map must NOT
     reproduce the golden for most docs (FIXTURES.md F1)."""
