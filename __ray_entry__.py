@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": text.doc_chunks,
         "unigram_logprob": text.unigram_logprob,
         "bigram_pmi": text.bigram_pmi,
+        "vocab_growth": text.vocab_growth,
+        "doc_length_histogram": text.doc_length_histogram,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
         "doc_repetition": curation.doc_repetition,
@@ -220,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": curation.source_mixture,
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
+        "gopher_quality_flags": curation.gopher_quality_flags,
         "sequence_pack": curation.sequence_pack,
         "training_order": curation.training_order,
         "quality_percentile_filter": curation.quality_percentile_filter,
@@ -251,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
         "user_event_entropy": streaming.user_event_entropy,
+        "user_first_last": streaming.user_first_last,
         "distinct_users_by_type": streaming.distinct_users_by_type,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
         "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
@@ -629,6 +633,83 @@ def oracle_sql() -> dict[str, str]:
             FROM tok, UNNEST(range(0, greatest(
                      len(t) - 64 + 48,
                      CASE WHEN len(t) > 0 THEN 1 ELSE 0 END), 48)) AS u(s)
+        """,
+        # Gopher rules: ratios computed AND compared on 6dp-rounded values
+        # in both engines so the keep flag cannot flip on a boundary doc
+        "gopher_quality_flags": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       CAST(COALESCE({tokens_expr}, 0) AS BIGINT) AS n_words,
+                       COALESCE(length(text)
+                           - len(regexp_extract_all(text, '\\s')), 0)
+                           AS n_nonspace,
+                       COALESCE(len(regexp_extract_all(text,
+                           '[^A-Za-z0-9\\s]')), 0) AS n_sym,
+                       CAST(COALESCE(len(regexp_extract_all(lower(text),
+                           '\\b(the|a|of|to|and|in|is|on|that|with)\\b')), 0)
+                           AS BIGINT) AS n_stop_hits
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_words, n_stop_hits,
+                       CASE WHEN n_words > 0
+                            THEN round(CAST(n_nonspace AS DOUBLE) / n_words, 6)
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN n_words > 0
+                            THEN round(CAST(n_sym AS DOUBLE) / n_words, 6)
+                            ELSE 0.0 END AS symbol_ratio
+                FROM g
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio < 0.1
+                    AND n_stop_hits >= 2) AS keep
+            FROM r
+        """,
+        "vocab_growth": """
+            WITH tok AS (
+                SELECT source, unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2
+            )
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_terms,
+                   round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                       AS type_token_ratio
+            FROM tf GROUP BY source
+        """,
+        "doc_length_histogram": f"""
+            WITH t AS (
+                SELECT CAST(COALESCE({tokens_expr}, 0) AS BIGINT) AS n
+                FROM documents
+            )
+            SELECT n // 32 AS bucket, count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(min(n) AS BIGINT) AS min_tokens,
+                   CAST(max(n) AS BIGINT) AS max_tokens
+            FROM t GROUP BY 1
+        """,
+        "user_first_last": """
+            WITH o AS (
+                SELECT user_id, event_type, ts,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC)
+                           AS rf,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rl,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            )
+            SELECT a.user_id, a.ts AS first_ts, a.event_type AS first_type,
+                   b.ts AS last_ts, b.event_type AS last_type,
+                   CAST(a.n AS BIGINT) AS n_events,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS span_us
+            FROM (SELECT * FROM o WHERE rf = 1) a
+            JOIN (SELECT * FROM o WHERE rl = 1) b USING (user_id)
         """,
         "pii_redact": """
             SELECT doc_id,

@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "events_sliding_window",
     "user_event_entropy",
+    "user_first_last",
+    "gopher_quality_flags",
+    "vocab_growth",
+    "doc_length_histogram",
     "stratified_sample",
     "purchase_prev_click_asof",
     "embedding_kmeans",

@@ -551,3 +551,70 @@ def curate_corpus(docs: "ray.data.Dataset",
                 .groupby("coarse")
                 .map_groups(keep_first, batch_format="pyarrow")
                 .map_batches(finish, batch_format="pyarrow"))
+
+
+# Gopher-style stopword list (a small English function-word vocabulary,
+# per Rae et al. 2021 "Scaling Language Models: ... Gopher" §A.1.1's
+# stop-word presence rule) — fixed here so engine and SQL twin share it.
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on",
+                    "that", "with")
+GOPHER_STOPWORD_RE = r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b"
+
+
+def gopher_quality_flags(sf_dir: str, min_words: int = 50,
+                         max_words: int = 100000,
+                         min_mwl: float = 3.0, max_mwl: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_stop_hits: int = 2) -> "ray.data.Dataset":
+    """Gopher-rule quality flags (Rae et al. 2021 §A.1.1): per document —
+    word count, mean word length, symbol-to-word ratio, stopword hits, and
+    the composite ``keep`` flag (word count in [50, 1e5], mean word length
+    in [3, 10], symbol ratio < 0.1, >= 2 stopword hits).
+
+    Pure vectorized map, no shuffle: counts are single
+    ``pc.count_substring_regex`` passes (RE2 on both engines), ratios are
+    computed on 6dp micro-ints (functions/num.round6) and COMPARED on the
+    rounded values in both engines so the keep flag cannot diverge on a
+    boundary document.  NULL text pins every count to 0, ratios to 0.0 and
+    ``keep`` to FALSE (same contract as quality_score)."""
+    from .text import _token_count
+
+    def flags(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_words = pc.cast(pc.fill_null(_token_count(text), 0), pa.int64())
+        n_chars = pc.fill_null(pc.utf8_length(text), 0)
+        n_ws = pc.fill_null(pc.count_substring_regex(text, r"\s"), 0)
+        n_nonspace = pc.cast(pc.subtract(n_chars, n_ws), pa.float64())
+        n_sym = pc.cast(pc.fill_null(
+            pc.count_substring_regex(text, r"[^A-Za-z0-9\s]"), 0),
+            pa.float64())
+        n_stop = pc.cast(pc.fill_null(
+            pc.count_substring_regex(pc.utf8_lower(text),
+                                     GOPHER_STOPWORD_RE), 0), pa.int64())
+        pos = pc.greater(n_words, 0)
+        # guard the 0-word divide (if_else evaluates both branches; an
+        # inf would poison round6's int64 cast)
+        denom = pc.cast(pc.max_element_wise(n_words, 1), pa.float64())
+        mwl = pc.if_else(pos, round6(pc.divide(n_nonspace, denom)),
+                         pa.scalar(0.0))
+        sym = pc.if_else(pos, round6(pc.divide(n_sym, denom)),
+                         pa.scalar(0.0))
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n_words, min_words),
+                        pc.less_equal(n_words, max_words)),
+                pc.and_(pc.greater_equal(mwl, min_mwl),
+                        pc.less_equal(mwl, max_mwl))),
+            pc.and_(pc.less(sym, max_symbol_ratio),
+                    pc.greater_equal(n_stop, min_stop_hits)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": n_words,
+            "mean_word_len": mwl,
+            "symbol_ratio": sym,
+            "n_stop_hits": n_stop,
+            "keep": keep,
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow")

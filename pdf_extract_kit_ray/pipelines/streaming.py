@@ -565,3 +565,110 @@ def ddsketch_quantiles_by_type(sf_dir: str, alpha: float = 0.01) -> "ray.data.Da
         })
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def user_first_last(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user first/last event — argmin/argmax of (ts, event_id) with the
+    event's type, plus event count and active span (the profile row a
+    feature store derives per entity).
+
+    Scale shape: each batch SORTS ONCE on (user_id, ts, event_id) and
+    reduces to at most two rows per user (its first and last inside the
+    batch — the associative combiner, so shuffle volume is bounded by
+    users x blocks, not events) -> ONE coarse user-hash shuffle -> the
+    bucket kernel finishes the extremes with two vectorized segment scans.
+    No per-user dispatch anywhere; ties at equal ts break on event_id in
+    both engines."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "first_ts": pa.array([], pa.timestamp("us")),
+        "first_type": pa.array([], pa.string()),
+        "last_ts": pa.array([], pa.timestamp("us")),
+        "last_type": pa.array([], pa.string()),
+        "n_events": pa.array([], pa.int64()),
+        "span_us": pa.array([], pa.int64()),
+    })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "f_ts": pa.array([], pa.int64()),
+                "f_id": pa.array([], pa.int64()),
+                "f_type": pa.array([], pa.string()),
+                "l_ts": pa.array([], pa.int64()),
+                "l_id": pa.array([], pa.int64()),
+                "l_type": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+                "__coarse": pa.array([], pa.int64()),
+            })
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        b = batch.take(idx)
+        uid = b.column("user_id").to_numpy()
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        eid = b.column("event_id").to_numpy()
+        types = b.column("event_type")
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)] - 1
+        n_p = np.diff(np.r_[starts, len(uid)]).astype(np.int64)
+        s_i, e_i = pa.array(starts, pa.int64()), pa.array(ends, pa.int64())
+        users = uid[starts].astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "f_ts": pa.array(ts[starts], pa.int64()),
+            "f_id": pa.array(eid[starts], pa.int64()),
+            "f_type": types.take(s_i),
+            "l_ts": pa.array(ts[ends], pa.int64()),
+            "l_id": pa.array(eid[ends], pa.int64()),
+            "l_type": types.take(e_i),
+            "n_p": pa.array(n_p, pa.int64()),
+            "__coarse": pa.array((users * _GOLDEN) % nc, pa.int64()),
+        })
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = group.select(["user_id", "f_ts", "f_id", "f_type",
+                          "l_ts", "l_id", "l_type", "n_p"])
+        tf = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("f_ts", "ascending"),
+            ("f_id", "ascending")]))
+        uid = tf.column("user_id").to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        tl = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("l_ts", "descending"),
+            ("l_id", "descending")]))
+        s_i = pa.array(starts, pa.int64())
+        firsts, lasts = tf.take(s_i), tl.take(s_i)
+        n = np.add.reduceat(tf.column("n_p").to_numpy(), starts) \
+            .astype(np.int64)
+        f_ts = firsts.column("f_ts")
+        l_ts = lasts.column("l_ts")
+        return pa.table({
+            "user_id": firsts.column("user_id"),
+            "first_ts": f_ts.cast(pa.timestamp("us")),
+            "first_type": firsts.column("f_type"),
+            "last_ts": l_ts.cast(pa.timestamp("us")),
+            "last_type": lasts.column("l_type"),
+            "n_events": pa.array(n, pa.int64()),
+            "span_us": pc.subtract(
+                l_ts.combine_chunks() if isinstance(l_ts, pa.ChunkedArray)
+                else l_ts,
+                f_ts.combine_chunks() if isinstance(f_ts, pa.ChunkedArray)
+                else f_ts),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("__coarse")
+             .map_groups(finish, batch_format="pyarrow"))
+    # pin the output schema for 0-row inputs (map_groups on an empty
+    # grouped dataset yields no blocks)
+    return out.map_batches(
+        lambda b: b if b.num_rows else empty, batch_format="pyarrow")

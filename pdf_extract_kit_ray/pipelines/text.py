@@ -679,3 +679,93 @@ def bm25_topk(sf_dir: str, terms: tuple = _BM25_TERMS, k: int = 20,
     return (ds.map_batches(score, batch_format="pyarrow")
               .sort(["score", "doc_id"], descending=[True, False])
               .limit(k))
+
+
+def vocab_growth(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source vocabulary profile: total token occurrences, distinct
+    terms, and the type-token ratio (Herdan/Heaps-law inputs — the
+    vocabulary-diversity curation signal; a source whose TTR collapses is
+    template/boilerplate-heavy).
+
+    Scale shape (the tfidf_top_terms shuffle, minus scoring): per-batch
+    (source, term) partial counts (combiner — shuffle volume bounded by
+    sources x vocabulary, not corpus tokens) -> ONE coarse shuffle hashed
+    on term, so each bucket owns its terms EXACTLY and can finish distinct
+    counts per (source, term) without a second vocab-scale exchange ->
+    per-bucket per-source partials -> a final sources-sized groupby.
+    TTR is 6dp micro-int rounded for SQL bit-parity."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _coarse_of, _default_num_coarse
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+    nc = _default_num_coarse()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
+        toks = pc.list_flatten(split)
+        src = pc.list_parent_indices(split)
+        t = pa.table({"source": batch.column("source").take(src),
+                      "term": toks}).filter(pc.not_equal(toks, ""))
+        g = (t.group_by(["source", "term"]).aggregate([([], "count_all")])
+              .rename_columns(["source", "term", "partial_c"]))
+        coarse = _coarse_of(g.column("term"), nc)
+        return g.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    def bucket_partials(group: pa.Table) -> pa.Table:
+        # finish (source, term) counts inside the bucket, then collapse to
+        # one partial row per source: rows-per-source = distinct terms here
+        tf = (group.select(["source", "term", "partial_c"])
+                   .group_by(["source", "term"])
+                   .aggregate([("partial_c", "sum")]))
+        g = (tf.group_by("source")
+               .aggregate([("partial_c_sum", "sum"), ([], "count_all")]))
+        return g.rename_columns(["source", "tok_p", "term_p"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(batch.column("n_tokens"), pa.int64())
+        n_term = pc.cast(batch.column("n_terms"), pa.int64())
+        ttr = round6(pc.divide(pc.cast(n_term, pa.float64()),
+                               pc.cast(n_tok, pa.float64())))
+        return pa.table({"source": batch.column("source"),
+                         "n_tokens": n_tok, "n_terms": n_term,
+                         "type_token_ratio": ttr})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(bucket_partials, batch_format="pyarrow")
+              .groupby("source")
+              .aggregate(Sum("tok_p", alias_name="n_tokens"),
+                         Sum("term_p", alias_name="n_terms"))
+              .map_batches(finish, batch_format="pyarrow"))
+
+
+def doc_length_histogram(sf_dir: str,
+                         bucket_tokens: int = 32) -> "ray.data.Dataset":
+    """Corpus length histogram: documents bucketed by whitespace token
+    count (``bucket = n_tokens // bucket_tokens``), per bucket — doc
+    count, token sum, min/max token count.  The sequence-length planning
+    input for packing/batching at training time.
+
+    Pure partial-combine: each batch collapses to per-bucket partials with
+    one Arrow group_by (shuffle volume = buckets x blocks), finished by a
+    buckets-sized groupby.  NULL text counts as 0 tokens (bucket 0)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.fill_null(_token_count(batch.column("text")), 0),
+                    pa.int64())
+        bucket = pc.floor(pc.divide(pc.cast(n, pa.float64()),
+                                    float(bucket_tokens)))
+        t = pa.table({"bucket": pc.cast(bucket, pa.int64()), "n": n})
+        g = t.group_by("bucket").aggregate(
+            [("n", "sum"), ("n", "min"), ("n", "max"), ([], "count_all")])
+        return g.rename_columns(["bucket", "tok_p", "min_p", "max_p", "doc_p"])
+
+    return (_read_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("doc_p", alias_name="n_docs"),
+                       Sum("tok_p", alias_name="n_tokens"),
+                       Min("min_p", alias_name="min_tokens"),
+                       Max("max_p", alias_name="max_tokens")))

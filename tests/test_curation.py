@@ -159,3 +159,57 @@ def test_quality_percentile_filter_tie_and_rank(ray_session, tmp_path):
     # score; all 4 high docs kept, all 6 low dropped
     assert sorted(res["doc_id"].tolist()) == [6, 7, 8, 9]
     assert res["quality"].nunique() == 1
+
+
+@pytest.fixture()
+def gopher_dir(tmp_path):
+    """Docs planted to trip each Gopher rule independently (the sf corpus
+    exercises none of the fail paths: no symbols, ample stopwords)."""
+    good = "the quick brown fox jumps over a lazy dog on that sunny day " \
+           * 10  # 120 words, mwl ~4, stopwords present, no symbols
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([
+            good,                                   # passes every rule
+            "the of to and with short",             # < 50 words
+            " ".join(["supercalifragilistic"] * 60) + " the a of to",
+            # ^ mean word length > 10
+            ("the and $$$ %%% ### !!! ^^^ &&& " * 20),  # symbol ratio > 0.1
+            " ".join(["word"] * 80),                # zero stopword hits
+            None,                                   # null text
+        ], pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["src0"] * 6, pa.string()),
+        "n_chars": pa.array([1] * 6, pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_gopher_quality_flags_planted(ray_session, gopher_dir):
+    from pdf_extract_kit_ray.pipelines.curation import gopher_quality_flags
+    df = gopher_quality_flags(gopher_dir).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert bool(df.loc[1, "keep"]) is True
+    assert not df.loc[2, "keep"] and df.loc[2, "n_words"] < 50
+    assert not df.loc[3, "keep"] and df.loc[3, "mean_word_len"] > 10
+    assert not df.loc[4, "keep"] and df.loc[4, "symbol_ratio"] > 0.1
+    assert not df.loc[5, "keep"] and df.loc[5, "n_stop_hits"] == 0
+    assert not df.loc[6, "keep"] and df.loc[6, "n_words"] == 0 \
+        and df.loc[6, "mean_word_len"] == 0.0
+
+
+def test_gopher_quality_flags_matches_duckdb_on_planted(ray_session,
+                                                        gopher_dir):
+    import __ray_entry__ as entrymod
+    from pdf_extract_kit_ray.pipelines.curation import gopher_quality_flags
+    ray_df = gopher_quality_flags(gopher_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{gopher_dir}/documents.parquet')")
+    duck_df = con.execute(entrymod.oracle_sql()["gopher_quality_flags"]) \
+        .df().sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_words", "mean_word_len", "symbol_ratio", "n_stop_hits",
+                "keep"]:
+        assert list(ray_df[col]) == list(duck_df[col]), col

@@ -25,7 +25,7 @@ QUERIES = [
     "user_running_totals", "events_value_bands", "distinct_users_by_type",
     "value_zscore_outliers", "events_daily_pivot", "top_users",
     "users_active_both_halves", "distinct_event_types",
-    "engaged_users_union", "hll_distinct_by_type",
+    "engaged_users_union", "hll_distinct_by_type", "user_first_last",
 ]
 TYPES = ["click", "view", "purchase", "signup", "error"]
 

@@ -30,6 +30,7 @@ ORACLE_QUERIES = [
     "doc_stats", "lang_profile", "incremental_dedup", "sequence_pack",
     "quality_percentile_filter", "ngram_jaccard_pairs", "curated_docs",
     "exact_dedup", "unigram_logprob", "doc_fingerprints",
+    "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
