@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_volume": relational.supplier_region_volume,
         "big_orders": relational.big_orders,
         "nation_trade_volume": relational.nation_trade_volume,
+        "brand_disjunction_revenue": relational.brand_disjunction_revenue,
         "nation_year_rollup": relational.nation_year_rollup,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
@@ -223,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
         "gopher_quality_flags": curation.gopher_quality_flags,
+        "uniform_sample": curation.uniform_sample,
         "sequence_pack": curation.sequence_pack,
         "training_order": curation.training_order,
         "quality_percentile_filter": curation.quality_percentile_filter,
@@ -357,6 +359,29 @@ def oracle_sql() -> dict[str, str]:
                    '</td></tr></table>' AS table_source,
                    FALSE AS truncated
             FROM numbered WHERE kind = 'table'
+        """,
+        # Q19 shape: the disjunct constants live in relational.Q19_DISJUNCTS;
+        # keep the two lists in sync
+        "brand_disjunction_revenue": """
+            SELECT p_brand, count(*) AS n_items,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                            AS BIGINT))/100.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)
+            GROUP BY p_brand
+        """,
+        "uniform_sample": """
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority,
+                   CAST(row_number() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS BIGINT) AS sample_rank
+            FROM documents
+            QUALIFY sample_rank <= 200
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

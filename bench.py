@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "supplier_region_volume",
     "big_orders",
     "nation_trade_volume",
+    "brand_disjunction_revenue",
+    "uniform_sample",
     "nation_year_rollup",
     "value_percentiles_by_type",
     "sessionize",

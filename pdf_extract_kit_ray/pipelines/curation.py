@@ -618,3 +618,42 @@ def gopher_quality_flags(sf_dir: str, min_words: int = 50,
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         flags, batch_format="pyarrow")
+
+
+def uniform_sample(sf_dir: str, k: int = 200) -> "ray.data.Dataset":
+    """Deterministic uniform-without-replacement sample of ``k`` docs by
+    hash priority (bottom-k sampling): priority = md5 of the doc-id string,
+    the k globally-smallest priorities win.  Equivalent to
+    ``ORDER BY md5(id) LIMIT k`` but computed WITHOUT a global sort: each
+    batch keeps only its own k smallest (a lossless candidate filter —
+    the global bottom-k is a subset of every block's bottom-k), candidate
+    volume is k x blocks, and one bounded final reduce takes the true
+    bottom-k.  Bottom-k-by-hash is mergeable and union-consistent, which
+    is what makes it THE distributed uniform-sampling shape (and gives
+    consistent samples across corpus increments, unlike reservoirs)."""
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        pri = pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                        for i in ids.to_pylist()], pa.string())
+        t = pa.table({"doc_id": ids, "priority": pri, "__g": pa.array(
+            [0] * batch.num_rows, pa.int64())})
+        order = pc.sort_indices(t, sort_keys=[("priority", "ascending"),
+                                              ("doc_id", "ascending")])
+        return t.take(order.slice(0, k))
+
+    def bottom_k(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("priority", "ascending"), ("doc_id", "ascending")])
+        g = group.take(order.slice(0, k))
+        import numpy as np
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "priority": g.column("priority"),
+            "sample_rank": pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
+        })
+
+    return (ds.map_batches(candidates, batch_format="pyarrow")
+              .groupby("__g")
+              .map_groups(bottom_k, batch_format="pyarrow"))

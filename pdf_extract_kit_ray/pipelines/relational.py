@@ -1018,3 +1018,80 @@ def nation_trade_volume(sf_dir: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# TPC-H Q19's three disjuncts, re-expressed on this schema's columns
+# (p_brand, p_size, l_quantity); shared by engine and SQL twin.
+Q19_DISJUNCTS = (
+    ("Brand#12", 1, 15, 1.0, 11.0),
+    ("Brand#23", 1, 25, 10.0, 20.0),
+    ("Brand#3", 1, 50, 20.0, 30.0),
+)
+
+
+def brand_disjunction_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q19-shaped: revenue under an OR-of-ANDs multi-attribute
+    predicate spanning both join sides (brand x size-band x quantity-band).
+
+    The disjunction's part-side prefix (the brand set) is pushed into the
+    BROADCAST read, so only candidate parts ship to workers and the inner
+    broadcast probe discards every non-candidate lineitem row before the
+    quantity bands evaluate; the OR-of-ANDs itself is three vectorized
+    AND-chains per batch.  One tiny brand groupby finishes — the big table
+    is scanned once and never shuffled."""
+    import pyarrow.dataset as pads
+
+    from ..functions.joins import broadcast_join, read_small_table
+
+    brands = [d[0] for d in Q19_DISJUNCTS]
+    part = read_small_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"],
+        filter=pads.field("p_brand").isin(brands))
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_quantity",
+                                       "l_extendedprice", "l_discount"])
+    joined = broadcast_join(line, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"p_brand": pa.array([], pa.string()),
+                          "n_p": pa.array([], pa.int64()),
+                          "rev_p": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        brand = batch.column("p_brand")
+        size = batch.column("p_size")
+        qty = batch.column("l_quantity")
+        keep = pa.array(np.zeros(batch.num_rows, bool))
+        for b, s_lo, s_hi, q_lo, q_hi in Q19_DISJUNCTS:
+            d = pc.and_(
+                pc.and_(pc.equal(brand, b),
+                        pc.and_(pc.greater_equal(size, s_lo),
+                                pc.less_equal(size, s_hi))),
+                pc.and_(pc.greater_equal(qty, q_lo),
+                        pc.less_equal(qty, q_hi)))
+            keep = pc.or_(keep, d)
+        hit = batch.filter(keep)
+        if hit.num_rows == 0:
+            return empty
+        rev_c = _cents(pc.multiply(hit.column("l_extendedprice"),
+                                   pc.subtract(1.0, hit.column("l_discount"))))
+        g = (pa.table({"p_brand": hit.column("p_brand"), "rev_c": rev_c})
+             .group_by("p_brand")
+             .aggregate([("rev_c", "sum"), ([], "count_all")]))
+        return g.rename_columns(["p_brand", "rev_p", "n_p"]) \
+                .select(["p_brand", "n_p", "rev_p"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch.column("p_brand"),
+            "n_items": batch.column("n_items"),
+            "revenue": pc.divide(
+                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("p_brand")
+                  .aggregate(Sum("n_p", alias_name="n_items"),
+                             Sum("rev_p", alias_name="rev_c"))
+                  .map_batches(finish, batch_format="pyarrow"))
