@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
+        "session_stats": streaming.session_stats,
         "event_funnel": streaming.event_funnel,
         "user_retention": streaming.user_retention,
         "value_zscore_outliers": streaming.value_zscore_outliers,
@@ -1144,6 +1145,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') a
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "session_stats": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id, CAST(sid + 1 AS BIGINT) AS session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+            FROM s GROUP BY user_id, sid
         """,
         "sessionize": """
             WITH g AS (

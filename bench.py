@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "nation_year_rollup",
     "value_percentiles_by_type",
     "sessionize",
+    "session_stats",
     "event_funnel",
     "user_retention",
     "value_zscore_outliers",

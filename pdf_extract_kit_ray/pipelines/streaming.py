@@ -672,3 +672,62 @@ def user_first_last(sf_dir: str) -> "ray.data.Dataset":
     # grouped dataset yields no blocks)
     return out.map_batches(
         lambda b: b if b.num_rows else empty, batch_format="pyarrow")
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """One row PER SESSION (not per user): user_id, 1-based session index,
+    start/end timestamps, event count, duration — the sessionize output a
+    downstream feature pipeline actually consumes.
+
+    Scale shape: session boundaries need each user's full ordered stream,
+    so raw (user_id, ts, event_id) rows take ONE coarse user-hash shuffle
+    (users never split across buckets); the bucket kernel sorts once and
+    derives every session of every user in the bucket with segmented
+    numpy — breaks at user changes or gaps > ``gap_minutes``, reduceat
+    aggregates — no per-user dispatch.  SQL twin: lag-window break flag +
+    running-sum session ids + group aggregate."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    def sessions(group: pa.Table) -> pa.Table:
+        t = group.select(["user_id", "ts", "event_id"])
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap_us]
+        starts = np.flatnonzero(brk)
+        n_ev = np.diff(np.r_[starts, len(uid)]).astype(np.int64)
+        ends = np.r_[starts[1:], len(uid)] - 1
+        # 1-based session ordinal within each user: session seq number
+        # minus the seq number of the user's first session
+        sess_user_start = np.cumsum(new_user[starts]) - 1
+        first_sess_of_user = np.r_[
+            0, np.flatnonzero(np.r_[False, np.diff(sess_user_start) > 0])]
+        idx = np.arange(len(starts)) - first_sess_of_user[sess_user_start] + 1
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_idx": pa.array(idx, pa.int64()),
+            "session_start": pa.array(ts[starts], pa.int64())
+                .cast(pa.timestamp("us")),
+            "session_end": pa.array(ts[ends], pa.int64())
+                .cast(pa.timestamp("us")),
+            "n_events": pa.array(n_ev, pa.int64()),
+            "duration_us": pa.array(ts[ends] - ts[starts], pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(sessions, batch_format="pyarrow"))
