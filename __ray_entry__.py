@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_orders": relational.big_orders,
         "nation_trade_volume": relational.nation_trade_volume,
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
+        "ship_latency_percentiles": relational.ship_latency_percentiles,
         "nation_year_rollup": relational.nation_year_rollup,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
@@ -375,6 +376,20 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
                    AND l_quantity BETWEEN 20 AND 30)
             GROUP BY p_brand
+        """,
+        "ship_latency_percentiles": """
+            SELECT o_orderpriority,
+                   percentile_disc(0.5) WITHIN GROUP
+                       (ORDER BY date_diff('day', o_orderdate, l_shipdate))
+                       AS p50_days,
+                   percentile_disc(0.9) WITHIN GROUP
+                       (ORDER BY date_diff('day', o_orderdate, l_shipdate))
+                       AS p90_days,
+                   percentile_disc(0.99) WITHIN GROUP
+                       (ORDER BY date_diff('day', o_orderdate, l_shipdate))
+                       AS p99_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "uniform_sample": """
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "big_orders",
     "nation_trade_volume",
     "brand_disjunction_revenue",
+    "ship_latency_percentiles",
     "uniform_sample",
     "nation_year_rollup",
     "value_percentiles_by_type",

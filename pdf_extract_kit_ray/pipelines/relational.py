@@ -1095,3 +1095,58 @@ def brand_disjunction_revenue(sf_dir: str) -> "ray.data.Dataset":
                   .aggregate(Sum("n_p", alias_name="n_items"),
                              Sum("rev_p", alias_name="rev_c"))
                   .map_batches(finish, batch_format="pyarrow"))
+
+
+def ship_latency_percentiles(sf_dir: str,
+                             qs: tuple = (0.5, 0.9, 0.99),
+                             num_partitions: "int | None" = None
+                             ) -> "ray.data.Dataset":
+    """Order-to-ship latency percentiles per order priority — the SLA
+    dashboard shape: a join-derived metric (ship date minus order date in
+    days) reduced to exact discrete percentiles WITHOUT a global sort.
+
+    lineitem joins orders via the size-based join rule (broadcast at bench
+    scale, hash-partitioned past the byte ceiling), each post-join batch
+    collapses to a (priority, latency_day) histogram, and the per-priority
+    cumulative walk finds percentile_disc ranks.  The day domain is
+    bounded (~thousands of distinct values), so the shuffle carries
+    |priorities| x |days| rows per block regardless of corpus size.
+    Timestamps are midnight-aligned, so integer-us division IS
+    date_diff('day', ...) exactly — negative latencies included."""
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate"])
+    joined = sized_join(line, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
+    day_us = 86_400_000_000
+
+    def hist(batch: pa.Table) -> pa.Table:
+        lat = pc.divide(
+            pc.subtract(batch.column("l_shipdate").cast(pa.int64()),
+                        batch.column("o_orderdate").cast(pa.int64())),
+            day_us)
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                      "lat_d": lat})
+        g = t.group_by(["o_orderpriority", "lat_d"]) \
+             .aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "lat_d", "partial_n"])
+
+    def percentiles(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("lat_d"))
+        vals = group.column("lat_d").take(order).to_numpy()
+        counts = group.column("partial_n").take(order).to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        out = {"o_orderpriority":
+               [group.column("o_orderpriority")[0].as_py()]}
+        for q in qs:
+            target = int(np.ceil(q * total))       # percentile_disc rank
+            idx = int(np.searchsorted(cum, target))
+            out[f"p{int(q * 100)}_days"] = pa.array([int(vals[idx])],
+                                                    pa.int64())
+        return pa.Table.from_pydict(out)
+
+    return (joined.map_batches(hist, batch_format="pyarrow")
+                  .groupby("o_orderpriority")
+                  .map_groups(percentiles, batch_format="pyarrow"))
