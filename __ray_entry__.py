@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
         "contamination_check": dedup.contamination_check,
+        "dedup_rate_report": dedup.dedup_rate_report,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
@@ -257,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
+        "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
         "distinct_users_by_type": streaming.distinct_users_by_type,
@@ -620,6 +622,35 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
             HAVING sum(c_micro) > 0
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "dedup_rate_report": f"""
+            WITH f AS (
+                SELECT source, COALESCE({fp_expr}, '(null)') AS fp
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT fp) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups,
+                   round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+                         / count(*), 6) AS dup_rate
+            FROM f GROUP BY source
+        """,
+        "events_anomalous_hours": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT count(*) AS k, sum(n_events) AS s,
+                       sum(n_events * n_events) AS ss
+                FROM h
+            )
+            SELECT h.hour, h.n_events
+            FROM h, m
+            WHERE (h.n_events - CAST(m.s AS DOUBLE) / m.k)
+                  * (h.n_events - CAST(m.s AS DOUBLE) / m.k)
+                  > 9.0 * (CAST(m.ss AS DOUBLE) / m.k
+                           - (CAST(m.s AS DOUBLE) / m.k)
+                             * (CAST(m.s AS DOUBLE) / m.k))
         """,
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "bigram_pmi",
     "events_sliding_window",
+    "events_anomalous_hours",
+    "dedup_rate_report",
     "user_event_entropy",
     "user_first_last",
     "gopher_quality_flags",

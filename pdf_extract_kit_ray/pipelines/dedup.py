@@ -1088,3 +1088,62 @@ def dup_spans(sf_dir: str, n: int = 8) -> "ray.data.Dataset":
     return (hits.map_batches(add_doc_coarse, batch_format="pyarrow")
                 .groupby("coarse")
                 .map_groups(islands, batch_format="pyarrow"))
+
+
+def dedup_rate_report(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source duplication report (the dataset-card metric): doc count,
+    distinct normalized fingerprints, duplicate count and rate.
+
+    The vocab_growth shuffle shape with fp as the term: per-batch
+    (source, fp) partial counts (combiner), ONE coarse shuffle hashed on
+    fp so each bucket owns its fingerprints exactly, per-bucket per-source
+    partials, a final sources-sized rollup.  NULL text fingerprints to a
+    sentinel distinct class (mirrored by COALESCE in the twin) so null
+    docs are neither dropped nor merged with empty-string docs."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _default_num_coarse
+    from .text import fingerprint_batch
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fp = pc.fill_null(fingerprint_batch(batch), "(null)")
+        g = (pa.table({"source": batch.column("source"), "fp": fp})
+             .group_by(["source", "fp"]).aggregate([([], "count_all")])
+             .rename_columns(["source", "fp", "partial_c"]))
+        coarse = _string_coarse_hash(
+            g.column("fp").combine_chunks()
+            if isinstance(g.column("fp"), pa.ChunkedArray)
+            else g.column("fp"), nc)
+        return g.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    def bucket_partials(group: pa.Table) -> pa.Table:
+        t = (group.select(["source", "fp", "partial_c"])
+                  .group_by(["source", "fp"])
+                  .aggregate([("partial_c", "sum")]))
+        g = (t.group_by("source")
+              .aggregate([("partial_c_sum", "sum"), ([], "count_all")]))
+        return g.rename_columns(["source", "docs_p", "distinct_p"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from ..functions.num import round6
+        n = pc.cast(batch.column("n_docs"), pa.int64())
+        d = pc.cast(batch.column("n_distinct"), pa.int64())
+        dups = pc.subtract(n, d)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": n, "n_distinct": d, "n_dups": dups,
+            "dup_rate": round6(pc.divide(pc.cast(dups, pa.float64()),
+                                         pc.cast(n, pa.float64()))),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(bucket_partials, batch_format="pyarrow")
+              .groupby("source")
+              .aggregate(Sum("docs_p", alias_name="n_docs"),
+                         Sum("distinct_p", alias_name="n_distinct"))
+              .map_batches(finish, batch_format="pyarrow"))

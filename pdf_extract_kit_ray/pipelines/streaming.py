@@ -731,3 +731,56 @@ def session_stats(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("__coarse")
               .map_groups(sessions, batch_format="pyarrow"))
+
+
+def events_anomalous_hours(sf_dir: str,
+                           k_sigma: float = 3.0) -> "ray.data.Dataset":
+    """Hours whose event count exceeds mean + k·sigma of the hourly series
+    — anomaly detection over an AGGREGATED series: the raw stream reduces
+    to per-hour counts first (tiny: bounded by the time range), global
+    moments come from one scalar aggregate over that series, and the
+    flagged hours are a filter.  Exact integer moments derive the same
+    doubles as the SQL twin (the value_zscore_outliers convention)."""
+    from ray.data.aggregate import Sum
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        g = pa.table({"hour": hour}).group_by("hour") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "partial_n"])
+
+    hours = (ds.map_batches(hour_partial, batch_format="pyarrow")
+               .groupby("hour")
+               .aggregate(Sum("partial_n", alias_name="n_events"))) \
+        .materialize()   # tiny (one row per hour); reused twice below
+
+    def moments(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_events")
+        return pa.table({
+            "k": pa.array([batch.num_rows], pa.int64()),
+            "s": pa.array([pc.sum(n).as_py() or 0], pa.int64()),
+            "ss": pa.array([pc.sum(pc.multiply(n, n)).as_py() or 0],
+                           pa.int64()),
+        })
+
+    agg = (hours.map_batches(moments, batch_format="pyarrow")
+                .aggregate(Sum("k", alias_name="k"),
+                           Sum("s", alias_name="s"),
+                           Sum("ss", alias_name="ss")))
+    k = (agg or {}).get("k") or 0
+    if not k:
+        return ray.data.from_arrow(pa.table({
+            "hour": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64())}))
+    mu = float(agg["s"]) / k
+    var = float(agg["ss"]) / k - mu * mu
+    thr = (k_sigma * k_sigma) * var
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_events"), pa.float64())
+        d = pc.subtract(n, mu)
+        return batch.filter(pc.greater(pc.multiply(d, d), thr))
+
+    return hours.map_batches(flag, batch_format="pyarrow")
