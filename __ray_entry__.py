@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": relational.nation_trade_volume,
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
         "ship_latency_percentiles": relational.ship_latency_percentiles,
+        "customer_value_deciles": relational.customer_value_deciles,
         "nation_year_rollup": relational.nation_year_rollup,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
@@ -378,6 +379,24 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
                    AND l_quantity BETWEEN 20 AND 30)
             GROUP BY p_brand
+        """,
+        "customer_value_deciles": """
+            WITH t AS (
+                SELECT o_custkey,
+                       sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                           AS total_c
+                FROM orders GROUP BY 1
+            ), thr AS (
+                SELECT percentile_disc(
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                           WITHIN GROUP (ORDER BY total_c) AS l
+                FROM t
+            )
+            SELECT t.o_custkey AS custkey,
+                   CAST(t.total_c AS DOUBLE) / 100.0 AS total_value,
+                   CAST(1 + len(list_filter(thr.l, x -> x < t.total_c))
+                        AS BIGINT) AS decile
+            FROM t, thr
         """,
         "ship_latency_percentiles": """
             SELECT o_orderpriority,

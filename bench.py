@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "nation_trade_volume",
     "brand_disjunction_revenue",
     "ship_latency_percentiles",
+    "customer_value_deciles",
     "uniform_sample",
     "nation_year_rollup",
     "value_percentiles_by_type",

@@ -1150,3 +1150,66 @@ def ship_latency_percentiles(sf_dir: str,
     return (joined.map_batches(hist, batch_format="pyarrow")
                   .groupby("o_orderpriority")
                   .map_groups(percentiles, batch_format="pyarrow"))
+
+
+def customer_value_deciles(sf_dir: str) -> "ray.data.Dataset":
+    """Quantile binning — every customer assigned a global spend decile
+    (the ML feature-bucketing shape): per-customer exact-cents order
+    totals, global percentile_disc(0.1..0.9) thresholds, then a pure
+    broadcast-threshold map.  Equal totals always land in the same decile
+    (unlike ntile's row-split).
+
+    Scale shape: the high-cardinality per-customer rollup goes through
+    ``coarse_grouped_aggregate``; thresholds come from a value-count
+    histogram whose driver pull is bounded by |distinct totals| (<=
+    customers — for a truly unbounded value domain quantize the histogram
+    key first, the documented trade of quality_percentile_filter); the
+    decile assignment is a vectorized searchsorted against 9 broadcast
+    ints."""
+    from ..functions.agg import coarse_grouped_aggregate
+
+    ds = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"custkey": batch.column("o_custkey"),
+                      "total_c": _cents(batch.column("o_totalprice"))})
+        g = t.group_by("custkey").aggregate([("total_c", "sum")])
+        return g.rename_columns(["custkey", "partial_c"])
+
+    totals = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "custkey", [("partial_c", "sum", "total_c")]).materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["total_c"]).group_by("total_c") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["total_c", "partial_n"])
+
+    counts = coarse_grouped_aggregate(
+        totals.map_batches(hist, batch_format="pyarrow"),
+        "total_c", [("partial_n", "sum", "n")]).take_all()
+    if not counts:
+        return ray.data.from_arrow(pa.table({
+            "custkey": pa.array([], pa.int64()),
+            "total_value": pa.array([], pa.float64()),
+            "decile": pa.array([], pa.int64())}))
+    counts.sort(key=lambda r: r["total_c"])
+    vals = np.array([r["total_c"] for r in counts], dtype=np.int64)
+    cum = np.cumsum(np.array([r["n"] for r in counts], dtype=np.int64))
+    total = int(cum[-1])
+    thr = np.array(
+        [vals[int(np.searchsorted(cum, int(np.ceil(q / 10.0 * total))))]
+         for q in range(1, 10)], dtype=np.int64)   # percentile_disc ranks
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
+        decile = 1 + np.searchsorted(thr, tc, side="left")
+        return pa.table({
+            "custkey": batch.column("custkey"),
+            "total_value": pc.divide(
+                pc.cast(batch.column("total_c"), pa.float64()), 100.0),
+            "decile": pa.array(decile.astype(np.int64), pa.int64()),
+        })
+
+    return totals.map_batches(assign, batch_format="pyarrow")
