@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_volume": relational.supplier_region_volume,
         "big_orders": relational.big_orders,
         "nation_trade_volume": relational.nation_trade_volume,
+        "market_share": relational.market_share,
+        "product_type_profit": relational.product_type_profit,
+        "returned_item_revenue": relational.returned_item_revenue,
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
         "ship_latency_percentiles": relational.ship_latency_percentiles,
         "customer_value_deciles": relational.customer_value_deciles,
@@ -523,6 +526,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n2 ON c_nationkey = n2.n_nationkey
             WHERE n1.n_name <> n2.n_name
             GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            WITH w AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                       CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                            AS BIGINT) AS rev_c,
+                       n1.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+            )
+            SELECT yr,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN rev_c ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(rev_c) AS DOUBLE), 6) AS mkt_share,
+                   sum(rev_c) / 100.0 AS total_revenue
+            FROM w GROUP BY yr
+        """,
+        "product_type_profit": """
+            SELECT n_name AS supp_nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount)
+                                   - p_retailprice*l_quantity)*100.0)
+                            AS BIGINT)) / 100.0 AS profit,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "returned_item_revenue": """
+            SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                            AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "top_events_per_user": """
             SELECT event_id, user_id, value,

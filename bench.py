@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "supplier_region_volume",
     "big_orders",
     "nation_trade_volume",
+    "market_share",
+    "product_type_profit",
+    "returned_item_revenue",
     "brand_disjunction_revenue",
     "ship_latency_percentiles",
     "customer_value_deciles",

@@ -1213,3 +1213,261 @@ def customer_value_deciles(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return totals.map_batches(assign, batch_format="pyarrow")
+
+
+def market_share(sf_dir: str, region: str = "ASIA",
+                 part_type: str = "STANDARD",
+                 target_nation: str = "NATION_3",
+                 num_partitions: "int | None" = None) -> "ray.data.Dataset":
+    """TPC-H Q8-shaped (national market share): the target nation's share
+    of revenue per year, within one region's market for one part type.
+
+    Scale shape: the selective part-type filter broadcasts FIRST so the
+    only large exchange (lineitem ⨝ orders) moves a pre-shrunk fact side;
+    the region restriction is a broadcast semi join on the customer key
+    set; supplier nation names ride a broadcast dimension.  The share is
+    a conditional-sum / total-sum ratio on exact integer cents, rounded
+    with the shared DuckDB-bit-identical ``round6``."""
+    import pyarrow.dataset as pads
+
+    from ..functions.joins import broadcast_join, read_small_table
+    from ..functions.num import round6
+
+    part = read_small_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"],
+                            filter=pads.field("p_type") == part_type)
+    nation = read_small_table(f"{sf_dir}/nation.parquet")
+    region_t = read_small_table(f"{sf_dir}/region.parquet",
+                                filter=pads.field("r_name") == region)
+    # pyarrow Table.join defaults to LEFT OUTER — the region restriction
+    # must be an inner join or every nation passes with a null region
+    nat_in_region = nation.join(region_t, keys="n_regionkey",
+                                right_keys="r_regionkey",
+                                join_type="inner") \
+        .select(["n_nationkey"])
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"]) \
+        .join(nat_in_region, keys="c_nationkey", right_keys="n_nationkey",
+              join_type="left semi").select(["c_custkey"])
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"]) \
+        .join(nation.select(["n_nationkey", "n_name"]),
+              keys="s_nationkey", right_keys="n_nationkey") \
+        .select(["s_suppkey", "n_name"]) \
+        .rename_columns(["s_suppkey", "supp_nation"])
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey",
+                                       "l_orderkey", "l_extendedprice",
+                                       "l_discount"])
+    line = broadcast_join(line, part, on="l_partkey", right_on="p_partkey",
+                          join_type="left semi")
+    from ..functions.joins import sized_join
+    joined = sized_join(line, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_custkey", "o_orderdate"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
+    joined = broadcast_join(joined, cust, on="o_custkey",
+                            right_on="c_custkey", join_type="left semi")
+    joined = broadcast_join(joined, supp, on="l_suppkey",
+                            right_on="s_suppkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0,
+                                               batch.column("l_discount"))))
+        tgt = pc.equal(batch.column("supp_nation"), target_nation)
+        tgt_c = pc.if_else(tgt, rev_c, pa.scalar(0, pa.int64()))
+        t = pa.table({
+            "yr": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+            "rev_c": rev_c, "tgt_c": tgt_c})
+        g = t.group_by("yr").aggregate([("rev_c", "sum"), ("tgt_c", "sum")])
+        return g.rename_columns(["yr", "partial_rev", "partial_tgt"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("yr")
+                 .aggregate(Sum("partial_rev", alias_name="rev_c"),
+                            Sum("partial_tgt", alias_name="tgt_c")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rev = pc.cast(batch.column("rev_c"), pa.float64())
+        tgt = pc.cast(batch.column("tgt_c"), pa.float64())
+        return pa.table({
+            "yr": batch.column("yr"),
+            "mkt_share": round6(pc.divide(tgt, rev)),
+            "total_revenue": pc.divide(rev, 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def product_type_profit(sf_dir: str, name_token: str = "red",
+                        num_partitions: "int | None" = None
+                        ) -> "ray.data.Dataset":
+    """TPC-H Q9-shaped (product type profit): per (supplier nation, year)
+    profit over parts whose name contains ``name_token``, with
+    ``p_retailprice * quantity`` standing in for the reference schema's
+    ``ps_supplycost`` (this corpus has no partsupp table).
+
+    Profit per row is computed as ONE double expression —
+    ``extprice*(1-disc) - retailprice*qty`` — then floored to integer
+    cents, so the parallel sum is exact and bit-identical to the SQL
+    twin's identically-shaped expression."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import (broadcast_join, read_small_table,
+                                   sized_join)
+
+    part = read_small_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name",
+                                     "p_retailprice"])
+    part = part.filter(pc.match_substring(part.column("p_name"),
+                                          name_token)) \
+        .select(["p_partkey", "p_retailprice"])
+    nation = read_small_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"]) \
+        .join(nation, keys="s_nationkey", right_keys="n_nationkey") \
+        .select(["s_suppkey", "n_name"]) \
+        .rename_columns(["s_suppkey", "supp_nation"])
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey",
+                                       "l_orderkey", "l_quantity",
+                                       "l_extendedprice", "l_discount"])
+    line = broadcast_join(line, part, on="l_partkey", right_on="p_partkey")
+    joined = sized_join(line, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
+    joined = broadcast_join(joined, supp, on="l_suppkey",
+                            right_on="s_suppkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        amount = pc.subtract(
+            pc.multiply(batch.column("l_extendedprice"),
+                        pc.subtract(1.0, batch.column("l_discount"))),
+            pc.multiply(batch.column("p_retailprice"),
+                        batch.column("l_quantity")))
+        profit_c = pc.cast(pc.floor(pc.multiply(amount, 100.0)), pa.int64())
+        t = pa.table({
+            "supp_nation": batch.column("supp_nation"),
+            "yr": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+            "profit_c": profit_c})
+        g = t.group_by(["supp_nation", "yr"]).aggregate(
+            [("profit_c", "sum"), ("profit_c", "count")])
+        return g.rename_columns(["supp_nation", "yr",
+                                 "partial_c", "partial_n"])
+
+    # ~25 nations x ~7 years: hash the full key tuple so the coarse
+    # buckets spread over the combined cardinality (nation_trade_volume's
+    # measured rationale)
+    agg = coarse_grouped_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["supp_nation", "yr"],
+        [("partial_c", "sum", "profit_c"), ("partial_n", "sum", "n_items")],
+        hash_cols=["supp_nation", "yr"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": batch.column("supp_nation"),
+            "yr": batch.column("yr"),
+            "profit": pc.divide(
+                pc.cast(batch.column("profit_c"), pa.float64()), 100.0),
+            "n_items": batch.column("n_items"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def returned_item_revenue(sf_dir: str, lo: str = "1997-07-01",
+                          hi: str = "1997-10-01", n: int = 20,
+                          num_partitions: "int | None" = None
+                          ) -> "ray.data.Dataset":
+    """TPC-H Q10-shaped (returned item reporting): top-n customers by
+    revenue lost to returned items ('R' lineitems against orders placed in
+    one quarter).
+
+    Both fact sides are filtered per batch BEFORE the single
+    large×large join (return flag on lineitem, the quarter window on
+    orders); revenue rolls up per customer through the coarse Arrow
+    aggregate (one group per qualifying customer — high cardinality),
+    then customer name + nation attach by broadcast and a deterministic
+    (revenue desc, custkey asc) top-n closes the query."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+
+    lo_ts = pa.scalar(pd.Timestamp(lo), pa.timestamp("us"))
+    hi_ts = pa.scalar(pd.Timestamp(hi), pa.timestamp("us"))
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_extendedprice",
+                                       "l_discount", "l_returnflag"])
+
+    def returned(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("l_returnflag"), "R")
+        return batch.filter(keep).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    line = line.map_batches(returned, batch_format="pyarrow")
+
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(od, lo_ts), pc.less(od, hi_ts))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    # Ray's hash-shuffle join loses the key schema when a side is entirely
+    # empty (the customers_without_orders guard); the quarter-window side
+    # is the query's small side, so materializing it for the emptiness
+    # probe is bounded — it is the join's shuffle payload anyway.
+    orders = orders.map_batches(window, batch_format="pyarrow").materialize()
+    if orders.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "c_acctbal": pa.array([], pa.float64()),
+            "nation": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64())}))
+    joined = line.join(orders, join_type="inner",
+                       num_partitions=_join_partitions(num_partitions),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0,
+                                               batch.column("l_discount"))))
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "rev_c": rev_c})
+        g = t.group_by("o_custkey").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["o_custkey", "partial_c"])
+
+    agg = coarse_grouped_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], [("partial_c", "sum", "rev_c")])
+
+    nation = read_small_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name",
+                                     "c_nationkey", "c_acctbal"]) \
+        .join(nation, keys="c_nationkey", right_keys="n_nationkey") \
+        .select(["c_custkey", "c_name", "c_acctbal", "n_name"])
+    agg = broadcast_join(agg, cust, on="o_custkey", right_on="c_custkey")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("o_custkey"),
+            "c_name": batch.column("c_name"),
+            "c_acctbal": batch.column("c_acctbal"),
+            "nation": batch.column("n_name"),
+            "revenue": pc.divide(
+                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+        })
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+               .sort(["revenue", "c_custkey"], descending=[True, False])
+               .limit(n))

@@ -1,0 +1,52 @@
+"""Discriminating edges for the Q8/Q9/Q10-shaped queries that the corpus
+hash-match may not exercise: absent target nation, negative profit rows,
+and an empty order-date window."""
+
+import pandas as pd
+
+from pdf_extract_kit_ray.pipelines import relational
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_market_share_absent_target_is_zero(ray_session):
+    df = relational.market_share(SF, target_nation="NO_SUCH_NATION") \
+        .to_pandas()
+    assert len(df) > 0
+    assert (df["mkt_share"] == 0.0).all()
+    assert (df["total_revenue"] > 0).all()
+
+
+def test_negative_profit_floor_matches_duckdb(ray_session):
+    # the corpus' profits happen to be non-negative at small SF, so pin
+    # the discriminating edge directly: floor toward -inf on a negative
+    # amount must agree between the engine kernel and DuckDB's floor()
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    amounts = [-123.456, -0.005, -1e-9, 0.0, 0.005, 99.999]
+    engine = pc.cast(pc.floor(pc.multiply(pa.array(amounts, pa.float64()),
+                                          100.0)), pa.int64()).to_pylist()
+    duck = [duckdb.sql(
+        f"SELECT CAST(floor(({a!r})*100.0) AS BIGINT)").fetchone()[0]
+        for a in amounts]
+    assert engine == duck == [-12346, -1, -1, 0, 0, 9999]
+
+
+def test_returned_item_revenue_empty_window(ray_session):
+    ds = relational.returned_item_revenue(
+        SF, lo="1990-01-01", hi="1990-01-01")
+    assert ds.schema().names == ["c_custkey", "c_name", "c_acctbal",
+                                 "nation", "revenue"]
+    assert ds.count() == 0
+
+
+def test_returned_item_revenue_ordering(ray_session):
+    df = relational.returned_item_revenue(SF, n=10).to_pandas()
+    assert len(df) <= 10
+    rev = df["revenue"].tolist()
+    assert rev == sorted(rev, reverse=True)
+    # ties (if any) break ascending by custkey
+    for i in range(1, len(df)):
+        if rev[i] == rev[i - 1]:
+            assert df["c_custkey"].iloc[i] > df["c_custkey"].iloc[i - 1]
