@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": relational.market_share,
         "product_type_profit": relational.product_type_profit,
         "returned_item_revenue": relational.returned_item_revenue,
+        "order_count_distribution": relational.order_count_distribution,
+        "top_supplier": relational.top_supplier,
+        "small_quantity_revenue": relational.small_quantity_revenue,
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
         "ship_latency_percentiles": relational.ship_latency_percentiles,
         "customer_value_deciles": relational.customer_value_deciles,
@@ -564,6 +567,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "order_count_distribution": """
+            SELECT n_orders, count(*) AS n_customers
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS n_orders
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY n_orders
+        """,
+        "top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                                AS BIGINT)) AS rev_c
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_c = (SELECT max(rev_c) FROM r)
+        """,
+        "small_quantity_revenue": """
+            WITH t AS (
+                SELECT l_partkey,
+                       0.2 * (CAST(sum(CAST(floor(l_quantity*100.0) AS BIGINT))
+                                   AS DOUBLE) / 100.0
+                              / CAST(count(*) AS DOUBLE)) AS thr
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#12'
+                GROUP BY l_partkey
+            )
+            SELECT sum(CAST(floor(l_extendedprice*100.0) AS BIGINT))
+                       / 100.0 / 7.0 AS avg_yearly,
+                   count(*) AS n_rows
+            FROM lineitem JOIN t ON lineitem.l_partkey = t.l_partkey
+            WHERE l_quantity < thr
         """,
         "returned_item_revenue": """
             SELECT c_custkey, c_name, c_acctbal, n_name AS nation,

@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "market_share",
     "product_type_profit",
     "returned_item_revenue",
+    "order_count_distribution",
+    "top_supplier",
+    "small_quantity_revenue",
     "brand_disjunction_revenue",
     "ship_latency_percentiles",
     "customer_value_deciles",

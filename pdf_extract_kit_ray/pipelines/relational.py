@@ -1471,3 +1471,199 @@ def returned_item_revenue(sf_dir: str, lo: str = "1997-07-01",
     return (agg.map_batches(finish, batch_format="pyarrow")
                .sort(["revenue", "c_custkey"], descending=[True, False])
                .limit(n))
+
+
+def order_count_distribution(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q13-shaped (customer distribution): how many customers placed
+    exactly N orders, INCLUDING the zero-order bucket.
+
+    Scale shape: the distribution never joins customer x orders — orders
+    alone rolls up per custkey (partial combine + coarse aggregate), the
+    per-customer counts roll up again into the tiny (n_orders ->
+    n_customers) histogram, and the zero bucket is closed-form:
+    ``count(customer) - count(custkeys seen in orders)``, both bounded
+    scalars (the first is parquet metadata, the second sums the
+    histogram itself).  Relies on FK integrity (every o_custkey exists in
+    customer — verified on this corpus), which the SQL twin's LEFT JOIN
+    enforces structurally."""
+    import pyarrow.dataset as pads
+
+    from ..functions.agg import coarse_grouped_aggregate
+
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "partial_n"])
+
+    per_cust = coarse_grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], [("partial_n", "sum", "n_orders")])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"n_orders": batch.column("n_orders")}) \
+            .group_by("n_orders").aggregate([([], "count_all")])
+        return g.rename_columns(["n_orders", "partial_c"])
+
+    hist = (per_cust.map_batches(hist_partial, batch_format="pyarrow")
+                    .groupby("n_orders")
+                    .aggregate(Sum("partial_c", alias_name="n_customers")))
+
+    # the histogram is tiny (one row per distinct order COUNT); the driver
+    # pull is bounded by max orders-per-customer, not by data size
+    rows = hist.take_all()
+    n_with = sum(r["n_customers"] for r in rows)
+    n_total = pads.dataset(f"{sf_dir}/customer.parquet").count_rows()
+    out = {"n_orders": [int(r["n_orders"]) for r in rows],
+           "n_customers": [int(r["n_customers"]) for r in rows]}
+    if n_total - n_with > 0:
+        out["n_orders"].append(0)
+        out["n_customers"].append(int(n_total - n_with))
+    return ray.data.from_arrow(pa.table({
+        "n_orders": pa.array(out["n_orders"], pa.int64()),
+        "n_customers": pa.array(out["n_customers"], pa.int64())}))
+
+
+def top_supplier(sf_dir: str, lo: str = "1997-01-01",
+                 hi: str = "1997-04-01") -> "ray.data.Dataset":
+    """TPC-H Q15-shaped (top supplier): the supplier(s) with maximum
+    revenue over one quarter of ship dates (ties all returned, like the
+    reference's view + subquery-max form).
+
+    Scale shape: lineitem is read once (pruned, window-filtered per
+    batch), partial-combines per suppkey, coarse-aggregates into one row
+    per active supplier, and that bounded per-supplier table is
+    MATERIALIZED once so the scalar max and the equality filter reuse it
+    without recompute; names attach by broadcast."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+
+    lo_ts = pa.scalar(pd.Timestamp(lo), pa.timestamp("us"))
+    hi_ts = pa.scalar(pd.Timestamp(hi), pa.timestamp("us"))
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_suppkey", "l_extendedprice",
+                                       "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        keep = pc.and_(pc.greater_equal(sd, lo_ts), pc.less(sd, hi_ts))
+        batch = batch.filter(keep)
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0,
+                                               batch.column("l_discount"))))
+        g = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "rev_c": rev_c}) \
+            .group_by("l_suppkey").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["l_suppkey", "partial_c"])
+
+    per_supp = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"], [("partial_c", "sum", "rev_c")]).materialize()
+
+    from ray.data.aggregate import Max
+    mx = per_supp.aggregate(Max("rev_c", alias_name="mx"))
+    mx_c = (mx or {}).get("mx")
+    if mx_c is None:                          # empty window / empty table
+        return ray.data.from_arrow(pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue": pa.array([], pa.float64())}))
+
+    winners = per_supp.filter(
+        expr=f"rev_c == {int(mx_c)}")
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+    winners = broadcast_join(winners, supp, on="l_suppkey",
+                             right_on="s_suppkey")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": batch.column("l_suppkey"),
+            "s_name": batch.column("s_name"),
+            "total_revenue": pc.divide(
+                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+        })
+
+    return winners.map_batches(finish, batch_format="pyarrow")
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#12",
+                           frac: float = 0.2) -> "ray.data.Dataset":
+    """TPC-H Q17-shaped (small-quantity-order revenue): average yearly
+    revenue lost if orders below ``frac`` x the part's average quantity
+    were not filled, over one brand's parts.
+
+    The aggregate-then-rejoin-to-fact shape: pass 1 computes per-part
+    average quantity for the brand's parts (semi-joined at the batch
+    level, partial-combined, coarse-aggregated — bounded by the brand's
+    part count); the thresholds BROADCAST back over pass 2's scan, which
+    keeps below-threshold rows and sums exact cents.  The threshold
+    double is computed with the identical operation order as the SQL twin
+    (sum_cents -> /100.0 -> /count -> *frac), so the comparison is
+    bit-deterministic."""
+    import numpy as np
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+
+    part = read_small_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand"])
+    part = part.filter(pc.equal(part.column("p_brand"), brand)) \
+               .select(["p_partkey"])
+
+    line_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=line_cols)
+    branded = broadcast_join(line, part, on="l_partkey",
+                             right_on="p_partkey", join_type="left semi")
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        qty_c = _cents(batch.column("l_quantity"))
+        g = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "qty_c": qty_c}) \
+            .group_by("l_partkey").aggregate([("qty_c", "sum"),
+                                              ("qty_c", "count")])
+        return g.rename_columns(["l_partkey", "partial_q", "partial_n"])
+
+    per_part = coarse_grouped_aggregate(
+        branded.map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_partkey"], [("partial_q", "sum", "sum_q"),
+                        ("partial_n", "sum", "n")])
+
+    # bounded driver pull: one row per part OF ONE BRAND (the broadcast
+    # side of the rejoin — at 100 TB this is the small side by contract)
+    thr_rows = per_part.take_all()
+    pk = np.array([r["l_partkey"] for r in thr_rows], dtype=np.int64)
+    thr = np.array([frac * (r["sum_q"] / 100.0 / r["n"])
+                    for r in thr_rows], dtype=np.float64)
+    order = np.argsort(pk)
+    pk, thr = pk[order], thr[order]
+    pk_ref = ray.put(pk)
+    thr_ref = ray.put(thr)
+
+    def below(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)               # sorted partkeys (broadcast)
+        ths = ray.get(thr_ref)
+        lp = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            mask = np.zeros(len(lp), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(keys, lp), len(keys) - 1)
+            qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            mask = (keys[pos] == lp) & (qty < ths[pos])
+        kept = batch.filter(pa.array(mask))
+        rev_c = _cents(kept.column("l_extendedprice"))
+        return pa.table({
+            "partial_c": pa.array([pc.sum(rev_c).as_py() or 0], pa.int64()),
+            "partial_n": pa.array([kept.num_rows], pa.int64())})
+
+    agg = (line.map_batches(below, batch_format="pyarrow")
+               .aggregate(Sum("partial_c", alias_name="rev_c"),
+                          Sum("partial_n", alias_name="n_rows")))
+    rev_c = (agg or {}).get("rev_c") or 0
+    n_rows = (agg or {}).get("n_rows") or 0
+    return ray.data.from_arrow(pa.table({
+        "avg_yearly": pa.array([rev_c / 100.0 / 7.0], pa.float64()),
+        "n_rows": pa.array([int(n_rows)], pa.int64())}))

@@ -50,3 +50,25 @@ def test_returned_item_revenue_ordering(ray_session):
     for i in range(1, len(df)):
         if rev[i] == rev[i - 1]:
             assert df["c_custkey"].iloc[i] > df["c_custkey"].iloc[i - 1]
+
+
+def test_top_supplier_empty_window(ray_session):
+    ds = relational.top_supplier(SF, lo="1990-01-01", hi="1990-01-01")
+    assert ds.schema().names == ["s_suppkey", "s_name", "total_revenue"]
+    assert ds.count() == 0
+
+
+def test_small_quantity_revenue_unknown_brand(ray_session):
+    df = relational.small_quantity_revenue(SF, brand="Brand#999") \
+        .to_pandas()
+    assert len(df) == 1
+    assert df["avg_yearly"].iloc[0] == 0.0
+    assert df["n_rows"].iloc[0] == 0
+
+
+def test_order_count_distribution_covers_all_customers(ray_session):
+    import pyarrow.dataset as pads
+    df = relational.order_count_distribution(SF).to_pandas()
+    n_total = pads.dataset(f"{SF}/customer.parquet").count_rows()
+    assert df["n_customers"].sum() == n_total
+    assert (df["n_orders"] >= 0).all()
