@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_type_profit": relational.product_type_profit,
         "returned_item_revenue": relational.returned_item_revenue,
         "order_count_distribution": relational.order_count_distribution,
+        "sole_late_supplier": relational.sole_late_supplier,
         "top_supplier": relational.top_supplier,
         "small_quantity_revenue": relational.small_quantity_revenue,
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
@@ -567,6 +568,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "sole_late_supplier": """
+            WITH pairs AS (
+                SELECT l_orderkey AS ok, l_suppkey AS sk,
+                       max(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ), per_order AS (
+                SELECT ok, count(*) AS nsupp, sum(late) AS nlate,
+                       sum(sk * late) AS late_sk
+                FROM pairs GROUP BY ok
+            )
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON late_sk = s_suppkey
+            WHERE nsupp >= 2 AND nlate = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 20
         """,
         "order_count_distribution": """
             SELECT n_orders, count(*) AS n_customers

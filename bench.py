@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "product_type_profit",
     "returned_item_revenue",
     "order_count_distribution",
+    "sole_late_supplier",
     "top_supplier",
     "small_quantity_revenue",
     "brand_disjunction_revenue",

@@ -1667,3 +1667,100 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#12",
     return ray.data.from_arrow(pa.table({
         "avg_yearly": pa.array([rev_c / 100.0 / 7.0], pa.float64()),
         "n_rows": pa.array([int(n_rows)], pa.int64())}))
+
+
+def sole_late_supplier(sf_dir: str, late_days: int = 60, n: int = 20,
+                       num_partitions: "int | None" = None
+                       ) -> "ray.data.Dataset":
+    """TPC-H Q21-shaped (suppliers who kept orders waiting): count, per
+    supplier, the multi-supplier orders on which that supplier was the
+    ONLY late shipper (ship date > order date + ``late_days``; this
+    corpus has no receipt/commit dates, so lateness is relative to the
+    order date).
+
+    Scale shape — the per-ORDER multi-entity predicate without
+    per-order dispatch: lineitem ⨝ orders is the one large exchange;
+    each batch combines to distinct (orderkey, suppkey, any_late) rows
+    (bounded by pairs per batch, not lineitems); ONE coarse
+    orderkey-hash shuffle; inside each bucket a vectorized segment scan
+    computes per-order distinct-supplier and late-supplier counts and
+    picks the sole late supplier via sum(suppkey x late) — exact when
+    the late count is 1.  Winners then roll up per supplier (tiny),
+    names attach by broadcast."""
+    from datetime import timedelta
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.joins import broadcast_join, read_small_table, \
+        sized_join
+
+    nc = _default_num_coarse()
+    late_delta = pa.scalar(timedelta(days=late_days))
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_shipdate"])
+    joined = sized_join(line, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(batch.column("l_shipdate"),
+                                  pc.add(batch.column("o_orderdate"),
+                                         late_delta)), pa.int64())
+        t = pa.table({"ok": batch.column("l_orderkey"),
+                      "sk": batch.column("l_suppkey"),
+                      "late": late})
+        g = t.group_by(["ok", "sk"]).aggregate([("late", "max")])
+        g = g.rename_columns(["ok", "sk", "late"])
+        okv = g.column("ok").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "__coarse", pa.array((okv * _GOLDEN) % nc, pa.int64()))
+
+    empty_w = pa.table({"sk": pa.array([], pa.int64()),
+                        "partial_w": pa.array([], pa.int64())})
+
+    def finish(group: pa.Table) -> pa.Table:
+        # re-combine pairs split across batches, then segment-scan orders
+        g = group.select(["ok", "sk", "late"]) \
+            .group_by(["ok", "sk"]).aggregate([("late", "max")]) \
+            .rename_columns(["ok", "sk", "late"])
+        g = g.take(pc.sort_indices(g, sort_keys=[("ok", "ascending"),
+                                                 ("sk", "ascending")]))
+        ok = g.column("ok").to_numpy(zero_copy_only=False)
+        sk = g.column("sk").to_numpy(zero_copy_only=False)
+        late = g.column("late").to_numpy(zero_copy_only=False)
+        if len(ok) == 0:
+            return empty_w
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        nsupp = np.diff(np.r_[starts, len(ok)]).astype(np.int64)
+        nlate = np.add.reduceat(late, starts).astype(np.int64)
+        late_sk_sum = np.add.reduceat(sk * late, starts).astype(np.int64)
+        win = (nsupp >= 2) & (nlate == 1)
+        if not win.any():
+            return empty_w
+        winners = late_sk_sum[win]           # == the sole late suppkey
+        t = pa.table({"sk": pa.array(winners, pa.int64())})
+        g2 = t.group_by("sk").aggregate([([], "count_all")])
+        return g2.rename_columns(["sk", "partial_w"])
+
+    winners = (joined.map_batches(pair_partial, batch_format="pyarrow")
+                     .groupby("__coarse")
+                     .map_groups(finish, batch_format="pyarrow"))
+    agg = (winners.map_batches(lambda b: b if b.num_rows else empty_w,
+                               batch_format="pyarrow")
+                  .groupby("sk")
+                  .aggregate(Sum("partial_w", alias_name="numwait")))
+
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+    agg = broadcast_join(agg, supp, on="sk", right_on="s_suppkey")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": batch.column("sk"),
+                         "s_name": batch.column("s_name"),
+                         "numwait": batch.column("numwait")})
+
+    return (agg.map_batches(project, batch_format="pyarrow")
+               .sort(["numwait", "s_suppkey"], descending=[True, False])
+               .limit(n))

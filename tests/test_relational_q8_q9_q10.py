@@ -72,3 +72,45 @@ def test_order_count_distribution_covers_all_customers(ray_session):
     n_total = pads.dataset(f"{SF}/customer.parquet").count_rows()
     assert df["n_customers"].sum() == n_total
     assert (df["n_orders"] >= 0).all()
+
+
+def test_sole_late_supplier_planted(ray_session, tmp_path):
+    """Planted multi-supplier orders pin the predicate edges: two late
+    suppliers on one order -> excluded; single-supplier late order ->
+    excluded; exactly-one-late multi-supplier order -> counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    late = base + pd.Timedelta(days=90)
+    ok_ship = base + pd.Timedelta(days=10)
+    # order 1: supp 1 late, supp 2 on time  -> supp 1 counted
+    # order 2: supp 1 and 2 both late       -> excluded (nlate=2)
+    # order 3: only supp 3, late            -> excluded (nsupp=1)
+    # order 4: supp 2 late twice (two lineitems), supp 3 on time
+    #                                        -> supp 2 counted (dedup pairs)
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4, 4], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2, 3, 2, 2, 3], pa.int64()),
+        "l_shipdate": pa.array(
+            [late, ok_ship, late, late, late, late, late, ok_ship],
+            pa.timestamp("us")),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([base] * 4, pa.timestamp("us")),
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+    })
+    pq.write_table(li, d / "lineitem.parquet")
+    pq.write_table(orders, d / "orders.parquet")
+    pq.write_table(supp, d / "supplier.parquet")
+
+    df = relational.sole_late_supplier(str(d)).to_pandas()
+    got = dict(zip(df["s_suppkey"], df["numwait"]))
+    assert got == {1: 1, 2: 1}
