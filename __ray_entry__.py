@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": curation.incremental_dedup,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "uniform_sample": curation.uniform_sample,
+        "token_budget_mixture": curation.token_budget_mixture,
         "sequence_pack": curation.sequence_pack,
         "training_order": curation.training_order,
         "quality_percentile_filter": curation.quality_percentile_filter,
@@ -418,6 +419,24 @@ def oracle_sql() -> dict[str, str]:
                        AS p99_days
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "token_budget_mixture": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(COALESCE({tokens_expr}, 0) AS BIGINT) AS n_tok,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tok,
+                       CAST(COALESCE(sum(n_tok) OVER (
+                           PARTITION BY source ORDER BY h ASC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS toks_before
+                FROM t
+            )
+            SELECT doc_id, source, n_tok, toks_before
+            FROM c WHERE toks_before < 800
         """,
         "uniform_sample": """
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "ship_latency_percentiles",
     "customer_value_deciles",
     "uniform_sample",
+    "token_budget_mixture",
     "nation_year_rollup",
     "value_percentiles_by_type",
     "sessionize",

@@ -657,3 +657,105 @@ def uniform_sample(sf_dir: str, k: int = 200) -> "ray.data.Dataset":
     return (ds.map_batches(candidates, batch_format="pyarrow")
               .groupby("__g")
               .map_groups(bottom_k, batch_format="pyarrow"))
+
+
+def token_budget_mixture(sf_dir: str, budget: int = 800
+                         ) -> "ray.data.Dataset":
+    """Per-source token-budget subcorpus: within EACH source, documents are
+    admitted in md5(doc_id) hash-priority order until the source's
+    cumulative whitespace-token count reaches ``budget`` — the "sample N
+    tokens per source" step that builds a training mixture from per-domain
+    token quotas (vs ``source_mixture``'s per-doc rates).
+
+    Scale shape: the per-source cumulative sum is ONE global
+    ``ordered_prefix_scan`` over (source, hash, doc_id) order — per-source
+    prefixes fall out by subtracting each source's exclusive global offset
+    (computed from a tiny per-source total rollup, driver state =
+    O(#sources)).  No per-source pass, no global sort; admission is a pure
+    function of the row plus O(#sources) broadcast state, so membership is
+    stable across block layouts and cluster sizes.  Null text counts 0
+    tokens (admitted while under budget, consuming nothing), matching the
+    SQL twin's COALESCE.  Scan buckets are 16 hash slots per source —
+    widen the per-source hash prefix (h[:2], h[:3], ...) as corpus/bucket
+    size grows so each phase-2 group stays worker-heap-sized."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.scan import ordered_prefix_scan
+    from .text import _token_count
+
+    read_cols = ["doc_id", "source", "text"]
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.fill_null(_token_count(batch.column("text")), 0),
+                    pa.int64())
+        g = pa.table({"source": batch.column("source"), "n": n}) \
+            .group_by("source").aggregate([("n", "sum")])
+        return g.rename_columns(["source", "partial_t"])
+
+    totals = (_read_docs(sf_dir, ["source", "text"])
+              .map_batches(tot_partial, batch_format="pyarrow")
+              .groupby("source")
+              .aggregate(Sum("partial_t", alias_name="t"))
+              .take_all())                  # bounded: one row per source
+    totals.sort(key=lambda r: r["source"])
+    src_idx = {r["source"]: i for i, r in enumerate(totals)}
+    offsets = np.zeros(len(totals), dtype=np.int64)
+    if len(totals) > 1:
+        offsets[1:] = np.cumsum([r["t"] for r in totals])[:-1]
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string()),
+                      "n_tok": pa.array([], pa.int64()),
+                      "h": pa.array([], pa.string()),
+                      "__hb": pa.array([], pa.int64())})
+
+    md5 = hashlib.md5
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        hexes = [md5(str(i).encode()).hexdigest()
+                 for i in batch.column("doc_id").to_pylist()]
+        srcs = batch.column("source").to_pylist()
+        hb = np.array([src_idx[s] * 16 + int(h[0], 16)
+                       for s, h in zip(srcs, hexes)], dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tok": pc.cast(pc.fill_null(
+                _token_count(batch.column("text")), 0), pa.int64()),
+            "h": pa.array(hexes, pa.string()),
+            "__hb": pa.array(hb, pa.int64()),
+        })
+
+    enriched = _read_docs(sf_dir, read_cols).map_batches(
+        enrich, batch_format="pyarrow")
+    scanned = ordered_prefix_scan(
+        enriched, ["source", "h", "doc_id"],
+        lambda b: b.column("__hb").to_numpy(zero_copy_only=False),
+        value_col="n_tok", out_col="__cum",
+        max_buckets=max(16 * len(totals), 1))
+
+    off_map = {r["source"]: int(offsets[i]) for i, r in enumerate(totals)}
+
+    def admit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "n_tok": pa.array([], pa.int64()),
+                             "toks_before": pa.array([], pa.int64())})
+        srcs = batch.column("source").to_pylist()
+        off = np.array([off_map[s] for s in srcs], dtype=np.int64)
+        before = batch.column("__cum").to_numpy(zero_copy_only=False) - off
+        keep = before < budget
+        kept = batch.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": kept.column("doc_id"),
+            "source": kept.column("source"),
+            "n_tok": kept.column("n_tok"),
+            "toks_before": pa.array(before[keep], pa.int64()),
+        })
+
+    return scanned.map_batches(admit, batch_format="pyarrow")

@@ -21,7 +21,8 @@ import __ray_entry__ as entrymod
 
 QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
            "doc_chunks", "lang_profile", "unigram_logprob",
-           "gopher_quality_flags", "vocab_growth", "doc_length_histogram"]
+           "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
+           "token_budget_mixture"]
 
 _PIECES = [
     "word", "Word", "WORD", "w0rd", "123", "!!!", "a,b.c", "$x$",
