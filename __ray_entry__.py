@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": dedup.dup_spans,
         "contamination_check": dedup.contamination_check,
         "dedup_rate_report": dedup.dedup_rate_report,
+        "cross_source_overlap": dedup.cross_source_overlap,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
@@ -261,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "session_stats": streaming.session_stats,
+        "event_transitions": streaming.event_transitions,
         "event_funnel": streaming.event_funnel,
         "user_retention": streaming.user_retention,
         "value_zscore_outliers": streaming.value_zscore_outliers,
@@ -1349,6 +1351,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') a
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS next_type
+                FROM events
+            )
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*) AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "cross_source_overlap": """
+            WITH ks AS (
+                SELECT DISTINCT source, unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM ks a JOIN ks b ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "session_stats": """
             WITH o AS (

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "value_percentiles_by_type",
     "sessionize",
     "session_stats",
+    "event_transitions",
     "event_funnel",
     "user_retention",
     "value_zscore_outliers",
@@ -111,6 +112,7 @@ BENCH_QUERIES = [
     "events_sliding_window",
     "events_anomalous_hours",
     "dedup_rate_report",
+    "cross_source_overlap",
     "user_event_entropy",
     "user_first_last",
     "gopher_quality_flags",

@@ -1147,3 +1147,86 @@ def dedup_rate_report(sf_dir: str) -> "ray.data.Dataset":
               .aggregate(Sum("docs_p", alias_name="n_docs"),
                          Sum("distinct_p", alias_name="n_distinct"))
               .map_batches(finish, batch_format="pyarrow"))
+
+
+def cross_source_overlap(sf_dir: str, key: str = "term"
+                         ) -> "ray.data.Dataset":
+    """Cross-source overlap matrix: for every source pair, how many
+    distinct keys appear in BOTH sources.  ``key="term"`` (default)
+    measures vocabulary overlap (lowercased whitespace tokens — the
+    domain-similarity dataset-card metric); ``key="fp"`` measures exact
+    content contamination (normalized-text fingerprints — how many
+    documents two ingestion feeds share; zero on corpora with no
+    cross-feed dups).
+
+    Scale shape: per-batch distinct (key, source) combiner -> ONE coarse
+    shuffle hashed on key (each bucket owns its keys exactly) -> in-bucket
+    segment scan emits source pairs for multi-source keys, VECTORIZED by
+    grouping segments of equal source-count k (at most #sources distinct
+    k values, so the Python loop is O(#sources), never O(keys)) -> a
+    final pairs-sized rollup (<= #sources^2 rows).  Null-text docs carry
+    no key in either mode, matching the twin's WHERE."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _default_num_coarse
+    from .text import fingerprint_batch
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if key == "fp":
+            k = fingerprint_batch(batch)
+            t = pa.table({"key": k, "source": batch.column("source")})
+            t = t.filter(pc.is_valid(t.column("key")))
+        else:
+            split = pc.utf8_split_whitespace(
+                pc.utf8_lower(batch.column("text")))
+            toks = pc.list_flatten(split)
+            src_i = pc.list_parent_indices(split)
+            t = pa.table({"key": toks,
+                          "source": batch.column("source").take(src_i)})
+            t = t.filter(pc.not_equal(t.column("key"), ""))
+        g = t.group_by(["key", "source"]).aggregate([])
+        ka = g.column("key")
+        ka = ka.combine_chunks() if isinstance(ka, pa.ChunkedArray) else ka
+        coarse = _string_coarse_hash(ka, nc)
+        return g.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    empty = pa.table({"source_a": pa.array([], pa.string()),
+                      "source_b": pa.array([], pa.string()),
+                      "partial_n": pa.array([], pa.int64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        t = group.select(["key", "source"]).group_by(["key", "source"]) \
+            .aggregate([])
+        t = t.take(pc.sort_indices(t, sort_keys=[("key", "ascending"),
+                                                 ("source", "ascending")]))
+        if t.num_rows == 0:
+            return empty
+        kv = t.column("key").to_pandas().to_numpy()
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        sizes = np.diff(np.r_[starts, len(kv)])
+        src = t.column("source").to_pandas().to_numpy()
+        a_parts, b_parts = [], []
+        for k_sz in np.unique(sizes[sizes >= 2]):
+            segs = starts[sizes == k_sz]               # all segments of size k
+            ii, jj = np.triu_indices(int(k_sz), k=1)
+            a_parts.append(src[(segs[:, None] + ii[None, :]).ravel()])
+            b_parts.append(src[(segs[:, None] + jj[None, :]).ravel()])
+        if not a_parts:
+            return empty
+        p = pa.table({"source_a": pa.array(np.concatenate(a_parts)),
+                      "source_b": pa.array(np.concatenate(b_parts))})
+        g = p.group_by(["source_a", "source_b"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source_a", "source_b", "partial_n"])
+
+    partials = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("__coarse")
+                  .map_groups(bucket_pairs, batch_format="pyarrow")
+                  .map_batches(lambda b: b if b.num_rows else empty,
+                               batch_format="pyarrow"))
+    return partials.groupby(["source_a", "source_b"]).aggregate(
+        Sum("partial_n", alias_name="n_shared"))

@@ -784,3 +784,63 @@ def events_anomalous_hours(sf_dir: str,
         return batch.filter(pc.greater(pc.multiply(d, d), thr))
 
     return hours.map_batches(flag, batch_format="pyarrow")
+
+
+def event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Event-type transition matrix (the Markov-chain / next-event-model
+    input): count, over every user's time-ordered stream, each
+    (from_type, to_type) consecutive pair.
+
+    Scale shape: consecutive pairs need each user's full ordered stream,
+    so this is the session_stats template — ONE coarse user-hash shuffle
+    (a user never splits across buckets), then the bucket kernel sorts
+    once on (user, ts, event_id), pairs adjacent rows where the user is
+    unchanged (vectorized slice compare), and pre-reduces the bucket's
+    pairs with an Arrow group_by before the tiny final rollup.  SQL twin:
+    lead() window."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"from_type": pa.array([], pa.string()),
+                      "to_type": pa.array([], pa.string()),
+                      "partial_n": pa.array([], pa.int64())})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        t = group.select(["user_id", "ts", "event_id", "event_type"])
+        if t.num_rows < 2:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t.column("user_id").to_numpy()
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        types = t.column("event_type").combine_chunks()
+        sel = pa.array(np.flatnonzero(same), pa.int64())
+        sel_next = pa.array(np.flatnonzero(same) + 1, pa.int64())
+        p = pa.table({"from_type": types.take(sel),
+                      "to_type": types.take(sel_next)})
+        g = p.group_by(["from_type", "to_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["from_type", "to_type", "partial_n"])
+
+    partials = (ds.map_batches(tag, batch_format="pyarrow")
+                  .groupby("__coarse")
+                  .map_groups(pairs, batch_format="pyarrow")
+                  .map_batches(lambda b: b if b.num_rows else empty,
+                               batch_format="pyarrow"))
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("partial_n", alias_name="n"))

@@ -31,7 +31,7 @@ ORACLE_QUERIES = [
     "quality_percentile_filter", "ngram_jaccard_pairs", "curated_docs",
     "exact_dedup", "unigram_logprob", "doc_fingerprints",
     "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
-    "dedup_rate_report", "token_budget_mixture",
+    "dedup_rate_report", "token_budget_mixture", "cross_source_overlap",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 

@@ -114,3 +114,29 @@ def test_sole_late_supplier_planted(ray_session, tmp_path):
     df = relational.sole_late_supplier(str(d)).to_pandas()
     got = dict(zip(df["s_suppkey"], df["numwait"]))
     assert got == {1: 1, 2: 1}
+
+
+def test_cross_source_overlap_fp_mode_matches_duckdb(ray_session):
+    """fp mode (exact-content contamination) against a direct DuckDB twin
+    at sf0.1 — the only bundled SF with planted cross-source duplicates."""
+    import duckdb
+    from pdf_extract_kit_ray.pipelines.dedup import cross_source_overlap
+
+    sf = "/root/testdata/sf0.1"
+    df = cross_source_overlap(sf, key="fp").to_pandas() \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    orc = duckdb.sql(f"""
+        WITH fps AS (
+            SELECT DISTINCT
+                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                source
+            FROM '{sf}/documents.parquet' WHERE text IS NOT NULL
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert len(df) == len(orc) > 0
+    assert (df["source_a"].values == orc["source_a"].values).all()
+    assert (df["source_b"].values == orc["source_b"].values).all()
+    assert (df["n_shared"].values == orc["n_shared"].values).all()
