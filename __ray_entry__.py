@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": text.unigram_logprob,
         "bigram_pmi": text.bigram_pmi,
         "vocab_growth": text.vocab_growth,
+        "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
@@ -263,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": streaming.sessionize,
         "session_stats": streaming.session_stats,
         "event_transitions": streaming.event_transitions,
+        "event_order_audit": streaming.event_order_audit,
         "event_funnel": streaming.event_funnel,
         "user_retention": streaming.user_retention,
         "value_zscore_outliers": streaming.value_zscore_outliers,
@@ -898,6 +900,20 @@ def oracle_sql() -> dict[str, str]:
                     AND n_stop_hits >= 2) AS keep
             FROM r
         """,
+        "top_terms_per_source": """
+            WITH tok AS (
+                SELECT source, unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2
+            )
+            SELECT source, term, c,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, term ASC) AS rank
+            FROM tf QUALIFY rank <= 10
+        """,
         "vocab_growth": """
             WITH tok AS (
                 SELECT source, unnest(list_filter(
@@ -1351,6 +1367,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') a
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "event_order_audit": """
+            WITH s AS (
+                SELECT ts, lag(ts) OVER (ORDER BY event_id ASC) AS prev_ts
+                FROM events
+            )
+            SELECT CAST(count(prev_ts) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(sum(CASE WHEN ts < prev_ts THEN 1
+                                          ELSE 0 END), 0) AS BIGINT)
+                       AS n_inversions,
+                   CASE WHEN count(prev_ts) = 0 THEN 0.0
+                        ELSE round(CAST(COALESCE(sum(
+                                 CASE WHEN ts < prev_ts THEN 1 ELSE 0 END),
+                                 0) AS DOUBLE)
+                             / CAST(count(prev_ts) AS DOUBLE), 6) END
+                       AS inversion_rate
+            FROM s
         """,
         "event_transitions": """
             WITH s AS (

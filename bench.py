@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "sessionize",
     "session_stats",
     "event_transitions",
+    "event_order_audit",
     "event_funnel",
     "user_retention",
     "value_zscore_outliers",
@@ -117,6 +118,7 @@ BENCH_QUERIES = [
     "user_first_last",
     "gopher_quality_flags",
     "vocab_growth",
+    "top_terms_per_source",
     "doc_length_histogram",
     "stratified_sample",
     "purchase_prev_click_asof",

@@ -1411,30 +1411,51 @@ def returned_item_revenue(sf_dir: str, lo: str = "1997-07-01",
 
     line = line.map_batches(returned, batch_format="pyarrow")
 
-    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
-                                columns=["o_orderkey", "o_custkey",
-                                         "o_orderdate"])
+    orders_path = f"{sf_dir}/orders.parquet"
+    orders_cols = ["o_orderkey", "o_custkey", "o_orderdate"]
+    empty_out = pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "c_acctbal": pa.array([], pa.float64()),
+        "nation": pa.array([], pa.string()),
+        "revenue": pa.array([], pa.float64())})
 
-    def window(batch: pa.Table) -> pa.Table:
-        od = batch.column("o_orderdate")
-        keep = pc.and_(pc.greater_equal(od, lo_ts), pc.less(od, hi_ts))
-        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+    from ..functions.joins import pruned_parquet_bytes
+    if pruned_parquet_bytes(orders_path, orders_cols) <= _BROADCAST_BYTES:
+        # q3's size rule: the quarter window is a pushed-down read of a
+        # side that fits in memory — ONE broadcast join, no shuffle (the
+        # shuffle-join path below was also bench-fragile: 15-22 s inside
+        # the full 94-query suite vs 2-4 s standalone, some interaction
+        # with object-store pressure from the media queries)
+        import pyarrow.dataset as pads
+        o_tbl = pads.dataset(orders_path).to_table(
+            columns=["o_orderkey", "o_custkey"],
+            filter=(pads.field("o_orderdate") >= pd.Timestamp(lo))
+                 & (pads.field("o_orderdate") < pd.Timestamp(hi)))
+        if o_tbl.num_rows == 0:
+            return ray.data.from_arrow(empty_out)
+        joined = broadcast_join(line, o_tbl, on="l_orderkey",
+                                right_on="o_orderkey")
+    else:
+        orders = sized_read_parquet(orders_path, columns=orders_cols)
 
-    # Ray's hash-shuffle join loses the key schema when a side is entirely
-    # empty (the customers_without_orders guard); the quarter-window side
-    # is the query's small side, so materializing it for the emptiness
-    # probe is bounded — it is the join's shuffle payload anyway.
-    orders = orders.map_batches(window, batch_format="pyarrow").materialize()
-    if orders.count() == 0:
-        return ray.data.from_arrow(pa.table({
-            "c_custkey": pa.array([], pa.int64()),
-            "c_name": pa.array([], pa.string()),
-            "c_acctbal": pa.array([], pa.float64()),
-            "nation": pa.array([], pa.string()),
-            "revenue": pa.array([], pa.float64())}))
-    joined = line.join(orders, join_type="inner",
-                       num_partitions=_join_partitions(num_partitions),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+        def window(batch: pa.Table) -> pa.Table:
+            od = batch.column("o_orderdate")
+            keep = pc.and_(pc.greater_equal(od, lo_ts), pc.less(od, hi_ts))
+            return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+        # Ray's hash-shuffle join loses the key schema when a side is
+        # entirely empty (the customers_without_orders guard); the
+        # quarter-window side is this branch's smaller side, so
+        # materializing it for the emptiness probe is bounded — it is the
+        # join's shuffle payload anyway.
+        orders = orders.map_batches(window,
+                                    batch_format="pyarrow").materialize()
+        if orders.count() == 0:
+            return ray.data.from_arrow(empty_out)
+        joined = line.join(orders, join_type="inner",
+                           num_partitions=_join_partitions(num_partitions),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
         rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),

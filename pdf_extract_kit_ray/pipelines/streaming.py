@@ -844,3 +844,83 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
                                batch_format="pyarrow"))
     return partials.groupby(["from_type", "to_type"]).aggregate(
         Sum("partial_n", alias_name="n"))
+
+
+def event_order_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Out-of-order ingestion audit: over the stream in ingest order
+    (``event_id`` ascending), count adjacent pairs whose event time goes
+    BACKWARDS — the late-arrival metric that sizes a streaming pipeline's
+    watermark/allowed-lateness.
+
+    Scale shape: a global lag() needs global order, but adjacency is
+    local — rows hash to event_id RANGE buckets (parquet metadata min/max,
+    no scan), each bucket sorts its own id range once and counts its
+    internal inversions, and the driver stitches only the O(buckets)
+    boundary pairs from per-bucket (first, last) rows.  No global sort,
+    driver state = one row per bucket."""
+    import pyarrow.parquet as pq
+
+    from ..functions.agg import _default_num_coarse
+
+    path = f"{sf_dir}/events.parquet"
+    ds = sized_read_parquet(path, columns=["event_id", "ts"])
+
+    # id range from parquet row-group stats (metadata only)
+    md = pq.ParquetFile(path).metadata
+    lo, hi = None, None
+    idx = None
+    for rg in range(md.num_row_groups):
+        for c in range(md.row_group(rg).num_columns):
+            col = md.row_group(rg).column(c)
+            if col.path_in_schema == "event_id" and col.statistics:
+                st = col.statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    empty = pa.table({"n_pairs": pa.array([], pa.int64()),
+                      "n_inversions": pa.array([], pa.int64()),
+                      "inversion_rate": pa.array([], pa.float64())})
+    if lo is None or md.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_pairs": pa.array([0], pa.int64()),
+            "n_inversions": pa.array([0], pa.int64()),
+            "inversion_rate": pa.array([0.0], pa.float64())}))
+    nc = _default_num_coarse()
+    width = max(1, (hi - lo + nc) // nc)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array((eid - lo) // width, pa.int64()))
+
+    def bucket_stats(group: pa.Table) -> pa.Table:
+        t = group.select(["event_id", "ts"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        eid = t.column("event_id").to_numpy()
+        inv = int(np.count_nonzero(ts[1:] < ts[:-1]))
+        return pa.table({
+            "bucket": pa.array([int((eid[0] - lo) // width)], pa.int64()),
+            "inv": pa.array([inv], pa.int64()),
+            "pairs": pa.array([len(ts) - 1], pa.int64()),
+            "first_ts": pa.array([int(ts[0])], pa.int64()),
+            "last_ts": pa.array([int(ts[-1])], pa.int64()),
+        })
+
+    # O(buckets) driver pull: one summary row per range bucket
+    rows = (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(bucket_stats, batch_format="pyarrow")
+              .take_all())
+    rows.sort(key=lambda r: r["bucket"])
+    n_inv = sum(r["inv"] for r in rows)
+    n_pairs = sum(r["pairs"] for r in rows)
+    for prev, cur in zip(rows, rows[1:]):    # stitch bucket boundaries
+        n_pairs += 1
+        if cur["first_ts"] < prev["last_ts"]:
+            n_inv += 1
+    from ..functions.num import round6_scalar
+    rate = round6_scalar(n_inv / n_pairs) if n_pairs else 0.0
+    return ray.data.from_arrow(pa.table({
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "n_inversions": pa.array([n_inv], pa.int64()),
+        "inversion_rate": pa.array([rate], pa.float64())}))

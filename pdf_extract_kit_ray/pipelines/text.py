@@ -769,3 +769,76 @@ def doc_length_histogram(sf_dir: str,
                        Sum("tok_p", alias_name="n_tokens"),
                        Min("min_p", alias_name="min_tokens"),
                        Max("max_p", alias_name="max_tokens")))
+
+
+def top_terms_per_source(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Per-source top-k terms by frequency (the per-domain vocabulary
+    fingerprint) — GROUPED top-k without sorting any source's full
+    vocabulary in one place.
+
+    Scale shape: the vocab_growth shuffle (per-batch (source, term)
+    combiner -> ONE coarse shuffle hashed on term so each bucket owns its
+    terms' complete counts) -> each bucket emits its own per-source top-k
+    CANDIDATES (lossless: a global top-k term is top-k within the bucket
+    that owns it) -> final per-source merge over k x buckets candidate
+    rows (bounded, tiny).  Ties break (count desc, term asc) in both
+    engines."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _coarse_of, _default_num_coarse
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+    nc = _default_num_coarse()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
+        toks = pc.list_flatten(split)
+        src = pc.list_parent_indices(split)
+        t = pa.table({"source": batch.column("source").take(src),
+                      "term": toks}).filter(pc.not_equal(toks, ""))
+        g = (t.group_by(["source", "term"]).aggregate([([], "count_all")])
+              .rename_columns(["source", "term", "partial_c"]))
+        coarse = _coarse_of(g.column("term"), nc)
+        return g.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "term": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64())})
+
+    def bucket_candidates(group: pa.Table) -> pa.Table:
+        tf = (group.select(["source", "term", "partial_c"])
+                   .group_by(["source", "term"])
+                   .aggregate([("partial_c", "sum")])
+                   .rename_columns(["source", "term", "c"]))
+        tf = tf.take(pc.sort_indices(tf, sort_keys=[
+            ("source", "ascending"), ("c", "descending"),
+            ("term", "ascending")]))
+        src = tf.column("source").to_pandas().to_numpy()
+        if len(src) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sizes = np.diff(np.r_[starts, len(src)])
+        keep_idx = np.concatenate([
+            np.arange(s, s + min(int(n), k))
+            for s, n in zip(starts, sizes)])
+        return tf.take(pa.array(keep_idx, pa.int64()))
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        t = group.select(["source", "term", "c"])
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("c", "descending"), ("term", "ascending")]))
+        n = min(k, t.num_rows)
+        t = t.slice(0, n)
+        return t.append_column("rank", pa.array(
+            np.arange(1, n + 1, dtype=np.int64), pa.int64()))
+
+    cands = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("__coarse")
+               .map_groups(bucket_candidates, batch_format="pyarrow")
+               .map_batches(lambda b: b if b.num_rows else empty,
+                            batch_format="pyarrow"))
+    out = cands.groupby("source").map_groups(merge_topk,
+                                             batch_format="pyarrow")
+    empty_out = empty.append_column("rank", pa.array([], pa.int64()))
+    return out.map_batches(lambda b: b if b.num_rows else empty_out,
+                           batch_format="pyarrow")

@@ -26,7 +26,7 @@ QUERIES = [
     "value_zscore_outliers", "events_daily_pivot", "top_users",
     "users_active_both_halves", "distinct_event_types",
     "engaged_users_union", "hll_distinct_by_type", "user_first_last",
-    "session_stats", "event_transitions",
+    "session_stats", "event_transitions", "event_order_audit",
 ]
 TYPES = ["click", "view", "purchase", "signup", "error"]
 

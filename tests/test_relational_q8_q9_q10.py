@@ -140,3 +140,45 @@ def test_cross_source_overlap_fp_mode_matches_duckdb(ray_session):
     assert (df["source_a"].values == orc["source_a"].values).all()
     assert (df["source_b"].values == orc["source_b"].values).all()
     assert (df["n_shared"].values == orc["n_shared"].values).all()
+
+
+def test_event_order_audit_single_and_sorted(ray_session, tmp_path):
+    """Boundary-stitch edges: a perfectly ts-sorted stream has rate 0; a
+    single-event stream has 0 pairs; an inversion exactly AT a bucket
+    boundary is still counted (ids spread wide so range buckets split)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines.streaming import event_order_audit
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+
+    def mk(dirname, ids, ts_us):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+        }), d / "events.parquet")
+        return str(d)
+
+    # sorted: 0 inversions over a wide id range (many buckets)
+    ids = list(range(0, 100000, 1000))
+    df = event_order_audit(mk("sorted", ids,
+                              [base + i for i in range(len(ids))])) \
+        .to_pandas()
+    assert df["n_pairs"].iloc[0] == len(ids) - 1
+    assert df["n_inversions"].iloc[0] == 0
+    assert df["inversion_rate"].iloc[0] == 0.0
+
+    # single event: no pairs
+    df = event_order_audit(mk("single", [7], [base])).to_pandas()
+    assert df["n_pairs"].iloc[0] == 0
+    assert df["n_inversions"].iloc[0] == 0
+
+    # one inversion, ids far apart (guaranteed different range buckets)
+    df = event_order_audit(mk("boundary", [0, 99999],
+                              [base + 10, base])).to_pandas()
+    assert df["n_pairs"].iloc[0] == 1
+    assert df["n_inversions"].iloc[0] == 1
+    assert df["inversion_rate"].iloc[0] == 1.0
