@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": streaming.session_stats,
         "event_transitions": streaming.event_transitions,
         "event_order_audit": streaming.event_order_audit,
+        "user_cohort_values": streaming.user_cohort_values,
         "event_funnel": streaming.event_funnel,
         "user_retention": streaming.user_retention,
         "value_zscore_outliers": streaming.value_zscore_outliers,
@@ -1367,6 +1368,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') a
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "user_cohort_values": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS first_ts
+                FROM events GROUP BY user_id
+            ), e AS (
+                SELECT ev.user_id,
+                       CAST(date_trunc('month', f.first_ts) AS TIMESTAMP)
+                           AS cohort_month,
+                       CAST((year(ev.ts) - year(f.first_ts)) * 12
+                            + (month(ev.ts) - month(f.first_ts)) AS BIGINT)
+                           AS age_months,
+                       CAST(floor(ev.value * 100.0) AS BIGINT) AS v_c
+                FROM events ev JOIN f ON ev.user_id = f.user_id
+            )
+            SELECT cohort_month, age_months,
+                   count(DISTINCT user_id) AS n_users,
+                   sum(v_c) / 100.0 AS total_value
+            FROM e GROUP BY 1, 2
         """,
         "event_order_audit": """
             WITH s AS (

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "session_stats",
     "event_transitions",
     "event_order_audit",
+    "user_cohort_values",
     "event_funnel",
     "user_retention",
     "value_zscore_outliers",

@@ -924,3 +924,99 @@ def event_order_audit(sf_dir: str) -> "ray.data.Dataset":
         "n_pairs": pa.array([n_pairs], pa.int64()),
         "n_inversions": pa.array([n_inv], pa.int64()),
         "inversion_rate": pa.array([rate], pa.float64())}))
+
+
+def user_cohort_values(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort value matrix (the LTV/retention-revenue triangle): users
+    cohort by the month of their FIRST event; each (cohort_month,
+    months_since) cell reports active users and total event value.
+
+    Scale shape: cohort assignment needs each user's first event, so raw
+    (user_id, ts, value) rows take ONE coarse user-hash shuffle (users
+    never split across buckets — which also makes per-bucket DISTINCT
+    user counts exactly additive); the bucket kernel sorts once, derives
+    every user's cohort via segment starts, and pre-reduces to
+    (cohort, age) partial cells before the tiny final rollup.  Value sums
+    ride exact integer cents."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"cohort_month": pa.array([], pa.timestamp("us")),
+                      "age_months": pa.array([], pa.int64()),
+                      "users_p": pa.array([], pa.int64()),
+                      "v_p": pa.array([], pa.int64())})
+
+    def cells(group: pa.Table) -> pa.Table:
+        t = group.select(["user_id", "ts", "event_id", "value"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t.column("user_id").to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, len(uid)])
+        first_of_row = np.repeat(starts, sizes)
+        ts = t.column("ts")
+        yr = pc.year(ts).to_numpy(zero_copy_only=False)
+        mo = pc.month(ts).to_numpy(zero_copy_only=False)
+        cohort_us = pc.floor_temporal(ts, unit="month") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age = ((yr - yr[first_of_row]) * 12
+               + (mo - mo[first_of_row])).astype(np.int64)
+        v_c = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)),
+                      pa.int64())
+        cell = pa.table({
+            "cohort": pa.array(cohort_us[first_of_row], pa.int64()),
+            "age_months": pa.array(age, pa.int64()),
+            "user_id": t.column("user_id"),
+            "v_c": v_c,
+        })
+        vals = (cell.group_by(["cohort", "age_months"])
+                    .aggregate([("v_c", "sum")])
+                    .rename_columns(["cohort", "age_months", "v_p"]))
+        users = (cell.group_by(["cohort", "age_months", "user_id"])
+                     .aggregate([])
+                     .group_by(["cohort", "age_months"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["cohort", "age_months", "users_p"]))
+        out = vals.join(users, keys=["cohort", "age_months"],
+                        join_type="inner")
+        return pa.table({
+            "cohort_month": out.column("cohort").cast(pa.timestamp("us")),
+            "age_months": out.column("age_months"),
+            "users_p": out.column("users_p"),
+            "v_p": out.column("v_p"),
+        })
+
+    partials = (ds.map_batches(tag, batch_format="pyarrow")
+                  .groupby("__coarse")
+                  .map_groups(cells, batch_format="pyarrow")
+                  .map_batches(lambda b: b if b.num_rows else empty,
+                               batch_format="pyarrow"))
+    agg = partials.groupby(["cohort_month", "age_months"]).aggregate(
+        Sum("users_p", alias_name="n_users"),
+        Sum("v_p", alias_name="v_c"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_month": batch.column("cohort_month")
+                .cast(pa.timestamp("us")),
+            "age_months": batch.column("age_months"),
+            "n_users": batch.column("n_users"),
+            "total_value": pc.divide(
+                pc.cast(batch.column("v_c"), pa.float64()), 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -182,3 +182,46 @@ def test_event_order_audit_single_and_sorted(ray_session, tmp_path):
     assert df["n_pairs"].iloc[0] == 1
     assert df["n_inversions"].iloc[0] == 1
     assert df["inversion_rate"].iloc[0] == 1.0
+
+
+def test_user_cohort_values_multi_month(ray_session, tmp_path):
+    """Planted three-month stream: cohorts and ages must follow each
+    user's FIRST event; value cells sum exact cents."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines.streaming import user_cohort_values
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows = [
+        # user 1: cohort Jan, active Jan + Mar (age 0 and 2)
+        (1, 1, "2024-01-05", 10.10),
+        (2, 1, "2024-03-09", 5.05),
+        # user 2: cohort Feb, active Feb twice (age 0)
+        (3, 2, "2024-02-01", 1.00),
+        (4, 2, "2024-02-20", 2.00),
+        # user 3: cohort Jan, active Feb (ages 0, 1)
+        (5, 3, "2024-01-31", 0.50),
+        (6, 3, "2024-02-01", 0.25),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[2]) for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    }), d / "events.parquet")
+
+    df = user_cohort_values(str(d)).to_pandas()
+    df["cohort_month"] = df["cohort_month"].astype(str).str[:7]
+    got = {(r.cohort_month, r.age_months): (r.n_users, r.total_value)
+           for r in df.itertuples()}
+    # u2 is ONE distinct user with two events in its cohort month
+    assert got == {
+        ("2024-01", 0): (2, 10.60),   # u1 Jan + u3 Jan
+        ("2024-01", 1): (1, 0.25),    # u3 Feb
+        ("2024-01", 2): (1, 5.05),    # u1 Mar
+        ("2024-02", 0): (1, 3.00),    # u2 (two events, one user)
+    }
