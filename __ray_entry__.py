@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": similarity.embedding_neardup,
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
+        "embedding_pca": similarity.embedding_pca,  # non-SQL (eigendecomp)
         "label_centroids": similarity.label_centroids,
         "knn_classify": similarity.knn_classify,
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)

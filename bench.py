@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "purchase_prev_click_asof",
     "embedding_kmeans",
+    "embedding_pca",
     "label_centroids",
     "semantic_dedup",
     "hll_distinct_users",

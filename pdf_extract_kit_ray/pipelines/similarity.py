@@ -559,3 +559,76 @@ def knn_classify(sf_dir: str, k: int = 10,
                            batch_size=4096)
               .groupby("query_id")
               .map_groups(vote, batch_format="pyarrow"))
+
+
+def embedding_pca(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
+    """Distributed PCA over the embedding column: top-``k`` principal
+    components + explained-variance ratios — the dimensionality/collapse
+    diagnostic a curation pipeline runs before clustering or semantic
+    dedup (embeddings whose variance concentrates in 1-2 directions are
+    degenerate).
+
+    Scale shape: the covariance SUFFICIENT STATISTICS (X^T X, sum(X), n)
+    are a KB-sized per-batch partial — (dim x dim) doubles — summed in a
+    tiny global aggregate; eigendecomposition happens once on the driver
+    over the (dim x dim) matrix, never on row data.  One pass, no
+    shuffle of row-sized data, driver state O(dim^2).  Sign convention:
+    each component is flipped so its largest-|coeff| entry is positive
+    (eigenvectors are sign-ambiguous; this pins a deterministic output).
+    Rows: (component, dim_index, coeff, explained_var_ratio)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch)
+        if mat.size == 0:
+            return pa.table({"xtx": pa.array([], pa.list_(pa.float64())),
+                             "xsum": pa.array([], pa.list_(pa.float64())),
+                             "n": pa.array([], pa.int64())})
+        xtx = mat.T @ mat                       # (dim, dim) — KBs
+        return pa.table({
+            "xtx": pa.array([xtx.ravel().tolist()],
+                            pa.list_(pa.float64())),
+            "xsum": pa.array([mat.sum(axis=0).tolist()],
+                             pa.list_(pa.float64())),
+            "n": pa.array([mat.shape[0]], pa.int64()),
+        })
+
+    # bounded driver pull: one (dim^2 + dim + 1)-double row per BLOCK
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    rows = [r for r in rows if r["n"]]
+    if not rows:
+        return ray.data.from_arrow(pa.table({
+            "component": pa.array([], pa.int64()),
+            "dim_index": pa.array([], pa.int64()),
+            "coeff": pa.array([], pa.float64()),
+            "explained_var_ratio": pa.array([], pa.float64())}))
+    n = sum(r["n"] for r in rows)
+    dim = int(np.sqrt(len(rows[0]["xtx"])))
+    xtx = np.zeros((dim, dim))
+    xsum = np.zeros(dim)
+    for r in rows:
+        xtx += np.asarray(r["xtx"]).reshape(dim, dim)
+        xsum += np.asarray(r["xsum"])
+    mean = xsum / n
+    denom = max(n - 1, 1)
+    cov = (xtx - n * np.outer(mean, mean)) / denom
+    evals, evecs = np.linalg.eigh(cov)       # ascending
+    order = np.argsort(evals)[::-1][:k]
+    total_var = float(evals.sum()) or 1.0
+    comp_ids, dims, coeffs, ratios = [], [], [], []
+    for ci, ei in enumerate(order):
+        v = evecs[:, ei]
+        if v[np.argmax(np.abs(v))] < 0:      # deterministic sign
+            v = -v
+        comp_ids.extend([ci] * dim)
+        dims.extend(range(dim))
+        coeffs.extend(v.tolist())
+        ratios.extend([float(evals[ei]) / total_var] * dim)
+    return ray.data.from_arrow(pa.table({
+        "component": pa.array(comp_ids, pa.int64()),
+        "dim_index": pa.array(dims, pa.int64()),
+        "coeff": pa.array(coeffs, pa.float64()),
+        "explained_var_ratio": pa.array(ratios, pa.float64())}))

@@ -457,3 +457,39 @@ def test_string_coarse_hash_equal_strings_cobucket():
     # sliced array (non-zero offset) must hash identically
     h2 = _string_coarse_hash(arr.slice(1), 1 << 20)
     assert list(h2) == list(h[1:])
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """Distributed sufficient-statistics PCA must agree with a single-node
+    numpy PCA: same explained-variance ratios, same component directions
+    (up to the pinned sign, compared by |cosine| to dodge near-degenerate
+    eigenvalue wobble)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    from pdf_extract_kit_ray.pipelines.similarity import embedding_pca
+
+    sf = "/root/testdata/sf0.01"
+    df = embedding_pca(sf, k=3).to_pandas()
+    t = pads.dataset(f"{sf}/embeddings.parquet").to_table(
+        columns=["embedding"])
+    X = np.asarray([list(v) for v in t.column("embedding").to_pylist()],
+                   dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    total = evals.sum()
+
+    dim = X.shape[1]
+    assert len(df) == 3 * dim
+    for ci in range(3):
+        sub = df[df["component"] == ci].sort_values("dim_index")
+        got = sub["coeff"].to_numpy()
+        ref = evecs[:, order[ci]]
+        cos = abs(float(got @ ref) /
+                  (np.linalg.norm(got) * np.linalg.norm(ref)))
+        assert cos > 0.999, f"component {ci} direction off (|cos|={cos})"
+        assert np.isclose(sub["explained_var_ratio"].iloc[0],
+                          evals[order[ci]] / total, atol=1e-9)
+        # pinned sign: largest-|coeff| entry is positive
+        assert got[np.argmax(np.abs(got))] > 0
