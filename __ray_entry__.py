@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": relational.user_running_totals,
         "order_priority_revenue": relational.order_priority_revenue,
         "customers_without_orders": relational.customers_without_orders,
+        "global_sales_opportunity": relational.global_sales_opportunity,
+        "nation_balance_ranks": relational.nation_balance_ranks,
+        "order_spend_share": relational.order_spend_share,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "promo_revenue": relational.promo_revenue,
         "supplier_region_volume": relational.supplier_region_volume,
@@ -276,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
+        "user_event_sequences": streaming.user_event_sequences,
         "distinct_users_by_type": streaming.distinct_users_by_type,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
         "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
@@ -492,6 +496,42 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_totalprice > 300000.0)
             GROUP BY c_mktsegment
+        """,
+        "global_sales_opportunity": """
+            WITH pos AS (
+                SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) AS total_c,
+                       count(*) AS cnt
+                FROM customer WHERE c_acctbal > 0)
+            SELECT n_name AS nation, count(*) AS n_customers,
+                   CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                       AS total_bal_cents
+            FROM customer, pos, nation
+            WHERE CAST(round(c_acctbal*100) AS BIGINT) > total_c // cnt
+              AND c_nationkey = n_nationkey
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= '2001-01-01')
+            GROUP BY 1
+        """,
+        "nation_balance_ranks": """
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   CAST(rank() OVER w AS BIGINT) AS rank_in_nation,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   CAST(ntile(10) OVER w AS BIGINT) AS decile
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey)
+        """,
+        "order_spend_share": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                              CAST(round(o_totalprice*100) AS BIGINT)
+                                  AS cents
+                       FROM orders)
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   round(CAST(cents AS DOUBLE) /
+                         CAST(sum(cents) OVER (PARTITION BY o_custkey)
+                              AS DOUBLE), 6) AS share
+            FROM o
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate,
@@ -960,6 +1000,13 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(b.ts) - epoch_us(a.ts) AS span_us
             FROM (SELECT * FROM o WHERE rf = 1) a
             JOIN (SELECT * FROM o WHERE rl = 1) b USING (user_id)
+        """,
+        "user_event_sequences": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+            FROM events
+            WHERE event_type IS NOT NULL
+            GROUP BY user_id
         """,
         "pii_redact": """
             SELECT doc_id,

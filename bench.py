@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "cross_source_overlap",
     "user_event_entropy",
     "user_first_last",
+    "user_event_sequences",
+    "nation_balance_ranks",
+    "order_spend_share",
+    "global_sales_opportunity",
     "gopher_quality_flags",
     "vocab_growth",
     "top_terms_per_source",

@@ -1785,3 +1785,261 @@ def sole_late_supplier(sf_dir: str, late_days: int = 60, n: int = 20,
     return (agg.map_batches(project, batch_format="pyarrow")
                .sort(["numwait", "s_suppkey"], descending=[True, False])
                .limit(n))
+
+
+def nation_balance_ranks(sf_dir: str) -> "ray.data.Dataset":
+    """Partitioned window ranking — per customer, its rank / percent_rank /
+    ntile(10) decile among its NATION's customers by account balance (the
+    `rank() OVER (PARTITION BY ... ORDER BY ...)` shape Ray Data has no
+    native operator for).
+
+    Scale shape: ONE coarse nation-hash shuffle of the pruned customer
+    rows; each bucket sorts once on (nation, acctbal, custkey) and computes
+    all three window functions with numpy segment arithmetic (repeat /
+    reduceat off the nation boundaries) — no per-nation dispatch.  The
+    ordering key (acctbal, custkey) is a total order, so rank() equals
+    row_number() and every output is deterministic.  A window partition
+    (one nation) must fit one reduce task — the inherent contract of
+    partitioned ranking; for heavier partition keys use the histogram/
+    broadcast-threshold shape of customer_value_deciles instead.
+
+    ntile follows SQL semantics: with n rows in the partition, the first
+    n % 10 deciles get floor(n/10)+1 rows, the rest floor(n/10)."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey",
+                                     "c_acctbal"])
+
+    empty = pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_nationkey": pa.array([], pa.int32()),
+        "c_acctbal": pa.array([], pa.float64()),
+        "rank_in_nation": pa.array([], pa.int64()),
+        "pct_rank": pa.array([], pa.float64()),
+        "decile": pa.array([], pa.int64()),
+    })
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((nk * _GOLDEN) % nc, pa.int64()))
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(group, sort_keys=[
+            ("c_nationkey", "ascending"), ("c_acctbal", "ascending"),
+            ("c_custkey", "ascending")])
+        g = group.take(idx)
+        nk = g.column("c_nationkey").to_numpy()
+        starts = np.flatnonzero(np.r_[True, nk[1:] != nk[:-1]])
+        counts = np.diff(np.r_[starts, len(nk)])
+        i = np.arange(len(nk), dtype=np.int64) - np.repeat(starts, counts)
+        n = np.repeat(counts, counts).astype(np.int64)
+        pct = np.where(n > 1, i / np.maximum(n - 1, 1), 0.0)
+        base, rem = n // 10, n % 10
+        head = rem * (base + 1)                     # rows in the fat deciles
+        decile = np.where(
+            i < head,
+            i // (base + 1),
+            rem + (i - head) // np.maximum(base, 1)) + 1
+        return pa.table({
+            "c_custkey": g.column("c_custkey"),
+            "c_nationkey": g.column("c_nationkey"),
+            "c_acctbal": g.column("c_acctbal"),
+            "rank_in_nation": pa.array(i + 1, pa.int64()),
+            "pct_rank": round6(pa.array(pct, pa.float64())),
+            "decile": pa.array(decile, pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(finish, batch_format="pyarrow"))
+
+
+def order_spend_share(sf_dir: str) -> "ray.data.Dataset":
+    """Per-order share of its customer's lifetime spend — the
+    `x / sum(x) OVER (PARTITION BY key)` per-group normalization shape
+    (ubiquitous in feature engineering), expressed WITHOUT a self-join:
+    ONE coarse customer-hash shuffle, then each bucket sorts by customer
+    once, computes per-customer totals with ``np.add.reduceat`` over the
+    segment boundaries, and broadcasts them back to rows with
+    ``np.repeat`` — totals and shares in the same pass that would
+    otherwise be an aggregate + join-back.
+
+    Money moves as exact cents; the share divides the two int64s as
+    doubles and rounds to 6dp, bit-identical to the SQL twin."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+
+    empty = pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_custkey": pa.array([], pa.int64()),
+        "o_totalprice": pa.array([], pa.float64()),
+        "share": pa.array([], pa.float64()),
+    })
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((ck * _GOLDEN) % nc, pa.int64()))
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(group, sort_keys=[("o_custkey", "ascending")])
+        g = group.take(idx)
+        ck = g.column("o_custkey").to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(g.column("o_totalprice"),
+                                             100.0), ndigits=0,
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        counts = np.diff(np.r_[starts, len(ck)])
+        totals = np.repeat(np.add.reduceat(cents, starts), counts)
+        share = round6(pa.array(cents / totals, pa.float64()))
+        return pa.table({
+            "o_orderkey": g.column("o_orderkey"),
+            "o_custkey": g.column("o_custkey"),
+            "o_totalprice": g.column("o_totalprice"),
+            "share": share,
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(finish, batch_format="pyarrow"))
+
+
+def global_sales_opportunity(sf_dir: str,
+                             cutoff: str = "2001-01-01"
+                             ) -> "ray.data.Dataset":
+    """TPC-H Q22-shaped (global sales opportunity): customers whose account
+    balance is above the average POSITIVE balance and who have placed no
+    order since ``cutoff``, rolled up per nation — the scalar-subquery-as-
+    broadcast-threshold + anti-join + rollup composition.
+
+    Scale shape: pass 1 reduces the balance column to TWO integers (exact
+    cent sum + count of positive balances — a global aggregate whose
+    driver pull is one row); the threshold comparison is the cross-
+    multiplied integer form ``cents > total // cnt`` so no engine ever
+    compares against a lossy double average.  Pass 2 filters customers per
+    batch against those broadcast scalars, anti-joins the survivors
+    against the order keys (hash-shuffle ``left_anti`` — both sides stay
+    distributed), partial-combines per nation, and attaches nation names
+    by broadcast."""
+    import pyarrow.dataset as pads
+    from ..functions.joins import broadcast_join, read_small_table, \
+        join_partitions
+
+    empty = pa.table({
+        "nation": pa.array([], pa.string()),
+        "n_customers": pa.array([], pa.int64()),
+        "total_bal_cents": pa.array([], pa.int64())})
+    if pads.dataset(f"{sf_dir}/customer.parquet").count_rows() == 0:
+        return ray.data.from_arrow(empty)
+
+    def cents_of(col) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(col, 100.0), ndigits=0,
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    bal = sized_read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_acctbal"])
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = cents_of(batch.column("c_acctbal"))
+        pos = cents.filter(pc.greater(batch.column("c_acctbal"), 0.0))
+        return pa.table({"s": pa.array([pc.sum(pos).as_py() or 0],
+                                       pa.int64()),
+                         "c": pa.array([len(pos)], pa.int64())})
+
+    agg = bal.map_batches(pos_partial, batch_format="pyarrow") \
+             .aggregate(Sum("s", alias_name="total"),
+                        Sum("c", alias_name="cnt"))
+    total, cnt = int(agg["total"] or 0), int(agg["cnt"] or 0)
+    if cnt == 0:       # SQL: cross join against an empty scalar row set
+        return ray.data.from_arrow(empty)
+    thr = total // cnt         # cents > thr  <=>  cents * cnt > total
+
+    cust = sized_read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        cents = cents_of(batch.column("c_acctbal"))
+        keep = pc.greater(cents, thr)
+        return pa.table({
+            "c_custkey": batch.column("c_custkey").filter(keep),
+            "c_nationkey": batch.column("c_nationkey").filter(keep),
+            "bal_cents": cents.filter(keep)})
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+
+    cutoff_ts = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
+
+    def recent(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("o_orderdate"), cutoff_ts)
+        # per-batch unique: the anti-join only needs the key SET, so the
+        # shuffle/broadcast payload shrinks to distinct-keys-per-batch
+        return pa.table({"o_custkey": pc.unique(
+            batch.column("o_custkey").filter(keep))})
+
+    # materialize the filtered key projection (it is the join's shuffle
+    # payload anyway) so the emptiness probe and the size rule don't
+    # re-run the read
+    okeys = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(recent, batch_format="pyarrow").materialize()
+    if okeys.count() == 0:
+        pass                            # anti-join vs empty = identity
+    elif okeys.size_bytes() <= _BROADCAST_BYTES:
+        # the filtered key set fits every worker: broadcast anti-join
+        keys_tbl = pa.concat_tables(ray.get(okeys.to_arrow_refs()))
+        keys_tbl = pa.table({"o_custkey":
+                             pc.unique(keys_tbl.column("o_custkey"))})
+        rich_ds = broadcast_join(rich_ds, keys_tbl, on="c_custkey",
+                                 right_on="o_custkey",
+                                 join_type="left anti")
+    else:
+        rich_ds = rich_ds.join(okeys, join_type="left_anti",
+                               num_partitions=join_partitions(None),
+                               on=("c_custkey",), right_on=("o_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"c_nationkey": pa.array([], pa.int32()),
+                             "partial_n": pa.array([], pa.int64()),
+                             "partial_c": pa.array([], pa.int64())})
+        g = (batch.select(["c_nationkey", "bal_cents"])
+                  .group_by("c_nationkey")
+                  .aggregate([([], "count_all"), ("bal_cents", "sum")]))
+        return g.rename_columns(["c_nationkey", "partial_n", "partial_c"])
+
+    per_nation = (rich_ds.map_batches(partial, batch_format="pyarrow")
+                         .groupby("c_nationkey")
+                         .aggregate(Sum("partial_n",
+                                        alias_name="n_customers"),
+                                    Sum("partial_c",
+                                        alias_name="total_bal_cents")))
+    nation = read_small_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])
+    out = broadcast_join(per_nation, nation, on="c_nationkey",
+                         right_on="n_nationkey")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch.column("n_name"),
+            "n_customers": batch.column("n_customers"),
+            "total_bal_cents": batch.column("total_bal_cents")})
+
+    return out.map_batches(finish, batch_format="pyarrow")

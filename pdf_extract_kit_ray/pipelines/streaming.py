@@ -1020,3 +1020,66 @@ def user_cohort_values(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_event_sequences(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user ordered event-type path — the behavioral-sequence
+    extraction a sequence-model training pipeline runs over an event log
+    (user journeys as `click>view>purchase` strings).
+
+    Scale shape: ONE coarse user-hash shuffle of the pruned
+    (user_id, ts, event_id, event_type) rows; each bucket sorts once,
+    finds user segment boundaries with numpy, and joins every user's
+    types in a single ``pc.binary_join`` over a zero-copy LargeListArray
+    built from the segment offsets — no per-user dispatch anywhere.  The
+    output row is one string proportional to the user's event count:
+    inherently a per-key gather (the same contract as SQL ``string_agg``),
+    so a whale user costs its own event count, linear not quadratic.
+
+    Rows with NULL event_type are dropped in both engines (SQL
+    ``string_agg`` would skip them while a join would null the whole
+    sequence; the explicit filter pins one behavior).
+    """
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "seq": pa.array([], pa.large_string()),
+    })
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("event_type")))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        coarse = (uid.astype(np.int64) * _GOLDEN) % nc
+        return batch.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(idx)
+        uid = g.column("user_id").to_numpy()
+        types = pc.cast(g.column("event_type").combine_chunks(),
+                        pa.large_string())
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        offsets = np.r_[starts, len(uid)].astype(np.int64)
+        seq_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), types)
+        return pa.table({
+            "user_id": pa.array(uid[starts].astype(np.int64), pa.int64()),
+            "n_events": pa.array(np.diff(offsets), pa.int64()),
+            "seq": pc.binary_join(seq_list,
+                                  pa.scalar(">", pa.large_string())),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(finish, batch_format="pyarrow"))

@@ -110,19 +110,23 @@ def lang_profile(sf_dir: str) -> "ray.data.Dataset":
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Array:
     """md5 of whitespace-collapsed, lowercased text (the SQL-twinnable
     document fingerprint; rolling-hash shingle fingerprints live in
-    dedup.py).
+    dedup.py).  Null text rows fingerprint to NULL (not md5("")) so null
+    docs can never silently merge with empty-string docs in a dedup
+    group."""
+    norm = pc.utf8_lower(pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(batch.column(text_col), r"\s+", " ")))
+    return md5_hex(norm)
+
+
+def md5_hex(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """md5 hex digest of each row's raw utf8 bytes.
 
     md5 has no Arrow kernel, so per-row hashing is unavoidable — but the
     rows are hashed straight off the Arrow string buffer (memoryview
     slices), skipping the str-materialize + re-encode round-trip (~1.5x on
-    the 100 TB-path map cost).
-
-    Null text rows fingerprint to NULL (not md5("")) so null docs can
-    never silently merge with empty-string docs in a dedup group."""
+    the 100 TB-path map cost).  NULL rows hash to NULL."""
     import numpy as np
-    norm = pc.utf8_lower(pc.utf8_trim_whitespace(
-        pc.replace_substring_regex(batch.column(text_col), r"\s+", " ")))
-    arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset:arr.offset + len(arr) + 1]

@@ -1,0 +1,151 @@
+"""Unit semantics for the partitioned-window operators.
+
+The oracle tests pin these against their SQL twins on the generated
+corpora; the micro-tables here pin the DISCRIMINATING edges the corpora
+may not exercise: ntile's uneven-decile split, single-row partitions,
+acctbal ties broken by custkey, cross-block event ordering for sequence
+extraction, NULL event_type drops, and the Q22 threshold boundary
+(cents == threshold excluded) + recent-order anti-join.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_extract_kit_ray.pipelines import relational, streaming
+
+
+def _write(tmpdir, name, table):
+    os.makedirs(tmpdir, exist_ok=True)
+    pq.write_table(table, os.path.join(tmpdir, f"{name}.parquet"))
+
+
+def _customers(tmpdir, rows):
+    """rows: (custkey, nationkey, acctbal)."""
+    _write(tmpdir, "customer", pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+        "c_nationkey": pa.array([r[1] for r in rows], pa.int32()),
+        "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+        "c_mktsegment": pa.array(["SEG"] * len(rows), pa.string()),
+    }))
+
+
+def test_nation_balance_ranks_edges(ray_session, tmp_path):
+    d = str(tmp_path / "ranks")
+    # nation 0: 12 rows (ntile(10): first 2 deciles get 2 rows), with an
+    # acctbal TIE between custkey 5 and 6 (tie-break on custkey);
+    # nation 1: a single row (pct_rank must be 0.0, decile 1).
+    rows = [(i, 0, float(100 + 10 * i)) for i in range(5)]
+    rows += [(5, 0, 150.0), (6, 0, 150.0)]          # tie with row i=5
+    rows += [(i, 0, float(300 + i)) for i in range(7, 12)]
+    rows += [(99, 1, 42.0)]
+    _customers(d, rows)
+    out = {r["c_custkey"]: r
+           for r in relational.nation_balance_ranks(d).take_all()}
+    assert len(out) == 13
+    # single-row partition
+    assert out[99]["rank_in_nation"] == 1
+    assert out[99]["pct_rank"] == 0.0
+    assert out[99]["decile"] == 1
+    # tie: equal acctbal 150.0 -> custkey ascending decides
+    assert out[5]["rank_in_nation"] + 1 == out[6]["rank_in_nation"]
+    # ntile(10) over n=12: deciles 1 and 2 have 2 rows, the rest 1
+    n0 = [r for r in out.values() if r["c_nationkey"] == 0]
+    sizes = {}
+    for r in n0:
+        sizes[r["decile"]] = sizes.get(r["decile"], 0) + 1
+    assert sizes == {1: 2, 2: 2, **{k: 1 for k in range(3, 11)}}
+    # pct_rank of the max row is exactly 1.0
+    assert max(r["pct_rank"] for r in n0) == 1.0
+
+
+def test_order_spend_share_edges(ray_session, tmp_path):
+    d = str(tmp_path / "share")
+    _write(d, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 10, 10, 20], pa.int64()),
+        # 0.01-cent values exercise the exact-cents rounding
+        "o_totalprice": pa.array([10.00, 20.00, 10.005, 5.55],
+                                 pa.float64()),
+        "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+        "o_orderdate": pa.array([1_700_000_000_000_000] * 4,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+    }))
+    out = {r["o_orderkey"]: r
+           for r in relational.order_spend_share(d).take_all()}
+    # single-order customer: share exactly 1.0
+    assert out[4]["share"] == 1.0
+    # 10.005 rounds half-away to 1001 cents; total = 1000+2000+1001
+    assert out[3]["share"] == round(1001 / 4001, 6)
+    assert out[1]["share"] == round(1000 / 4001, 6)
+
+
+def _events(tmpdir, rows):
+    """rows: (event_id, ts_us, user_id, event_type)."""
+    _write(tmpdir, "events", pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    }))
+
+
+def test_user_event_sequences_ordering_and_nulls(ray_session, tmp_path):
+    d = str(tmp_path / "seq")
+    t0 = 1_700_000_000_000_000
+    _events(d, [
+        # user 1 written OUT of time order (and with an event_id tie-break
+        # at equal ts: ids 3 then 4 at t0+2 -> "d" before "c", matching the
+        # SQL twin's ORDER BY ts, event_id)
+        (9, t0 + 5, 1, "e"),
+        (4, t0 + 2, 1, "c"),
+        (1, t0 + 0, 1, "a"),
+        (3, t0 + 2, 1, "d"),
+        (2, t0 + 1, 1, "b"),
+        # user 2: a NULL type row that must be dropped, not nulled through
+        (5, t0 + 0, 2, "x"),
+        (6, t0 + 1, 2, None),
+        (7, t0 + 2, 2, "y"),
+    ])
+    out = {r["user_id"]: r
+           for r in streaming.user_event_sequences(d).take_all()}
+    assert out[1]["seq"] == "a>b>d>c>e"
+    assert out[1]["n_events"] == 5
+    assert out[2]["seq"] == "x>y"
+    assert out[2]["n_events"] == 2
+
+
+def test_global_sales_opportunity_boundary(ray_session, tmp_path):
+    d = str(tmp_path / "q22")
+    # positive balances: 100.00 and 200.00 -> avg 150.00 (15000 cents,
+    # exact).  cents == threshold must be EXCLUDED (strict >).
+    _customers(d, [(1, 0, 100.0), (2, 0, 200.0), (3, 0, 150.0),
+                   (4, 1, 180.0), (5, 1, -50.0)])
+    _write(d, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+        "n_regionkey": pa.array([0, 0], pa.int32()),
+    }))
+    # cutoff 2001-01-01 = 978307200e6 us; "old" ~1998-07, "new" ~2027
+    old, new = 900_000_000_000_000, 1_800_000_000_000_000
+    _write(d, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        # cust 2 has only an OLD order (stays); cust 4 a RECENT one (drops)
+        "o_custkey": pa.array([2, 4], pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"], pa.string()),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array([old, new], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"], pa.string()),
+    }))
+    out = {r["nation"]: r
+           for r in relational.global_sales_opportunity(d).take_all()}
+    # avg positive = (100+200+150+180)/4 = 157.50 -> thr 15750 cents.
+    # qualifying: cust 2 (20000 > 15750, old order only),
+    #             cust 4 (18000 > 15750) is dropped by its recent order.
+    assert set(out) == {"ALPHA"}
+    assert out["ALPHA"]["n_customers"] == 1
+    assert out["ALPHA"]["total_bal_cents"] == 20000
