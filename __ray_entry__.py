@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "curated_docs": dedup.curated_docs,
+        "dedup_keep_best": dedup.dedup_keep_best,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
@@ -280,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
         "user_event_sequences": streaming.user_event_sequences,
+        "inter_event_gaps": streaming.inter_event_gaps,
         "distinct_users_by_type": streaming.distinct_users_by_type,
         "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
         "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
@@ -871,6 +873,21 @@ def oracle_sql() -> dict[str, str]:
             FROM q WHERE quality >= 0.5
             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
         """,
+        "dedup_keep_best": f"""
+            WITH q AS (
+                SELECT doc_id, COALESCE({fp_expr}, '(null)') AS fp,
+                       {quality_expr} AS quality
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(round(quality * 1000000.0) AS BIGINT) / 1000000.0
+                       AS quality,
+                   CAST(count(*) OVER (PARTITION BY fp) AS BIGINT)
+                       AS n_copies
+            FROM q
+            QUALIFY row_number() OVER (
+                PARTITION BY fp ORDER BY quality DESC, doc_id ASC) = 1
+        """,
         "tfidf_top_terms": """
             WITH tok AS (
                 SELECT source,
@@ -1007,6 +1024,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL
             GROUP BY user_id
+        """,
+        "inter_event_gaps": """
+            WITH g AS (
+                SELECT COALESCE(event_type, '(null)') AS event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap_us
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                   round(CAST(sum(gap_us) AS DOUBLE) /
+                         (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+                       AS mean_gap_sec
+            FROM g
+            WHERE gap_us IS NOT NULL
+            GROUP BY 1
         """,
         "pii_redact": """
             SELECT doc_id,

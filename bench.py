@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "user_event_entropy",
     "user_first_last",
     "user_event_sequences",
+    "inter_event_gaps",
+    "dedup_keep_best",
     "nation_balance_ranks",
     "order_spend_share",
     "global_sales_opportunity",

@@ -201,6 +201,70 @@ def curated_docs(sf_dir: str, min_quality: float = 0.5) -> "ray.data.Dataset":
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+def dedup_keep_best(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup keeping the BEST copy: within each exact-duplicate
+    cluster (normalized-text fingerprint) keep the doc with the highest
+    quality score, tie-broken by lowest doc_id — the curation policy a
+    training-data pipeline actually wants (``exact_dedup``/``curated_docs``
+    keep the min doc_id, i.e. an arbitrary canonical copy).
+
+    Same one-shuffle shape as ``curated_docs``: the map computes
+    fingerprint + quality per batch and packs ``(1e6 - quality_micro,
+    doc_id)`` into ONE int64 so a native Min aggregate selects
+    (max quality, then min doc_id) and carries both through the coarse
+    fingerprint shuffle — no map_groups, no second read.  Requires
+    ``0 <= doc_id < 1e12`` (checked per batch; quality is bounded [0,1]
+    by construction).  A per-batch partial count rides along so the
+    output also reports each kept doc's cluster size ``n_copies``.
+
+    NULL text fingerprints to the ``"(null)"`` sentinel class, matching
+    SQL ``GROUP BY``'s all-NULLs-are-one-group semantics (mirrored by
+    COALESCE in the twin): all null docs form one cluster with quality
+    0.0, keeping the lowest doc_id."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from .text import fingerprint_batch, quality_score
+
+    _ID_BASE = 1_000_000_000_000
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id")
+        if batch.num_rows:
+            lo, hi = pc.min_max(doc_id).values()
+            if lo.as_py() < 0 or hi.as_py() >= _ID_BASE:
+                raise ValueError(
+                    f"dedup_keep_best packs doc_id into 12 decimal digits; "
+                    f"got doc_id range [{lo}, {hi}]")
+        q_micro = pc.cast(pc.round(pc.multiply(
+            quality_score(batch.column("text")), 1000000.0)), pa.int64())
+        pack = pc.add(pc.multiply(pc.subtract(pa.scalar(1_000_000,
+                                                        pa.int64()),
+                                              q_micro), _ID_BASE), doc_id)
+        fp = pc.fill_null(fingerprint_batch(batch), "(null)")
+        return (pa.table({"fp": fp, "pack": pack})
+                .group_by("fp")
+                .aggregate([("pack", "min"), ([], "count_all")])
+                .rename_columns(["fp", "pack", "partial_c"]))
+
+    agg = coarse_grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), "fp",
+        [("pack", "min", "pack"), ("partial_c", "sum", "n_copies")])
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pack = batch.column("pack")
+        neg_q = pc.divide(pack, _ID_BASE)
+        return pa.table({
+            "doc_id": pc.subtract(pack, pc.multiply(neg_q, _ID_BASE)),
+            "quality": pc.divide(pc.cast(
+                pc.subtract(pa.scalar(1_000_000, pa.int64()), neg_q),
+                pa.float64()), 1000000.0),
+            "n_copies": pc.cast(batch.column("n_copies"), pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------

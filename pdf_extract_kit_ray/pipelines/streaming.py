@@ -1083,3 +1083,92 @@ def user_event_sequences(sf_dir: str) -> "ray.data.Dataset":
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("__coarse")
               .map_groups(finish, batch_format="pyarrow"))
+
+
+def inter_event_gaps(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type inter-arrival statistics — for every event, the gap
+    since the SAME user's previous event (any type), attributed to the
+    later event's type; rolled up per type as (n_gaps, sum/max gap μs,
+    mean gap seconds).  The `lag() OVER (PARTITION BY user ORDER BY ts)`
+    shape — the canonical feature-engineering window Ray Data has no
+    native operator for — plus the tiny rollup.
+
+    Scale shape: ONE coarse user-hash shuffle of the pruned
+    (user_id, ts, event_id, event_type) rows; each bucket sorts once,
+    diffs timestamps within user segments (numpy), masks each user's
+    first event, partial-combines per type, and a #types-sized groupby
+    finishes.  Mean = round6(sum_us / (n * 1e6)) computed identically in
+    both engines off exact int64 sums, so ordering cannot perturb it.
+
+    Contracts: rows with NULL ts are dropped in both engines (lag over
+    NULL timestamps is order-undefined); NULL event_type is the
+    "(null)" sentinel class (COALESCE in the twin) since Ray's
+    sort-based group partitioning cannot order NULL keys."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        coarse = (uid.astype(np.int64) * _GOLDEN) % nc
+        return batch.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    empty_p = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "n_p": pa.array([], pa.int64()),
+        "sum_p": pa.array([], pa.int64()),
+        "max_p": pa.array([], pa.int64()),
+    })
+
+    def bucket_partials(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_p
+        idx = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(idx)
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        gap = np.diff(ts, prepend=np.int64(0))
+        has_gap = np.r_[False, uid[1:] == uid[:-1]]   # user's first: no gap
+        etype = pc.fill_null(g.column("event_type"), "(null)")
+        t = pa.table({
+            "event_type": etype.combine_chunks().filter(
+                pa.array(has_gap)),
+            "gap": pa.array(gap[has_gap], pa.int64()),
+        })
+        return (t.group_by("event_type")
+                 .aggregate([([], "count_all"), ("gap", "sum"),
+                             ("gap", "max")])
+                 .rename_columns(["event_type", "n_p", "sum_p", "max_p"]))
+
+    agg = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("__coarse")
+             .map_groups(bucket_partials, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n_p", alias_name="n_gaps"),
+                        Sum("sum_p", alias_name="sum_gap_us"),
+                        Max("max_p", alias_name="max_gap_us")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_gaps"), pa.int64())
+        s = pc.cast(batch.column("sum_gap_us"), pa.int64())
+        mean = round6(pc.divide(
+            pc.cast(s, pa.float64()),
+            pc.multiply(pc.cast(n, pa.float64()), 1000000.0)))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_gaps": n,
+            "sum_gap_us": s,
+            "max_gap_us": pc.cast(batch.column("max_gap_us"), pa.int64()),
+            "mean_gap_sec": mean,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -27,7 +27,7 @@ QUERIES = [
     "users_active_both_halves", "distinct_event_types",
     "engaged_users_union", "hll_distinct_by_type", "user_first_last",
     "session_stats", "event_transitions", "event_order_audit",
-    "user_cohort_values", "user_event_sequences",
+    "user_cohort_values", "user_event_sequences", "inter_event_gaps",
 ]
 TYPES = ["click", "view", "purchase", "signup", "error"]
 

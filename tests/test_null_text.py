@@ -32,7 +32,7 @@ ORACLE_QUERIES = [
     "exact_dedup", "unigram_logprob", "doc_fingerprints",
     "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
     "dedup_rate_report", "token_budget_mixture", "cross_source_overlap",
-    "top_terms_per_source",
+    "top_terms_per_source", "dedup_keep_best",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 

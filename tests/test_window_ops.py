@@ -149,3 +149,53 @@ def test_global_sales_opportunity_boundary(ray_session, tmp_path):
     assert set(out) == {"ALPHA"}
     assert out["ALPHA"]["n_customers"] == 1
     assert out["ALPHA"]["total_bal_cents"] == 20000
+
+
+def test_inter_event_gaps_edges(ray_session, tmp_path):
+    d = str(tmp_path / "gaps")
+    t0 = 1_700_000_000_000_000
+    _events(d, [
+        # user 1: gaps 2s then 3s; second gap lands on a NULL-type event
+        # (the "(null)" sentinel class), third event closes a typed gap
+        (1, t0 + 0, 1, "a"),
+        (2, t0 + 2_000_000, 1, "b"),
+        (3, t0 + 5_000_000, 1, None),
+        # user 2: single event -> contributes NO gap anywhere
+        (4, t0 + 0, 2, "a"),
+    ])
+    out = {r["event_type"]: r
+           for r in streaming.inter_event_gaps(d).take_all()}
+    assert set(out) == {"b", "(null)"}
+    assert out["b"]["n_gaps"] == 1
+    assert out["b"]["sum_gap_us"] == 2_000_000
+    assert out["b"]["max_gap_us"] == 2_000_000
+    assert out["b"]["mean_gap_sec"] == 2.0
+    assert out["(null)"]["sum_gap_us"] == 3_000_000
+
+
+def test_dedup_keep_best_edges(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from pdf_extract_kit_ray.pipelines import dedup
+
+    d = str(tmp_path / "keepbest")
+    # docs 1/2/3 share one normalized fingerprint ("hello world") but the
+    # raw texts differ in whitespace, so their quality scores differ:
+    # doc 2 (no padding) scores highest and must win despite doc 1 being
+    # the lower doc_id; docs 4/5 are the all-NULL sentinel cluster.
+    _write(d, "documents", pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["Hello   World      ", "hello world",
+                          "  HELLO WORLD          ", None, None],
+                         pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(["s"] * 5, pa.string()),
+        "n_chars": pa.array([19, 11, 23, 0, 0], pa.int64()),
+    }))
+    out = {r["doc_id"]: r for r in dedup.dedup_keep_best(d).take_all()}
+    assert set(out) == {2, 4}
+    assert out[2]["n_copies"] == 3
+    assert out[2]["quality"] > 0.5
+    # null cluster: quality pinned 0.0, min doc_id kept
+    assert out[4]["n_copies"] == 2
+    assert out[4]["quality"] == 0.0
