@@ -1907,7 +1907,13 @@ def order_spend_share(sf_dir: str) -> "ray.data.Dataset":
         starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
         counts = np.diff(np.r_[starts, len(ck)])
         totals = np.repeat(np.add.reduceat(cents, starts), counts)
-        share = round6(pa.array(cents / totals, pa.float64()))
+        # a zero-cent customer total (free or offsetting orders) divides by
+        # zero: SQL yields NULL, so mask those rows null instead of letting
+        # nan/inf blow up round6's int64 snap
+        zero = totals == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.where(zero, 0.0, cents / np.where(zero, 1, totals))
+        share = round6(pa.array(raw, pa.float64(), mask=zero))
         return pa.table({
             "o_orderkey": g.column("o_orderkey"),
             "o_custkey": g.column("o_custkey"),

@@ -199,3 +199,30 @@ def test_dedup_keep_best_edges(ray_session, tmp_path):
     # null cluster: quality pinned 0.0, min doc_id kept
     assert out[4]["n_copies"] == 2
     assert out[4]["quality"] == 0.0
+
+
+def test_order_spend_share_zero_total(ray_session, tmp_path):
+    """A customer whose order cents sum to zero (free order, or offsetting
+    positive/negative prices) divides by zero: the SQL twin returns NULL
+    for every such share, never nan/inf/crash."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "share0")
+    _write(d, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 20, 20, 30], pa.int64()),
+        # cust 10: single free order (0/0); cust 20: offsetting +/- 100
+        # (100/0 and -100/0); cust 30: normal control row
+        "o_totalprice": pa.array([0.0, 100.0, -100.0, 50.0], pa.float64()),
+        "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+        "o_orderdate": pa.array([1_700_000_000_000_000] * 4,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+    }))
+    out = {r["o_orderkey"]: r
+           for r in relational.order_spend_share(d).take_all()}
+    assert len(out) == 4
+    assert out[1]["share"] is None
+    assert out[2]["share"] is None
+    assert out[3]["share"] is None
+    assert out[4]["share"] == 1.0
