@@ -1160,8 +1160,12 @@ def inter_event_gaps(sf_dir: str) -> "ray.data.Dataset":
     def finish(batch: pa.Table) -> pa.Table:
         n = pc.cast(batch.column("n_gaps"), pa.int64())
         s = pc.cast(batch.column("sum_gap_us"), pa.int64())
+        # a corpus-scale μs sum exceeds 2^53, where Arrow's CHECKED
+        # int64->float64 cast raises; SQL's CAST(... AS DOUBLE) is lossy-
+        # permissive, so mirror it (both engines then do the same double
+        # division on the same rounded operand)
         mean = round6(pc.divide(
-            pc.cast(s, pa.float64()),
+            pc.cast(s, pa.float64(), safe=False),
             pc.multiply(pc.cast(n, pa.float64()), 1000000.0)))
         return pa.table({
             "event_type": batch.column("event_type"),

@@ -134,6 +134,24 @@ def main() -> None:
     streaming.user_event_entropy(OUT).to_pandas()
     res["user_event_entropy_sec"] = round(time.time() - t0, 1)
 
+    t0 = time.time()
+    seq = streaming.user_event_sequences(OUT).to_pandas()
+    res["user_event_sequences_sec"] = round(time.time() - t0, 1)
+    s0 = seq[seq.user_id == 0].iloc[0]
+    res["u0_sequence_ok"] = bool(
+        s0.n_events == 20
+        and s0.seq == ">".join(["signup>click>view>purchase"] * 5))
+    res["sequence_events_total_ok"] = bool(
+        int(seq.n_events.sum()) == N_EVENTS)
+
+    t0 = time.time()
+    gaps = streaming.inter_event_gaps(OUT).to_pandas()
+    res["inter_event_gaps_sec"] = round(time.time() - t0, 1)
+    # every user contributes (its event count - 1) gaps: total gaps must
+    # equal events minus distinct users (user_first_last's row count)
+    res["gap_count_ok"] = bool(
+        int(gaps.n_gaps.sum()) == N_EVENTS - len(fl))
+
     res["driver_peak_rss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)
     print(json.dumps(res))
