@@ -107,8 +107,8 @@ def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
         agg = tc.group_by("idx").aggregate(
             [("c", "sum"), ("c", "max"), ("c", "count")]) \
             .rename_columns(["idx", "n_tokens", "top_c", "n_distinct"])
-        frac = pc.divide(pc.cast(agg.column("top_c"), pa.float64()),
-                         pc.cast(agg.column("n_tokens"), pa.float64()))
+        frac = pc.divide(pc.cast(agg.column("top_c"), pa.float64(), safe=False),
+                         pc.cast(agg.column("n_tokens"), pa.float64(), safe=False))
         return pa.table({
             "doc_id": batch.column("doc_id").take(agg.column("idx")),
             "n_tokens": pc.cast(agg.column("n_tokens"), pa.int64()),

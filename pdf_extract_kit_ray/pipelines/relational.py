@@ -71,17 +71,17 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> "ray.data.Dat
                         Sum("partial_n", alias_name="count_order")))
 
     def finish(batch: pa.Table) -> pa.Table:
-        qty = pc.divide(pc.cast(batch.column("qty_c"), pa.float64()), 100.0)
+        qty = pc.divide(pc.cast(batch.column("qty_c"), pa.float64(), safe=False), 100.0)
         return pa.table({
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
             "sum_qty": qty,
             "sum_base_price": pc.divide(
-                pc.cast(batch.column("price_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("price_c"), pa.float64(), safe=False), 100.0),
             "sum_disc_price": pc.divide(
-                pc.cast(batch.column("disc_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("disc_c"), pa.float64(), safe=False), 100.0),
             "avg_qty": pc.divide(
-                qty, pc.cast(batch.column("count_order"), pa.float64())),
+                qty, pc.cast(batch.column("count_order"), pa.float64(), safe=False)),
             "count_order": batch.column("count_order"),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -126,7 +126,7 @@ def orders_per_nation(sf_dir: str) -> "ray.data.Dataset":
             "nation": batch.column("nation"),
             "n_orders": batch.column("n_orders"),
             "total_price": pc.divide(
-                pc.cast(batch.column("price_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("price_c"), pa.float64(), safe=False), 100.0),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -194,7 +194,7 @@ def nation_year_rollup(sf_dir: str) -> "ray.data.Dataset":
                                  pa.scalar(None, pa.int64()), year),
             "n_orders": batch.column("n_orders"),
             "total_price": pc.divide(
-                pc.cast(batch.column("cents"), pa.float64()), 100.0),
+                pc.cast(batch.column("cents"), pa.float64(), safe=False), 100.0),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -226,7 +226,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
             "event_type": batch.column("event_type"),
             "n_events": batch.column("n_events"),
             "sum_value": pc.divide(
-                pc.cast(batch.column("sum_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("sum_c"), pa.float64(), safe=False), 100.0),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -252,7 +252,7 @@ def top_users(sf_dir: str, n: int = 20) -> "ray.data.Dataset":
         return pa.table({
             "user_id": batch.column("user_id"),
             "total_value": pc.divide(
-                pc.cast(batch.column("total_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("total_c"), pa.float64(), safe=False), 100.0),
         })
     return (agg.map_batches(finish, batch_format="pyarrow")
                .sort(["total_value", "user_id"], descending=[True, False])
@@ -294,7 +294,7 @@ def user_running_totals(sf_dir: str, max_user: int = 50) -> "ray.data.Dataset":
         return pa.table({
             "user_id": group.column("user_id"),
             "event_id": group.column("event_id"),
-            "running_value": pc.divide(pc.cast(run, pa.float64()), 100.0),
+            "running_value": pc.divide(pc.cast(run, pa.float64(), safe=False), 100.0),
         })
 
     return (ds.map_batches(prefilter, batch_format="pyarrow")
@@ -350,7 +350,7 @@ def order_priority_revenue(sf_dir: str,
             "o_orderpriority": batch.column("o_orderpriority"),
             "n_items": batch.column("n_items"),
             "revenue": pc.divide(
-                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("rev_c"), pa.float64(), safe=False), 100.0),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -441,7 +441,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             "l_orderkey": batch.column("l_orderkey"),
             "o_orderdate": batch.column("o_orderdate").cast(pa.timestamp("us")),
             "revenue": pc.divide(
-                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("rev_c"), pa.float64(), safe=False), 100.0),
         })
 
     def recast(batch: pa.Table) -> pa.Table:
@@ -569,7 +569,7 @@ def supplier_region_volume(sf_dir: str,
         return pa.table({
             "region": batch.column("r_name"),
             "revenue": pc.divide(
-                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("rev_c"), pa.float64(), safe=False), 100.0),
             "n_items": batch.column("n_items"),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -834,7 +834,7 @@ def events_value_bands(sf_dir: str, band_width: float = 100.0) -> "ray.data.Data
             "band": batch.column("band"),
             "n_events": batch.column("n_events"),
             "sum_value": pc.divide(
-                pc.cast(batch.column("sum_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("sum_c"), pa.float64(), safe=False), 100.0),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -925,7 +925,7 @@ def big_orders(sf_dir: str, qty_threshold: int = 300,
             "o_orderdate": batch.column("o_orderdate"),
             "o_totalprice": batch.column("o_totalprice"),
             "total_qty": pc.divide(
-                pc.cast(batch.column("qty_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("qty_c"), pa.float64(), safe=False), 100.0),
         })
 
     return joined.map_batches(project, batch_format="pyarrow")
@@ -1013,7 +1013,7 @@ def nation_trade_volume(sf_dir: str,
             "cust_nation": batch.column("cust_nation"),
             "yr": batch.column("yr"),
             "revenue": pc.divide(
-                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("rev_c"), pa.float64(), safe=False), 100.0),
             "n_items": batch.column("n_items"),
         })
 
@@ -1087,7 +1087,7 @@ def brand_disjunction_revenue(sf_dir: str) -> "ray.data.Dataset":
             "p_brand": batch.column("p_brand"),
             "n_items": batch.column("n_items"),
             "revenue": pc.divide(
-                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("rev_c"), pa.float64(), safe=False), 100.0),
         })
 
     return (joined.map_batches(partial, batch_format="pyarrow")
@@ -1208,7 +1208,7 @@ def customer_value_deciles(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({
             "custkey": batch.column("custkey"),
             "total_value": pc.divide(
-                pc.cast(batch.column("total_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("total_c"), pa.float64(), safe=False), 100.0),
             "decile": pa.array(decile.astype(np.int64), pa.int64()),
         })
 
@@ -1290,8 +1290,8 @@ def market_share(sf_dir: str, region: str = "ASIA",
                             Sum("partial_tgt", alias_name="tgt_c")))
 
     def finish(batch: pa.Table) -> pa.Table:
-        rev = pc.cast(batch.column("rev_c"), pa.float64())
-        tgt = pc.cast(batch.column("tgt_c"), pa.float64())
+        rev = pc.cast(batch.column("rev_c"), pa.float64(), safe=False)
+        tgt = pc.cast(batch.column("tgt_c"), pa.float64(), safe=False)
         return pa.table({
             "yr": batch.column("yr"),
             "mkt_share": round6(pc.divide(tgt, rev)),
@@ -1373,7 +1373,7 @@ def product_type_profit(sf_dir: str, name_token: str = "red",
             "supp_nation": batch.column("supp_nation"),
             "yr": batch.column("yr"),
             "profit": pc.divide(
-                pc.cast(batch.column("profit_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("profit_c"), pa.float64(), safe=False), 100.0),
             "n_items": batch.column("n_items"),
         })
 
@@ -1486,7 +1486,7 @@ def returned_item_revenue(sf_dir: str, lo: str = "1997-07-01",
             "c_acctbal": batch.column("c_acctbal"),
             "nation": batch.column("n_name"),
             "revenue": pc.divide(
-                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("rev_c"), pa.float64(), safe=False), 100.0),
         })
 
     return (agg.map_batches(finish, batch_format="pyarrow")
@@ -1604,7 +1604,7 @@ def top_supplier(sf_dir: str, lo: str = "1997-01-01",
             "s_suppkey": batch.column("l_suppkey"),
             "s_name": batch.column("s_name"),
             "total_revenue": pc.divide(
-                pc.cast(batch.column("rev_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("rev_c"), pa.float64(), safe=False), 100.0),
         })
 
     return winners.map_batches(finish, batch_format="pyarrow")

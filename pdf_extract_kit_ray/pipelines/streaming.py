@@ -779,7 +779,7 @@ def events_anomalous_hours(sf_dir: str,
     thr = (k_sigma * k_sigma) * var
 
     def flag(batch: pa.Table) -> pa.Table:
-        n = pc.cast(batch.column("n_events"), pa.float64())
+        n = pc.cast(batch.column("n_events"), pa.float64(), safe=False)
         d = pc.subtract(n, mu)
         return batch.filter(pc.greater(pc.multiply(d, d), thr))
 
@@ -1016,7 +1016,7 @@ def user_cohort_values(sf_dir: str) -> "ray.data.Dataset":
             "age_months": batch.column("age_months"),
             "n_users": batch.column("n_users"),
             "total_value": pc.divide(
-                pc.cast(batch.column("v_c"), pa.float64()), 100.0),
+                pc.cast(batch.column("v_c"), pa.float64(), safe=False), 100.0),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
