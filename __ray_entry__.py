@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "user_running_totals": relational.user_running_totals,
         "order_priority_revenue": relational.order_priority_revenue,
+        "forecast_revenue": relational.forecast_revenue,
+        "late_shipment_priority": relational.late_shipment_priority,
         "customers_without_orders": relational.customers_without_orders,
         "global_sales_opportunity": relational.global_sales_opportunity,
         "nation_balance_ranks": relational.nation_balance_ranks,
@@ -489,6 +491,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n_items,
                    sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0) AS BIGINT))/100.0 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        # Q6 shape: one pruned scan + scalar aggregate; the discount
+        # window compares exact integer cents in both engines so float
+        # representation of 0.05/0.07 cannot flip a row.
+        "forecast_revenue": """
+            SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100.0) AS BIGINT)), 0) AS DOUBLE)/100.0 AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND CAST(floor(l_discount*100.0) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # Q4 shape: EXISTS(lineitem shipped > 90 days after order date)
+        # per priority — the engine reduces lineitem to per-order max
+        # shipdate before its one shuffle (max > cutoff ⇔ EXISTS).
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
             GROUP BY o_orderpriority
         """,
         "customers_without_orders": """

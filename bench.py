@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ivf_topk",
     "order_priority_revenue",
+    "forecast_revenue",
+    "late_shipment_priority",
     "q3_shipping_priority",
     "promo_revenue",
     "supplier_region_volume",

@@ -2049,3 +2049,85 @@ def global_sales_opportunity(sf_dir: str,
             "total_bal_cents": batch.column("total_bal_cents")})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def forecast_revenue(sf_dir: str, lo: str = "1997-01-01",
+                     hi: str = "1998-01-01") -> "ray.data.Dataset":
+    """TPC-H Q6-shaped: revenue uplift from dropping small discounts — one
+    pruned scan of lineitem, every predicate vectorized per batch, a
+    scalar global aggregate.  The discount window is compared on exact
+    integer cents (floor(x*100)) in BOTH engines so float representation
+    of 0.05/0.07 cannot flip a row.  Revenue = sum(extendedprice *
+    discount) in exact cents (see module float discipline)."""
+    lo_ts = pa.scalar(pd.Timestamp(lo), pa.timestamp("us"))
+    hi_ts = pa.scalar(pd.Timestamp(hi), pa.timestamp("us"))
+
+    line = sized_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        disc_c = _cents(batch.column("l_discount"))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(sd, lo_ts), pc.less(sd, hi_ts)),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_c, 5), pc.less_equal(disc_c, 7)),
+                pc.less(batch.column("l_quantity"), 24.0)))
+        kept = batch.filter(pc.fill_null(keep, False))
+        rev_c = _cents(pc.multiply(kept.column("l_extendedprice"),
+                                   kept.column("l_discount")))
+        return pa.table({
+            "rev_c": pa.array([pc.sum(rev_c).as_py() or 0], pa.int64()),
+            "n": pa.array([kept.num_rows], pa.int64())})
+
+    agg = (line.map_batches(partial, batch_format="pyarrow")
+               .aggregate(Sum("rev_c", alias_name="rev_c"),
+                          Sum("n", alias_name="n")))
+    rev_c = agg["rev_c"] or 0
+    n = agg["n"] or 0
+    return ray.data.from_arrow(pa.table({
+        "revenue": pa.array([rev_c / 100.0], pa.float64()),
+        "n_lines": pa.array([n], pa.int64())}))
+
+
+def late_shipment_priority(sf_dir: str, grace_days: int = 90,
+                           num_partitions: "int | None" = None) -> "ray.data.Dataset":
+    """TPC-H Q4-shaped: orders with at least one lineitem shipped more
+    than ``grace_days`` after the order date, counted per order priority.
+    The EXISTS subquery never joins the raw lineitem table: per-batch
+    (orderkey, max shipdate) partials reduce it to one row per orderkey
+    BEFORE the one coarse shuffle (max(l_shipdate) > o_orderdate + g  ⇔
+    ∃ line: l_shipdate > o_orderdate + g), then the size-based join rule
+    attaches orders, and the priority rollup is a tiny groupby."""
+    from ..functions.agg import coarse_grouped_aggregate
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return g.rename_columns(["l_orderkey", "max_ship"])
+
+    max_ship = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "l_orderkey", [("max_ship", "max", "max_ship")])
+
+    joined = sized_join(max_ship, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
+    grace = pa.scalar(grace_days * 86_400_000_000, pa.duration("us"))
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch.column("max_ship"),
+                          pc.add(batch.column("o_orderdate"), grace))
+        t = pa.table({"o_orderpriority":
+                      batch.column("o_orderpriority").filter(late)})
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "partial_n"])
+
+    return (joined.map_batches(late_partial, batch_format="pyarrow")
+                  .groupby("o_orderpriority")
+                  .aggregate(Sum("partial_n", alias_name="n_orders")))
