@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_weighted_sample": curation.quality_weighted_sample,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
+        "paragraph_dedup": dedup.paragraph_dedup,
         "curated_docs": dedup.curated_docs,
         "dedup_keep_best": dedup.dedup_keep_best,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -886,6 +887,30 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
             SELECT {fp_expr} AS fp, min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        # C4-style paragraph-level dedup with reassembly: keep the first
+        # corpus-wide occurrence (min doc_id, then position) of each exact
+        # paragraph, rebuild each doc from its survivors.  NULL-text docs
+        # yield no unnest rows and vanish in both engines; all-duplicate
+        # docs keep a row with NULL text_dedup (string_agg over 0 rows).
+        "paragraph_dedup": """
+            WITH paras AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS para,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS para_ord
+                FROM documents
+            ), flagged AS (
+                SELECT doc_id, para_ord, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, para_ord) AS rn
+                FROM paras
+            )
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   count(*) FILTER (WHERE rn = 1) AS n_kept,
+                   string_agg(para, chr(10) ORDER BY para_ord)
+                       FILTER (WHERE rn = 1) AS text_dedup
+            FROM flagged GROUP BY doc_id
         """,
         "curated_docs": f"""
             WITH q AS (

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "lang_profile",
     "doc_fingerprints",
     "exact_dedup",
+    "paragraph_dedup",
     "curated_docs",
     "minhash_dedup",
     "simhash_dedup",

@@ -1294,3 +1294,158 @@ def cross_source_overlap(sf_dir: str, key: str = "term"
                                batch_format="pyarrow"))
     return partials.groupby(["source_a", "source_b"]).aggregate(
         Sum("partial_n", alias_name="n_shared"))
+
+
+def paragraph_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style paragraph-level exact dedup with reassembly: split every
+    doc on newlines, keep only the FIRST occurrence corpus-wide of each
+    exact paragraph (winner = min (doc_id, position)), and rebuild each
+    doc's text from its surviving paragraphs.  Returns one row per doc:
+    (doc_id, n_paras, n_kept, text_dedup) — text_dedup NULL when every
+    paragraph of the doc was a duplicate (SQL string_agg semantics).
+
+    Scale shape: vectorized explode (one split kernel + numpy repeat,
+    no per-row loop), then exactly TWO coarse shuffles — one on the
+    paragraph string (each paragraph's occurrences co-bucket, so the
+    global winner is decided with a segment scan, no per-paragraph
+    dispatch) and one on doc_id for reassembly (per-doc gather, linear
+    in doc size, the same contract as SQL string_agg).  Paragraph text
+    moves through each shuffle once; nothing corpus-sized touches the
+    driver.  Docs with NULL text are dropped in both engines (SQL
+    ``unnest(string_split(NULL))`` yields no rows)."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        split = pc.split_pattern(
+            batch.column("text").combine_chunks(), "\n")
+        flat = pc.list_flatten(split)
+        lens = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        ends = np.cumsum(lens)
+        ord1 = np.arange(int(ends[-1]) if len(ends) else 0,
+                         dtype=np.int64) - np.repeat(ends - lens, lens) + 1
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "para_ord": pa.array(ord1, pa.int64()),
+            "para": flat,
+            "__coarse": pa.array(_string_coarse_hash(flat, nc), pa.int64()),
+        })
+
+    empty_flags = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "para_ord": pa.array([], pa.int64()),
+        "para": pa.array([], pa.string()),
+        "__dcoarse": pa.array([], pa.int64()),
+    })
+
+    def winners(group: pa.Table) -> pa.Table:
+        """One paragraph-hash bucket: mark the global first occurrence of
+        each distinct paragraph (sort brings equal paras adjacent; the
+        segment head is the (doc_id, para_ord) minimum)."""
+        if group.num_rows == 0:
+            return empty_flags
+        idx = pc.sort_indices(group, sort_keys=[
+            ("para", "ascending"), ("doc_id", "ascending"),
+            ("para_ord", "ascending")])
+        g = group.take(idx)
+        p = g.column("para").combine_chunks()
+        neq = pc.not_equal(p.slice(1), p.slice(0, len(p) - 1)).to_numpy(
+            zero_copy_only=False)
+        keep = np.r_[True, neq]
+        kept = g.filter(pa.array(keep))
+        doc = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": kept.column("doc_id"),
+            "para_ord": kept.column("para_ord"),
+            "para": kept.column("para"),
+            "__dcoarse": pa.array((doc * _GOLDEN) % nc, pa.int64()),
+        })
+
+    kept_rows = (ds.map_batches(explode, batch_format="pyarrow")
+                 .groupby("__coarse")
+                 .map_groups(winners, batch_format="pyarrow"))
+
+    empty_out = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_paras": pa.array([], pa.int64()),
+        "n_kept": pa.array([], pa.int64()),
+        "text_dedup": pa.array([], pa.large_string()),
+    })
+
+    def assemble(group: pa.Table) -> pa.Table:
+        """One doc-hash bucket: rebuild each doc from its surviving
+        paragraphs in original order; docs whose every paragraph was
+        removed get NULL text (SQL string_agg over zero rows)."""
+        if group.num_rows == 0:
+            return empty_out
+        idx = pc.sort_indices(group, sort_keys=[
+            ("doc_id", "ascending"), ("para_ord", "ascending")])
+        g = group.take(idx)
+        doc = g.column("doc_id").to_numpy()
+        is_kept = g.column("para_ord").is_valid().to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        bounds = np.r_[starts, len(doc)].astype(np.int64)
+        # the totals row (NULL para_ord) sorts to each doc segment's END
+        # (Arrow null_placement at_end) — read n_paras there
+        n_paras = g.column("n_paras").to_numpy(
+            zero_copy_only=False)[bounds[1:] - 1].astype(np.int64)
+        kcum = np.r_[0, np.cumsum(is_kept)].astype(np.int64)
+        kept_bounds = kcum[bounds]
+        n_kept = np.diff(kept_bounds)
+        paras = pc.cast(
+            g.column("para").combine_chunks().filter(pa.array(is_kept)),
+            pa.large_string())
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(kept_bounds, pa.int64()), paras),
+            pa.scalar("\n", pa.large_string()))
+        text = pc.if_else(pa.array(n_kept > 0), joined,
+                          pa.scalar(None, pa.large_string()))
+        return pa.table({
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "n_paras": pa.array(n_paras, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "text_dedup": text,
+        })
+
+    # totals rows (one per doc, no para) union'd with kept paragraph rows:
+    # a PURE MAP over a second pruned read (n_paras = newline count + 1 —
+    # no second explode, no aggregate, no extra shuffle); the totals row
+    # also guarantees all-duplicate docs still emit an output row
+    def tag_totals(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_paras = pc.add(
+            pc.count_substring(batch.column("text"), "\n"), 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "para_ord": pa.nulls(len(doc), pa.int64()),
+            "para": pa.nulls(len(doc), pa.string()),
+            "n_paras": pc.cast(n_paras, pa.int64()),
+            "__dcoarse": pa.array((doc * _GOLDEN) % nc, pa.int64()),
+        })
+
+    def tag_kept(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "para_ord": batch.column("para_ord"),
+            "para": batch.column("para"),
+            "n_paras": pa.nulls(batch.num_rows, pa.int64()),
+            "__dcoarse": batch.column("__dcoarse"),
+        })
+
+    totals = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]) \
+        .map_batches(tag_totals, batch_format="pyarrow")
+    unioned = totals.union(
+        kept_rows.map_batches(tag_kept, batch_format="pyarrow"))
+    return unioned.groupby("__dcoarse").map_groups(
+        assemble, batch_format="pyarrow")

@@ -6,6 +6,7 @@ import os
 import random
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -493,3 +494,28 @@ def test_embedding_pca_matches_numpy(ray_session):
                           evals[order[ci]] / total, atol=1e-9)
         # pinned sign: largest-|coeff| entry is positive
         assert got[np.argmax(np.abs(got))] > 0
+
+
+def test_paragraph_dedup_planted(ray_session, tmp_path):
+    """Planted paragraph-level semantics: cross-doc duplicate paragraph
+    removed from the later doc, within-doc repeat removed, an all-duplicate
+    doc keeps its row with NULL text, a null-text doc vanishes."""
+    rows = [
+        {"doc_id": 0, "text": "alpha\nshared para\nbeta"},
+        {"doc_id": 1, "text": "shared para\ngamma\ngamma"},   # cross + self dup
+        {"doc_id": 2, "text": "alpha"},                        # all-dup doc
+        {"doc_id": 3, "text": None},                           # vanishes
+    ]
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (dedup.paragraph_dedup(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert list(res.index) == [0, 1, 2]
+    assert res.loc[0, "text_dedup"] == "alpha\nshared para\nbeta"
+    assert (res.loc[0, "n_paras"], res.loc[0, "n_kept"]) == (3, 3)
+    # doc 1: 'shared para' lost to doc 0; second 'gamma' lost to the first
+    assert res.loc[1, "text_dedup"] == "gamma"
+    assert (res.loc[1, "n_paras"], res.loc[1, "n_kept"]) == (3, 1)
+    # doc 2: its only paragraph already appeared in doc 0 -> NULL text
+    assert res.loc[2, "n_kept"] == 0 and pd.isna(res.loc[2, "text_dedup"])

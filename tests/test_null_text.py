@@ -8,7 +8,8 @@ Pinned contracts (chosen deliberately, enforced on BOTH sides):
 - shingle/signature dedup ops skip null docs entirely (no fingerprints,
   never candidates);
 - incremental_dedup: null fingerprints match nothing (is_dup FALSE);
-- sequence_pack: null docs pack as 0 tokens.
+- sequence_pack: null docs pack as 0 tokens;
+- paragraph_dedup: null-text docs vanish (SQL unnest of NULL split).
 """
 
 import glob
@@ -32,7 +33,7 @@ ORACLE_QUERIES = [
     "exact_dedup", "unigram_logprob", "doc_fingerprints",
     "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
     "dedup_rate_report", "token_budget_mixture", "cross_source_overlap",
-    "top_terms_per_source", "dedup_keep_best",
+    "top_terms_per_source", "dedup_keep_best", "paragraph_dedup",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
