@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
         "gopher_quality_flags": curation.gopher_quality_flags,
+        "dsir_weights": curation.dsir_weights,
         "uniform_sample": curation.uniform_sample,
         "token_budget_mixture": curation.token_budget_mixture,
         "sequence_pack": curation.sequence_pack,
@@ -1309,6 +1310,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_users
             FROM firsts f JOIN act a USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # DSIR importance weights: add-one-smoothed target-vs-raw unigram
+        # models; each term's log-ratio snapped to integer micro-units
+        # (same ln() inputs in both engines) before the per-doc sum.
+        # Token-less docs yield no rows (no unnest rows survive the join).
+        "dsir_weights": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), hist AS (
+                SELECT term,
+                       count(*) FILTER (WHERE source IS NOT DISTINCT FROM 'src0') AS t_n,
+                       count(*) FILTER (WHERE source IS DISTINCT FROM 'src0') AS r_n
+                FROM tok GROUP BY 1
+            ), tot AS (
+                SELECT sum(t_n) AS t_total, sum(r_n) AS r_total,
+                       count(*) AS v FROM hist
+            ), lam AS (
+                SELECT term,
+                       CAST(round((ln((t_n + 1.0) / (t_total + v))
+                                   - ln((r_n + 1.0) / (r_total + v)))
+                                  * 1000000.0) AS BIGINT) AS m
+                FROM hist CROSS JOIN tot
+            )
+            SELECT tok.doc_id, count(*) AS n_tokens,
+                   CAST(sum(lam.m) AS DOUBLE) / 1000000.0 AS logw
+            FROM tok JOIN lam USING (term) GROUP BY tok.doc_id
         """,
         "unigram_logprob": """
             -- per-token -ln(c/s) snapped to integer micro-units (the

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "sequence_pack",
     "training_order",
     "quality_percentile_filter",
+    "dsir_weights",
     "quality_weighted_sample",
     "events_daily_pivot",
     "tfidf_top_terms",

@@ -759,3 +759,120 @@ def token_budget_mixture(sf_dir: str, budget: int = 800
         })
 
     return scanned.map_batches(admit, batch_format="pyarrow")
+
+
+def dsir_weights(sf_dir: str, target_source: str = "src0",
+                 vocab_size: int = 1 << 17) -> "ray.data.Dataset":
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-like its token distribution is, log w(doc) = Σ_tokens
+    [ln p_target(tok) − ln p_raw(tok)], with add-one-smoothed bag-of-
+    unigram models fit on the target slice (``source == target_source``)
+    vs the rest of the corpus.  Downstream selection keeps the
+    highest-weight docs (importance resampling); the weight itself is
+    the deliverable here.  DSIR's hashed n-gram buckets are replaced by
+    a capped exact vocabulary — same estimator, exact in both engines
+    (the hash is an implementation device for bounded memory, which the
+    vocab cap provides).
+
+    Scale shape: ONE wordcount shuffle fits both models ((term,
+    target_n, raw_n) conditional-count partials per batch -> coarse
+    term-keyed Arrow aggregate); the top ``vocab_size`` terms broadcast
+    once via ``ray.put``; scoring is a pure map (dictionary-encode the
+    batch, one lookup per UNIQUE token, index gather + segmented integer
+    sum per doc).  Bit-parity with the SQL twin: each term's log-ratio
+    is snapped to integer micro-units before the per-doc sum, so float
+    reassociation cannot flip a hash (the unigram_logprob discipline).
+
+    Docs with no tokens (empty/whitespace/NULL text) yield no rows in
+    both engines (SQL: no unnest rows survive the join)."""
+    import numpy as np
+    from ..functions.agg import coarse_grouped_aggregate
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        is_t = pc.fill_null(pc.equal(
+            batch.column("source").take(parent), target_source), False)
+        t = pa.table({"term": flat,
+                      "t_n": pc.cast(is_t, pa.int64()),
+                      "r_n": pc.cast(pc.invert(is_t), pa.int64())})
+        g = t.group_by("term").aggregate([("t_n", "sum"), ("r_n", "sum")])
+        return g.rename_columns(["term", "t_n", "r_n"])
+
+    counts = coarse_grouped_aggregate(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        "term", [("t_n", "sum", "t_n"), ("r_n", "sum", "r_n")]) \
+        .materialize()
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "logw": pa.array([], pa.float64())})
+    n_vocab = counts.count()
+    if n_vocab == 0:
+        return ray.data.from_arrow(empty)
+    t_total = counts.sum("t_n") or 0
+    r_total = counts.sum("r_n") or 0
+    # bounded driver pull: the model is vocab-capped BY DESIGN (DSIR's
+    # hashed features bound it the same way); total-count-desc keeps the
+    # most informative terms when the cap binds (never on test corpora)
+    def total(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "tot", pc.add(batch.column("t_n"), batch.column("r_n")))
+    vocab = (counts.map_batches(total, batch_format="pyarrow")
+             .sort(["tot", "term"], descending=[True, False])
+             .limit(vocab_size).to_pandas())
+    # micro-int log-ratio per term, the identical double expression as
+    # the twin: round((ln((t+1)/(T+V)) - ln((r+1)/(R+V))) * 1e6) half
+    # away from zero
+    tv = float(t_total + n_vocab)
+    rv = float(r_total + n_vocab)
+    lam = (np.log((vocab["t_n"].to_numpy() + 1.0) / tv)
+           - np.log((vocab["r_n"].to_numpy() + 1.0) / rv))
+    micro = pc.cast(pc.round(pa.array(lam * 1_000_000.0), ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+    mdict = dict(zip(vocab["term"], micro.to_numpy()))
+    m_oov = int(pc.round(
+        pa.scalar((np.log(1.0 / tv) - np.log(1.0 / rv)) * 1e6),
+        ndigits=0, round_mode="half_towards_infinity").as_py())
+    ref = ray.put((mdict, m_oov))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        md, mo = ray.get(ref)
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        if len(flat) == 0:
+            return empty
+        import pandas as pd
+        denc = pc.dictionary_encode(flat)
+        arr = (denc.combine_chunks()
+               if isinstance(denc, pa.ChunkedArray) else denc)
+        m_uniq = pd.Series(arr.dictionary.to_pandas()).map(md).fillna(mo) \
+                   .to_numpy(dtype=np.int64)
+        m = m_uniq[arr.indices.to_numpy()]
+        par = parent.to_numpy()
+        starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+        msum = np.add.reduceat(m, starts)
+        n = np.diff(np.r_[starts, len(par)]).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(
+                pa.array(par[starts], pa.int64())),
+            "n_tokens": pa.array(n, pa.int64()),
+            "logw": pa.array(msum.astype(np.float64) / 1_000_000.0),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")

@@ -213,3 +213,34 @@ def test_gopher_quality_flags_matches_duckdb_on_planted(ray_session,
     for col in ["n_words", "mean_word_len", "symbol_ratio", "n_stop_hits",
                 "keep"]:
         assert list(ray_df[col]) == list(duck_df[col]), col
+
+
+def test_dsir_weights_orders_target_like_docs(ray_session, tmp_path):
+    """A doc written in the target slice's vocabulary must outweigh one
+    written in the raw slice's vocabulary, and the capped-vocab path
+    (vocab_size smaller than distinct terms) must still score every doc
+    via the OOV constant."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import curation
+
+    rows = [
+        {"doc_id": 0, "source": "src0", "text": "quant flux quant flux"},
+        {"doc_id": 1, "source": "src0", "text": "flux warp quant"},
+        {"doc_id": 2, "source": "src1", "text": "mud rock mud rock mud"},
+        {"doc_id": 3, "source": "src1", "text": "rock mud"},
+        # the probes: 4 speaks target, 5 speaks raw
+        {"doc_id": 4, "source": "src2", "text": "quant flux warp"},
+        {"doc_id": 5, "source": "src2", "text": "mud rock mud"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (curation.dsir_weights(str(tmp_path)).to_pandas()
+           .set_index("doc_id"))
+    assert res.loc[4, "logw"] > 0 > res.loc[5, "logw"]
+    assert res.loc[4, "logw"] > res.loc[5, "logw"]
+    # capped vocab: every doc still gets a row, weights stay ordered
+    capped = (curation.dsir_weights(str(tmp_path), vocab_size=2)
+              .to_pandas().set_index("doc_id"))
+    assert len(capped) == 6
