@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
         "doc_repetition": curation.doc_repetition,
+        "ngram_repetition": curation.ngram_repetition,
         "train_val_split": curation.train_val_split,
         "source_mixture": curation.source_mixture,
         "props_value_stats": curation.props_value_stats,
@@ -1130,6 +1131,45 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
                        AS top_token_frac
             FROM tc GROUP BY doc_id
+        """,
+        # Gopher top-n-gram fractions: grams built with the same chr(31)
+        # separator as the engine; docs with <2 tokens vanish, trigram
+        # columns NULL for 2-token docs (LEFT JOIN)
+        "ngram_repetition": """
+            WITH l AS (
+                SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                           x -> x <> '') AS l
+                FROM documents
+            ), a2 AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       round(CAST(max(c) AS DOUBLE)/CAST(sum(c) AS DOUBLE), 6)
+                           AS top_bigram_frac
+                FROM (SELECT doc_id, p[1] || chr(31) || p[2] AS gram,
+                             count(*) AS c
+                      FROM (SELECT doc_id,
+                                   unnest(list_zip(l[1:len(l)-1],
+                                                   l[2:len(l)])) AS p
+                            FROM l WHERE len(l) >= 2)
+                      GROUP BY 1, 2)
+                GROUP BY doc_id
+            ), a3 AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                       round(CAST(max(c) AS DOUBLE)/CAST(sum(c) AS DOUBLE), 6)
+                           AS top_trigram_frac
+                FROM (SELECT doc_id,
+                             p[1] || chr(31) || p[2] || chr(31) || p[3] AS gram,
+                             count(*) AS c
+                      FROM (SELECT doc_id,
+                                   unnest(list_zip(l[1:len(l)-2],
+                                                   l[2:len(l)-1],
+                                                   l[3:len(l)])) AS p
+                            FROM l WHERE len(l) >= 3)
+                      GROUP BY 1, 2)
+                GROUP BY doc_id
+            )
+            SELECT a2.doc_id AS doc_id, n_bigrams, top_bigram_frac,
+                   n_trigrams, top_trigram_frac
+            FROM a2 LEFT JOIN a3 ON a2.doc_id = a3.doc_id
         """,
         "train_val_split": """
             SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

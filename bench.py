@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "top_terms",
     "pii_redact",
     "doc_repetition",
+    "ngram_repetition",
     "train_val_split",
     "source_mixture",
     "props_value_stats",

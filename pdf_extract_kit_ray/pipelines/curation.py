@@ -876,3 +876,89 @@ def dsir_weights(sf_dir: str, target_source: str = "src0",
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def ngram_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style n-gram repetition signals (Rae 2021 §A.1.1): per doc,
+    the fraction of word n-grams taken by the single most frequent one,
+    for n = 2 and 3 (token-count fractions; Gopher's char-weighted
+    variant is the same signal).  Filters on these catch boilerplate the
+    top-token fraction misses ("click here click here ...").
+
+    Pure map, no shuffle (docs never span batches): one RE2 split, the
+    n-grams materialize as adjacent-slice joins over the flattened token
+    array (separator chr(31); both engines build grams with the same
+    separator, so even a pathological token containing it yields
+    identical groups), and TWO Arrow group_bys per n reduce to per-doc
+    (total, max).  Docs with fewer than 2 tokens yield no row; trigram
+    columns are NULL for 2-token docs (SQL LEFT JOIN semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_bigrams": pa.array([], pa.int64()),
+        "top_bigram_frac": pa.array([], pa.float64()),
+        "n_trigrams": pa.array([], pa.int64()),
+        "top_trigram_frac": pa.array([], pa.float64()),
+    })
+
+    def _per_doc(pidx: pa.Array, grams: pa.Array) -> "pd.DataFrame":
+        t = pa.table({"idx": pidx, "gram": grams})
+        c = t.group_by(["idx", "gram"]).aggregate([([], "count_all")]) \
+            .rename_columns(["idx", "gram", "c"])
+        a = c.group_by("idx").aggregate([("c", "sum"), ("c", "max")]) \
+            .rename_columns(["idx", "n", "m"])
+        return a.to_pandas()
+
+    def rep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        split = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(split).combine_chunks()
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        if len(flat) < 2:
+            return empty
+        par = parent.to_numpy()
+        sep = pa.scalar("\x1f")
+        same = par[1:] == par[:-1]
+        if not same.any():
+            return empty
+        m2 = pa.array(same)
+        g2 = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1).filter(m2),
+            flat.slice(1).filter(m2), sep)
+        a2 = _per_doc(pa.array(par[:-1][same], pa.int64()), g2)
+
+        tri = same[1:] & same[:-1]
+        if tri.any():
+            m3 = pa.array(tri)
+            g3 = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 2).filter(m3),
+                flat.slice(1, len(flat) - 2).filter(m3),
+                flat.slice(2).filter(m3), sep)
+            a3 = _per_doc(pa.array(par[:-2][tri], pa.int64()), g3)
+        else:
+            a3 = pd.DataFrame({"idx": [], "n": [], "m": []})
+        out = a2.merge(a3, on="idx", how="left", suffixes=("2", "3"))
+        frac2 = round6(pa.array(out["m2"].to_numpy(dtype=np.float64)
+                                / out["n2"].to_numpy(dtype=np.float64)))
+        n3 = out["n3"].to_numpy(dtype=np.float64)     # NaN where absent
+        # from_pandas=True turns the NaNs of trigram-less docs into NULLs
+        # (SQL LEFT JOIN semantics); round6(NULL) stays NULL
+        frac3 = round6(pa.array(
+            out["m3"].to_numpy(dtype=np.float64) / n3, from_pandas=True))
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(
+                pa.array(out["idx"].to_numpy(dtype=np.int64), pa.int64())),
+            "n_bigrams": pa.array(out["n2"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+            "top_bigram_frac": frac2,
+            "n_trigrams": pa.array(n3, from_pandas=True).cast(pa.int64()),
+            "top_trigram_frac": frac3,
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow")

@@ -244,3 +244,31 @@ def test_dsir_weights_orders_target_like_docs(ray_session, tmp_path):
     capped = (curation.dsir_weights(str(tmp_path), vocab_size=2)
               .to_pandas().set_index("doc_id"))
     assert len(capped) == 6
+
+
+def test_ngram_repetition_planted(ray_session, tmp_path):
+    """'click here click here click here' must light up the bigram signal
+    ('click here' = 3 of 5 bigrams), a 2-token doc gets NULL trigram
+    columns, and a 1-token doc vanishes."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import curation
+
+    rows = [
+        {"doc_id": 0, "text": "click here click here click here"},
+        {"doc_id": 1, "text": "all words differ in this doc body"},
+        {"doc_id": 2, "text": "just two"},
+        {"doc_id": 3, "text": "one"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (curation.ngram_repetition(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert list(res.index) == [0, 1, 2]
+    assert res.loc[0, "n_bigrams"] == 5 and res.loc[0, "top_bigram_frac"] == 0.6
+    assert res.loc[0, "n_trigrams"] == 4 and res.loc[0, "top_trigram_frac"] == 0.5
+    assert res.loc[1, "top_bigram_frac"] == round(1/6, 6)
+    assert res.loc[2, "n_bigrams"] == 1
+    assert pd.isna(res.loc[2, "n_trigrams"])
