@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_year_rollup": relational.nation_year_rollup,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
+        "users_only_first_half": relational.users_only_first_half,
         "doc_hash_sample": relational.doc_hash_sample,
         "value_percentiles_by_type": relational.value_percentiles_by_type,
         "purchase_prev_click_asof": relational.purchase_prev_click_asof,
@@ -750,6 +751,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'
             INTERSECT
             SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        """,
+        "users_only_first_half": """
+            SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-30'
+            EXCEPT
+            SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-30'
         """,
         "doc_hash_sample": """
             SELECT doc_id, length(text) AS n_chars

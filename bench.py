@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "bigram_pmi",
     "events_sliding_window",
+    "users_only_first_half",
     "events_anomalous_hours",
     "dedup_rate_report",
     "cross_source_overlap",

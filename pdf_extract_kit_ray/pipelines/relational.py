@@ -2131,3 +2131,38 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90,
     return (joined.map_batches(late_partial, batch_format="pyarrow")
                   .groupby("o_orderpriority")
                   .aggregate(Sum("partial_n", alias_name="n_orders")))
+
+
+def users_only_first_half(sf_dir: str,
+                          split: str = "2024-01-30") -> "ray.data.Dataset":
+    """EXCEPT of the active-user sets of two time ranges (churn set:
+    active before the split, silent after), completing the set-op family
+    (union = engaged_users_union, intersect = users_active_both_halves).
+    Same shape: per-batch (user, seen_before, seen_after) flag partials,
+    one coarse user shuffle with native Max, filter before AND NOT
+    after — neither side's user set is ever materialized."""
+    from ..functions.agg import coarse_grouped_aggregate
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    split_ts = pa.scalar(pd.Timestamp(split), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        before = pc.cast(pc.less(batch.column("ts"), split_ts), pa.int8())
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "before": before,
+                      "after": pc.subtract(pa.scalar(1, pa.int8()), before)})
+        g = t.group_by("user_id").aggregate([("before", "max"),
+                                             ("after", "max")])
+        return g.rename_columns(["user_id", "before", "after"])
+
+    agg = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("before", "max", "before"), ("after", "max", "after")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch.column("before"), 1),
+                       pc.equal(batch.column("after"), 0))
+        return pa.table({"user_id": batch.column("user_id").filter(keep)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
