@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": text.unigram_logprob,
         "bigram_pmi": text.bigram_pmi,
         "vocab_growth": text.vocab_growth,
+        "source_divergence": text.source_divergence,
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
         # --- corpus curation ---
@@ -1030,6 +1031,38 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY source
                                       ORDER BY c DESC, term ASC) AS rank
             FROM tf QUALIFY rank <= 10
+        """,
+        # per-source KL from the corpus unigram mixture; each (term,
+        # source) contribution snapped to integer nano-units with the
+        # identical double expression before the per-source sum
+        "source_divergence": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), ts AS (
+                SELECT term, source, count(*) AS c FROM tok GROUP BY 1, 2
+            ), tt AS (
+                SELECT term, CAST(sum(c) AS DOUBLE) AS ct FROM ts GROUP BY 1
+            ), st AS (
+                SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+                FROM ts GROUP BY 1
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS t FROM ts
+            ), contrib AS (
+                SELECT ts.source AS source,
+                       CAST(round(((CAST(ts.c AS DOUBLE)/st.n_tokens)
+                                   * ln((CAST(ts.c AS DOUBLE)/st.n_tokens)
+                                        / (tt.ct / tot.t)))
+                                  * 1000000000.0) AS BIGINT) AS m
+                FROM ts JOIN tt USING (term) JOIN st USING (source)
+                CROSS JOIN tot
+            )
+            SELECT st.source AS source, st.n_tokens AS n_tokens,
+                   CAST(sum(contrib.m) AS DOUBLE)/1000000000.0 AS kl
+            FROM contrib JOIN st USING (source) GROUP BY 1, 2
         """,
         "vocab_growth": """
             WITH tok AS (

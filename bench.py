@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "training_order",
     "quality_percentile_filter",
     "dsir_weights",
+    "source_divergence",
     "quality_weighted_sample",
     "events_daily_pivot",
     "tfidf_top_terms",

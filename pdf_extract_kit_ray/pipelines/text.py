@@ -846,3 +846,111 @@ def top_terms_per_source(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     empty_out = empty.append_column("rank", pa.array([], pa.int64()))
     return out.map_batches(lambda b: b if b.num_rows else empty_out,
                            batch_format="pyarrow")
+
+
+def source_divergence(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source KL divergence of the source's unigram distribution from
+    the corpus distribution — the dataset-card "how far does each slice
+    skew" metric (high KL = jargon-heavy or templated slice; near 0 =
+    indistinguishable from the mixture).  KL(p_s ‖ p) =
+    Σ_t p_s(t)·ln(p_s(t)/p(t)).
+
+    Scale shape: a first tiny pass broadcasts per-source token totals
+    (#sources rows); then ONE term-coarse shuffle of per-batch
+    (term, source, count) partials — each bucket owns its terms fully,
+    so corpus term totals and every KL contribution are computed
+    in-bucket and pre-reduced to (source, partial) rows; the final
+    groupby is #sources-sized.  Bit-parity: each (term, source)
+    contribution snaps to integer NANO-units (1e-9; contributions are
+    tiny) with the identical double expression as the SQL twin, so the
+    per-source sum is exact integer math."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ray.data.aggregate import Sum
+
+    nc = _default_num_coarse()
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        src = batch.column("source").take(parent)
+        g = pa.table({"term": flat, "source": src}) \
+            .group_by(["term", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "source", "c"])
+
+    partials = ds.map_batches(tok_partial, batch_format="pyarrow")
+
+    # pass 1: per-source token totals (bounded by #sources) from a cheap
+    # count kernel over its own read — not a second execution of the
+    # term-histogram pipeline
+    def src_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "source": batch.column("source"),
+            "n": pc.cast(_token_count(batch.column("text")), pa.int64()),
+        }).group_by("source").aggregate([("n", "sum")])
+        return g.rename_columns(["source", "n"])
+
+    totals = (_read_docs(sf_dir, ["text", "source"])
+              .map_batches(src_partial, batch_format="pyarrow")
+              .groupby("source").aggregate(Sum("n", alias_name="n_tokens"))
+              .to_pandas())
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "m": pa.array([], pa.int64())})
+    if len(totals) == 0:
+        return ray.data.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "kl": pa.array([], pa.float64())}))
+    s_tok = dict(zip(totals["source"], totals["n_tokens"]))
+    t_total = float(sum(s_tok.values()))
+    ref = ray.put(s_tok)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from .dedup import _string_coarse_hash
+        coarse = _string_coarse_hash(
+            batch.column("term").combine_chunks(), nc)
+        return batch.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    def bucket_kl(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        import pandas as pd
+        st = ray.get(ref)
+        ts = group.select(["term", "source", "c"]) \
+            .group_by(["term", "source"]).aggregate([("c", "sum")]) \
+            .to_pandas().rename(columns={"c_sum": "c"})
+        ct = ts.groupby("term", sort=False)["c"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        c = ts["c"].to_numpy(dtype=np.float64)
+        s = ts["source"].map(st).to_numpy(dtype=np.float64)
+        # the twin's exact operation order: (c/s) * ln((c/s) / (ct/t))
+        ps = c / s
+        contrib = ps * np.log(ps / (ct / t_total))
+        m = pc.cast(pc.round(pa.array(contrib * 1e9), ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        out = pa.table({"source": pa.array(ts["source"]), "m": m}) \
+            .group_by("source").aggregate([("m", "sum")])
+        return out.rename_columns(["source", "m"])
+
+    agg = (partials.map_batches(tag, batch_format="pyarrow")
+           .groupby("__coarse").map_groups(bucket_kl,
+                                           batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("m", alias_name="m")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        src = batch.column("source").to_pandas()
+        return pa.table({
+            "source": batch.column("source"),
+            "n_tokens": pa.array(src.map(s_tok).to_numpy(dtype=np.int64),
+                                 pa.int64()),
+            "kl": pc.divide(pc.cast(batch.column("m"), pa.float64(),
+                                    safe=False), 1e9),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

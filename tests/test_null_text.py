@@ -34,7 +34,7 @@ ORACLE_QUERIES = [
     "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
     "dedup_rate_report", "token_budget_mixture", "cross_source_overlap",
     "top_terms_per_source", "dedup_keep_best", "paragraph_dedup",
-    "dsir_weights", "ngram_repetition",
+    "dsir_weights", "ngram_repetition", "source_divergence",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
