@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": text.bigram_pmi,
         "vocab_growth": text.vocab_growth,
         "source_divergence": text.source_divergence,
+        "inverted_index": text.inverted_index,
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
         # --- corpus curation ---
@@ -1031,6 +1032,25 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY source
                                       ORDER BY c DESC, term ASC) AS rank
             FROM tf QUALIFY rank <= 10
+        """,
+        # inverted-index build: per term, df / total tf / head of the
+        # ascending posting list (first 8 doc_ids, comma-joined — the
+        # bounded, hash-comparable projection of the list column)
+        "inverted_index": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), td AS (
+                SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+            )
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+                   array_to_string(
+                       (list(CAST(doc_id AS VARCHAR) ORDER BY doc_id))[1:8],
+                       ',') AS postings_head
+            FROM td GROUP BY term
         """,
         # per-source KL from the corpus unigram mixture; each (term,
         # source) contribution snapped to integer nano-units with the

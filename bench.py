@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "quality_percentile_filter",
     "dsir_weights",
     "source_divergence",
+    "inverted_index",
     "quality_weighted_sample",
     "events_daily_pivot",
     "tfidf_top_terms",

@@ -954,3 +954,82 @@ def source_divergence(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def inverted_index(sf_dir: str, head_k: int = 8) -> "ray.data.Dataset":
+    """Distributed inverted-index build: per term, document frequency,
+    total term frequency, and the head of the posting list (first
+    ``head_k`` doc_ids ascending, comma-joined) — the search-engine /
+    BM25-serving artifact, bounded per row by ``head_k`` so no term's
+    output grows with corpus size.
+
+    Scale shape: docs never span batches, so per-batch (term, doc_id,
+    tf) rows are already final partials; ONE term-coarse shuffle then
+    owns each term fully per bucket, and a segmented numpy scan emits
+    df / tf_total / head postings with no per-term dispatch (the
+    segmented-arange gather caps each segment at ``head_k``)."""
+    from ..functions.agg import _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def td_partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        doc = batch.column("doc_id").take(parent)
+        g = pa.table({"term": flat, "doc_id": doc}) \
+            .group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "doc_id", "tf"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from .dedup import _string_coarse_hash
+        coarse = _string_coarse_hash(
+            batch.column("term").combine_chunks(), nc)
+        return batch.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "tf_total": pa.array([], pa.int64()),
+                      "postings_head": pa.array([], pa.large_string())})
+
+    def bucket_index(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(group, sort_keys=[
+            ("term", "ascending"), ("doc_id", "ascending")])
+        g = group.take(idx)
+        terms = g.column("term").combine_chunks()
+        doc = g.column("doc_id").to_numpy()
+        tf = g.column("tf").to_numpy()
+        neq = pc.not_equal(terms.slice(1),
+                           terms.slice(0, len(terms) - 1)).to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, neq])
+        bounds = np.r_[starts, len(doc)].astype(np.int64)
+        df = np.diff(bounds)
+        tf_total = np.add.reduceat(tf, starts)
+        # segmented arange capped at head_k: positions start..start+min(df,k)
+        take_n = np.minimum(df, head_k)
+        offs = np.r_[0, np.cumsum(take_n)].astype(np.int64)
+        pos = (np.arange(int(offs[-1]), dtype=np.int64)
+               - np.repeat(offs[:-1], take_n)
+               + np.repeat(starts, take_n))
+        head = pc.cast(pa.array(doc[pos], pa.int64()), pa.large_string())
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), head),
+            pa.scalar(",", pa.large_string()))
+        return pa.table({
+            "term": terms.take(pa.array(starts, pa.int64())),
+            "df": pa.array(df, pa.int64()),
+            "tf_total": pa.array(tf_total.astype(np.int64), pa.int64()),
+            "postings_head": joined,
+        })
+
+    return (ds.map_batches(td_partial, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(bucket_index, batch_format="pyarrow"))

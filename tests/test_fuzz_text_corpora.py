@@ -24,7 +24,8 @@ QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
            "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
            "token_budget_mixture", "cross_source_overlap",
            "top_terms_per_source", "dedup_keep_best", "paragraph_dedup",
-           "dsir_weights", "ngram_repetition", "source_divergence"]
+           "dsir_weights", "ngram_repetition", "source_divergence",
+           "inverted_index"]
 
 _PIECES = [
     "word", "Word", "WORD", "w0rd", "123", "!!!", "a,b.c", "$x$",
