@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": curation.incremental_dedup,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "dsir_weights": curation.dsir_weights,
+        "epoch_plan": curation.epoch_plan,
         "uniform_sample": curation.uniform_sample,
         "token_budget_mixture": curation.token_budget_mixture,
         "sequence_pack": curation.sequence_pack,
@@ -1032,6 +1033,25 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY source
                                       ORDER BY c DESC, term ASC) AS rank
             FROM tf QUALIFY rank <= 10
+        """,
+        # LLaMA-style mixture up-sampling plan: integer epochs + exact
+        # fractional-pass probability to bring every source to token
+        # parity with the largest (T_max is a window max over the rollup)
+        "epoch_plan": f"""
+            WITH s AS (
+                SELECT source, count(*) AS n_docs,
+                       coalesce(sum({tokens_expr}), 0) AS n_tokens
+                FROM documents GROUP BY 1
+            )
+            SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN (max(n_tokens) OVER ()) // n_tokens
+                             ELSE 0 END AS BIGINT) AS n_epochs,
+                   round(CASE WHEN n_tokens > 0
+                              THEN CAST((max(n_tokens) OVER ()) % n_tokens
+                                        AS DOUBLE) / n_tokens
+                              ELSE 0.0 END, 6) AS frac_keep
+            FROM s
         """,
         # inverted-index build: per term, df / total tf / head of the
         # ascending posting list (first 8 doc_ids, comma-joined — the

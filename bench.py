@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "source_divergence",
     "inverted_index",
+    "epoch_plan",
     "quality_weighted_sample",
     "events_daily_pivot",
     "tfidf_top_terms",

@@ -962,3 +962,59 @@ def ngram_repetition(sf_dir: str) -> "ray.data.Dataset":
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         rep, batch_format="pyarrow")
+
+
+def epoch_plan(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source epoch/repeat plan for mixture UP-sampling (the
+    LLaMA-style "how many passes over each slice" table, complementing
+    ``token_budget_mixture``'s down-sampling): bring every source up to
+    token parity with the largest source.  repeat = T_max / n_tokens
+    splits into ``n_epochs`` full passes (integer division) plus a
+    fractional pass sampled with probability ``frac_keep`` (exact
+    remainder ratio, 6dp in both engines).
+
+    Scale shape: per-batch (source, docs, tokens) partials -> one
+    #sources-sized groupby -> pure arithmetic finish on the rollup (the
+    driver never sees row-level data; T_max is a window max over the
+    #sources rollup in both engines)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+    from .text import _token_count
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # null text counts 0 tokens (pinned; SQL coalesce(sum(...), 0))
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_tok": pc.fill_null(pc.cast(
+                _token_count(batch.column("text")), pa.int64()), 0),
+        })
+        g = t.group_by("source").aggregate([([], "count_all"),
+                                            ("n_tok", "sum")])
+        return g.rename_columns(["source", "n_docs", "n_tokens"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # the rollup is #sources-sized; a single batch at any corpus size
+        tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        t_max = int(tok.max()) if len(tok) else 0
+        n_epochs = np.where(tok > 0, t_max // np.maximum(tok, 1), 0)
+        rem = np.where(tok > 0, t_max % np.maximum(tok, 1), 0)
+        frac = round6(pa.array(np.where(
+            tok > 0, rem / np.maximum(tok, 1).astype(np.float64), 0.0)))
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": batch.column("n_docs"),
+            "n_tokens": batch.column("n_tokens"),
+            "n_epochs": pa.array(n_epochs.astype(np.int64), pa.int64()),
+            "frac_keep": frac,
+        })
+
+    # repartition(1): the finish map needs T_max across ALL sources in
+    # one batch; the rollup is #sources rows, so this is a no-op at scale
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -69,6 +69,40 @@ def generate(out_dir: str) -> None:
     }), path)
 
 
+N_PARA_DOCS = 100_000
+PARA_OUT = "/tmp/pek_paradedup100k"
+
+
+def generate_paragraph_corpus(out_dir: str) -> None:
+    """100k docs x 8 paragraphs (~800k paragraph rows); a boilerplate
+    paragraph ('sign up for our newsletter today') planted in 40% of the
+    docs — the C4 motivation case.  Expected: the boilerplate survives
+    only in the LOWEST doc_id containing it; random paragraphs (8 tokens
+    of a 10k vocab) collide with probability ~0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"w{i}" for i in range(10_000)])
+    boiler = "sign up for our newsletter today"
+    texts = []
+    for i in range(N_PARA_DOCS):
+        paras = [" ".join(vocab[rng.integers(0, len(vocab), 8)])
+                 for _ in range(8)]
+        if rng.random() < 0.4:
+            paras[int(rng.integers(0, 8))] = boiler
+        texts.append("\n".join(paras))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(N_PARA_DOCS), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), path)
+
+
 def main() -> None:
     import ray
     ray.init(address="local",
@@ -112,6 +146,24 @@ def main() -> None:
     wpairs = {(int(a), int(b)) for a, b in zip(wn.a, wn.b)}
     res["winnow_pairs"] = len(wpairs)
     res["winnow_planted_found"] = len(wpairs & (near | exact))
+
+    t0 = time.time()
+    generate_paragraph_corpus(PARA_OUT)
+    res["para_generate_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    pd_res = dedup.paragraph_dedup(PARA_OUT)
+    import pyarrow.compute as _pc
+    n_paras = n_kept = n_docs = 0
+    for b in pd_res.iter_batches(batch_format="pyarrow"):
+        n_docs += b.num_rows
+        n_paras += _pc.sum(b.column("n_paras")).as_py() or 0
+        n_kept += _pc.sum(b.column("n_kept")).as_py() or 0
+    res["paragraph_sec"] = round(time.time() - t0, 1)
+    res["para_docs"] = n_docs
+    res["para_total"] = n_paras            # must be N_PARA_DOCS * 8
+    # boilerplate removed everywhere but its first host; random paras
+    # never collide, so removed == boilerplate hosts - 1
+    res["para_removed"] = n_paras - n_kept
 
     res["driver_peak_rss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)
