@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         "knn_classify": similarity.knn_classify,
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
+        "embedding_quantize": similarity.embedding_quantize,  # non-SQL (binary codes)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "session_stats": streaming.session_stats,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "knn_classify",
     "embedding_neardup",
     "ivf_topk",
+    "embedding_quantize",
     "order_priority_revenue",
     "forecast_revenue",
     "late_shipment_priority",

@@ -519,3 +519,44 @@ def test_paragraph_dedup_planted(ray_session, tmp_path):
     assert (res.loc[1, "n_paras"], res.loc[1, "n_kept"]) == (3, 1)
     # doc 2: its only paragraph already appeared in doc 0 -> NULL text
     assert res.loc[2, "n_kept"] == 0 and pd.isna(res.loc[2, "text_dedup"])
+
+
+def test_embedding_quantize_bounds_and_roundtrip(ray_session):
+    """Quantization error per dimension is bounded by scale/2 (hence MSE
+    by mean (scale_d/2)^2), codes are deterministic, constant dims code
+    to 0 with zero error."""
+    import pyarrow.parquet as pq
+    import tempfile
+    from pdf_extract_kit_ray.pipelines import similarity
+
+    rng = np.random.default_rng(5)
+    n, d = 200, 16
+    mat = rng.normal(size=(n, d)) * np.linspace(0.5, 4.0, d)
+    mat[:, 3] = 7.25                                # constant dim
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }), f"{td}/embeddings.parquet")
+        res = similarity.embedding_quantize(td).to_pandas() \
+            .sort_values("vec_id", ignore_index=True)
+        res2 = similarity.embedding_quantize(td).to_pandas() \
+            .sort_values("vec_id", ignore_index=True)
+    assert len(res) == n
+    assert (res["codes"] == res2["codes"]).all()    # deterministic
+    # reconstruct and check the per-dim bound on the float32-rounded input
+    m32 = mat.astype(np.float32).astype(np.float64)
+    lo, hi = m32.min(axis=0), m32.max(axis=0)
+    scale = (hi - lo) / 255.0
+    scale[scale == 0] = 1.0
+    codes = np.frombuffer(b"".join(res["codes"]), dtype=np.uint8) \
+        .reshape(n, d).astype(np.float64)
+    recon = codes * scale + lo
+    err = np.abs(recon - m32)
+    assert (err <= scale / 2 + 1e-12).all()
+    assert np.allclose(res["mse"].to_numpy(),
+                       np.round(((m32 - recon) ** 2).mean(axis=1), 6),
+                       atol=1.5e-6)
+    assert (codes[:, 3] == 0).all() and (err[:, 3] == 0).all()
