@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
+        "events_locf_grid": streaming.events_locf_grid,
         "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
@@ -1596,6 +1597,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(m.n) AS BIGINT) AS n_events
             FROM c JOIN m USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        # LOCF resample onto a 6-hour grid; (type, ts) ties reduced to the
+        # max event_id's value BEFORE the as-of lookup in both engines
+        "events_locf_grid": """
+            WITH e AS (
+                SELECT event_type, ts, value,
+                       row_number() OVER (PARTITION BY event_type, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            ), d AS (
+                SELECT event_type, ts, value FROM e WHERE rn = 1
+            ), grid AS (
+                SELECT t.event_type, g.ts
+                FROM (SELECT DISTINCT event_type FROM d) t
+                CROSS JOIN (SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                    INTERVAL 6 HOUR)) AS ts) g
+            )
+            SELECT grid.event_type AS event_type, grid.ts AS grid_ts,
+                   d.value AS last_value
+            FROM grid ASOF LEFT JOIN d
+              ON grid.event_type = d.event_type AND d.ts <= grid.ts
         """,
         "events_sliding_window": """
             WITH e AS (

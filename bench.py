@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "events_sliding_window",
     "users_only_first_half",
+    "events_locf_grid",
     "events_anomalous_hours",
     "dedup_rate_report",
     "cross_source_overlap",

@@ -1176,3 +1176,110 @@ def inter_event_gaps(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_locf_grid(sf_dir: str, start: str = "2024-01-01",
+                     end: str = "2024-01-31",
+                     step_hours: int = 6) -> "ray.data.Dataset":
+    """Time-series gap-fill: resample each event type onto a regular grid
+    with last-observation-carried-forward (the ASOF/LOCF feature-
+    engineering step — turn an irregular event stream into fixed-step
+    model inputs).  For every (event_type, grid_ts), the value of the
+    latest event at-or-before the grid point; NULL before a type's first
+    event.
+
+    Determinism: events sharing (type, ts) are reduced to the max
+    event_id's value BEFORE the as-of lookup (a raw ASOF join would pick
+    an arbitrary winner among ties) — pinned identically in the SQL twin
+    via a row_number dedup.  NULL type/ts rows are dropped in both
+    engines.
+
+    Scale shape: per-batch (type, ts) -> (max event_id, its value)
+    partials, ONE type-keyed shuffle (the grid is parameter-sized; per
+    type the kernel is a single searchsorted over the type's sorted
+    distinct timestamps).  At corpus scale a whale type would salt by
+    time range with an O(grid) boundary stitch, the event_order_audit
+    pattern."""
+    grid = pd.date_range(start, end, freq=f"{step_hours}h")
+    grid_us = grid.values.astype("datetime64[us]").astype(np.int64)
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "event_id",
+                                     "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.is_valid(batch.column("ts"))))
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "event_id": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        # keep the max event_id per (type, ts); its value rides along by
+        # re-taking the argmax row (Arrow max gives the id, take gives
+        # the row)
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("event_type", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = batch.take(idx)
+        et = g.column("event_type").combine_chunks()
+        ts = g.column("ts").to_numpy()
+        last = np.r_[
+            (ts[1:] != ts[:-1]) | pc.not_equal(
+                et.slice(1), et.slice(0, len(et) - 1)).to_numpy(
+                zero_copy_only=False),
+            True]
+        return g.filter(pa.array(last)).select(
+            ["event_type", "ts", "event_id", "value"])
+
+    empty_out = pa.table({"event_type": pa.array([], pa.string()),
+                          "grid_ts": pa.array([], pa.timestamp("us")),
+                          "last_value": pa.array([], pa.float64())})
+
+    def locf(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        idx = pc.sort_indices(group, sort_keys=[
+            ("event_type", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(idx)
+        et = g.column("event_type").combine_chunks()
+        ts = g.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        # cross-batch dedup of (type, ts): keep the last (max event_id)
+        neq = np.r_[(ts[1:] != ts[:-1]) | pc.not_equal(
+            et.slice(1), et.slice(0, len(et) - 1)).to_numpy(
+            zero_copy_only=False), True]
+        keep = np.flatnonzero(neq)
+        ts, val = ts[keep], val[keep]
+        et = et.take(pa.array(keep, pa.int64()))
+        starts = np.flatnonzero(np.r_[True, pc.not_equal(
+            et.slice(1), et.slice(0, len(et) - 1)).to_numpy(
+            zero_copy_only=False)])
+        bounds = np.r_[starts, len(ts)]
+        types, gts, vals, valid = [], [], [], []
+        for si, ei in zip(bounds[:-1], bounds[1:]):
+            pos = np.searchsorted(ts[si:ei], grid_us, side="right") - 1
+            ok = pos >= 0
+            v = np.where(ok, val[si:ei][np.maximum(pos, 0)], np.nan)
+            types.append(pa.repeat(et[int(si)], len(grid_us)))
+            gts.append(grid_us)
+            vals.append(v)
+            valid.append(ok)
+        v = np.concatenate(vals)
+        ok = np.concatenate(valid)
+        return pa.table({
+            "event_type": pa.concat_arrays(types),
+            "grid_ts": pa.array(np.concatenate(gts).astype(
+                "datetime64[us]")),
+            "last_value": pa.array(np.where(ok, v, np.nan),
+                                   from_pandas=True),
+        })
+
+    # the per-type loop above is over the handful of types in a bucket;
+    # all row-level work inside it is numpy
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(locf, batch_format="pyarrow"))
