@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": relational.user_running_totals,
         "order_priority_revenue": relational.order_priority_revenue,
         "forecast_revenue": relational.forecast_revenue,
+        "daily_revenue_ma7": relational.daily_revenue_ma7,
         "late_shipment_priority": relational.late_shipment_priority,
         "customers_without_orders": relational.customers_without_orders,
         "global_sales_opportunity": relational.global_sales_opportunity,
@@ -305,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "resize_longest_side": multimodal.resize_longest_side,
         "media_feature_neardup": multimodal.media_feature_neardup,
+        "media_exact_dedup": multimodal.media_exact_dedup,  # non-SQL (payload md5)
         "ocr_preprocess_summary": multimodal.ocr_preprocess_summary,
     }
 
@@ -513,6 +515,24 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
               AND CAST(floor(l_discount*100.0) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        # 7-day moving average over the bounded daily rollup; the window
+        # sum stays in exact cents and divides once, identically in both
+        # engines
+        "daily_revenue_ma7": """
+            WITH d AS (
+                SELECT date_trunc('day', l_shipdate) AS day,
+                       sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                                AS BIGINT)) AS rev_c
+                FROM lineitem GROUP BY 1
+            )
+            SELECT day,
+                   CAST(rev_c AS DOUBLE)/100.0 AS revenue,
+                   round((CAST(sum(rev_c) OVER w AS DOUBLE)/100.0)
+                         / (count(*) OVER w), 6) AS ma7
+            FROM d
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                         AND CURRENT ROW)
         """,
         # Q4 shape: EXISTS(lineitem shipped > 90 days after order date)
         # per priority — the engine reduces lineitem to per-order max

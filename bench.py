@@ -88,8 +88,10 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ivf_topk",
     "embedding_quantize",
+    "media_exact_dedup",
     "order_priority_revenue",
     "forecast_revenue",
+    "daily_revenue_ma7",
     "late_shipment_priority",
     "q3_shipping_priority",
     "promo_revenue",

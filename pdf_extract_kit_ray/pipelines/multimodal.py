@@ -327,3 +327,37 @@ def media_feature_neardup(sf_dir: str, threshold: float = 0.999,
         feats, cand, id_col="media_id", payload_col="features",
         payload_type=pa.list_(pa.float32()), num_coarse=num_coarse,
         verify=verify)
+
+
+def media_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Exact payload dedup over the media table — the byte-identical
+    image/video dedup every multimodal ingest runs before the expensive
+    near-dup pass (re-crawled assets are usually bit-identical).  Groups
+    by md5 of the raw payload bytes; keeps the minimum media_id per
+    group.  Returns (fp, keep_id, n) — the exact_dedup contract on the
+    binary column.
+
+    Scale shape: the payload never leaves the read stage (fingerprint
+    per batch, payload column dropped immediately), then one coarse
+    fingerprint shuffle with native Min/Sum — byte volume through the
+    exchange is hash-sized, not payload-sized."""
+    import hashlib
+    from ..functions.agg import coarse_grouped_aggregate
+
+    def fp(batch: pa.Table) -> pa.Table:
+        pay = batch.column("payload")
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        md5 = hashlib.md5
+        fps = pa.array([md5(p).hexdigest() if p is not None else None
+                        for p in pay.to_pylist()], pa.string())
+        t = pa.table({"fp": fps, "media_id": batch.column("media_id")})
+        g = t.group_by("fp").aggregate([("media_id", "min"),
+                                        ([], "count_all")])
+        return g.rename_columns(["fp", "partial_keep", "partial_n"])
+
+    ds = _read_media(sf_dir)
+    return coarse_grouped_aggregate(
+        ds.map_batches(fp, batch_size=_BATCH, batch_format="pyarrow"),
+        "fp", [("partial_keep", "min", "keep_id"),
+               ("partial_n", "sum", "n")])

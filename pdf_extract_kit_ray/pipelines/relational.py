@@ -2166,3 +2166,56 @@ def users_only_first_half(sf_dir: str,
         return pa.table({"user_id": batch.column("user_id").filter(keep)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def daily_revenue_ma7(sf_dir: str) -> "ray.data.Dataset":
+    """7-day moving average of daily lineitem revenue — the trend-
+    smoothing window a reporting pipeline runs over a fact table.
+    Revenue = extendedprice*(1-discount) in exact cents; the MA divides
+    a 7-day cents sum by the actual window size (ramp-up days average
+    over fewer days), rounded to 6dp identically in both engines.
+
+    Scale shape: the corpus-sized scan pre-reduces to per-DAY cents
+    partials inside map_batches; the day rollup is bounded by the date
+    domain (~thousands of rows at any corpus size), so the window scan
+    runs in one finish map over a repartition(1) of the tiny rollup."""
+    from ..functions.num import round6
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_shipdate", "l_extendedprice",
+                                       "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("l_shipdate"), unit="day")
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0, batch.column("l_discount"))))
+        g = pa.table({"day": day, "rev_c": rev_c}).group_by("day") \
+            .aggregate([("rev_c", "sum")])
+        return g.rename_columns(["day", "rev_c"])
+
+    agg = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("rev_c", alias_name="rev_c")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.timestamp("us")),
+                             "revenue": pa.array([], pa.float64()),
+                             "ma7": pa.array([], pa.float64())})
+        idx = pc.sort_indices(batch, sort_keys=[("day", "ascending")])
+        g = batch.take(idx)
+        c = g.column("rev_c").to_numpy()
+        cum = np.r_[0, np.cumsum(c)]
+        n = len(c)
+        lo = np.maximum(np.arange(n) - 6, 0)
+        wsum = cum[1 + np.arange(n)] - cum[lo]
+        wlen = np.arange(n) - lo + 1
+        ma = round6(pa.array(
+            (wsum.astype(np.float64) / 100.0) / wlen.astype(np.float64)))
+        return pa.table({
+            "day": g.column("day"),
+            "revenue": pc.divide(pc.cast(g.column("rev_c"), pa.float64(),
+                                         safe=False), 100.0),
+            "ma7": ma,
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

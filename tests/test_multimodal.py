@@ -259,3 +259,13 @@ def test_resize_longest_side_query(ray_session):
     a = res.sort_values("media_id").reset_index(drop=True)
     b = res2.sort_values("media_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_media_exact_dedup_planted(ray_session):
+    import pdf_extract_kit_ray.pipelines.multimodal as mm
+    res = mm.media_exact_dedup("/root/testdata/sf0.001").to_pandas()
+    dups = res[res["n"] > 1]
+    # the generator copies id-3's payload at every id % 20 == 19
+    assert set(dups["keep_id"]) == {i - 3 for i in range(19, 120, 20)}
+    assert (dups["n"] == 2).all()
+    assert res["n"].sum() == 120          # every payload accounted for

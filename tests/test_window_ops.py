@@ -10,6 +10,7 @@ extraction, NULL event_type drops, and the Q22 threshold boundary
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -226,3 +227,32 @@ def test_order_spend_share_zero_total(ray_session, tmp_path):
     assert out[2]["share"] is None
     assert out[3]["share"] is None
     assert out[4]["share"] == 1.0
+
+
+def test_daily_revenue_ma7_rampup(ray_session, tmp_path):
+    """Ramp-up days average over the actual window size; steady state
+    averages exactly 7 days."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import relational
+
+    days = pd.date_range("1997-03-01", periods=10, freq="D")
+    rows = []
+    for i, d in enumerate(days):
+        # two lines per day, revenue = (i+1) dollars total
+        rows.append({"l_shipdate": d, "l_extendedprice": (i + 1) * 0.75,
+                     "l_discount": 0.0})
+        rows.append({"l_shipdate": d + pd.Timedelta(hours=5),
+                     "l_extendedprice": (i + 1) * 0.25, "l_discount": 0.0})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "lineitem.parquet"))
+    res = (relational.daily_revenue_ma7(str(tmp_path)).to_pandas()
+           .sort_values("day", ignore_index=True))
+    assert len(res) == 10
+    assert res.loc[0, "ma7"] == 1.0                   # window of 1
+    assert res.loc[3, "ma7"] == round((1+2+3+4)/4, 6)  # ramp-up window of 4
+    assert res.loc[9, "ma7"] == round(sum(range(4, 11))/7, 6)  # steady 7
+    assert (res["revenue"].to_numpy()
+            == np.arange(1, 11, dtype=float)).all()
