@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
         "gopher_quality_flags": curation.gopher_quality_flags,
+        "curation_funnel": curation.curation_funnel,
         "dsir_weights": curation.dsir_weights,
         "epoch_plan": curation.epoch_plan,
         "uniform_sample": curation.uniform_sample,
@@ -289,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
         "events_locf_grid": streaming.events_locf_grid,
+        "user_growth_curve": streaming.user_growth_curve,
         "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
@@ -1056,6 +1058,35 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY c DESC, term ASC) AS rank
             FROM tf QUALIFY rank <= 10
         """,
+        # curation-funnel attrition: stage definitions reuse THE shared
+        # quality/fingerprint/PII expressions so the report cannot drift
+        # from curated_docs / pii_redact
+        "curation_funnel": f"""
+            WITH f AS (
+                SELECT doc_id, {fp_expr} AS fp, {quality_expr} AS q,
+                       CASE WHEN text IS NOT NULL AND (
+                            regexp_matches(text,
+                                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                            OR regexp_matches(text,
+                                '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')
+                            OR regexp_matches(text,
+                                '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b'))
+                            THEN 1 ELSE 0 END AS pii
+                FROM documents
+            ), w AS (
+                SELECT pii,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id) AS rn
+                FROM f WHERE q >= 0.5
+            )
+            SELECT 'raw' AS stage, count(*) AS n_docs,
+                   0 AS stage_idx FROM f
+            UNION ALL SELECT 'quality_pass', count(*), 1
+                      FROM f WHERE q >= 0.5
+            UNION ALL SELECT 'dedup_kept', count(*), 2 FROM w WHERE rn = 1
+            UNION ALL SELECT 'pii_clean', count(*), 3
+                      FROM w WHERE rn = 1 AND pii = 0
+        """,
         # LLaMA-style mixture up-sampling plan: integer epochs + exact
         # fractional-pass probability to bring every source to token
         # parity with the largest (T_max is a window max over the rollup)
@@ -1617,6 +1648,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(m.n) AS BIGINT) AS n_events
             FROM c JOIN m USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        # cumulative-distinct growth: first-seen day per user (one Min
+        # shuffle), day rollup, running sum over the bounded day table
+        "user_growth_curve": """
+            WITH f AS (
+                SELECT user_id, min(date_trunc('day', ts)) AS first_day
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), d AS (
+                SELECT first_day AS day, count(*) AS new_users
+                FROM f GROUP BY 1
+            )
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d
         """,
         # LOCF resample onto a 6-hour grid; (type, ts) ties reduced to the
         # max event_id's value BEFORE the as-of lookup in both engines

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "events_sliding_window",
     "users_only_first_half",
     "events_locf_grid",
+    "user_growth_curve",
     "events_anomalous_hours",
     "dedup_rate_report",
     "cross_source_overlap",
@@ -137,6 +138,7 @@ BENCH_QUERIES = [
     "order_spend_share",
     "global_sales_opportunity",
     "gopher_quality_flags",
+    "curation_funnel",
     "vocab_growth",
     "top_terms_per_source",
     "doc_length_histogram",

@@ -1018,3 +1018,79 @@ def epoch_plan(sf_dir: str) -> "ray.data.Dataset":
     # repartition(1): the finish map needs T_max across ALL sources in
     # one batch; the rollup is #sources rows, so this is a no-op at scale
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def curation_funnel(sf_dir: str, min_quality: float = 0.5) -> "ray.data.Dataset":
+    """Curation-funnel attrition report: how many docs survive each stage
+    of the canonical curation composition — raw -> quality filter ->
+    exact dedup (keep-first among quality passers) -> PII-clean — the
+    dataset-card table that justifies a corpus release ("we started with
+    N, kept M").
+
+    Scale shape: ONE pass computes quality, fingerprint, and PII flags
+    per batch; the only shuffle is the fingerprint-coarse winner
+    decision among quality passers (exact_dedup's shape, carrying a
+    packed (doc_id, pii) int so the winner's PII flag survives the
+    native Min); stage counts are partial-combined sums.  The stage
+    definitions reuse text.quality_score and the shared PII regexes so
+    this report can never drift from curated_docs / pii_redact."""
+    import numpy as np
+    from ..functions.agg import coarse_grouped_aggregate
+    from ray.data.aggregate import Sum
+    from .text import fingerprint_batch, quality_score
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        q = quality_score(text)
+        pii = pc.fill_null(pc.greater(pc.add(pc.add(
+            pc.count_substring_regex(text, PII_EMAIL),
+            pc.count_substring_regex(text, PII_IP)),
+            pc.count_substring_regex(text, PII_PHONE)), 0), False)
+        kept = batch.append_column("pii", pc.cast(pii, pa.int64())) \
+            .filter(pc.greater_equal(q, min_quality))
+        # pack (doc_id, pii) so the fp-group Min keeps the winner's flag
+        pack = pc.add(pc.multiply(kept.column("doc_id"), 2),
+                      kept.column("pii"))
+        t = pa.table({"fp": fingerprint_batch(kept), "pack": pack})
+        return t.group_by("fp").aggregate([("pack", "min")]) \
+            .rename_columns(["fp", "pack"])
+
+    # counts ride a separate cheap pass (pure map over the same read)
+    def count_partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        q = quality_score(text)
+        return pa.table({
+            "n_raw": pa.array([batch.num_rows], pa.int64()),
+            "n_quality": pa.array(
+                [pc.sum(pc.cast(pc.greater_equal(q, min_quality),
+                                pa.int64())).as_py() or 0], pa.int64())})
+
+    totals = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .aggregate(Sum("n_raw", alias_name="n_raw"),
+                         Sum("n_quality", alias_name="n_quality")))
+
+    winners = coarse_grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "fp", [("pack", "min", "pack")])
+
+    def winner_partial(batch: pa.Table) -> pa.Table:
+        pii = pc.bit_wise_and(batch.column("pack"), 1)
+        return pa.table({
+            "n_dedup": pa.array([batch.num_rows], pa.int64()),
+            "n_clean": pa.array([
+                batch.num_rows - (pc.sum(pii).as_py() or 0)], pa.int64())})
+
+    wtotals = (winners.map_batches(winner_partial, batch_format="pyarrow")
+               .aggregate(Sum("n_dedup", alias_name="n_dedup"),
+                          Sum("n_clean", alias_name="n_clean")))
+
+    stages = ["raw", "quality_pass", "dedup_kept", "pii_clean"]
+    counts = [totals["n_raw"] or 0, totals["n_quality"] or 0,
+              wtotals["n_dedup"] or 0, wtotals["n_clean"] or 0]
+    return ray.data.from_arrow(pa.table({
+        "stage": pa.array(stages, pa.string()),
+        "n_docs": pa.array(counts, pa.int64()),
+        "stage_idx": pa.array(range(4), pa.int64()),
+    }))

@@ -1283,3 +1283,58 @@ def events_locf_grid(sf_dir: str, start: str = "2024-01-01",
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type")
             .map_groups(locf, batch_format="pyarrow"))
+
+
+def user_growth_curve(sf_dir: str) -> "ray.data.Dataset":
+    """Cumulative-distinct growth curve: per day, how many users were
+    seen for the first time and the running total of distinct users —
+    the DAU-growth / corpus-growth chart, i.e. a cumulative
+    COUNT(DISTINCT) window no engine computes naively at scale.
+
+    Scale shape: distinct-by-first-occurrence reduces to a per-user MIN
+    (first day) — per-batch (user, min day) partials, ONE coarse user
+    shuffle with native Min — then a date-domain-bounded per-day rollup
+    and a single running-sum finish over the tiny day table.  Rows with
+    NULL ts are dropped in both engines (SQL min() skips them; a user
+    with only NULL ts has no first day)."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ray.data.aggregate import Sum
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        g = pa.table({"user_id": batch.column("user_id"), "day": day}) \
+            .group_by("user_id").aggregate([("day", "min")])
+        return g.rename_columns(["user_id", "first_day"])
+
+    first = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("first_day", "min", "first_day")])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["first_day"]).group_by("first_day") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["day", "new_users"])
+
+    per_day = (first.map_batches(day_partial, batch_format="pyarrow")
+               .groupby("day").aggregate(Sum("new_users",
+                                             alias_name="new_users")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.timestamp("us")),
+                             "new_users": pa.array([], pa.int64()),
+                             "cum_users": pa.array([], pa.int64())})
+        idx = pc.sort_indices(batch, sort_keys=[("day", "ascending")])
+        g = batch.take(idx)
+        nu = g.column("new_users").to_numpy()
+        return pa.table({"day": g.column("day"),
+                         "new_users": pa.array(nu, pa.int64()),
+                         "cum_users": pa.array(np.cumsum(nu), pa.int64())})
+
+    # the day rollup is bounded by the date domain: one-batch finish
+    return per_day.repartition(1).map_batches(finish,
+                                              batch_format="pyarrow")

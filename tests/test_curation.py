@@ -272,3 +272,28 @@ def test_ngram_repetition_planted(ray_session, tmp_path):
     assert res.loc[1, "top_bigram_frac"] == round(1/6, 6)
     assert res.loc[2, "n_bigrams"] == 1
     assert pd.isna(res.loc[2, "n_trigrams"])
+
+
+def test_curation_funnel_planted(ray_session, tmp_path):
+    """Each stage's count drops by exactly the planted attrition: one
+    low-quality doc, one duplicate, one PII-bearing winner."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import curation
+
+    rows = [
+        {"doc_id": 0, "text": "a fine clean document with plenty of words"},
+        {"doc_id": 1, "text": "a fine clean document with plenty of words"},  # dup of 0
+        {"doc_id": 2, "text": "123 456 789"},                                 # low quality
+        {"doc_id": 3, "text": "contact me at leak@example.com for details"}, # PII winner
+        {"doc_id": 4, "text": "another good and unique body of words here"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (curation.curation_funnel(str(tmp_path)).to_pandas()
+           .set_index("stage"))
+    assert res.loc["raw", "n_docs"] == 5
+    assert res.loc["quality_pass", "n_docs"] == 4      # doc 2 dropped
+    assert res.loc["dedup_kept", "n_docs"] == 3        # doc 1 deduped
+    assert res.loc["pii_clean", "n_docs"] == 2         # doc 3 has PII

@@ -256,3 +256,25 @@ def test_daily_revenue_ma7_rampup(ray_session, tmp_path):
     assert res.loc[9, "ma7"] == round(sum(range(4, 11))/7, 6)  # steady 7
     assert (res["revenue"].to_numpy()
             == np.arange(1, 11, dtype=float)).all()
+
+
+def test_user_growth_curve_planted(ray_session, tmp_path):
+    """New-user attribution goes to each user's FIRST day only; the
+    running total is cumulative distinct users."""
+    import pandas as pd
+    rows = []
+    eid = 0
+    # user 1: days 1,2,3; user 2: days 2,3; user 3: day 3
+    for uid, days in [(1, [1, 2, 3]), (2, [2, 3]), (3, [3])]:
+        for d in days:
+            rows.append({"event_id": eid, "user_id": uid,
+                         "ts": pd.Timestamp(f"2024-01-0{d} 12:00:00"),
+                         "event_type": "click", "value": 1.0,
+                         "props": "{}"})
+            eid += 1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "events.parquet"))
+    res = (streaming.user_growth_curve(str(tmp_path)).to_pandas()
+           .sort_values("day", ignore_index=True))
+    assert list(res["new_users"]) == [1, 1, 1]
+    assert list(res["cum_users"]) == [1, 2, 3]
