@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": streaming.events_sliding_window,
         "events_locf_grid": streaming.events_locf_grid,
         "user_growth_curve": streaming.user_growth_curve,
+        "events_type_overlap": streaming.events_type_overlap,
+        "customer_repeat_rate": relational.customer_repeat_rate,
         "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
@@ -1648,6 +1650,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(m.n) AS BIGINT) AS n_events
             FROM c JOIN m USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        # type co-occurrence via per-user bitmasks; the self-join twin
+        # yields exactly the nonzero unordered pairs incl. the diagonal
+        "events_type_overlap": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+                WHERE event_type IS NOT NULL
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                AND a.event_type <= b.event_type
+            GROUP BY 1, 2
+        """,
+        # repeat-purchase rate per segment: fact reduces to per-customer
+        # counts before the dimension attach
+        "customer_repeat_rate": """
+            WITH oc AS (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT c_mktsegment AS segment, count(*) AS n_customers,
+                   count(*) FILTER (WHERE n_orders >= 2) AS n_repeat,
+                   round(CAST(count(*) FILTER (WHERE n_orders >= 2)
+                              AS DOUBLE) / count(*), 6) AS repeat_rate
+            FROM oc JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1
         """,
         # cumulative-distinct growth: first-seen day per user (one Min
         # shuffle), day rollup, running sum over the bounded day table

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "brand_disjunction_revenue",
     "ship_latency_percentiles",
     "customer_value_deciles",
+    "customer_repeat_rate",
     "uniform_sample",
     "token_budget_mixture",
     "nation_year_rollup",
@@ -126,6 +127,7 @@ BENCH_QUERIES = [
     "users_only_first_half",
     "events_locf_grid",
     "user_growth_curve",
+    "events_type_overlap",
     "events_anomalous_hours",
     "dedup_rate_report",
     "cross_source_overlap",

@@ -2219,3 +2219,59 @@ def daily_revenue_ma7(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def customer_repeat_rate(sf_dir: str) -> "ray.data.Dataset":
+    """Repeat-purchase rate per market segment (share of ordering
+    customers with >= 2 orders) — the aggregate-then-attach-dimension
+    shape: the fact table reduces to per-customer order counts through
+    one coarse shuffle, the customer dimension broadcast-attaches the
+    segment, and a #segments-sized rollup finishes.  Customers with no
+    orders are excluded (inner join), matching the SQL twin."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+    from ..functions.num import round6
+
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    per_cust = coarse_grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        "o_custkey", [("n_orders", "sum", "n_orders")])
+
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(per_cust, cust, on="o_custkey",
+                            right_on="c_custkey")
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        rep = pc.cast(pc.greater_equal(batch.column("n_orders"), 2),
+                      pa.int64())
+        t = pa.table({"segment": batch.column("c_mktsegment"),
+                      "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "rep": rep})
+        g = t.group_by("segment").aggregate([("one", "sum"),
+                                             ("rep", "sum")])
+        return g.rename_columns(["segment", "n_customers", "n_repeat"])
+
+    agg = (joined.map_batches(seg_partial, batch_format="pyarrow")
+           .groupby("segment")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("n_repeat", alias_name="n_repeat")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": batch.column("segment"),
+            "n_customers": batch.column("n_customers"),
+            "n_repeat": batch.column("n_repeat"),
+            "repeat_rate": round6(pc.divide(
+                pc.cast(batch.column("n_repeat"), pa.float64(), safe=False),
+                pc.cast(batch.column("n_customers"), pa.float64(),
+                        safe=False))),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

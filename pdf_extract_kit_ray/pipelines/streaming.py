@@ -1338,3 +1338,96 @@ def user_growth_curve(sf_dir: str) -> "ray.data.Dataset":
     # the day rollup is bounded by the date domain: one-batch finish
     return per_day.repartition(1).map_batches(finish,
                                               batch_format="pyarrow")
+
+
+def events_type_overlap(sf_dir: str) -> "ray.data.Dataset":
+    """Event-type co-occurrence matrix: for every unordered type pair
+    (a <= b), how many distinct users did BOTH — the audience-overlap /
+    feature-co-occurrence matrix behind funnel design and embedding
+    co-training.  Diagonal rows (a = b) count each type's distinct
+    users.
+
+    Scale shape: distinct (user, type) pairs combine per batch, ONE
+    coarse user shuffle reduces each user to a TYPE BITMASK (types are
+    a small vocabulary; the mask is one int64), per-bucket mask
+    histograms shrink to <= 2^|types| partial rows, and the pair matrix
+    unpacks from mask counts in a finish map — pair counting never
+    touches row-level data twice.  NULL types are dropped in both
+    engines."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ray.data.aggregate import Sum
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    # pass 0: the type vocabulary (tiny, deterministic order)
+    def type_partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("event_type")
+        return pa.table({"event_type": pc.unique(pc.drop_null(t))})
+
+    tdf = ds.map_batches(type_partial, batch_format="pyarrow").to_pandas()
+    types = sorted(set(tdf["event_type"])) if "event_type" in tdf else []
+    if not types:
+        return ray.data.from_arrow(pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64())}))
+    tidx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("event_type")))
+        import pandas as pd
+        bit = pd.Series(batch.column("event_type").to_pandas()).map(tidx) \
+            .to_numpy(dtype=np.int64)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = pa.table({"user_id": pa.array(uid, pa.int64()),
+                      "mask": pa.array(1 << bit, pa.int64()),
+                      "__coarse": pa.array((uid * _GOLDEN) % nc,
+                                           pa.int64())})
+        # per-batch partial: OR the masks per user (sum of distinct
+        # powers != OR, so use Arrow max per (user, bit) — simpler: group
+        # by user with bit_wise_or via numpy after a sort is overkill;
+        # emit distinct (user, mask-bit) rows instead
+        return t.group_by(["user_id", "mask", "__coarse"]) \
+            .aggregate([]).rename_columns(["user_id", "mask", "__coarse"])
+
+    def bucket_masks(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "partial_n": pa.array([], pa.int64())})
+        uid = group.column("user_id").to_numpy()
+        mask = group.column("mask").to_numpy()
+        order = np.argsort(uid, kind="stable")
+        uid, mask = uid[order], mask[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        full = np.bitwise_or.reduceat(mask, starts)
+        u, c = np.unique(full, return_counts=True)
+        return pa.table({"mask": pa.array(u, pa.int64()),
+                         "partial_n": pa.array(c, pa.int64())})
+
+    hist = (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__coarse").map_groups(bucket_masks,
+                                            batch_format="pyarrow")
+            .groupby("mask").aggregate(Sum("partial_n", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        masks = batch.column("mask").to_numpy()
+        counts = batch.column("n").to_numpy()
+        ta, tb, nu = [], [], []
+        for i in range(k):
+            for j in range(i, k):
+                both = (1 << i) | (1 << j)
+                sel = (masks & both) == both
+                n = int(counts[sel].sum())
+                if n:
+                    ta.append(types[i])
+                    tb.append(types[j])
+                    nu.append(n)
+        return pa.table({"type_a": pa.array(ta, pa.string()),
+                         "type_b": pa.array(tb, pa.string()),
+                         "n_users": pa.array(nu, pa.int64())})
+
+    # the mask histogram is <= 2^|types| rows: one-batch finish
+    return hist.repartition(1).map_batches(finish, batch_format="pyarrow")

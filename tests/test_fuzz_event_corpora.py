@@ -25,7 +25,8 @@ QUERIES = [
     "user_running_totals", "events_value_bands", "distinct_users_by_type",
     "value_zscore_outliers", "events_daily_pivot", "top_users",
     "users_active_both_halves", "users_only_first_half",
-    "events_locf_grid", "user_growth_curve", "distinct_event_types",
+    "events_locf_grid", "user_growth_curve", "events_type_overlap",
+    "distinct_event_types",
     "engaged_users_union", "hll_distinct_by_type", "user_first_last",
     "session_stats", "event_transitions", "event_order_audit",
     "user_cohort_values", "user_event_sequences", "inter_event_gaps",
