@@ -315,17 +315,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    # The driver's side-by-side correctness gate runs at sf=0.01: ensure the
-    # sf0.01 golden table exists so the flagship's oracle below can read it
-    # (generation is cached on disk; ~seconds for the 200-doc corpus).
-    golden_glob = os.path.join(_golden_dir("/root/testdata/sf0.01"),
-                               "*.parquet")
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    # The driver's side-by-side correctness gate runs at sf=0.01 (the
+    # default, so the no-arg driver call is unchanged): ensure that
+    # scale's golden table exists so the flagship's oracle below can read
+    # it (generation is cached on disk; ~seconds for the 200-doc corpus).
+    # The local sweep passes its own sf_dir so the extraction oracles
+    # verify at sf0.1 too instead of comparing against sf0.01 goldens.
+    golden_glob = os.path.join(_golden_dir(sf_dir), "*.parquet")
     golden_md_glob = os.path.join(
-        os.path.dirname(_golden_dir("/root/testdata/sf0.01")),
+        os.path.dirname(_golden_dir(sf_dir)),
         "golden_md", "*.parquet")
-    raw_glob = os.path.join(_corpus_path("/root/testdata/sf0.01"),
-                            "*.parquet")
+    raw_glob = os.path.join(_corpus_path(sf_dir), "*.parquet")
     fp_expr = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
     alpha_expr = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
     # DuckDB's trim() strips only SPACES; Python str.split() (the engine

@@ -78,7 +78,9 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     queries = E.queries()
-    oracles = E.oracle_sql()
+    # pass the sweep's scale so the extraction oracles read THAT scale's
+    # materialized goldens (the driver's no-arg call stays sf0.01)
+    oracles = E.oracle_sql(args.sf_dir)
     only = {s for s in args.only.split(",") if s}
 
     report = {}
