@@ -89,7 +89,7 @@ def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
     return pa.table(cols)
 
 
-def heavy_hitter_users(sf_dir: str, k: int = 1024, top: int = 20) -> pa.Table:
+def heavy_hitter_users(sf_dir: str, k: int = 4096, top: int = 20) -> pa.Table:
     """Top event producers via a Misra-Gries heavy-hitters summary run as an
     ``AggregateFnV2`` global aggregate — the bounded-memory alternative to
     the exact ``top_users`` groupby: each block reduces to <= k counters
@@ -97,7 +97,8 @@ def heavy_hitter_users(sf_dir: str, k: int = 1024, top: int = 20) -> pa.Table:
     key stream is ever shuffled.  Guarantees: every user with frequency
     > n/(k+1) is present, each count undercounts by at most the reported
     ``max_undercount`` (0 whenever the true distinct-key count never
-    exceeded k — the regime of the test corpora, which makes the exact SQL
+    exceeded k — the regime of the test corpora INCLUDING sf0.1's 1,500
+    users, hence k=4096 / ~64 KB summaries, which makes the exact SQL
     twin a valid oracle; the eviction/merge path is pinned by unit tests
     with distinct >> k).  Output ordered (est_count desc, user_id asc)."""
     from ..functions.sketches import make_mg_aggregator

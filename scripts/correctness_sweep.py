@@ -50,7 +50,18 @@ def to_pandas(res):
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if len(df) == 0 and len(df.columns) == 0:
+        # Ray quirk: to_pandas() on a fully-empty Dataset drops columns
+        # even though schema() knows them — rebuild from the schema so
+        # the column compare stays meaningful on legitimately-empty
+        # results (e.g. no pairs above threshold at this scale)
+        schema = res.schema()
+        if schema is not None and schema.names:
+            df = pa.schema(
+                list(zip(schema.names, schema.types))
+            ).empty_table().to_pandas()
+    return df
 
 
 def main() -> int:
