@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth_curve": streaming.user_growth_curve,
         "events_type_overlap": streaming.events_type_overlap,
         "customer_repeat_rate": relational.customer_repeat_rate,
+        "customer_spend_gini": relational.customer_spend_gini,
         "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
@@ -1664,6 +1665,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM ut a JOIN ut b ON a.user_id = b.user_id
                                 AND a.event_type <= b.event_type
             GROUP BY 1, 2
+        """,
+        # Gini of per-customer spend; tie ranks don't matter (sum of
+        # ranks over an equal-value run is fixed), float ops in the
+        # engine's exact order
+        "customer_spend_gini": """
+            WITH s AS (
+                SELECT o_custkey,
+                       sum(CAST(floor(o_totalprice*100.0) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            ), r AS (
+                SELECT cents, row_number() OVER (ORDER BY cents) AS i
+                FROM s
+            ), t AS (
+                SELECT sum(i * cents) AS s1, sum(cents) AS s0,
+                       count(*) AS n FROM r
+            )
+            SELECT round((2.0 * s1) / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+                         - (n + 1.0)/n, 6) AS gini,
+                   CAST(n AS BIGINT) AS n_customers,
+                   CAST(s0 AS DOUBLE)/100.0 AS total_spend
+            FROM t
         """,
         # repeat-purchase rate per segment: fact reduces to per-customer
         # counts before the dimension attach

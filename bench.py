@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "ship_latency_percentiles",
     "customer_value_deciles",
     "customer_repeat_rate",
+    "customer_spend_gini",
     "uniform_sample",
     "token_budget_mixture",
     "nation_year_rollup",

@@ -2275,3 +2275,67 @@ def customer_repeat_rate(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_spend_gini(sf_dir: str) -> "ray.data.Dataset":
+    """Gini coefficient of per-customer spend — the concentration /
+    inequality summary a marketplace-health or data-skew report carries
+    (0 = uniform, →1 = one whale).  G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n
+    over spends sorted ascending, 1-based ranks.
+
+    Scale shape: orders reduce to per-customer cents through one coarse
+    shuffle, then to a (cents, n_customers) VALUE HISTOGRAM through a
+    second — the finish walks the histogram sorted by value, computing
+    Σ i·x for each tie-run in closed form (v·(c·m + c(c+1)/2)) with
+    exact Python integers (no overflow at any scale), and divides once
+    with the SQL twin's operation order.  The histogram is bounded by
+    DISTINCT spend values; the documented bound is the same
+    distinct-totals pull customer_value_deciles carries."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.num import round6_scalar
+
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "cents": _cents(batch.column("o_totalprice"))})
+        g = t.group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = coarse_grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        "o_custkey", [("cents", "sum", "cents")])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["cents"]).group_by("cents") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["cents", "n"])
+
+    hist = coarse_grouped_aggregate(
+        per_cust.map_batches(hist_partial, batch_format="pyarrow"),
+        "cents", [("n", "sum", "n")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gini": pa.array([], pa.float64()),
+                          "n_customers": pa.array([], pa.int64()),
+                          "total_spend": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[("cents", "ascending")])
+        g = batch.take(idx)
+        v = g.column("cents").to_pylist()     # exact Python ints
+        c = g.column("n").to_pylist()
+        n = s0 = s1 = 0
+        for vi, ci in zip(v, c):              # histogram-sized loop
+            s1 += vi * (ci * n + ci * (ci + 1) // 2)
+            s0 += vi * ci
+            n += ci
+        gini = round6_scalar((2.0 * s1) / (float(n) * float(s0))
+                             - (n + 1.0) / n) if s0 else 0.0
+        return pa.table({
+            "gini": pa.array([gini], pa.float64()),
+            "n_customers": pa.array([n], pa.int64()),
+            "total_spend": pa.array([s0 / 100.0], pa.float64())})
+
+    return hist.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -278,3 +278,31 @@ def test_user_growth_curve_planted(ray_session, tmp_path):
            .sort_values("day", ignore_index=True))
     assert list(res["new_users"]) == [1, 1, 1]
     assert list(res["cum_users"]) == [1, 2, 3]
+
+
+def test_customer_spend_gini_known_values(ray_session, tmp_path):
+    """Closed-form checks: equal spends -> Gini 0; a 3-value case against
+    the hand-computed coefficient (ties in the histogram path)."""
+    d = str(tmp_path / "gini")
+
+    def orders(prices):
+        _write(d, "orders", pa.table({
+            "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+            "o_custkey": pa.array(range(len(prices)), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(prices), pa.string()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array([1_700_000_000_000_000] * len(prices),
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(prices),
+                                        pa.string()),
+        }))
+
+    from pdf_extract_kit_ray.pipelines import relational
+    orders([10.0, 10.0, 10.0, 10.0])
+    res = relational.customer_spend_gini(d).to_pandas()
+    assert res.loc[0, "gini"] == 0.0 and res.loc[0, "n_customers"] == 4
+    # spends 1,2,3 (sorted): G = 2*(1*1+2*2+3*3)/(3*6) - 4/3 = 2/9
+    orders([2.0, 1.0, 3.0])
+    res = relational.customer_spend_gini(d).to_pandas()
+    assert res.loc[0, "gini"] == round(2 / 9, 6)
+    assert res.loc[0, "total_spend"] == 6.0
