@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": curation.incremental_dedup,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "curation_funnel": curation.curation_funnel,
+        "filter_report": curation.filter_report,
         "dsir_weights": curation.dsir_weights,
         "epoch_plan": curation.epoch_plan,
         "uniform_sample": curation.uniform_sample,
@@ -1061,6 +1062,41 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    row_number() OVER (PARTITION BY source
                                       ORDER BY c DESC, term ASC) AS rank
             FROM tf QUALIFY rank <= 10
+        """,
+        # per-doc filter decision with audit reasons; every flag reuses
+        # the shared quality / tokenization / PII expressions
+        "filter_report": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+            ), rep AS (
+                SELECT doc_id, sum(c) AS n, max(c) AS m FROM tc GROUP BY 1
+            ), flags AS (
+                SELECT d.doc_id AS doc_id,
+                       ({quality_expr} < 0.5) AS fail_quality,
+                       (coalesce(rep.n, 0) < 5) AS fail_short,
+                       (CASE WHEN rep.n IS NULL THEN FALSE
+                             ELSE CAST(rep.m AS DOUBLE)/rep.n > 0.3
+                        END) AS fail_repeat,
+                       (text IS NOT NULL AND (
+                            regexp_matches(text,
+                                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                            OR regexp_matches(text,
+                                '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')
+                            OR regexp_matches(text,
+                                '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')))
+                           AS fail_pii
+                FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
+            )
+            SELECT doc_id, fail_quality, fail_short, fail_repeat, fail_pii,
+                   (NOT fail_quality AND NOT fail_short
+                    AND NOT fail_repeat AND NOT fail_pii) AS keep
+            FROM flags
         """,
         # curation-funnel attrition: stage definitions reuse THE shared
         # quality/fingerprint/PII expressions so the report cannot drift

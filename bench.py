@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "global_sales_opportunity",
     "gopher_quality_flags",
     "curation_funnel",
+    "filter_report",
     "vocab_growth",
     "top_terms_per_source",
     "doc_length_histogram",

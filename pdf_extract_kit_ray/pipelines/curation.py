@@ -1094,3 +1094,67 @@ def curation_funnel(sf_dir: str, min_quality: float = 0.5) -> "ray.data.Dataset"
         "n_docs": pa.array(counts, pa.int64()),
         "stage_idx": pa.array(range(4), pa.int64()),
     }))
+
+
+def filter_report(sf_dir: str, min_quality: float = 0.5,
+                  min_tokens: int = 5,
+                  max_top_frac: float = 0.3) -> "ray.data.Dataset":
+    """Composite filter decision with per-reason audit flags — the final
+    keep/drop gate a corpus release runs, emitting WHY each document
+    fell (the auditability requirement behind every dataset card):
+    fail_quality (< min_quality), fail_short (< min_tokens whitespace
+    tokens), fail_repeat (top-token fraction > max_top_frac), fail_pii
+    (any email/IP/phone), and the composite ``keep``.
+
+    Pure vectorized map, no shuffle; every flag reuses THE shared
+    definition (text.quality_score, the doc_repetition token grouping,
+    the pii_redact regexes) so this report cannot drift from the
+    operators it summarizes.  NULL text: quality 0 -> fail_quality,
+    token count 0 -> fail_short, never fail_pii (no match on NULL)."""
+    import numpy as np
+    from .text import quality_score
+
+    def report(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        q = quality_score(text)
+        fail_quality = pc.less(q, min_quality)
+        # RE2 split (the doc_repetition tokenization contract)
+        split = pc.split_pattern_regex(text, r"\s+")
+        toks = pc.list_flatten(split)
+        idx = pc.list_parent_indices(split)
+        keepm = pc.not_equal(toks, "")
+        t = pa.table({"idx": idx.filter(keepm), "tok": toks.filter(keepm)})
+        n_tok = np.zeros(batch.num_rows, np.int64)
+        top_c = np.zeros(batch.num_rows, np.int64)
+        if t.num_rows:
+            tc = t.group_by(["idx", "tok"]).aggregate([([], "count_all")]) \
+                .rename_columns(["idx", "tok", "c"])
+            agg = tc.group_by("idx").aggregate(
+                [("c", "sum"), ("c", "max")]) \
+                .rename_columns(["idx", "n", "m"])
+            ii = agg.column("idx").to_numpy()
+            n_tok[ii] = agg.column("n").to_numpy()
+            top_c[ii] = agg.column("m").to_numpy()
+        fail_short = pa.array(n_tok < min_tokens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(n_tok > 0, top_c / np.maximum(n_tok, 1), 0.0)
+        fail_repeat = pa.array(frac > max_top_frac)
+        fail_pii = pc.fill_null(pc.greater(pc.add(pc.add(
+            pc.count_substring_regex(text, PII_EMAIL),
+            pc.count_substring_regex(text, PII_IP)),
+            pc.count_substring_regex(text, PII_PHONE)), 0), False)
+        fq = pc.fill_null(fail_quality, True)
+        keep = pc.and_(pc.and_(pc.invert(fq), pc.invert(fail_short)),
+                       pc.and_(pc.invert(fail_repeat),
+                               pc.invert(fail_pii)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fail_quality": fq,
+            "fail_short": fail_short,
+            "fail_repeat": fail_repeat,
+            "fail_pii": fail_pii,
+            "keep": keep,
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        report, batch_format="pyarrow")

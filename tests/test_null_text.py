@@ -35,7 +35,7 @@ ORACLE_QUERIES = [
     "dedup_rate_report", "token_budget_mixture", "cross_source_overlap",
     "top_terms_per_source", "dedup_keep_best", "paragraph_dedup",
     "dsir_weights", "ngram_repetition", "source_divergence",
-    "inverted_index", "epoch_plan", "curation_funnel",
+    "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
