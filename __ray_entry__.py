@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_locf_grid": streaming.events_locf_grid,
         "user_growth_curve": streaming.user_growth_curve,
         "events_type_overlap": streaming.events_type_overlap,
+        "top_session_paths": streaming.top_session_paths,
         "customer_repeat_rate": relational.customer_repeat_rate,
         "customer_spend_gini": relational.customer_spend_gini,
         "events_anomalous_hours": streaming.events_anomalous_hours,
@@ -1688,6 +1689,34 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(any_value(m.n) AS BIGINT) AS n_events
             FROM c JOIN m USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        # most common session journeys: lag-window session ids + ordered
+        # string_agg paths; NULL types excluded before sessionization in
+        # both engines; gap boundary is strict > 30 minutes
+        "top_session_paths": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                WHERE event_type IS NOT NULL
+            ), b AS (
+                SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM b
+            ), p AS (
+                SELECT string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS path
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT path, count(*) AS n_sessions
+            FROM p GROUP BY 1
+            ORDER BY n_sessions DESC, path ASC LIMIT 20
         """,
         # type co-occurrence via per-user bitmasks; the self-join twin
         # yields exactly the nonzero unordered pairs incl. the diagonal

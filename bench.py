@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "events_locf_grid",
     "user_growth_curve",
     "events_type_overlap",
+    "top_session_paths",
     "events_anomalous_hours",
     "dedup_rate_report",
     "cross_source_overlap",

@@ -1016,8 +1016,13 @@ def _string_coarse_hash(arr: "pa.Array", num_coarse: int) -> np.ndarray:
     strings)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
-                        count=len(arr) + 1, offset=arr.offset * 4) \
+    # string offsets are int32; large_string's are int64 — reading a
+    # large_string buffer as int32 silently produces garbage buckets
+    # (equal strings then never co-bucket and downstream merges are lost)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
+                        count=len(arr) + 1,
+                        offset=arr.offset * off_dtype().itemsize) \
         .astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     starts, ends = off[:-1], off[1:]

@@ -1432,3 +1432,75 @@ def events_type_overlap(sf_dir: str) -> "ray.data.Dataset":
 
     # the mask histogram is <= 2^|types| rows: one-batch finish
     return hist.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def top_session_paths(sf_dir: str, gap_minutes: int = 30,
+                      k: int = 20) -> "ray.data.Dataset":
+    """Most common session journeys: per session, the ordered event-type
+    path string ("click>view>purchase"), counted corpus-wide, top-``k``
+    by frequency (ties broken by path ascending) — the funnel-design /
+    UX-analysis table.  NULL-type events are excluded from both the
+    paths and the session derivation (pinned in both engines).
+
+    Scale shape: ONE coarse user shuffle derives every session with
+    segmented numpy (the session_stats kernel) and joins each session's
+    types with a zero-copy list join, pre-reducing to (path, count)
+    partials per bucket; a second path-coarse shuffle owns each path's
+    total, and per-bucket LOSSLESS top-k candidates (a path's whole
+    count lives in one bucket) reduce to k rows in a final limit."""
+    from ..functions.agg import (_GOLDEN, _default_num_coarse,
+                                 coarse_grouped_aggregate)
+
+    nc = _default_num_coarse()
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("event_type")))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"path": pa.array([], pa.large_string()),
+                      "partial_n": pa.array([], pa.int64())})
+
+    def paths(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        t = group.select(["user_id", "ts", "event_id", "event_type"])
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        brk = np.r_[True, (uid[1:] != uid[:-1])
+                    | ((ts[1:] - ts[:-1]) > gap_us)]
+        starts = np.flatnonzero(brk)
+        offsets = np.r_[starts, len(uid)].astype(np.int64)
+        types = pc.cast(t.column("event_type").combine_chunks(),
+                        pa.large_string())
+        path = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                          types),
+            pa.scalar(">", pa.large_string()))
+        g = pa.table({"path": path}).group_by("path") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["path", "partial_n"])
+
+    counts = coarse_grouped_aggregate(
+        ds.map_batches(tag, batch_format="pyarrow")
+          .groupby("__coarse").map_groups(paths, batch_format="pyarrow"),
+        "path", [("partial_n", "sum", "n_sessions")])
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        # lossless: each path's TOTAL count is in exactly one bucket row
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("n_sessions", "descending"), ("path", "ascending")])
+        return batch.take(idx[:k])
+
+    return (counts.map_batches(topk_partial, batch_format="pyarrow")
+            .sort(["n_sessions", "path"], descending=[True, False])
+            .limit(k))

@@ -560,3 +560,19 @@ def test_embedding_quantize_bounds_and_roundtrip(ray_session):
                        np.round(((m32 - recon) ** 2).mean(axis=1), 6),
                        atol=1.5e-6)
     assert (codes[:, 3] == 0).all() and (err[:, 3] == 0).all()
+
+
+def test_string_coarse_hash_large_string_parity():
+    """Equal strings MUST co-bucket regardless of string/large_string
+    storage (large_string offsets are int64 — reading them as int32
+    produced garbage buckets and silently lost downstream merges)."""
+    vals = ["click", "view>purchase", "", "x" * 300, "click"]
+    small = pa.array(vals, pa.string())
+    large = pa.array(vals, pa.large_string())
+    hs = dedup._string_coarse_hash(small, 1 << 62)
+    hl = dedup._string_coarse_hash(large, 1 << 62)
+    assert (hs == hl).all()
+    assert hs[0] == hs[4]            # equal strings, same bucket
+    # sliced arrays (non-zero offset) must agree too
+    assert (dedup._string_coarse_hash(large.slice(1), 1 << 62)
+            == hl[1:]).all()
