@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": curation.source_mixture,
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
+        "bloom_incremental_dedup": curation.bloom_incremental_dedup,  # non-SQL (bloom bitmap)
         "gopher_quality_flags": curation.gopher_quality_flags,
         "curation_funnel": curation.curation_funnel,
         "filter_report": curation.filter_report,

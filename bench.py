@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "source_mixture",
     "props_value_stats",
     "incremental_dedup",
+    "bloom_incremental_dedup",
     "sequence_pack",
     "training_order",
     "quality_percentile_filter",

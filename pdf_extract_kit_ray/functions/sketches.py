@@ -336,3 +336,85 @@ def make_ddsketch_aggregator(on: str, alpha: float = 0.01,
             return out
 
     return DDQuantiles()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership sketch)
+# ---------------------------------------------------------------------------
+
+_HEXVAL = np.zeros(256, np.uint8)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _HEXVAL[_c] = _i
+
+
+def bloom_positions(fp_hex: "pa.Array | pa.ChunkedArray",
+                    m_bits: int, k: int = 4) -> np.ndarray:
+    """(n, k) bit positions for md5-hex fingerprints, vectorized straight
+    off the Arrow string buffer: the 128-bit digest splits into four
+    independent 32-bit words (md5's bits are uniform), each reduced mod
+    ``m_bits``.  Deterministic across workers/engines by construction."""
+    import pyarrow as pa
+    if isinstance(fp_hex, pa.ChunkedArray):
+        fp_hex = fp_hex.combine_chunks()
+    n = len(fp_hex)
+    if n == 0:
+        return np.zeros((0, k), np.int64)
+    off_dtype = (np.int64 if pa.types.is_large_string(fp_hex.type)
+                 else np.int32)
+    off = np.frombuffer(fp_hex.buffers()[1], dtype=off_dtype,
+                        count=n + 1,
+                        offset=fp_hex.offset * off_dtype().itemsize)
+    assert int(off[-1] - off[0]) == 32 * n, "expected 32-char md5 hex"
+    data = np.frombuffer(fp_hex.buffers()[2], np.uint8)[
+        int(off[0]):int(off[-1])]
+    nib = _HEXVAL[data].reshape(n, 32)
+    bytes16 = (nib[:, 0::2] << 4) | nib[:, 1::2]          # (n, 16)
+    words = np.ascontiguousarray(bytes16).view(">u4").astype(np.int64)
+    return words[:, :k] % m_bits
+
+
+def make_bloom_aggregator(on: str, m_bits: int = 1 << 20, k: int = 4,
+                          name: str = None):
+    """Bloom membership filter as an ``AggregateFnV2``: the accumulator is
+    the m-bit bitmap (bytes); combine is bitwise OR; finalize returns the
+    packed bitmap for broadcasting to a probe stage.  With k=4 hashes the
+    false-positive rate is (1-e^{-kn/m})^k — ~1.2% at n = m/8 members."""
+    from ray.data.aggregate import AggregateFnV2
+
+    nbytes = m_bits // 8
+
+    class BloomBuild(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name or f"bloom({on})",
+                             zero_factory=lambda: bytes(nbytes),
+                             on=on, ignore_nulls=True)
+
+        def aggregate_block(self, block) -> bytes:
+            col = block.column(on) if hasattr(block, "column") else block[on]
+            import pyarrow.compute as pc
+            col = pc.drop_null(col)
+            pos = bloom_positions(col, m_bits, k).ravel()
+            bm = np.zeros(nbytes, np.uint8)
+            np.bitwise_or.at(bm, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+            return bm.tobytes()
+
+        def combine(self, a: bytes, b: bytes) -> bytes:
+            return np.bitwise_or(np.frombuffer(a, np.uint8),
+                                 np.frombuffer(b, np.uint8)).tobytes()
+
+        def finalize(self, acc: bytes) -> bytes:
+            return acc
+
+    return BloomBuild()
+
+
+def bloom_probe(bitmap: bytes, fp_hex, m_bits: int,
+                k: int = 4) -> np.ndarray:
+    """Membership probe against a packed bloom bitmap: True where ALL k
+    bit positions are set (no false negatives; false positives at the
+    documented rate)."""
+    bm = np.frombuffer(bitmap, np.uint8)
+    pos = bloom_positions(fp_hex, m_bits, k)                # (n, k)
+    bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)

@@ -1158,3 +1158,55 @@ def filter_report(sf_dir: str, min_quality: float = 0.5,
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         report, batch_format="pyarrow")
+
+
+def bloom_incremental_dedup(sf_dir: str, mask: int = 7,
+                            m_bits: int = 1 << 20,
+                            k_hashes: int = 4) -> "ray.data.Dataset":
+    """Incremental dedup with a BLOOM index instead of the exact
+    fingerprint set — the shape past ``incremental_dedup``'s broadcast
+    ceiling (the bitmap is m/8 bytes REGARDLESS of corpus size: a 10^9-doc
+    index at 1% FP is ~1.2 GB vs 16 GB of raw fingerprints).  The
+    established corpus's bitmap builds as a mergeable ``AggregateFnV2``
+    (per-block bitmaps OR-combine in the aggregation tree — no driver
+    merge loop), broadcasts once, and the new shard streams through a
+    pure probe map.
+
+    Contract: NO false negatives (every true duplicate flags
+    ``maybe_dup``); false positives at the documented (1-e^{-kn/m})^k
+    rate — downstream either re-verifies flagged docs against the exact
+    index (a candidate-sized lookup) or accepts the over-drop.  Null-text
+    docs never flag (null fingerprints enter neither build nor probe).
+    Output: (doc_id, maybe_dup) for every NEW doc."""
+    import numpy as np
+    import ray
+    from ..functions.sketches import bloom_probe, make_bloom_aggregator
+    from .text import fingerprint_batch
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def established_fps(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"), mask), 0)
+        return pa.table({"fp": pc.drop_null(
+            fingerprint_batch(batch.filter(keep)))})
+
+    agg = (ds.map_batches(established_fps, batch_format="pyarrow")
+           .aggregate(make_bloom_aggregator("fp", m_bits=m_bits,
+                                            k=k_hashes, name="bloom")))
+    bitmap = (agg or {}).get("bloom") or bytes(m_bits // 8)
+    bm_ref = ray.put(bitmap)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(pc.bit_wise_and(batch.column("doc_id"), mask), 0)
+        new = batch.filter(keep)
+        fp = fingerprint_batch(new)
+        valid = pc.is_valid(fp)
+        hits = np.zeros(new.num_rows, bool)
+        fpv = fp.filter(valid)
+        if len(fpv):
+            hits[valid.to_numpy(zero_copy_only=False)] = bloom_probe(
+                ray.get(bm_ref), fpv, m_bits, k_hashes)
+        return pa.table({"doc_id": new.column("doc_id"),
+                         "maybe_dup": pa.array(hits)})
+
+    return ds.map_batches(probe, batch_format="pyarrow")

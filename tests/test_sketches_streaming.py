@@ -198,3 +198,48 @@ def test_heavy_hitter_users_pipeline(ray_session):
     assert (df["max_undercount"] == 0).all()          # lossless at test scale
     assert df["user_id"].tolist() == ex["user_id"].tolist()
     assert df["est_count"].tolist() == ex["c"].tolist()
+
+
+def test_bloom_positions_deterministic_and_uniform():
+    import pyarrow as pa
+    from pdf_extract_kit_ray.functions.sketches import bloom_positions
+    import hashlib
+    fps = pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                    for i in range(5000)], pa.string())
+    p1 = bloom_positions(fps, 1 << 20)
+    p2 = bloom_positions(fps, 1 << 20)
+    assert (p1 == p2).all() and p1.shape == (5000, 4)
+    assert p1.min() >= 0 and p1.max() < (1 << 20)
+    # positions spread: no bucket grossly hot
+    _, counts = np.unique(p1.ravel(), return_counts=True)
+    assert counts.max() <= 8
+    # large_string parity (the coarse-hash regression class)
+    assert (bloom_positions(fps.cast(pa.large_string()), 1 << 20)
+            == p1).all()
+
+
+def test_bloom_incremental_dedup_no_false_negatives(ray_session, tmp_path):
+    """Every true duplicate of the established subset must flag; the
+    false-positive rate on a clean corpus stays near the analytic bound."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import curation
+
+    rows = []
+    for i in range(800):
+        rows.append({"doc_id": i, "text": f"unique body number {i} xyz"})
+    # doc_id % 8 == 0 is established; plant new docs duplicating them
+    for j, base in enumerate((0, 8, 16, 24, 32)):
+        rows.append({"doc_id": 1001 + j * 2,   # odd -> NEW shard
+                     "text": f"unique body number {base} xyz"})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (curation.bloom_incremental_dedup(str(tmp_path))
+           .to_pandas().set_index("doc_id"))
+    planted = [1001 + j * 2 for j in range(5)]
+    assert res.loc[planted, "maybe_dup"].all()          # no false negatives
+    clean = res.drop(index=planted)
+    # m=2^20, k=4, n=100 members -> FP rate ~ (kn/m)^k ~ 1e-14; allow
+    # a generous absolute budget for the tiny corpus
+    assert clean["maybe_dup"].sum() <= 1
