@@ -152,6 +152,39 @@ def main() -> None:
     res["gap_count_ok"] = bool(
         int(gaps.n_gaps.sum()) == N_EVENTS - len(fl))
 
+    t0 = time.time()
+    paths = streaming.top_session_paths(OUT).to_pandas()
+    res["top_session_paths_sec"] = round(time.time() - t0, 1)
+    res["paths_rows"] = len(paths)
+    res["paths_ok"] = bool(
+        len(paths) == 20
+        and paths.n_sessions.is_monotonic_decreasing
+        and int(paths.n_sessions.sum()) <= len(ss))
+
+    t0 = time.time()
+    ug = streaming.user_growth_curve(OUT).to_pandas()
+    res["user_growth_curve_sec"] = round(time.time() - t0, 1)
+    res["growth_total_ok"] = bool(int(ug.new_users.sum()) == len(fl)
+                                  and int(ug.cum_users.iloc[-1]) == len(fl))
+
+    t0 = time.time()
+    ov = streaming.events_type_overlap(OUT).to_pandas()
+    res["events_type_overlap_sec"] = round(time.time() - t0, 1)
+    # diagonal of the overlap matrix == the EXACT distinct users per type
+    # (cross-checked against the exact operator, not an assumption)
+    diag = ov[ov.type_a == ov.type_b].set_index("type_a")["n_users"]
+    exact = streaming.distinct_users_by_type(OUT).to_pandas() \
+        .set_index("event_type")["distinct_users"]
+    res["overlap_diag_ok"] = bool(
+        len(diag) == len(exact)
+        and (diag.sort_index() == exact.sort_index()).all())
+
+    t0 = time.time()
+    lg = streaming.events_locf_grid(
+        OUT, start="2024-01-01", end="2024-01-31").to_pandas()
+    res["events_locf_grid_sec"] = round(time.time() - t0, 1)
+    res["locf_rows"] = len(lg)
+
     res["driver_peak_rss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)
     print(json.dumps(res))
