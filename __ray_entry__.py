@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth_curve": streaming.user_growth_curve,
         "events_type_overlap": streaming.events_type_overlap,
         "top_session_paths": streaming.top_session_paths,
+        "rolling_active_users": streaming.rolling_active_users,
         "customer_repeat_rate": relational.customer_repeat_rate,
         "customer_spend_gini": relational.customer_spend_gini,
         "events_anomalous_hours": streaming.events_anomalous_hours,
@@ -1690,6 +1691,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(any_value(m.n) AS BIGINT) AS n_events
             FROM c JOIN m USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        # rolling COUNT(DISTINCT): each (user, day) supports the 7 window
+        # ends day..day+6; dedup per (window, user) then count
+        "rolling_active_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events WHERE ts IS NOT NULL
+            ), expl AS (
+                SELECT DISTINCT user_id, day + to_days(CAST(k AS INT)) AS wday
+                FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k)
+            )
+            SELECT wday AS day, count(*) AS active_users
+            FROM expl GROUP BY 1
         """,
         # most common session journeys: lag-window session ids + ordered
         # string_agg paths; NULL types excluded before sessionization in

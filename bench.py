@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "user_growth_curve",
     "events_type_overlap",
     "top_session_paths",
+    "rolling_active_users",
     "events_anomalous_hours",
     "dedup_rate_report",
     "cross_source_overlap",

@@ -1504,3 +1504,70 @@ def top_session_paths(sf_dir: str, gap_minutes: int = 30,
     return (counts.map_batches(topk_partial, batch_format="pyarrow")
             .sort(["n_sessions", "path"], descending=[True, False])
             .limit(k))
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset":
+    """Rolling weekly-active-users: for every calendar day, the distinct
+    users active in the trailing ``window_days`` window — the WAU/DAU
+    family metric, i.e. a rolling COUNT(DISTINCT) no engine computes by
+    windowing (distinct doesn't decompose over sliding frames).
+
+    Scale shape: rows reduce to distinct (user, day) pairs per batch
+    (the combiner — volume bounded by users x days, not events), each
+    pair explodes to the ``window_days`` window-end days it supports,
+    and ONE coarse (day, user)-pair shuffle dedups users who were active
+    on several days of the same window before a tiny per-day rollup.
+    Output days cover every window end that intersects the data (SQL
+    twin: a day grid joined on the trailing range)."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ray.data.aggregate import Sum
+
+    nc = _default_num_coarse()
+    day_us = 86_400_000_000
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        pairs = pa.table({"user_id": batch.column("user_id"),
+                          "day": day}).group_by(
+            ["user_id", "day"]).aggregate([])
+        uid = pairs.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d_us = pairs.column("day").cast(pa.int64()).to_numpy()
+        n = len(uid)
+        w = np.arange(window_days, dtype=np.int64)
+        wday = (np.repeat(d_us, window_days)
+                + np.tile(w * day_us, n))
+        wuid = np.repeat(uid, window_days)
+        coarse = ((wday // day_us) * _GOLDEN + wuid * _GOLDEN) % nc
+        return pa.table({
+            "user_id": pa.array(wuid, pa.int64()),
+            "wday": pa.array(wday, pa.int64()),
+            "__coarse": pa.array(coarse, pa.int64()),
+        })
+
+    def bucket_count(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"wday": pa.array([], pa.int64()),
+                             "partial_n": pa.array([], pa.int64())})
+        dd = group.select(["user_id", "wday"]).group_by(
+            ["user_id", "wday"]).aggregate([])
+        g = dd.select(["wday"]).group_by("wday") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["wday", "partial_n"])
+
+    agg = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("__coarse")
+           .map_groups(bucket_count, batch_format="pyarrow")
+           .groupby("wday").aggregate(Sum("partial_n",
+                                          alias_name="active_users")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch.column("wday").cast(pa.timestamp("us")),
+            "active_users": batch.column("active_users"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
