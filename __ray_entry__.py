@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_overlap": streaming.events_type_overlap,
         "top_session_paths": streaming.top_session_paths,
         "rolling_active_users": streaming.rolling_active_users,
+        "events_seasonality": streaming.events_seasonality,
         "customer_repeat_rate": relational.customer_repeat_rate,
         "customer_spend_gini": relational.customer_spend_gini,
         "events_anomalous_hours": streaming.events_anomalous_hours,
@@ -1691,6 +1692,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(any_value(m.n) AS BIGINT) AS n_events
             FROM c JOIN m USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_seasonality": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS weekday,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*100.0) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS total_value
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
         """,
         # rolling COUNT(DISTINCT): each (user, day) supports the 7 window
         # ends day..day+6; dedup per (window, user) then count

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "events_type_overlap",
     "top_session_paths",
     "rolling_active_users",
+    "events_seasonality",
     "events_anomalous_hours",
     "dedup_rate_report",
     "cross_source_overlap",

@@ -1571,3 +1571,45 @@ def rolling_active_users(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_seasonality(sf_dir: str) -> "ray.data.Dataset":
+    """Activity seasonality matrix: event count and exact-cents value sum
+    per (ISO weekday, hour-of-day) cell — the 7x24 heatmap behind load
+    forecasting and anomaly baselines.  Pure partial-combine: each batch
+    reduces to <=168 cells before the one tiny shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        t = pa.table({
+            "weekday": pc.cast(pc.day_of_week(batch.column("ts"),
+                                              count_from_zero=False,
+                                              week_start=1), pa.int64()),
+            "hour": pc.cast(pc.hour(batch.column("ts")), pa.int64()),
+            "value_c": pc.cast(pc.floor(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64()),
+        })
+        g = t.group_by(["weekday", "hour"]).aggregate(
+            [([], "count_all"), ("value_c", "sum")])
+        return g.rename_columns(["weekday", "hour", "partial_n",
+                                 "partial_c"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["weekday", "hour"])
+           .aggregate(Sum("partial_n", alias_name="n_events"),
+                      Sum("partial_c", alias_name="value_c")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "weekday": batch.column("weekday"),
+            "hour": batch.column("hour"),
+            "n_events": batch.column("n_events"),
+            "total_value": pc.divide(pc.cast(
+                batch.column("value_c"), pa.float64(), safe=False), 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
