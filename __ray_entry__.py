@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": text.vocab_growth,
         "source_divergence": text.source_divergence,
         "inverted_index": text.inverted_index,
+        "zipf_slope": text.zipf_slope,
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
         # --- corpus curation ---
@@ -1149,6 +1150,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                         AS DOUBLE) / n_tokens
                               ELSE 0.0 END, 6) AS frac_keep
             FROM s
+        """,
+        # Zipf rank-frequency slope: regression sums on micro-int ln
+        # values are exact integers (HUGEINT) so the one division is
+        # bit-identical; ranks pinned by (count desc, term asc)
+        "zipf_slope": """
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), cnt AS (
+                SELECT term, count(*) AS c FROM tok GROUP BY 1
+            ), top AS (
+                SELECT c, row_number() OVER (ORDER BY c DESC, term ASC)
+                           AS r
+                FROM cnt QUALIFY r <= 500
+            ), m AS (
+                SELECT CAST(round(ln(CAST(r AS DOUBLE))*1000000.0)
+                            AS BIGINT) AS x,
+                       CAST(round(ln(CAST(c AS DOUBLE))*1000000.0)
+                            AS BIGINT) AS y
+                FROM top
+            ), t AS (
+                SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x*y) AS sxy, sum(x*x) AS sxx
+                FROM m
+            )
+            SELECT CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+                        ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+                                   / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+                   END AS zipf_slope,
+                   CAST(n AS BIGINT) AS n_terms
+            FROM t
         """,
         # inverted-index build: per term, df / total tf / head of the
         # ascending posting list (first 8 doc_ids, comma-joined — the

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "source_divergence",
     "inverted_index",
+    "zipf_slope",
     "epoch_plan",
     "quality_weighted_sample",
     "events_daily_pivot",

@@ -1033,3 +1033,45 @@ def inverted_index(sf_dir: str, head_k: int = 8) -> "ray.data.Dataset":
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__coarse")
             .map_groups(bucket_index, batch_format="pyarrow"))
+
+
+def zipf_slope(sf_dir: str, top_n: int = 500) -> "ray.data.Dataset":
+    """Zipf power-law fit of the corpus rank-frequency curve: the least-
+    squares slope of ln(freq) vs ln(rank) over the ``top_n`` most
+    frequent terms (natural text sits near −1; templated/boilerplate
+    corpora flatten, spam steepens) — the corpus-health statistic a
+    dataset card plots.
+
+    Scale shape: one wordcount shuffle (shared
+    ``_corpus_unigram_counts``), a bounded ``top_n``-row driver pull
+    (deterministic (count desc, term asc) ranks), then closed-form
+    regression on micro-int ln values — all four regression sums are
+    exact arbitrary-precision integers in the engine and HUGEINTs in
+    the twin, so the single final division is bit-identical."""
+    counts = _corpus_unigram_counts(sf_dir)
+    top = counts.sort(["n", "term"], descending=[True, False]) \
+        .limit(top_n).to_pandas()
+    empty = pa.table({"zipf_slope": pa.array([], pa.float64()),
+                      "n_terms": pa.array([], pa.int64())})
+    n = len(top)
+    if n == 0:
+        return ray.data.from_arrow(empty)
+    rank = np.arange(1, n + 1, dtype=np.float64)
+    # half-away-from-zero micro snap (DuckDB round semantics; np.round is
+    # half-to-even and could diverge on exact .5-micro boundaries)
+    def _snap(v: np.ndarray) -> np.ndarray:
+        return pc.round(pa.array(v * 1e6), ndigits=0,
+                        round_mode="half_towards_infinity") \
+            .cast(pa.int64()).to_numpy()
+    x = _snap(np.log(rank))
+    y = _snap(np.log(top["n"].to_numpy(dtype=np.float64)))
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    num = n * sxy - sx * sy          # exact Python ints (no overflow)
+    den = n * sxx - sx * sx
+    from ..functions.num import round6_scalar
+    slope = round6_scalar(float(num) / float(den)) if den else None
+    return ray.data.from_arrow(pa.table({
+        "zipf_slope": pa.array([slope], pa.float64()),
+        "n_terms": pa.array([n], pa.int64())}))

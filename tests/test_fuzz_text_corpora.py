@@ -25,7 +25,8 @@ QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
            "token_budget_mixture", "cross_source_overlap",
            "top_terms_per_source", "dedup_keep_best", "paragraph_dedup",
            "dsir_weights", "ngram_repetition", "source_divergence",
-           "inverted_index", "epoch_plan", "curation_funnel", "filter_report"]
+           "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
+           "zipf_slope"]
 
 _PIECES = [
     "word", "Word", "WORD", "w0rd", "123", "!!!", "a,b.c", "$x$",
