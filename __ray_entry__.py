@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonality": streaming.events_seasonality,
         "customer_repeat_rate": relational.customer_repeat_rate,
         "customer_spend_gini": relational.customer_spend_gini,
+        "part_affinity_pairs": relational.part_affinity_pairs,
         "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
@@ -1789,6 +1790,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM ut a JOIN ut b ON a.user_id = b.user_id
                                 AND a.event_type <= b.event_type
             GROUP BY 1, 2
+        """,
+        # market-basket affinity: per-order part sets pair via the
+        # size-grouped triu kernel (cost bounded by basket width)
+        "part_affinity_pairs": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_orders
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # Gini of per-customer spend; tie ranks don't matter (sum of
         # ranks over an equal-value run is fixed), float ops in the

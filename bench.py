@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "customer_value_deciles",
     "customer_repeat_rate",
     "customer_spend_gini",
+    "part_affinity_pairs",
     "uniform_sample",
     "token_budget_mixture",
     "nation_year_rollup",

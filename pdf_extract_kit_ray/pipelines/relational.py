@@ -2339,3 +2339,77 @@ def customer_spend_gini(sf_dir: str) -> "ray.data.Dataset":
             "total_spend": pa.array([s0 / 100.0], pa.float64())})
 
     return hist.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def part_affinity_pairs(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
+    """Market-basket part affinity: pairs of parts appearing in at least
+    ``min_count`` common orders — the association-rule / co-purchase
+    building block.  Returns (part_a < part_b, n_orders).
+
+    Scale shape: distinct (order, part) pairs combine per batch, ONE
+    coarse orderkey shuffle co-locates each order's part set, and pairs
+    emit with the size-grouped triu kernel (per-order cost quadratic in
+    BASKET size — bounded by order width, never corpus size — and
+    pre-reduced per bucket); the final pair rollup is coarse-keyed on
+    the combined pair."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse, \
+        coarse_grouped_aggregate
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        g = batch.select(["l_orderkey", "l_partkey"]) \
+            .group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return g.append_column("__coarse",
+                               pa.array((ok * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"part_a": pa.array([], pa.int64()),
+                      "part_b": pa.array([], pa.int64()),
+                      "partial_n": pa.array([], pa.int64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        t = group.select(["l_orderkey", "l_partkey"]) \
+            .group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[
+            ("l_orderkey", "ascending"), ("l_partkey", "ascending")])
+        t = t.take(idx)
+        ok = t.column("l_orderkey").to_numpy()
+        pk = t.column("l_partkey").to_numpy()
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        a_parts, b_parts = [], []
+        for basket in np.unique(sizes[sizes >= 2]):
+            segs = starts[sizes == basket]
+            ii, jj = np.triu_indices(int(basket), k=1)
+            a_parts.append(pk[(segs[:, None] + ii[None, :]).ravel()])
+            b_parts.append(pk[(segs[:, None] + jj[None, :]).ravel()])
+        if not a_parts:
+            return empty
+        p = pa.table({"part_a": pa.array(np.concatenate(a_parts),
+                                         pa.int64()),
+                      "part_b": pa.array(np.concatenate(b_parts),
+                                         pa.int64())})
+        g = p.group_by(["part_a", "part_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["part_a", "part_b", "partial_n"])
+
+    pairs = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+             .groupby("__coarse")
+             .map_groups(bucket_pairs, batch_format="pyarrow")
+             .map_batches(lambda b: b if b.num_rows else empty,
+                          batch_format="pyarrow"))
+    agg = coarse_grouped_aggregate(
+        pairs, ["part_a", "part_b"],
+        [("partial_n", "sum", "n_orders")],
+        hash_cols=["part_a", "part_b"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_orders"),
+                                             min_count))
+
+    return agg.map_batches(keep, batch_format="pyarrow")
