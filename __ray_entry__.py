@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_repeat_rate": relational.customer_repeat_rate,
         "customer_spend_gini": relational.customer_spend_gini,
         "part_affinity_pairs": relational.part_affinity_pairs,
+        "part_affinity_lift": relational.part_affinity_lift,
         "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
@@ -1802,6 +1803,30 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
                                AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # association-rule lift on exact integers; ONE final double
+        # division identical in both engines
+        "part_affinity_lift": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pm AS (
+                SELECT l_partkey, count(*) AS n FROM op GROUP BY 1
+            ), tot AS (
+                SELECT count(DISTINCT l_orderkey) AS t FROM op
+            ), pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       count(*) AS n_orders
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT part_a, part_b, n_orders,
+                   round(CAST(n_orders * tot.t AS DOUBLE)
+                         / CAST(na.n * nb.n AS DOUBLE), 6) AS lift
+            FROM pairs
+            JOIN pm na ON na.l_partkey = part_a
+            JOIN pm nb ON nb.l_partkey = part_b
+            CROSS JOIN tot
         """,
         # Gini of per-customer spend; tie ranks don't matter (sum of
         # ranks over an equal-value run is fixed), float ops in the

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "customer_repeat_rate",
     "customer_spend_gini",
     "part_affinity_pairs",
+    "part_affinity_lift",
     "uniform_sample",
     "token_budget_mixture",
     "nation_year_rollup",

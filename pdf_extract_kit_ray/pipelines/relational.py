@@ -2413,3 +2413,87 @@ def part_affinity_pairs(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
                                              min_count))
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def part_affinity_lift(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
+    """Association-rule lift for the co-purchase pairs: lift(a,b) =
+    P(a,b) / (P(a)·P(b)) over order baskets — >1 means the parts attract
+    (the recommender/planogram signal), computed exactly as
+    (n_ab · total_orders) / (n_a · n_b) on integers with one final
+    double division identical in both engines.
+
+    Scale shape: reuses ``part_affinity_pairs``'s one-order-shuffle pair
+    counts; the per-part marginals reduce through a coarse part shuffle
+    to a #parts-bounded table broadcast once (parts are a bounded
+    catalog domain); total distinct orders is a scalar from the same
+    rollup.  Lift is then a pure map over the pair stream."""
+    import ray as _ray
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.num import round6
+
+    pairs = part_affinity_pairs(sf_dir, min_count=min_count)
+
+    ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def op_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_orderkey", "l_partkey"]) \
+            .group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    # one coarse shuffle finishes the (order, part) dedup; per-part
+    # marginals and the distinct-order scalar both come from it
+    distinct_op = coarse_grouped_aggregate(
+        ds.map_batches(op_partial, batch_format="pyarrow"),
+        ["l_orderkey", "l_partkey"], [(None, "count_all", "_c")])
+
+    def marg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["l_partkey"]).group_by("l_partkey") \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "part": g.column("l_partkey"),
+            "n": g.column("count_all"),
+        })
+
+    from ray.data.aggregate import Sum
+    marg = (distinct_op.map_batches(marg_partial, batch_format="pyarrow")
+            .groupby("part").aggregate(Sum("n", alias_name="n_orders"))
+            .to_pandas())
+    if "part" not in marg:          # empty table: Ray drops the columns
+        import pandas as pd
+        marg = pd.DataFrame({"part": [], "n_orders": []})
+    # distinct orders: (order, part) rows grouped per order — bounded
+    # per-batch partial then exact distinct via a tiny second pass
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"o": pc.unique(batch.column("l_orderkey"))})
+
+    total_orders = (distinct_op.map_batches(ord_partial,
+                                            batch_format="pyarrow")
+                    .groupby("o").count().count())
+    mdict = dict(zip(marg["part"].to_numpy(), marg["n_orders"].to_numpy()))
+    ref = _ray.put(mdict)
+
+    empty = pa.table({"part_a": pa.array([], pa.int64()),
+                      "part_b": pa.array([], pa.int64()),
+                      "n_orders": pa.array([], pa.int64()),
+                      "lift": pa.array([], pa.float64())})
+
+    def lift(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        md = _ray.get(ref)
+        import pandas as pd
+        a = batch.column("part_a").to_pandas()
+        b = batch.column("part_b").to_pandas()
+        na = a.map(md).to_numpy(dtype=np.int64)
+        nb = b.map(md).to_numpy(dtype=np.int64)
+        nab = batch.column("n_orders").to_numpy()
+        val = (nab * total_orders).astype(np.float64) \
+            / (na * nb).astype(np.float64)
+        return pa.table({
+            "part_a": batch.column("part_a"),
+            "part_b": batch.column("part_b"),
+            "n_orders": batch.column("n_orders"),
+            "lift": round6(pa.array(val)),
+        })
+
+    return pairs.map_batches(lift, batch_format="pyarrow")
