@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "forecast_revenue": relational.forecast_revenue,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
+        "monthly_revenue_growth": relational.monthly_revenue_growth,
         "late_shipment_priority": relational.late_shipment_priority,
         "customers_without_orders": relational.customers_without_orders,
         "global_sales_opportunity": relational.global_sales_opportunity,
@@ -299,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": streaming.rolling_active_users,
         "events_seasonality": streaming.events_seasonality,
         "customer_repeat_rate": relational.customer_repeat_rate,
+        "customer_rfm": relational.customer_rfm,
         "customer_spend_gini": relational.customer_spend_gini,
         "part_affinity_pairs": relational.part_affinity_pairs,
         "part_affinity_lift": relational.part_affinity_lift,
@@ -547,6 +549,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM d
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
                          AND CURRENT ROW)
+        """,
+        # month-over-month growth: lag over the bounded monthly rollup,
+        # (cur-prev)/prev on exact cents, NULL first month / zero prev
+        "monthly_revenue_growth": """
+            WITH m AS (
+                SELECT date_trunc('month', l_shipdate) AS month,
+                       sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                                AS BIGINT)) AS rev_c
+                FROM lineitem GROUP BY 1
+            )
+            SELECT month, CAST(rev_c AS DOUBLE)/100.0 AS revenue,
+                   CASE WHEN lag(rev_c) OVER (ORDER BY month) IS NULL
+                          OR lag(rev_c) OVER (ORDER BY month) = 0
+                        THEN NULL
+                        ELSE round((CAST(rev_c AS DOUBLE)
+                                    - CAST(lag(rev_c) OVER (ORDER BY month)
+                                           AS DOUBLE))
+                                   / CAST(lag(rev_c) OVER (ORDER BY month)
+                                          AS DOUBLE), 6)
+                   END AS growth
+            FROM m
         """,
         # Q4 shape: EXISTS(lineitem shipped > 90 days after order date)
         # per priority — the engine reduces lineitem to per-order max
@@ -1791,6 +1814,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM ut a JOIN ut b ON a.user_id = b.user_id
                                 AND a.event_type <= b.event_type
             GROUP BY 1, 2
+        """,
+        # RFM rollup; recency via integer floor-division of epoch-us in
+        # both engines (robust to sub-day order timestamps)
+        "customer_rfm": """
+            SELECT o_custkey,
+                   CAST((epoch_us(TIMESTAMP '1998-12-31')
+                         - epoch_us(max(o_orderdate))) // 86400000000
+                        AS BIGINT) AS recency_days,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice*100.0) AS BIGINT))
+                        AS DOUBLE)/100.0 AS monetary
+            FROM orders GROUP BY 1
         """,
         # market-basket affinity: per-order part sets pair via the
         # size-grouped triu kernel (cost bounded by basket width)

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "order_priority_revenue",
     "forecast_revenue",
     "daily_revenue_ma7",
+    "monthly_revenue_growth",
     "late_shipment_priority",
     "q3_shipping_priority",
     "promo_revenue",
@@ -111,6 +112,7 @@ BENCH_QUERIES = [
     "ship_latency_percentiles",
     "customer_value_deciles",
     "customer_repeat_rate",
+    "customer_rfm",
     "customer_spend_gini",
     "part_affinity_pairs",
     "part_affinity_lift",

@@ -2497,3 +2497,94 @@ def part_affinity_lift(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
         })
 
     return pairs.map_batches(lift, batch_format="pyarrow")
+
+
+def monthly_revenue_growth(sf_dir: str) -> "ray.data.Dataset":
+    """Month-over-month revenue growth — the lag-over-aggregate report
+    shape: the corpus-sized scan pre-reduces to per-month exact-cents
+    partials, and the growth rates compute in one finish map over the
+    date-domain-bounded month table (growth = (cur − prev)/prev on the
+    cents ints, NULL for the first month, 6dp in both engines)."""
+    from ..functions.num import round6
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_shipdate", "l_extendedprice",
+                                       "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("l_shipdate"), unit="month")
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0, batch.column("l_discount"))))
+        g = pa.table({"month": month, "rev_c": rev_c}).group_by("month") \
+            .aggregate([("rev_c", "sum")])
+        return g.rename_columns(["month", "rev_c"])
+
+    agg = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("month").aggregate(Sum("rev_c", alias_name="rev_c")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"month": pa.array([], pa.timestamp("us")),
+                          "revenue": pa.array([], pa.float64()),
+                          "growth": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[("month", "ascending")])
+        g = batch.take(idx)
+        c = g.column("rev_c").to_numpy().astype(np.float64)
+        growth = np.full(len(c), np.nan)
+        if len(c) > 1:
+            prev = c[:-1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                growth[1:] = np.where(prev != 0, (c[1:] - prev) / prev,
+                                      np.nan)
+        return pa.table({
+            "month": g.column("month"),
+            "revenue": pa.array(c / 100.0),
+            "growth": round6(pa.array(growth, from_pandas=True)),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def customer_rfm(sf_dir: str, ref_date: str = "1998-12-31") -> "ray.data.Dataset":
+    """RFM feature table — recency (days from last order to the reference
+    date), frequency (order count), monetary (exact-cents total spend)
+    per customer: the canonical marketing/feature-store per-entity
+    rollup.  One coarse customer shuffle with native Max/Sum aggregates;
+    the finish is a pure map (no per-customer dispatch)."""
+    from ..functions.agg import coarse_grouped_aggregate
+
+    ref_us = int(pd.Timestamp(ref_date).value // 1000)
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate",
+                                         "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "last_us": batch.column("o_orderdate").cast(pa.int64()),
+            "cents": _cents(batch.column("o_totalprice")),
+        })
+        g = t.group_by("o_custkey").aggregate(
+            [("last_us", "max"), ([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["o_custkey", "last_us", "partial_n",
+                                 "cents"])
+
+    agg = coarse_grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        "o_custkey", [("last_us", "max", "last_us"),
+                      ("partial_n", "sum", "frequency"),
+                      ("cents", "sum", "cents")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_us").to_numpy()
+        recency = (ref_us - last) // 86_400_000_000
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "recency_days": pa.array(recency, pa.int64()),
+            "frequency": batch.column("frequency"),
+            "monetary": pc.divide(pc.cast(batch.column("cents"),
+                                          pa.float64(), safe=False), 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
