@@ -80,6 +80,17 @@ def main() -> None:
     res["kmeans_sec"] = round(time.time() - t0, 1)
     res["kmeans_assigned"] = int(km.n.sum())
 
+    t0 = time.time()
+    q = similarity.embedding_quantize(OUT)
+    import pyarrow.compute as _pc
+    n_q = mse_max = 0
+    for b in q.iter_batches(batch_format="pyarrow"):
+        n_q += b.num_rows
+        mse_max = max(mse_max, _pc.max(b.column("mse")).as_py() or 0)
+    res["quantize_sec"] = round(time.time() - t0, 1)
+    res["quantize_rows"] = n_q
+    res["quantize_mse_max"] = round(mse_max, 6)
+
     res["driver_peak_rss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)
     print(json.dumps(res))
