@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": relational.user_running_totals,
         "order_priority_revenue": relational.order_priority_revenue,
         "forecast_revenue": relational.forecast_revenue,
+        "orders_star": relational.orders_star,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "late_shipment_priority": relational.late_shipment_priority,
@@ -235,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": text.source_divergence,
         "inverted_index": text.inverted_index,
         "zipf_slope": text.zipf_slope,
+        "doc_byte_entropy": text.doc_byte_entropy,  # non-SQL (byte histogram)
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
         # --- corpus curation ---
@@ -549,6 +551,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM d
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
                          AND CURRENT ROW)
+        """,
+        # denormalized star snapshot: broadcast-join chain, map-only
+        "orders_star": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice,
+                   c_name AS customer, c_mktsegment AS segment,
+                   n_name AS nation, r_name AS region
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
         """,
         # month-over-month growth: lag over the bounded monthly rollup,
         # (cur-prev)/prev on exact cents, NULL first month / zero prev

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "source_divergence",
     "inverted_index",
     "zipf_slope",
+    "doc_byte_entropy",
     "epoch_plan",
     "quality_weighted_sample",
     "events_daily_pivot",
@@ -93,6 +94,7 @@ BENCH_QUERIES = [
     "media_exact_dedup",
     "order_priority_revenue",
     "forecast_revenue",
+    "orders_star",
     "daily_revenue_ma7",
     "monthly_revenue_growth",
     "late_shipment_priority",

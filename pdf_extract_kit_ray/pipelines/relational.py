@@ -2588,3 +2588,50 @@ def customer_rfm(sf_dir: str, ref_date: str = "1998-12-31") -> "ray.data.Dataset
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_star(sf_dir: str) -> "ray.data.Dataset":
+    """Denormalized star snapshot: orders widened with customer, nation
+    and region attributes — the ETL step that builds the analyst-facing
+    wide table so downstream queries stop paying the joins.
+
+    Scale shape: the fact table streams once through a chain of
+    BROADCAST joins (customer/nation/region are dimensions — shipped via
+    ``ray.put`` once, no shuffle anywhere); the output is a pure
+    projection.  At 100 TB the orders scan parallelizes per block and
+    the pipeline stays map-only."""
+    from ..functions.joins import broadcast_join, read_small_table
+
+    orders = sized_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"])
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name",
+                                     "c_mktsegment", "c_nationkey"])
+    nation = read_small_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name",
+                                       "n_regionkey"])
+    region = read_small_table(f"{sf_dir}/region.parquet",
+                              columns=["r_regionkey", "r_name"])
+
+    wide = broadcast_join(orders, cust, on="o_custkey",
+                          right_on="c_custkey")
+    wide = broadcast_join(wide, nation, on="c_nationkey",
+                          right_on="n_nationkey")
+    wide = broadcast_join(wide, region, on="n_regionkey",
+                          right_on="r_regionkey")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "o_totalprice": batch.column("o_totalprice"),
+            "customer": batch.column("c_name"),
+            "segment": batch.column("c_mktsegment"),
+            "nation": batch.column("n_name"),
+            "region": batch.column("r_name"),
+        })
+
+    return wide.map_batches(project, batch_format="pyarrow")

@@ -1075,3 +1075,59 @@ def zipf_slope(sf_dir: str, top_n: int = 500) -> "ray.data.Dataset":
     return ray.data.from_arrow(pa.table({
         "zipf_slope": pa.array([slope], pa.float64()),
         "n_terms": pa.array([n], pa.int64())}))
+
+
+def doc_byte_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document byte-level Shannon entropy (bits/byte) — the
+    compressibility quality signal (RefinedWeb-style): near-0 entropy =
+    repeated filler, ~4.2 = typical English, ~6 = random-ish/encoded
+    junk; curation filters both tails.
+
+    Pure vectorized map, no shuffle: the batch's utf8 buffer flattens
+    ONCE into a (doc, byte) histogram via a single ``np.bincount`` over
+    ``doc_index*256 + byte`` (no per-row loop); entropy is a segmented
+    numpy reduction over each doc's 256-bin slice.  Non-SQL (DuckDB has
+    no byte-histogram kernel); pinned by a straight-line numpy twin in
+    tests.  NULL/empty docs yield no row."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_bytes": pa.array([], pa.int64()),
+                      "entropy_bits": pa.array([], pa.float64())})
+
+    def ent(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text").combine_chunks()
+        off_dtype = (np.int64 if pa.types.is_large_string(text.type)
+                     else np.int32)
+        off = np.frombuffer(text.buffers()[1], dtype=off_dtype,
+                            count=len(text) + 1,
+                            offset=text.offset * off_dtype().itemsize) \
+            .astype(np.int64)
+        data = np.frombuffer(text.buffers()[2], np.uint8)[
+            int(off[0]):int(off[-1])]
+        lens = np.diff(off)
+        valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+        keep = valid & (lens > 0)
+        if not keep.any():
+            return empty
+        # every buffer byte maps to its row (null rows may carry buffer
+        # extent; their histogram rows are dropped by `keep` below, so
+        # their bytes only ever land in their own discarded bin)
+        doc_idx = np.repeat(np.arange(len(text), dtype=np.int64), lens)
+        hist = np.bincount(doc_idx * 256 + data.astype(np.int64),
+                           minlength=len(text) * 256) \
+            .reshape(len(text), 256)[keep]
+        n = hist.sum(axis=1, keepdims=True).astype(np.float64)
+        p = hist / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent_bits = -np.where(p > 0, p * np.log2(p), 0.0).sum(axis=1)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(n.ravel().astype(np.int64), pa.int64()),
+            "entropy_bits": pa.array(np.round(ent_bits, 6)),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow")

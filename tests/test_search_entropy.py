@@ -157,3 +157,35 @@ def test_knn_classify_majority_and_tiebreak(ray_session, tmp_path):
     # query 1: its 3 nearest are label 2 (the label-4 vector is the farthest)
     assert res["pred_label"].tolist()[1] == 2
     assert res["n_votes"].tolist()[1] == 3
+
+
+def test_doc_byte_entropy_known_values(ray_session, tmp_path):
+    """Straight-line numpy twin + closed-form cases: a single repeated
+    byte has entropy 0; 'ab'*n has exactly 1 bit; NULL and empty docs
+    vanish."""
+    import os
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import text as T
+
+    rows = [
+        {"doc_id": 0, "text": "aaaaaaaa"},
+        {"doc_id": 1, "text": "ab" * 16},
+        {"doc_id": 2, "text": "The quick brown fox jumps over the lazy dog"},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": ""},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (T.doc_byte_entropy(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert list(res.index) == [0, 1, 2]
+    assert res.loc[0, "entropy_bits"] == 0.0
+    assert res.loc[1, "entropy_bits"] == 1.0
+    # numpy twin for the prose doc
+    b = np.frombuffer(rows[2]["text"].encode(), np.uint8)
+    p = np.bincount(b, minlength=256) / len(b)
+    ref = -np.where(p > 0, p * np.log2(p), 0).sum()
+    assert res.loc[2, "entropy_bits"] == round(float(ref), 6)
+    assert res.loc[2, "n_bytes"] == len(b)
