@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_gini": relational.customer_spend_gini,
         "part_affinity_pairs": relational.part_affinity_pairs,
         "part_affinity_lift": relational.part_affinity_lift,
+        "part_communities": relational.part_communities,
         "events_anomalous_hours": streaming.events_anomalous_hours,
         "user_event_entropy": streaming.user_event_entropy,
         "user_first_last": streaming.user_first_last,
@@ -1874,6 +1875,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN pm na ON na.l_partkey = part_a
             JOIN pm nb ON nb.l_partkey = part_b
             CROSS JOIN tot
+        """,
+        # connected components over the co-purchase graph (the shared
+        # Hash-to-Min primitive vs a recursive min-label CTE)
+        "part_communities": """
+            WITH RECURSIVE op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), ed AS (
+                SELECT a.l_partkey AS a, b.l_partkey AS b
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), edges AS (
+                SELECT a AS u, b AS v FROM ed
+                UNION SELECT b AS u, a AS v FROM ed
+            ), reach(node, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, r.lbl FROM reach r JOIN edges e
+                    ON e.u = r.node
+            ), cc AS (
+                SELECT node, MIN(lbl) AS community_id FROM reach
+                GROUP BY node
+            )
+            SELECT node AS part_id, community_id,
+                   count(*) OVER (PARTITION BY community_id)
+                       AS community_size
+            FROM cc
         """,
         # Gini of per-customer spend; tie ranks don't matter (sum of
         # ranks over an equal-value run is fixed), float ops in the

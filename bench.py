@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "customer_spend_gini",
     "part_affinity_pairs",
     "part_affinity_lift",
+    "part_communities",
     "uniform_sample",
     "token_budget_mixture",
     "nation_year_rollup",

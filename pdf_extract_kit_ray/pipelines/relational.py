@@ -2635,3 +2635,30 @@ def orders_star(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return wide.map_batches(project, batch_format="pyarrow")
+
+
+def part_communities(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
+    """Co-purchase communities: connected components over the
+    ``part_affinity_pairs`` graph (parts linked when they share >=
+    ``min_count`` orders) — the category-discovery / substitutability
+    grouping built on the shared Hash-to-Min primitive
+    (dedup.connected_components: one coarse groupby per round, no joins,
+    no driver state).  Output (part_id, community_id, community_size)
+    with community_id = the component-minimum part key."""
+    from ..pipelines.dedup import connected_components
+
+    pairs = part_affinity_pairs(sf_dir, min_count=min_count)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("part_a"),
+                         "b": batch.column("part_b")})
+
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"part_id": batch.column("doc_id"),
+                         "community_id": batch.column("cluster_id"),
+                         "community_size": batch.column("cluster_size")})
+
+    return comp.map_batches(rename, batch_format="pyarrow")
