@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": streaming.event_funnel,
         "user_retention": streaming.user_retention,
         "value_zscore_outliers": streaming.value_zscore_outliers,
+        "value_mad_outliers": relational.value_mad_outliers,
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
@@ -552,6 +553,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM d
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
                          AND CURRENT ROW)
+        """,
+        # robust MAD outliers: exact-integer median/MAD via
+        # percentile_disc, integer threshold comparison in both engines
+        "value_mad_outliers": """
+            WITH v AS (
+                SELECT event_type, CAST(floor(value*100.0) AS BIGINT) AS c
+                FROM events
+            ), med AS (
+                SELECT event_type,
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS m
+                FROM v GROUP BY 1
+            ), mad AS (
+                SELECT v.event_type,
+                       percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY abs(v.c - med.m)) AS d
+                FROM v JOIN med USING (event_type) GROUP BY 1
+            )
+            SELECT v.event_type AS event_type,
+                   CAST(med.m AS DOUBLE)/100.0 AS median,
+                   CAST(mad.d AS DOUBLE)/100.0 AS mad,
+                   count(*) FILTER (WHERE abs(v.c - med.m) > 5 * mad.d)
+                       AS n_outliers,
+                   count(*) AS n
+            FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+            GROUP BY 1, med.m, mad.d
         """,
         # denormalized star snapshot: broadcast-join chain, map-only
         "orders_star": """

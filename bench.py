@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "event_funnel",
     "user_retention",
     "value_zscore_outliers",
+    "value_mad_outliers",
     "unigram_logprob",
     "bigram_pmi",
     "events_sliding_window",

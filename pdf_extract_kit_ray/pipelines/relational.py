@@ -2662,3 +2662,53 @@ def part_communities(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
                          "community_size": batch.column("cluster_size")})
 
     return comp.map_batches(rename, batch_format="pyarrow")
+
+
+def value_mad_outliers(sf_dir: str, k: float = 5.0) -> "ray.data.Dataset":
+    """Robust outlier counts per event type using MEDIAN / MAD instead of
+    mean / sigma (value_zscore_outliers' non-robust twin): an event is an
+    outlier when |value − median| > k·MAD.  Median-based detection
+    survives the heavy tails that inflate a z-score's sigma — the robust
+    variant a data-quality monitor actually deploys.
+
+    Scale shape: the value_percentiles_by_type histogram shape — ONE
+    shuffle of per-batch (type, cent, count) histogram partials; each
+    type's kernel computes median, MAD, and the outlier count with two
+    cumulative walks over its distinct-cents rows (exact integer
+    comparisons throughout; percentile_disc rank convention in both
+    engines)."""
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "value_c": _cents(batch.column("value"))})
+        g = t.group_by(["event_type", "value_c"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "value_c", "partial_n"])
+
+    def mad_kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("value_c"))
+        vals = group.column("value_c").take(order).to_numpy()
+        counts = group.column("partial_n").take(order).to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        med = int(vals[int(np.searchsorted(cum, int(np.ceil(0.5 * total))))])
+        dev = np.abs(vals - med)
+        dorder = np.argsort(dev, kind="stable")
+        dcum = np.cumsum(counts[dorder])
+        mad = int(dev[dorder][int(np.searchsorted(
+            dcum, int(np.ceil(0.5 * total))))])
+        n_out = int(counts[dev > k * mad].sum())
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()], pa.string()),
+            "median": pa.array([med / 100.0], pa.float64()),
+            "mad": pa.array([mad / 100.0], pa.float64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
+            "n": pa.array([total], pa.int64()),
+        })
+
+    return (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(mad_kernel, batch_format="pyarrow"))
