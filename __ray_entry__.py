@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_byte_entropy": text.doc_byte_entropy,  # non-SQL (byte histogram)
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
+        "quality_by_source": text.quality_by_source,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
         "doc_repetition": curation.doc_repetition,
@@ -1214,6 +1215,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                         AS DOUBLE) / n_tokens
                               ELSE 0.0 END, 6) AS frac_keep
             FROM s
+        """,
+        # per-source quality calibration over the bounded micro-int
+        # score domain (shared quality definition)
+        "quality_by_source": f"""
+            WITH q AS (
+                SELECT source,
+                       CAST(round({quality_expr} * 1000000.0) AS BIGINT)
+                           AS qm
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(CAST(sum(qm) AS DOUBLE)
+                         / (count(*) * 1000000.0), 6) AS mean_quality,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY qm)
+                        AS DOUBLE)/1000000.0 AS median_quality
+            FROM q GROUP BY 1
         """,
         # Zipf rank-frequency slope: regression sums on micro-int ln
         # values are exact integers (HUGEINT) so the one division is

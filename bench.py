@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "zipf_slope",
     "doc_byte_entropy",
+    "quality_by_source",
     "epoch_plan",
     "quality_weighted_sample",
     "events_daily_pivot",

@@ -1131,3 +1131,47 @@ def doc_byte_entropy(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(ent, batch_format="pyarrow")
+
+
+def quality_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source quality calibration: doc count, exact mean quality, and
+    the median quality (percentile_disc over the micro-int score) — the
+    dataset-card table that shows which slices drag the corpus down.
+
+    Scale shape: quality scores are 6dp micro-ints (bounded domain
+    0..1e6), so each batch reduces to (source, q_micro, count) histogram
+    partials and ONE shuffle delivers every source's full histogram to
+    its kernel — mean is an exact integer ratio rounded once, median a
+    cumulative walk; nothing row-sized moves."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch.column("text"))
+        t = pa.table({
+            "source": batch.column("source"),
+            "q_micro": pc.cast(pc.round(pc.multiply(q, 1e6)), pa.int64()),
+        })
+        g = t.group_by(["source", "q_micro"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "q_micro", "partial_n"])
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("q_micro"))
+        vals = group.column("q_micro").take(order).to_numpy()
+        counts = group.column("partial_n").take(order).to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        med = int(vals[int(np.searchsorted(
+            cum, int(np.ceil(0.5 * total))))])
+        qsum = int((vals * counts).sum())
+        mean = round6(pa.array([qsum / (total * 1e6)]))
+        return pa.table({
+            "source": pa.array([group.column("source")[0].as_py()],
+                               pa.string()),
+            "n_docs": pa.array([total], pa.int64()),
+            "mean_quality": mean,
+            "median_quality": pa.array([med / 1e6], pa.float64()),
+        })
+
+    return (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("source").map_groups(kernel, batch_format="pyarrow"))
