@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_session_paths": streaming.top_session_paths,
         "rolling_active_users": streaming.rolling_active_users,
         "events_seasonality": streaming.events_seasonality,
+        "event_type_drift": streaming.event_type_drift,
         "customer_repeat_rate": relational.customer_repeat_rate,
         "customer_rfm": relational.customer_rfm,
         "customer_spend_gini": relational.customer_spend_gini,
@@ -1807,6 +1808,38 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(any_value(m.n) AS BIGINT) AS n_events
             FROM c JOIN m USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        # daily L1 share drift vs the corpus mixture; shares snapped to
+        # micro-ints with identical division order, absent types
+        # contribute their corpus share
+        "event_type_drift": """
+            WITH dt AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       count(*) AS n
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), ct AS (
+                SELECT event_type,
+                       CAST(round(CAST(sum(n) AS DOUBLE)
+                                  / (SELECT sum(n) FROM dt)
+                                  * 1000000.0) AS BIGINT) AS cm
+                FROM dt GROUP BY 1
+            ), dm AS (
+                SELECT day, event_type,
+                       CAST(round(CAST(n AS DOUBLE)
+                                  / sum(n) OVER (PARTITION BY day)
+                                  * 1000000.0) AS BIGINT) AS sm,
+                       sum(n) OVER (PARTITION BY day) AS day_tot
+                FROM dt
+            )
+            SELECT dm.day AS day,
+                   CAST(max(dm.day_tot) AS BIGINT) AS n_events,
+                   round((sum(abs(dm.sm - ct.cm))
+                          + ((SELECT sum(cm) FROM ct) - sum(ct.cm)))
+                         / 1000000.0, 6) AS l1_drift
+            FROM dm JOIN ct USING (event_type)
+            GROUP BY 1
         """,
         "events_seasonality": """
             SELECT CAST(isodow(ts) AS BIGINT) AS weekday,

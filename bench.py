@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "top_session_paths",
     "rolling_active_users",
     "events_seasonality",
+    "event_type_drift",
     "events_anomalous_hours",
     "dedup_rate_report",
     "cross_source_overlap",

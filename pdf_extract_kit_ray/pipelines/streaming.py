@@ -1613,3 +1613,87 @@ def events_seasonality(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def event_type_drift(sf_dir: str) -> "ray.data.Dataset":
+    """Daily distribution-drift monitor: per day, the L1 distance between
+    that day's event-type share vector and the corpus-wide shares —
+    the data-drift alarm input (rollout bugs and logging regressions
+    show up as share shifts long before volume anomalies).
+
+    Scale shape: per-batch (day, type, count) partials -> one tiny
+    (days x types)-bounded shuffle -> the corpus share vector derives
+    from the same rollup (a second pass over the FINISHED tiny table,
+    not the corpus) and the drift is a segmented numpy reduction in one
+    finish map.  Each per-type share divides once (cnt/day_total,
+    cnt_total/grand) with the twin's operation order and 6dp snap, and
+    the L1 sum runs over the snapped micro-ints — exact integer math
+    across engines."""
+    from ray.data.aggregate import Sum
+    from ..functions.num import round6
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("ts")),
+            pc.is_valid(batch.column("event_type"))))
+        t = pa.table({
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "event_type": batch.column("event_type"),
+        })
+        g = t.group_by(["day", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["day", "event_type", "partial_n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["day", "event_type"])
+           .aggregate(Sum("partial_n", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                          "n_events": pa.array([], pa.int64()),
+                          "l1_drift": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("day", "ascending"), ("event_type", "ascending")])
+        g = batch.take(idx)
+        # normalize the timestamp unit BEFORE the int round-trip (the
+        # shuffle can hand back second-precision days)
+        day = g.column("day").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy()
+        et = g.column("event_type").to_pandas().to_numpy()
+        n = g.column("n").to_numpy().astype(np.int64)
+        # corpus share per type (6dp micro-ints, one division per type)
+        types, tinv = np.unique(et, return_inverse=True)
+        tot_by_type = np.bincount(tinv, weights=n).astype(np.int64)
+        grand = int(n.sum())
+        corpus_micro = np.asarray(pc.round(
+            pa.array(tot_by_type / grand * 1e6), ndigits=0,
+            round_mode="half_towards_infinity").cast(pa.int64()))
+        starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]])
+        bounds = np.r_[starts, len(day)]
+        day_tot = np.add.reduceat(n, starts)
+        day_of_row = np.repeat(np.arange(len(starts)), np.diff(bounds))
+        share_micro = np.asarray(pc.round(
+            pa.array(n / day_tot[day_of_row] * 1e6), ndigits=0,
+            round_mode="half_towards_infinity").cast(pa.int64()))
+        # L1 over present types + corpus share of ABSENT types (they
+        # contribute |0 - corpus_share|)
+        diff = np.abs(share_micro - corpus_micro[tinv])
+        l1_present = np.add.reduceat(diff, starts)
+        corpus_sum = int(corpus_micro.sum())
+        present_corpus = np.zeros(len(starts), np.int64)
+        np.add.at(present_corpus, day_of_row, corpus_micro[tinv])
+        l1 = l1_present + (corpus_sum - present_corpus)
+        return pa.table({
+            "day": pa.array(day[starts], pa.int64())
+                .cast(pa.timestamp("us")),
+            "n_events": pa.array(day_tot, pa.int64()),
+            "l1_drift": round6(pa.array(l1 / 1e6)),
+        })
+
+    # the (days x types) rollup is tiny at any corpus size
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

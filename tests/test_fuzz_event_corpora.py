@@ -26,7 +26,7 @@ QUERIES = [
     "value_zscore_outliers", "value_mad_outliers", "events_daily_pivot", "top_users",
     "users_active_both_halves", "users_only_first_half",
     "events_locf_grid", "user_growth_curve", "events_type_overlap",
-    "top_session_paths", "rolling_active_users", "events_seasonality",
+    "top_session_paths", "rolling_active_users", "events_seasonality", "event_type_drift",
     "distinct_event_types",
     "engaged_users_union", "hll_distinct_by_type", "user_first_last",
     "session_stats", "event_transitions", "event_order_audit",
