@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
         "contamination_check": dedup.contamination_check,
+        "doc_novelty": dedup.doc_novelty,
         "dedup_rate_report": dedup.dedup_rate_report,
         "cross_source_overlap": dedup.cross_source_overlap,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
@@ -1566,6 +1567,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, CAST(MIN(st) AS BIGINT) AS span_start,
                    CAST(MAX(en) AS BIGINT) AS span_end
             FROM i GROUP BY doc_id, gid
+        """,
+        # per-doc 8-gram novelty: dup grams are instances whose gram
+        # occurs in >= 2 docs; the ratio is the single float op
+        "doc_novelty": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                              i -> array_to_string(w[i:i+7], ' '))) AS gram
+                FROM toks WHERE len(w) >= 8
+            ), gd AS (
+                SELECT gram, doc_id, count(*) AS c FROM grams GROUP BY 1, 2
+            ), dup AS (
+                SELECT gram, count(*) >= 2 AS is_dup FROM gd GROUP BY 1
+            )
+            SELECT gd.doc_id AS doc_id,
+                   CAST(sum(gd.c) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN dup.is_dup THEN gd.c ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams,
+                   round(1.0 - CAST(sum(CASE WHEN dup.is_dup THEN gd.c
+                                             ELSE 0 END) AS DOUBLE)
+                             / CAST(sum(gd.c) AS DOUBLE), 6) AS novelty
+            FROM gd JOIN dup USING (gram) GROUP BY 1
         """,
         "contamination_check": f"""
             WITH tok AS (

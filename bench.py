@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "doc_chunks",
     "contamination_check",
+    "doc_novelty",
     "distinct_users_by_type",
     "ann_topk",
     "knn_classify",

@@ -1454,3 +1454,92 @@ def paragraph_dedup(sf_dir: str) -> "ray.data.Dataset":
         kept_rows.map_batches(tag_kept, batch_format="pyarrow"))
     return unioned.groupby("__dcoarse").map_groups(
         assemble, batch_format="pyarrow")
+
+
+def doc_novelty(sf_dir: str, n: int = 8) -> "ray.data.Dataset":
+    """Per-document n-gram novelty: the fraction of a doc's word
+    ``n``-grams that appear in NO other document — the memorization-risk
+    / boilerplate-content signal (novelty 1.0 = wholly original text,
+    near 0 = assembled from shared fragments).  Emits (doc_id, n_grams,
+    n_dup_grams, novelty) for every doc with at least one n-gram;
+    dup grams are counted per INSTANCE (a doc repeating a shared gram
+    is penalized each time).
+
+    Scale shape: vectorized gram extraction (the shared _batch_ngrams
+    kernel), per-batch (gram, doc, count) partials (docs never span
+    batches, so counts are final), ONE gram-coarse shuffle — each
+    bucket owns its grams fully, decides cross-doc duplication with a
+    segment scan, and pre-reduces to per-doc partial sums — then a
+    coarse doc rollup and a pure ratio map.  The twin's ratio division
+    is the single float op (count ratios of exact ints)."""
+    from ..functions.agg import _default_num_coarse, coarse_grouped_aggregate
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        grams, doc_rep, _pos = _batch_ngrams(batch.column("text"), n)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "__coarse": pa.array([], pa.int64())})
+        doc = batch.column("doc_id").take(pa.array(doc_rep, pa.int64()))
+        g = pa.table({"gram": grams, "doc_id": doc}) \
+            .group_by(["gram", "doc_id"]).aggregate([([], "count_all")]) \
+            .rename_columns(["gram", "doc_id", "c"])
+        ga = g.column("gram").combine_chunks()
+        return g.append_column(
+            "__coarse", pa.array(_string_coarse_hash(ga, nc), pa.int64()))
+
+    def bucket_dup(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "partial_total": pa.array([], pa.int64()),
+                          "partial_dup": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        # merge cross-batch duplicates of the same (gram, doc) pair first
+        # (this bucket owns each gram fully), then one gram-segment scan:
+        # a segment of >= 2 rows means >= 2 distinct docs share the gram
+        t = group.select(["gram", "doc_id", "c"]) \
+            .group_by(["gram", "doc_id"]).aggregate([("c", "sum")]) \
+            .rename_columns(["gram", "doc_id", "c"])
+        idx2 = pc.sort_indices(t, sort_keys=[("gram", "ascending")])
+        t = t.take(idx2)
+        ga2 = t.column("gram").combine_chunks()
+        neq2 = pc.not_equal(ga2.slice(1), ga2.slice(0, len(ga2) - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts2 = np.flatnonzero(np.r_[True, neq2])
+        sizes2 = np.diff(np.r_[starts2, len(ga2)])
+        dup_gram = np.repeat(sizes2 >= 2, sizes2)
+        c = t.column("c").to_numpy()
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "partial_total": pa.array(c, pa.int64()),
+            "partial_dup": pa.array(np.where(dup_gram, c, 0), pa.int64()),
+        })
+        agg = out.group_by("doc_id").aggregate(
+            [("partial_total", "sum"), ("partial_dup", "sum")])
+        return agg.rename_columns(["doc_id", "partial_total",
+                                   "partial_dup"])
+
+    per_doc = coarse_grouped_aggregate(
+        ds.map_batches(gram_partial, batch_format="pyarrow")
+          .groupby("__coarse")
+          .map_groups(bucket_dup, batch_format="pyarrow"),
+        "doc_id", [("partial_total", "sum", "n_grams"),
+                   ("partial_dup", "sum", "n_dup_grams")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = batch.column("n_grams").to_numpy().astype(np.float64)
+        dup = batch.column("n_dup_grams").to_numpy().astype(np.float64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": batch.column("n_grams"),
+            "n_dup_grams": batch.column("n_dup_grams"),
+            "novelty": round6(pa.array(1.0 - dup / total)),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -576,3 +576,29 @@ def test_string_coarse_hash_large_string_parity():
     # sliced arrays (non-zero offset) must agree too
     assert (dedup._string_coarse_hash(large.slice(1), 1 << 62)
             == hl[1:]).all()
+
+
+def test_doc_novelty_planted(ray_session, tmp_path):
+    """A doc sharing a full 8-gram block with another is penalized per
+    INSTANCE; a wholly original doc scores 1.0; short docs vanish."""
+    shared = "one two three four five six seven eight"
+    rows = [
+        {"doc_id": 0, "text": shared + " tail0 tail1"},
+        # doc 1 contains the shared 8 tokens twice
+        {"doc_id": 1, "text": shared + " mid " + shared},
+        {"doc_id": 2, "text": "all fresh words nine ten eleven twelve "
+                              "thirteen fourteen"},
+        {"doc_id": 3, "text": "too short"},
+    ]
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (dedup.doc_novelty(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert list(res.index) == [0, 1, 2]
+    assert res.loc[2, "novelty"] == 1.0
+    # doc 0: grams = 3 (10 tokens); gram[0] == the shared 8-gram
+    assert res.loc[0, "n_grams"] == 3 and res.loc[0, "n_dup_grams"] == 1
+    # doc 1: 17 tokens -> 10 grams; the shared gram occurs at pos 0 and 9
+    assert res.loc[1, "n_grams"] == 10 and res.loc[1, "n_dup_grams"] == 2
+    assert res.loc[1, "novelty"] == round(1 - 2 / 10, 6)

@@ -82,7 +82,16 @@ def test_fuzz_events_match_oracle(ray_session, tmp_path, seed, name):
     sf = _make_events(str(tmp_path), seed)
     res = entrymod.queries()[name](sf)
     if isinstance(res, (ray.data.Dataset, pa.Table)):
-        res = res.to_pandas()
+        if isinstance(res, ray.data.Dataset):
+            schema = res.schema()
+            res = res.to_pandas()
+            if len(res) == 0 and len(res.columns) == 0 \
+                    and schema is not None and schema.names:
+                # Ray drops columns from an empty Dataset's to_pandas
+                res = pa.schema(list(zip(schema.names, schema.types))) \
+                    .empty_table().to_pandas()
+        else:
+            res = res.to_pandas()
     sql = entrymod.oracle_sql().get(name)
     if sql is None:                        # sketch queries: run-only
         assert len(pd.DataFrame(res).columns) > 0

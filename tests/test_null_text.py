@@ -36,7 +36,7 @@ ORACLE_QUERIES = [
     "top_terms_per_source", "dedup_keep_best", "paragraph_dedup",
     "dsir_weights", "ngram_repetition", "source_divergence",
     "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
-    "zipf_slope", "quality_by_source",
+    "zipf_slope", "quality_by_source", "doc_novelty",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
