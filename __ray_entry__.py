@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "forecast_revenue": relational.forecast_revenue,
         "orders_star": relational.orders_star,
+        "supplier_scorecard": relational.supplier_scorecard,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "late_shipment_priority": relational.late_shipment_priority,
@@ -581,6 +582,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) AS n
             FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
             GROUP BY 1, med.m, mad.d
+        """,
+        # entity scorecard: one supplier rollup carrying distinct-part
+        # counts as pre-reduced (supp, part) pairs
+        "supplier_scorecard": """
+            SELECT s_name,
+                   count(*) AS n_lines,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   CAST(sum(CAST(floor((l_extendedprice*(1.0-l_discount))
+                                       *100.0) AS BIGINT)) AS DOUBLE)/100.0
+                       AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1
         """,
         # denormalized star snapshot: broadcast-join chain, map-only
         "orders_star": """

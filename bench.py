@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "order_priority_revenue",
     "forecast_revenue",
     "orders_star",
+    "supplier_scorecard",
     "daily_revenue_ma7",
     "monthly_revenue_growth",
     "late_shipment_priority",

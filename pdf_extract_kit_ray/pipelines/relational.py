@@ -2712,3 +2712,62 @@ def value_mad_outliers(sf_dir: str, k: float = 5.0) -> "ray.data.Dataset":
     return (ds.map_batches(hist, batch_format="pyarrow")
             .groupby("event_type")
             .map_groups(mad_kernel, batch_format="pyarrow"))
+
+
+def supplier_scorecard(sf_dir: str) -> "ray.data.Dataset":
+    """Per-supplier scorecard: line count, exact-cents revenue, distinct
+    parts supplied, and the supplier name — the entity-rollup report
+    (vendor review / anomaly triage).  One coarse supplier shuffle; the
+    distinct-part count rides as per-batch distinct (supp, part) pairs
+    pre-reduced in the same exchange; names broadcast-attach."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_suppkey", "l_partkey",
+                                       "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0, batch.column("l_discount"))))
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "l_partkey": batch.column("l_partkey"),
+                      "rev_c": rev_c})
+        # one group_by carries both the revenue partials and the distinct
+        # (supp, part) pairs
+        g = t.group_by(["l_suppkey", "l_partkey"]).aggregate(
+            [("rev_c", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_suppkey", "l_partkey", "rev_c", "n"])
+
+    pairs = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"],
+        [("rev_c", "sum", "rev_c"), ("n", "sum", "n")])
+
+    def per_supp(batch: pa.Table) -> pa.Table:
+        g = batch.select(["l_suppkey", "rev_c", "n"]) \
+            .group_by("l_suppkey").aggregate(
+            [("rev_c", "sum"), ("n", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_suppkey", "rev_c", "n_lines",
+                                 "n_parts"])
+
+    agg = coarse_grouped_aggregate(
+        pairs.map_batches(per_supp, batch_format="pyarrow"),
+        "l_suppkey", [("rev_c", "sum", "rev_c"),
+                      ("n_lines", "sum", "n_lines"),
+                      ("n_parts", "sum", "n_parts")])
+
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+    out = broadcast_join(agg, supp, on="l_suppkey", right_on="s_suppkey")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_name": batch.column("s_name"),
+            "n_lines": batch.column("n_lines"),
+            "n_parts": batch.column("n_parts"),
+            "revenue": pc.divide(pc.cast(batch.column("rev_c"),
+                                         pa.float64(), safe=False), 100.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
