@@ -2341,19 +2341,16 @@ def customer_spend_gini(sf_dir: str) -> "ray.data.Dataset":
     return hist.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
-def part_affinity_pairs(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
-    """Market-basket part affinity: pairs of parts appearing in at least
-    ``min_count`` common orders — the association-rule / co-purchase
-    building block.  Returns (part_a < part_b, n_orders).
-
-    Scale shape: distinct (order, part) pairs combine per batch, ONE
-    coarse orderkey shuffle co-locates each order's part set, and pairs
-    emit with the size-grouped triu kernel (per-order cost quadratic in
-    BASKET size — bounded by order width, never corpus size — and
-    pre-reduced per bucket); the final pair rollup is coarse-keyed on
-    the combined pair."""
-    from ..functions.agg import _GOLDEN, _default_num_coarse, \
-        coarse_grouped_aggregate
+def _affinity_exchange(sf_dir: str) -> "ray.data.Dataset":
+    """THE one order-keyed exchange behind the market-basket family:
+    distinct (order, part) pairs combine per batch, a coarse orderkey
+    shuffle co-locates each basket, and the bucket kernel emits THREE
+    kind-tagged row families from one pass — pair partials (kind 0:
+    a < b, count), per-part marginal partials (kind 1: distinct orders
+    containing the part — exact, orders never span buckets), and the
+    bucket's distinct-order count (kind 2).  Consumers filter by kind,
+    so lift never re-reads or re-shuffles the fact table."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
 
     nc = _default_num_coarse()
     ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -2367,11 +2364,12 @@ def part_affinity_pairs(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
         return g.append_column("__coarse",
                                pa.array((ok * _GOLDEN) % nc, pa.int64()))
 
-    empty = pa.table({"part_a": pa.array([], pa.int64()),
-                      "part_b": pa.array([], pa.int64()),
-                      "partial_n": pa.array([], pa.int64())})
+    empty = pa.table({"kind": pa.array([], pa.int8()),
+                      "a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def bucket_rows(group: pa.Table) -> pa.Table:
         t = group.select(["l_orderkey", "l_partkey"]) \
             .group_by(["l_orderkey", "l_partkey"]).aggregate([])
         if t.num_rows == 0:
@@ -2389,23 +2387,48 @@ def part_affinity_pairs(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
             ii, jj = np.triu_indices(int(basket), k=1)
             a_parts.append(pk[(segs[:, None] + ii[None, :]).ravel()])
             b_parts.append(pk[(segs[:, None] + jj[None, :]).ravel()])
-        if not a_parts:
-            return empty
-        p = pa.table({"part_a": pa.array(np.concatenate(a_parts),
-                                         pa.int64()),
-                      "part_b": pa.array(np.concatenate(b_parts),
-                                         pa.int64())})
-        g = p.group_by(["part_a", "part_b"]).aggregate([([], "count_all")])
-        return g.rename_columns(["part_a", "part_b", "partial_n"])
+        out = []
+        if a_parts:
+            p = pa.table({"a": pa.array(np.concatenate(a_parts), pa.int64()),
+                          "b": pa.array(np.concatenate(b_parts), pa.int64())})
+            g = p.group_by(["a", "b"]).aggregate([([], "count_all")])
+            out.append(pa.table({
+                "kind": pa.array(np.zeros(g.num_rows, np.int8)),
+                "a": g.column("a"), "b": g.column("b"),
+                "n": pc.cast(g.column("count_all"), pa.int64())}))
+        m = pa.table({"a": pa.array(pk, pa.int64())}).group_by("a") \
+            .aggregate([([], "count_all")])
+        out.append(pa.table({
+            "kind": pa.array(np.ones(m.num_rows, np.int8)),
+            "a": m.column("a"),
+            "b": pa.array(np.zeros(m.num_rows, np.int64)),
+            "n": pc.cast(m.column("count_all"), pa.int64())}))
+        out.append(pa.table({
+            "kind": pa.array([2], pa.int8()),
+            "a": pa.array([0], pa.int64()),
+            "b": pa.array([0], pa.int64()),
+            "n": pa.array([len(starts)], pa.int64())}))
+        return pa.concat_tables(out)
 
-    pairs = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
-             .groupby("__coarse")
-             .map_groups(bucket_pairs, batch_format="pyarrow")
-             .map_batches(lambda b: b if b.num_rows else empty,
-                          batch_format="pyarrow"))
+    return (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(bucket_rows, batch_format="pyarrow")
+            .map_batches(lambda b: b if b.num_rows else empty,
+                         batch_format="pyarrow"))
+
+
+def _affinity_pair_counts(rows: "ray.data.Dataset",
+                          min_count: int) -> "ray.data.Dataset":
+    from ..functions.agg import coarse_grouped_aggregate
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        k = batch.filter(pc.equal(batch.column("kind"), 0))
+        return pa.table({"part_a": k.column("a"), "part_b": k.column("b"),
+                         "partial_n": k.column("n")})
+
     agg = coarse_grouped_aggregate(
-        pairs, ["part_a", "part_b"],
-        [("partial_n", "sum", "n_orders")],
+        rows.map_batches(pair_rows, batch_format="pyarrow"),
+        ["part_a", "part_b"], [("partial_n", "sum", "n_orders")],
         hash_cols=["part_a", "part_b"])
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -2415,6 +2438,18 @@ def part_affinity_pairs(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
     return agg.map_batches(keep, batch_format="pyarrow")
 
 
+def part_affinity_pairs(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
+    """Market-basket part affinity: pairs of parts appearing in at least
+    ``min_count`` common orders — the association-rule / co-purchase
+    building block.  Returns (part_a < part_b, n_orders).
+
+    Scale shape: ONE coarse orderkey shuffle (`_affinity_exchange`)
+    co-locates each basket and emits size-grouped triu pair partials
+    (per-order cost quadratic in BASKET width, never corpus size); the
+    final rollup is coarse-keyed on the combined pair."""
+    return _affinity_pair_counts(_affinity_exchange(sf_dir), min_count)
+
+
 def part_affinity_lift(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
     """Association-rule lift for the co-purchase pairs: lift(a,b) =
     P(a,b) / (P(a)·P(b)) over order baskets — >1 means the parts attract
@@ -2422,53 +2457,37 @@ def part_affinity_lift(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
     (n_ab · total_orders) / (n_a · n_b) on integers with one final
     double division identical in both engines.
 
-    Scale shape: reuses ``part_affinity_pairs``'s one-order-shuffle pair
-    counts; the per-part marginals reduce through a coarse part shuffle
-    to a #parts-bounded table broadcast once (parts are a bounded
-    catalog domain); total distinct orders is a scalar from the same
-    rollup.  Lift is then a pure map over the pair stream."""
+    Scale shape: ONE order-keyed exchange (`_affinity_exchange`,
+    MATERIALIZED once — its output is bucket-pre-reduced partials, far
+    smaller than the fact table) feeds all three consumers: the pair
+    rollup, the #parts-bounded marginal rollup (exact per bucket since
+    orders never split, broadcast once — parts are a bounded catalog
+    domain), and the distinct-order scalar.  The fact table is read and
+    shuffled exactly once; lift is a pure map over the pair stream."""
     import ray as _ray
-    from ..functions.agg import coarse_grouped_aggregate
+    from ray.data.aggregate import Sum
     from ..functions.num import round6
 
-    pairs = part_affinity_pairs(sf_dir, min_count=min_count)
+    rows = _affinity_exchange(sf_dir).materialize()
+    pairs = _affinity_pair_counts(rows, min_count)
 
-    ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
-                            columns=["l_orderkey", "l_partkey"])
+    def marg_rows(batch: pa.Table) -> pa.Table:
+        k = batch.filter(pc.equal(batch.column("kind"), 1))
+        return pa.table({"part": k.column("a"), "n": k.column("n")})
 
-    def op_partial(batch: pa.Table) -> pa.Table:
-        return batch.select(["l_orderkey", "l_partkey"]) \
-            .group_by(["l_orderkey", "l_partkey"]).aggregate([])
-
-    # one coarse shuffle finishes the (order, part) dedup; per-part
-    # marginals and the distinct-order scalar both come from it
-    distinct_op = coarse_grouped_aggregate(
-        ds.map_batches(op_partial, batch_format="pyarrow"),
-        ["l_orderkey", "l_partkey"], [(None, "count_all", "_c")])
-
-    def marg_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(["l_partkey"]).group_by("l_partkey") \
-            .aggregate([([], "count_all")])
-        return pa.table({
-            "part": g.column("l_partkey"),
-            "n": g.column("count_all"),
-        })
-
-    from ray.data.aggregate import Sum
-    marg = (distinct_op.map_batches(marg_partial, batch_format="pyarrow")
+    marg = (rows.map_batches(marg_rows, batch_format="pyarrow")
             .groupby("part").aggregate(Sum("n", alias_name="n_orders"))
             .to_pandas())
     if "part" not in marg:          # empty table: Ray drops the columns
         import pandas as pd
         marg = pd.DataFrame({"part": [], "n_orders": []})
-    # distinct orders: (order, part) rows grouped per order — bounded
-    # per-batch partial then exact distinct via a tiny second pass
-    def ord_partial(batch: pa.Table) -> pa.Table:
-        return pa.table({"o": pc.unique(batch.column("l_orderkey"))})
 
-    total_orders = (distinct_op.map_batches(ord_partial,
-                                            batch_format="pyarrow")
-                    .groupby("o").count().count())
+    def total_rows(batch: pa.Table) -> pa.Table:
+        k = batch.filter(pc.equal(batch.column("kind"), 2))
+        return pa.table({"n": k.column("n")})
+
+    total_orders = (rows.map_batches(total_rows, batch_format="pyarrow")
+                    .sum("n") or 0)
     mdict = dict(zip(marg["part"].to_numpy(), marg["n_orders"].to_numpy()))
     ref = _ray.put(mdict)
 
