@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
         "quality_by_source": text.quality_by_source,
+        "doc_sentence_stats": text.doc_sentence_stats,
+        "order_lines_histogram": relational.order_lines_histogram,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
         "doc_repetition": curation.doc_repetition,
@@ -1230,6 +1232,35 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                         AS DOUBLE) / n_tokens
                               ELSE 0.0 END, 6) AS frac_keep
             FROM s
+        """,
+        # sentence-format signals; terminator-less docs with tokens count
+        # one sentence, token-less docs go NULL (pinned in both engines)
+        "doc_sentence_stats": f"""
+            SELECT doc_id,
+                   CAST({tokens_expr} AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN len(regexp_extract_all(text, '[.!?]+')) = 0
+                              AND {tokens_expr} > 0 THEN 1
+                             ELSE len(regexp_extract_all(text, '[.!?]+'))
+                        END AS BIGINT) AS n_sentences,
+                   CASE WHEN (CASE WHEN len(regexp_extract_all(text, '[.!?]+')) = 0
+                                    AND {tokens_expr} > 0 THEN 1
+                                   ELSE len(regexp_extract_all(text, '[.!?]+'))
+                              END) > 0
+                        THEN round(CAST({tokens_expr} AS DOUBLE)
+                                   / CAST(CASE WHEN len(regexp_extract_all(text, '[.!?]+')) = 0
+                                                AND {tokens_expr} > 0 THEN 1
+                                               ELSE len(regexp_extract_all(text, '[.!?]+'))
+                                          END AS DOUBLE), 6)
+                        ELSE NULL END AS mean_sentence_tokens
+            FROM documents
+        """,
+        # basket-size histogram over the bounded width domain
+        "order_lines_histogram": """
+            WITH po AS (
+                SELECT l_orderkey, count(*) AS n_lines
+                FROM lineitem GROUP BY 1
+            )
+            SELECT n_lines, count(*) AS n_orders FROM po GROUP BY 1
         """,
         # per-source quality calibration over the bounded micro-int
         # score domain (shared quality definition)

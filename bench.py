@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "zipf_slope",
     "doc_byte_entropy",
     "quality_by_source",
+    "doc_sentence_stats",
     "epoch_plan",
     "quality_weighted_sample",
     "events_daily_pivot",
@@ -98,6 +99,7 @@ BENCH_QUERIES = [
     "forecast_revenue",
     "orders_star",
     "supplier_scorecard",
+    "order_lines_histogram",
     "daily_revenue_ma7",
     "monthly_revenue_growth",
     "late_shipment_priority",

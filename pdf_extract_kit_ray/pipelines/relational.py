@@ -2790,3 +2790,33 @@ def supplier_scorecard(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def order_lines_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Basket-size distribution: how many orders have k lineitems — the
+    evidence behind every "per-order cost is bounded by basket width"
+    claim (the affinity kernels rely on it).  Per-order counts reduce
+    through one coarse shuffle; the histogram is a second tiny rollup
+    over the bounded width domain."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ray.data.aggregate import Sum
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_orderkey").aggregate([([], "count_all")])
+        return g.rename_columns(["l_orderkey", "n_lines"])
+
+    per_order = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "l_orderkey", [("n_lines", "sum", "n_lines")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n_lines"]).group_by("n_lines") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["n_lines", "partial_n"])
+
+    return (per_order.map_batches(hist, batch_format="pyarrow")
+            .groupby("n_lines").aggregate(Sum("partial_n",
+                                              alias_name="n_orders")))

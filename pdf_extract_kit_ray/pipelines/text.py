@@ -1175,3 +1175,37 @@ def quality_by_source(sf_dir: str) -> "ray.data.Dataset":
 
     return (ds.map_batches(hist, batch_format="pyarrow")
             .groupby("source").map_groups(kernel, batch_format="pyarrow"))
+
+
+def doc_sentence_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc sentence statistics: sentence count (runs of [.!?]) and
+    mean tokens per sentence — the Gopher-family format signals that
+    catch list-like or run-on text.  Pure vectorized map: two RE2
+    counts + one division, no shuffle.  Docs with no sentence
+    terminator count one sentence when they have tokens (and mean =
+    token count); token-less docs emit NULL mean."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        term_runs = pc.count_substring_regex(text, r"[.!?]+")
+        toks = pc.cast(_token_count(text), pa.int64())
+        n_sent = pc.cast(pc.if_else(
+            pc.and_(pc.equal(term_runs, 0), pc.greater(toks, 0)),
+            1, term_runs), pa.int64())
+        # if_else evaluates both branches eagerly: divide by a CLAMPED
+        # denominator (round6's int snap rejects the 0-division NaN),
+        # then null out the n_sent == 0 rows
+        safe = pc.cast(pc.max_element_wise(n_sent, 1), pa.float64())
+        mean = pc.if_else(
+            pc.greater(n_sent, 0),
+            round6(pc.divide(pc.cast(toks, pa.float64()), safe)),
+            pa.scalar(None, pa.float64()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": toks,
+            "n_sentences": n_sent,
+            "mean_sentence_tokens": mean,
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
