@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": streaming.events_sliding_window,
         "events_locf_grid": streaming.events_locf_grid,
         "user_growth_curve": streaming.user_growth_curve,
+        "user_activity_cv": streaming.user_activity_cv,
         "events_type_overlap": streaming.events_type_overlap,
         "top_session_paths": streaming.top_session_paths,
         "rolling_active_users": streaming.rolling_active_users,
@@ -2085,6 +2086,25 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                               AS DOUBLE) / count(*), 6) AS repeat_rate
             FROM oc JOIN customer ON c_custkey = o_custkey
             GROUP BY 1
+        """,
+        # per-user daily-activity CV from exact integer moments; the
+        # sqrt/division chain is the identical double expression
+        "user_activity_cv": """
+            WITH ud AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       count(*) AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), m AS (
+                SELECT user_id, count(*) AS n, sum(c) AS s1,
+                       sum(c*c) AS s2
+                FROM ud GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n_days,
+                   CAST(s1 AS BIGINT) AS total_events,
+                   round(sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)
+                              / CAST(n*n AS DOUBLE))
+                         / (CAST(s1 AS DOUBLE) / n), 6) AS cv
+            FROM m
         """,
         # cumulative-distinct growth: first-seen day per user (one Min
         # shuffle), day rollup, running sum over the bounded day table

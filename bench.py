@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "users_only_first_half",
     "events_locf_grid",
     "user_growth_curve",
+    "user_activity_cv",
     "events_type_overlap",
     "top_session_paths",
     "rolling_active_users",

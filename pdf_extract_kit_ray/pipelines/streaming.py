@@ -1697,3 +1697,72 @@ def event_type_drift(sf_dir: str) -> "ray.data.Dataset":
 
     # the (days x types) rollup is tiny at any corpus size
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def user_activity_cv(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user activity regularity: the coefficient of variation of the
+    user's DAILY event counts over their active days — the bot/burst
+    detector's core feature (schedulers show cv ~ 0; bursty humans and
+    incident spikes push it up).  Emits (user_id, n_days, total_events,
+    cv) for users with >= 2 active days.
+
+    Scale shape: per-batch (user, day, count) partials, ONE coarse user
+    shuffle; each bucket finishes the (user, day) counts with an Arrow
+    group_by and derives every user's moments with segmented numpy.
+    Exactness: cv = sqrt((n·Σc² − (Σc)²)/n²)/(Σc/n) is computed from
+    EXACT integer moments (daily counts are small; the squares cannot
+    overflow) with the identical expression in the SQL twin, so the one
+    sqrt/division chain is bit-identical."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        g = pa.table({"user_id": batch.column("user_id"), "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([([], "count_all")]) \
+            .rename_columns(["user_id", "day", "c"])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return g.append_column("__coarse",
+                               pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_days": pa.array([], pa.int64()),
+                      "total_events": pa.array([], pa.int64()),
+                      "cv": pa.array([], pa.float64())})
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.select(["user_id", "day", "c"]) \
+            .group_by(["user_id", "day"]).aggregate([("c", "sum")]) \
+            .rename_columns(["user_id", "day", "c"])
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending")])
+        t = t.take(idx)
+        uid = t.column("user_id").to_numpy()
+        c = t.column("c").to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        n = np.diff(np.r_[starts, len(uid)]).astype(np.int64)
+        s1 = np.add.reduceat(c, starts)
+        s2 = np.add.reduceat(c * c, starts)
+        keep = n >= 2
+        n, s1, s2 = n[keep], s1[keep], s2[keep]
+        var = (n * s2 - s1 * s1).astype(np.float64) \
+            / (n * n).astype(np.float64)
+        mean = s1.astype(np.float64) / n.astype(np.float64)
+        cv = round6(pa.array(np.sqrt(var) / mean))
+        return pa.table({
+            "user_id": pa.array(uid[starts][keep], pa.int64()),
+            "n_days": pa.array(n, pa.int64()),
+            "total_events": pa.array(s1, pa.int64()),
+            "cv": cv,
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__coarse").map_groups(kernel,
+                                            batch_format="pyarrow"))
