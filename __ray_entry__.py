@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_locf_grid": streaming.events_locf_grid,
         "user_growth_curve": streaming.user_growth_curve,
         "user_activity_cv": streaming.user_activity_cv,
+        "first_purchase_latency": streaming.first_purchase_latency,
         "events_type_overlap": streaming.events_type_overlap,
         "top_session_paths": streaming.top_session_paths,
         "rolling_active_users": streaming.rolling_active_users,
@@ -2085,6 +2086,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    round(CAST(count(*) FILTER (WHERE n_orders >= 2)
                               AS DOUBLE) / count(*), 6) AS repeat_rate
             FROM oc JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1
+        """,
+        # activation-funnel latency: conditional-min merge, exact µs
+        "first_purchase_latency": """
+            SELECT user_id,
+                   min(ts) AS first_ts,
+                   min(ts) FILTER (WHERE event_type = 'purchase')
+                       AS first_purchase_ts,
+                   round(CAST(epoch_us(min(ts) FILTER (WHERE event_type
+                                                       = 'purchase'))
+                              - epoch_us(min(ts)) AS DOUBLE)
+                         / 1000000.0, 6) AS latency_sec
+            FROM events WHERE ts IS NOT NULL
             GROUP BY 1
         """,
         # per-user daily-activity CV from exact integer moments; the

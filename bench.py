@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "events_locf_grid",
     "user_growth_curve",
     "user_activity_cv",
+    "first_purchase_latency",
     "events_type_overlap",
     "top_session_paths",
     "rolling_active_users",

@@ -1766,3 +1766,59 @@ def user_activity_cv(sf_dir: str) -> "ray.data.Dataset":
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__coarse").map_groups(kernel,
                                             batch_format="pyarrow"))
+
+
+def first_purchase_latency(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user conversion latency: time from the user's FIRST event of
+    any kind to their FIRST 'purchase' (NULL for users who never
+    convert) — the activation-funnel latency feature.  Exact integer
+    microseconds; emits (user_id, first_ts, first_purchase_ts,
+    latency_sec).
+
+    Scale shape: per-batch partials keep TWO candidate rows per user
+    (min ts overall, min purchase ts) via one Arrow group_by with
+    conditional min; one coarse user shuffle merges candidates with
+    native Min aggregates — no per-user dispatch, nothing row-sized
+    past the first map."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.num import round6
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    _MAX = (1 << 62)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        ts_us = batch.column("ts").cast(pa.int64())
+        is_p = pc.equal(batch.column("event_type"), "purchase")
+        # sentinel-max for non-purchases so the min survives NULL-free
+        p_us = pc.if_else(pc.fill_null(is_p, False), ts_us,
+                          pa.scalar(_MAX, pa.int64()))
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "first_us": ts_us, "first_p_us": p_us})
+        g = t.group_by("user_id").aggregate([("first_us", "min"),
+                                             ("first_p_us", "min")])
+        return g.rename_columns(["user_id", "first_us", "first_p_us"])
+
+    agg = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("first_us", "min", "first_us"),
+                    ("first_p_us", "min", "first_p_us")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        first = batch.column("first_us").to_numpy()
+        firstp = batch.column("first_p_us").to_numpy()
+        converted = firstp < _MAX
+        lat = np.where(converted, (firstp - first) / 1e6, np.nan)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "first_ts": batch.column("first_us").cast(pa.timestamp("us")),
+            "first_purchase_ts": pc.if_else(
+                pa.array(converted),
+                batch.column("first_p_us").cast(pa.timestamp("us")),
+                pa.scalar(None, pa.timestamp("us"))),
+            "latency_sec": round6(pa.array(lat, from_pandas=True)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
