@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": text.source_divergence,
         "inverted_index": text.inverted_index,
         "zipf_slope": text.zipf_slope,
+        "term_frequency_spectrum": text.term_frequency_spectrum,
         "doc_byte_entropy": text.doc_byte_entropy,  # non-SQL (byte histogram)
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
@@ -1279,6 +1280,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY qm)
                         AS DOUBLE)/1000000.0 AS median_quality
             FROM q GROUP BY 1
+        """,
+        # Good-Turing count-of-counts over the wordcount rollup
+        "term_frequency_spectrum": """
+            WITH cnt AS (
+                SELECT term, count(*) AS c FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(text, '\\s+'),
+                        x -> x <> '')) AS term
+                    FROM documents) GROUP BY 1
+            )
+            SELECT c AS term_freq, count(*) AS n_terms
+            FROM cnt GROUP BY 1
         """,
         # Zipf rank-frequency slope: regression sums on micro-int ln
         # values are exact integers (HUGEINT) so the one division is

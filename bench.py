@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "source_divergence",
     "inverted_index",
     "zipf_slope",
+    "term_frequency_spectrum",
     "doc_byte_entropy",
     "quality_by_source",
     "doc_sentence_stats",

@@ -1209,3 +1209,25 @@ def doc_sentence_stats(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def term_frequency_spectrum(sf_dir: str) -> "ray.data.Dataset":
+    """Vocabulary frequency-of-frequencies: how many distinct terms occur
+    exactly k times — the Good-Turing smoothing input and the classic
+    corpus-health spectrum (a healthy natural corpus has a heavy
+    hapax-legomena head; dedup failures hollow it out).
+
+    Scale shape: the shared wordcount shuffle produces (term, n); the
+    spectrum is a per-batch count-of-counts partial plus a tiny rollup
+    over the bounded frequency domain."""
+    from ray.data.aggregate import Sum
+
+    counts = _corpus_unigram_counts(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n"]).group_by("n").aggregate([([], "count_all")])
+        return g.rename_columns(["term_freq", "partial_n"])
+
+    return (counts.map_batches(partial, batch_format="pyarrow")
+            .groupby("term_freq")
+            .aggregate(Sum("partial_n", alias_name="n_terms")))
