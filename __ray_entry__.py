@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": curation.gopher_quality_flags,
         "curation_funnel": curation.curation_funnel,
         "filter_report": curation.filter_report,
+        "url_density": curation.url_density,
         "dsir_weights": curation.dsir_weights,
         "epoch_plan": curation.epoch_plan,
         "uniform_sample": curation.uniform_sample,
@@ -335,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resize_longest_side": multimodal.resize_longest_side,
         "media_feature_neardup": multimodal.media_feature_neardup,
         "media_exact_dedup": multimodal.media_exact_dedup,  # non-SQL (payload md5)
+        "media_kind_bytes": multimodal.media_kind_bytes,  # non-SQL (synthesized table)
         "ocr_preprocess_summary": multimodal.ocr_preprocess_summary,
     }
 
@@ -1152,6 +1154,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    row_number() OVER (PARTITION BY source
                                       ORDER BY c DESC, term ASC) AS rank
             FROM tf QUALIFY rank <= 10
+        """,
+        # URL density per doc (RE2 identical in both engines); token-less
+        # docs go NULL density
+        "url_density": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        'https?://[^\\s]+|www\\.[^\\s]+')) AS BIGINT)
+                       AS n_urls,
+                   CAST({tokens_expr} AS BIGINT) AS n_tokens,
+                   CASE WHEN {tokens_expr} > 0
+                        THEN round(CAST(len(regexp_extract_all(text,
+                                 'https?://[^\\s]+|www\\.[^\\s]+'))
+                                 AS DOUBLE)
+                                 / CAST({tokens_expr} AS DOUBLE) * 100.0, 6)
+                        ELSE NULL END AS urls_per_100_tokens
+            FROM documents
         """,
         # per-doc filter decision with audit reasons; every flag reuses
         # the shared quality / tokenization / PII expressions

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "doc_token_counts",
     "top_terms",
     "pii_redact",
+    "url_density",
     "doc_repetition",
     "ngram_repetition",
     "train_val_split",
@@ -96,6 +97,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "embedding_quantize",
     "media_exact_dedup",
+    "media_kind_bytes",
     "order_priority_revenue",
     "forecast_revenue",
     "orders_star",

@@ -1210,3 +1210,35 @@ def bloom_incremental_dedup(sf_dir: str, mask: int = 7,
                          "maybe_dup": pa.array(hits)})
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+URL_RE = r"https?://[^\s]+|www\.[^\s]+"
+
+
+def url_density(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc URL counts and density (URLs per 100 tokens) — the
+    link-farm / navigation-page signal web curation filters on.  Pure
+    vectorized RE2 map, no shuffle; a no-op on the synthetic corpus
+    (zero URLs) exactly like the PII scrubber, with the planted path
+    pinned by unit tests.  Token-less docs emit NULL density."""
+    from .text import _token_count
+
+    def density(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_urls = pc.cast(pc.count_substring_regex(text, URL_RE), pa.int64())
+        toks = pc.cast(_token_count(text), pa.int64())
+        safe = pc.cast(pc.max_element_wise(toks, 1), pa.float64())
+        dens = pc.if_else(
+            pc.greater(toks, 0),
+            round6(pc.multiply(pc.divide(
+                pc.cast(n_urls, pa.float64()), safe), 100.0)),
+            pa.scalar(None, pa.float64()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_urls": n_urls,
+            "n_tokens": toks,
+            "urls_per_100_tokens": dens,
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        density, batch_format="pyarrow")

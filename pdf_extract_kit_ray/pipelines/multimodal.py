@@ -361,3 +361,44 @@ def media_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
         ds.map_batches(fp, batch_size=_BATCH, batch_format="pyarrow"),
         "fp", [("partial_keep", "min", "keep_id"),
                ("partial_n", "sum", "n")])
+
+
+def media_kind_bytes(sf_dir: str) -> "ray.data.Dataset":
+    """Storage-planning rollup for the binary table: per media kind, item
+    count, total/mean payload bytes — the numbers that size block/batch
+    budgets for the binary stages.  Payload LENGTHS come from
+    ``pc.binary_length`` (the bytes never leave the scan); per-batch
+    partials reduce through one #kinds-sized groupby."""
+    from ray.data.aggregate import Sum
+    from ..functions.num import round6
+    from ..sources.media import media_table_path
+
+    ds = ray.data.read_parquet(media_table_path(sf_dir),
+                               columns=["kind", "payload"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "kind": batch.column("kind"),
+            "nbytes": pc.cast(pc.binary_length(batch.column("payload")),
+                              pa.int64()),
+        })
+        g = t.group_by("kind").aggregate([([], "count_all"),
+                                          ("nbytes", "sum")])
+        return g.rename_columns(["kind", "partial_n", "partial_b"])
+
+    agg = (ds.map_batches(partial, batch_size=64, batch_format="pyarrow")
+           .groupby("kind")
+           .aggregate(Sum("partial_n", alias_name="n_items"),
+                      Sum("partial_b", alias_name="total_bytes")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_items").to_numpy().astype("float64")
+        b = batch.column("total_bytes").to_numpy().astype("float64")
+        return pa.table({
+            "kind": batch.column("kind"),
+            "n_items": batch.column("n_items"),
+            "total_bytes": batch.column("total_bytes"),
+            "mean_bytes": round6(pa.array(b / n)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

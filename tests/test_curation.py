@@ -297,3 +297,25 @@ def test_curation_funnel_planted(ray_session, tmp_path):
     assert res.loc["quality_pass", "n_docs"] == 4      # doc 2 dropped
     assert res.loc["dedup_kept", "n_docs"] == 3        # doc 1 deduped
     assert res.loc["pii_clean", "n_docs"] == 2         # doc 3 has PII
+
+
+def test_url_density_planted(ray_session, tmp_path):
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import curation
+
+    rows = [
+        {"doc_id": 0, "text": "see https://a.example/x and www.b.org now"},
+        {"doc_id": 1, "text": "no links in this plain body of text"},
+        {"doc_id": 2, "text": ""},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (curation.url_density(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert res.loc[0, "n_urls"] == 2 and res.loc[0, "n_tokens"] == 5
+    assert res.loc[0, "urls_per_100_tokens"] == round(2 / 5 * 100, 6)
+    assert res.loc[1, "n_urls"] == 0
+    assert pd.isna(res.loc[2, "urls_per_100_tokens"])

@@ -27,7 +27,7 @@ QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
            "dsir_weights", "ngram_repetition", "source_divergence",
            "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
            "zipf_slope", "quality_by_source", "doc_novelty",
-           "doc_sentence_stats", "term_frequency_spectrum"]
+           "doc_sentence_stats", "term_frequency_spectrum", "url_density"]
 
 _PIECES = [
     "word", "Word", "WORD", "w0rd", "123", "!!!", "a,b.c", "$x$",

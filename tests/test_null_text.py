@@ -37,7 +37,7 @@ ORACLE_QUERIES = [
     "dsir_weights", "ngram_repetition", "source_divergence",
     "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
     "zipf_slope", "quality_by_source", "doc_novelty",
-    "doc_sentence_stats", "term_frequency_spectrum",
+    "doc_sentence_stats", "term_frequency_spectrum", "url_density",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
