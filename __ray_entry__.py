@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth_curve": streaming.user_growth_curve,
         "user_activity_cv": streaming.user_activity_cv,
         "first_purchase_latency": streaming.first_purchase_latency,
+        "table_profile": streaming.table_profile,  # non-SQL (HLL sketch)
         "events_type_overlap": streaming.events_type_overlap,
         "top_session_paths": streaming.top_session_paths,
         "rolling_active_users": streaming.rolling_active_users,

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "user_growth_curve",
     "user_activity_cv",
     "first_purchase_latency",
+    "table_profile",
     "events_type_overlap",
     "top_session_paths",
     "rolling_active_users",

@@ -243,3 +243,27 @@ def test_bloom_incremental_dedup_no_false_negatives(ray_session, tmp_path):
     # m=2^20, k=4, n=100 members -> FP rate ~ (kn/m)^k ~ 1e-14; allow
     # a generous absolute budget for the tiny corpus
     assert clean["maybe_dup"].sum() <= 1
+
+
+def test_table_profile_tolerance(ray_session):
+    """Null counts exact; HLL distinct within 5% of exact per column."""
+    import duckdb
+    from pdf_extract_kit_ray.pipelines import streaming
+    sf = "/root/testdata/sf0.01"
+    prof = (streaming.table_profile(sf, "events").to_pandas()
+            .set_index("column"))
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT count(*) AS n,
+               count(DISTINCT user_id) AS du,
+               count(DISTINCT event_type) AS d_types,
+               sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS np
+        FROM read_parquet('{sf}/events.parquet')""").df().iloc[0]
+    assert set(prof.index) == {"event_id", "ts", "user_id", "event_type",
+                               "value", "props"}
+    assert (prof["n_rows"] == int(exact["n"])).all()
+    assert prof.loc["props", "n_nulls"] == int(exact["np"])
+    for col, ex in (("user_id", int(exact.du)),
+                    ("event_type", int(exact.d_types))):
+        est = prof.loc[col, "approx_distinct"]
+        assert abs(est - ex) <= max(2, 0.05 * ex), (col, est, ex)
