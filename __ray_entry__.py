@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_cv": streaming.user_activity_cv,
         "first_purchase_latency": streaming.first_purchase_latency,
         "table_profile": streaming.table_profile,  # non-SQL (HLL sketch)
+        "events_pareto_share": streaming.events_pareto_share,
         "events_type_overlap": streaming.events_type_overlap,
         "top_session_paths": streaming.top_session_paths,
         "rolling_active_users": streaming.rolling_active_users,
@@ -2119,6 +2120,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                               AS DOUBLE) / count(*), 6) AS repeat_rate
             FROM oc JOIN customer ON c_custkey = o_custkey
             GROUP BY 1
+        """,
+        # whale concentration: percentile_disc threshold over per-user
+        # counts, ties all included, exact integer sums, one division
+        "events_pareto_share": """
+            WITH pu AS (
+                SELECT user_id, count(*) AS c FROM events GROUP BY 1
+            ), thr AS (
+                SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS t
+                FROM pu
+            )
+            SELECT (SELECT count(*) FROM pu) AS n_users,
+                   count(*) FILTER (WHERE c >= thr.t) AS top_users,
+                   CAST(sum(c) AS BIGINT) AS total_events,
+                   round(CAST(sum(c) FILTER (WHERE c >= thr.t) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS top_share
+            FROM pu CROSS JOIN thr GROUP BY thr.t
         """,
         # activation-funnel latency: conditional-min merge, exact µs
         "first_purchase_latency": """

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "user_activity_cv",
     "first_purchase_latency",
     "table_profile",
+    "events_pareto_share",
     "events_type_overlap",
     "top_session_paths",
     "rolling_active_users",

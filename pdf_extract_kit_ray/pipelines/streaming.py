@@ -1878,3 +1878,68 @@ def table_profile(sf_dir: str, table: str = "events") -> "ray.data.Dataset":
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("column").map_groups(merge, batch_format="pyarrow"))
+
+
+def events_pareto_share(sf_dir: str, p: float = 0.9) -> "ray.data.Dataset":
+    """Whale concentration: the share of all events produced by the most
+    active users at or above the ``p``-quantile activity level — the
+    80/20 report behind partition-skew and abuse planning.  "Top users"
+    = everyone whose event count >= the percentile_disc(p) count (ties
+    all included, deterministic in both engines).
+
+    Scale shape: per-user counts through one coarse shuffle, then a
+    (count, n_users) HISTOGRAM (bounded by the distinct-count domain)
+    for both the threshold walk and the share sums — user rows never
+    reach the driver."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ray.data.aggregate import Sum
+    from ..functions.num import round6_scalar
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "c"])
+
+    per_user = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("c", "sum", "c")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.select(["c"]).group_by("c").aggregate([([], "count_all")])
+        return g.rename_columns(["c", "n_users"])
+
+    agg = (per_user.map_batches(hist, batch_format="pyarrow")
+           .groupby("c").aggregate(Sum("n_users", alias_name="n_users")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"n_users": pa.array([], pa.int64()),
+                          "top_users": pa.array([], pa.int64()),
+                          "total_events": pa.array([], pa.int64()),
+                          "top_share": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[("c", "ascending")])
+        g = batch.take(idx)
+        c = g.column("c").to_numpy().astype(np.int64)
+        n = g.column("n_users").to_numpy().astype(np.int64)
+        cum = np.cumsum(n)
+        total_users = int(cum[-1])
+        # percentile_disc(p) over per-user counts: value at rank ceil(p*n)
+        thr = int(c[int(np.searchsorted(
+            cum, int(np.ceil(p * total_users))))])
+        top_mask = c >= thr
+        top_users = int(n[top_mask].sum())
+        total_events = int((c * n).sum())
+        top_events = int((c[top_mask] * n[top_mask]).sum())
+        share = round6_scalar(top_events / float(total_events)) \
+            if total_events else 0.0
+        return pa.table({
+            "n_users": pa.array([total_users], pa.int64()),
+            "top_users": pa.array([top_users], pa.int64()),
+            "total_events": pa.array([total_events], pa.int64()),
+            "top_share": pa.array([share], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
