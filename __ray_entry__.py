@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": dedup.contamination_check,
         "doc_novelty": dedup.doc_novelty,
         "dedup_rate_report": dedup.dedup_rate_report,
+        "dedup_cascade_report": dedup.dedup_cascade_report,  # non-SQL (LSH tier)
         "cross_source_overlap": dedup.cross_source_overlap,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "event_type_drift",
     "events_anomalous_hours",
     "dedup_rate_report",
+    "dedup_cascade_report",
     "cross_source_overlap",
     "user_event_entropy",
     "user_first_last",

@@ -1543,3 +1543,57 @@ def doc_novelty(sf_dir: str, n: int = 8) -> "ray.data.Dataset":
         })
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_cascade_report(sf_dir: str) -> "ray.data.Dataset":
+    """Dedup-cascade attrition report: how many documents each tier of
+    the dedup stack would touch — exact content duplicates, documents
+    losing at least one paragraph to paragraph-level dedup, and MinHash
+    near-duplicates — the dataset-card table that justifies which tiers
+    a release actually runs.  Counts are per-tier document counts over
+    the same corpus (tiers overlap by design; this is a report, not a
+    pipeline).
+
+    Scale shape: each tier is its own already-scale-shaped pipeline;
+    the report reduces each to ONE scalar with a streaming aggregate
+    (never materializing tier outputs on the driver)."""
+    from ray.data.aggregate import Sum
+
+    n_docs = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).count()
+
+    # exact: duplicate docs = group sizes beyond the kept one
+    def exact_extra(batch: pa.Table) -> pa.Table:
+        extra = pc.subtract(batch.column("n"), 1)
+        return pa.table({"x": pa.array(
+            [pc.sum(extra).as_py() or 0], pa.int64())})
+
+    exact_dups = (exact_dedup(sf_dir)
+                  .map_batches(exact_extra, batch_format="pyarrow")
+                  .sum("x") or 0)
+
+    # paragraph: docs that would lose at least one paragraph
+    def para_hit(batch: pa.Table) -> pa.Table:
+        hit = pc.less(batch.column("n_kept"), batch.column("n_paras"))
+        return pa.table({"x": pa.array(
+            [pc.sum(pc.cast(hit, pa.int64())).as_py() or 0], pa.int64())})
+
+    para_docs = (paragraph_dedup(sf_dir)
+                 .map_batches(para_hit, batch_format="pyarrow")
+                 .sum("x") or 0)
+
+    # minhash: distinct near-duplicate docs (dup side of verified pairs)
+    def mh_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"d": pc.unique(batch.column("dup_id"))})
+
+    mh = minhash_dedup(sf_dir)
+    mh_docs = (mh.map_batches(mh_ids, batch_format="pyarrow")
+               .groupby("d").count().count())
+
+    return ray.data.from_arrow(pa.table({
+        "tier": pa.array(["exact_duplicate", "paragraph_affected",
+                          "minhash_near_dup"], pa.string()),
+        "n_docs": pa.array([int(exact_dups), int(para_docs),
+                            int(mh_docs)], pa.int64()),
+        "corpus_docs": pa.array([n_docs] * 3, pa.int64()),
+    }))

@@ -602,3 +602,25 @@ def test_doc_novelty_planted(ray_session, tmp_path):
     # doc 1: 17 tokens -> 10 grams; the shared gram occurs at pos 0 and 9
     assert res.loc[1, "n_grams"] == 10 and res.loc[1, "n_dup_grams"] == 2
     assert res.loc[1, "novelty"] == round(1 - 2 / 10, 6)
+
+
+def test_dedup_cascade_report_planted(ray_session, tmp_path):
+    """Each tier counts its planted docs: one exact duplicate, one doc
+    losing a shared paragraph, and the exact pair also being a (trivial)
+    near-duplicate."""
+    base = " ".join(WORDS * 4)                     # 80 tokens
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},               # exact dup of 0
+        {"doc_id": 2, "text": "unique one\nshared paragraph here"},
+        {"doc_id": 3, "text": "another body\nshared paragraph here"},
+    ]
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = (dedup.dedup_cascade_report(str(tmp_path)).to_pandas()
+           .set_index("tier"))
+    assert (res["corpus_docs"] == 4).all()
+    assert res.loc["exact_duplicate", "n_docs"] == 1       # doc 1
+    assert res.loc["paragraph_affected", "n_docs"] >= 2    # doc 1 (whole) + doc 3
+    assert res.loc["minhash_near_dup", "n_docs"] >= 1      # doc 1 vs 0
