@@ -574,6 +574,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WITH v AS (
                 SELECT event_type, CAST(floor(value*100.0) AS BIGINT) AS c
                 FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
             ), med AS (
                 SELECT event_type,
                        percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS m

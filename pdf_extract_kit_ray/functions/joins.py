@@ -152,6 +152,57 @@ def broadcast_join(ds: "ray.data.Dataset", small: pa.Table,
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def make_lookup(keys, values) -> tuple:
+    """Package a small key->value mapping for broadcast (``ray.put`` the
+    result once, probe with :func:`lookup_np` in every task).  Keys become
+    an Arrow array (hash-probed via ``pc.index_in`` — Arrow-native, no
+    Python-dict hashing per element); values a numpy array.  Pass Arrow
+    columns directly when available — that preserves the key type even for
+    empty mappings (``pa.array([])`` would be null-typed)."""
+    if isinstance(keys, pa.ChunkedArray):
+        key_arr = keys.combine_chunks()
+    elif isinstance(keys, pa.Array):
+        key_arr = keys
+    else:
+        key_arr = pa.array(list(keys))
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        vals = values.to_numpy(zero_copy_only=False)
+    else:
+        vals = np.asarray(list(values))
+    return (key_arr, vals)
+
+
+def lookup_np(batch_keys: "pa.Array | pa.ChunkedArray", table: tuple,
+              default=None) -> np.ndarray:
+    """Vectorized broadcast-dictionary probe: maps an Arrow key column to
+    the packaged values via ``pc.index_in`` + numpy take.  The Arrow-native
+    replacement for ``pd.Series.map(dict)`` in hot maps (hash probe runs in
+    the Arrow kernel, gather in numpy — no per-element Python).
+
+    ``default`` fills missing keys; with ``default=None`` every key MUST be
+    present (raises ``KeyError`` otherwise) — use that for joins that are
+    total by construction so a contract break fails loudly."""
+    import pyarrow.compute as _pc
+    key_arr, vals = table
+    idx = _pc.index_in(batch_keys, value_set=key_arr)
+    pos = _pc.fill_null(idx, -1).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    missing = pos < 0
+    if default is None:
+        if missing.any():
+            bad = batch_keys.to_pylist()[int(np.flatnonzero(missing)[0])] \
+                if len(batch_keys) else None
+            raise KeyError(f"lookup_np: key {bad!r} absent from the "
+                           "broadcast table and no default given")
+        return vals[pos]
+    if len(vals) == 0:
+        return np.full(len(pos), default)
+    out = vals[np.maximum(pos, 0)]
+    if missing.any():
+        out = np.where(missing, np.asarray(default, dtype=out.dtype), out)
+    return out
+
+
 # sides whose PRUNED columns fit under this take the broadcast path (one
 # object-store ship + per-worker cached index) instead of a hash-shuffle
 # Dataset.join; past it the pruned side no longer fits every worker's heap

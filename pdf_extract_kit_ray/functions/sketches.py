@@ -352,8 +352,17 @@ def bloom_positions(fp_hex: "pa.Array | pa.ChunkedArray",
     """(n, k) bit positions for md5-hex fingerprints, vectorized straight
     off the Arrow string buffer: the 128-bit digest splits into four
     independent 32-bit words (md5's bits are uniform), each reduced mod
-    ``m_bits``.  Deterministic across workers/engines by construction."""
+    ``m_bits``.  Deterministic across workers/engines by construction.
+
+    The digest yields exactly 4 independent 32-bit words, so k > 4 would
+    silently return fewer hash positions than requested (a worse
+    false-positive rate than documented) — fail loudly instead."""
     import pyarrow as pa
+    if not 1 <= k <= 4:
+        raise ValueError(
+            f"bloom_positions supports 1 <= k <= 4 (got k={k}): the "
+            "128-bit md5 digest splits into only 4 independent 32-bit "
+            "words")
     if isinstance(fp_hex, pa.ChunkedArray):
         fp_hex = fp_hex.combine_chunks()
     n = len(fp_hex)

@@ -838,11 +838,12 @@ def dsir_weights(sf_dir: str, target_source: str = "src0",
     micro = pc.cast(pc.round(pa.array(lam * 1_000_000.0), ndigits=0,
                              round_mode="half_towards_infinity"),
                     pa.int64())
-    mdict = dict(zip(vocab["term"], micro.to_numpy()))
+    from ..functions.joins import make_lookup, lookup_np
+    mtab = make_lookup(vocab["term"], micro)
     m_oov = int(pc.round(
         pa.scalar((np.log(1.0 / tv) - np.log(1.0 / rv)) * 1e6),
         ndigits=0, round_mode="half_towards_infinity").as_py())
-    ref = ray.put((mdict, m_oov))
+    ref = ray.put((mtab, m_oov))
 
     def score(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -856,12 +857,11 @@ def dsir_weights(sf_dir: str, target_source: str = "src0",
         flat, parent = flat.filter(keep), parent.filter(keep)
         if len(flat) == 0:
             return empty
-        import pandas as pd
         denc = pc.dictionary_encode(flat)
         arr = (denc.combine_chunks()
                if isinstance(denc, pa.ChunkedArray) else denc)
-        m_uniq = pd.Series(arr.dictionary.to_pandas()).map(md).fillna(mo) \
-                   .to_numpy(dtype=np.int64)
+        m_uniq = lookup_np(arr.dictionary, md, default=mo) \
+            .astype(np.int64)
         m = m_uniq[arr.indices.to_numpy()]
         par = parent.to_numpy()
         starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])

@@ -15,6 +15,7 @@ determinism + schema contracts.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -377,28 +378,40 @@ def media_kind_bytes(sf_dir: str) -> "ray.data.Dataset":
                                columns=["kind", "payload"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        nbytes = pc.cast(pc.binary_length(batch.column("payload")),
+                         pa.int64())
         t = pa.table({
             "kind": batch.column("kind"),
-            "nbytes": pc.cast(pc.binary_length(batch.column("payload")),
-                              pa.int64()),
+            "nbytes": nbytes,
+            # AVG semantics: the mean denominator counts only rows with a
+            # payload; NULL payloads are reported separately (n_null).
+            "valid": pc.cast(pc.is_valid(nbytes), pa.int64()),
         })
         g = t.group_by("kind").aggregate([([], "count_all"),
-                                          ("nbytes", "sum")])
-        return g.rename_columns(["kind", "partial_n", "partial_b"])
+                                          ("nbytes", "sum"),
+                                          ("valid", "sum")])
+        return g.rename_columns(["kind", "partial_n", "partial_b",
+                                 "partial_v"])
 
     agg = (ds.map_batches(partial, batch_size=64, batch_format="pyarrow")
            .groupby("kind")
            .aggregate(Sum("partial_n", alias_name="n_items"),
-                      Sum("partial_b", alias_name="total_bytes")))
+                      Sum("partial_b", alias_name="total_bytes"),
+                      Sum("partial_v", alias_name="n_payload")))
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = batch.column("n_items").to_numpy().astype("float64")
+        n_all = batch.column("n_items").to_numpy()
+        n_valid = batch.column("n_payload").to_numpy().astype("float64")
         b = batch.column("total_bytes").to_numpy().astype("float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n_valid > 0, b / n_valid, np.nan)
         return pa.table({
             "kind": batch.column("kind"),
             "n_items": batch.column("n_items"),
+            "n_null": pa.array(
+                n_all - n_valid.astype("int64"), pa.int64()),
             "total_bytes": batch.column("total_bytes"),
-            "mean_bytes": round6(pa.array(b / n)),
+            "mean_bytes": round6(pa.array(mean)),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")

@@ -2488,8 +2488,9 @@ def part_affinity_lift(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
 
     total_orders = (rows.map_batches(total_rows, batch_format="pyarrow")
                     .sum("n") or 0)
-    mdict = dict(zip(marg["part"].to_numpy(), marg["n_orders"].to_numpy()))
-    ref = _ray.put(mdict)
+    from ..functions.joins import make_lookup, lookup_np
+    ref = _ray.put(make_lookup(marg["part"].to_numpy(),
+                               marg["n_orders"].to_numpy()))
 
     empty = pa.table({"part_a": pa.array([], pa.int64()),
                       "part_b": pa.array([], pa.int64()),
@@ -2500,11 +2501,8 @@ def part_affinity_lift(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
         if batch.num_rows == 0:
             return empty
         md = _ray.get(ref)
-        import pandas as pd
-        a = batch.column("part_a").to_pandas()
-        b = batch.column("part_b").to_pandas()
-        na = a.map(md).to_numpy(dtype=np.int64)
-        nb = b.map(md).to_numpy(dtype=np.int64)
+        na = lookup_np(batch.column("part_a"), md).astype(np.int64)
+        nb = lookup_np(batch.column("part_b"), md).astype(np.int64)
         nab = batch.column("n_orders").to_numpy()
         val = (nab * total_orders).astype(np.float64) \
             / (na * nb).astype(np.float64)
@@ -2700,6 +2698,12 @@ def value_mad_outliers(sf_dir: str, k: float = 5.0) -> "ray.data.Dataset":
                             columns=["event_type", "value"])
 
     def hist(batch: pa.Table) -> pa.Table:
+        # NULL event_type breaks Ray's sort-based group partitioning and a
+        # NULL value would NaN-poison the median/MAD — drop both up front,
+        # matching the sibling event ops (the SQL twin's WHERE pins this).
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.is_valid(batch.column("value"))))
         t = pa.table({"event_type": batch.column("event_type"),
                       "value_c": _cents(batch.column("value"))})
         g = t.group_by(["event_type", "value_c"]).aggregate(

@@ -1374,14 +1374,19 @@ def events_type_overlap(sf_dir: str) -> "ray.data.Dataset":
             "type_a": pa.array([], pa.string()),
             "type_b": pa.array([], pa.string()),
             "n_users": pa.array([], pa.int64())}))
-    tidx = {t: i for i, t in enumerate(types)}
+    if len(types) > 63:
+        raise ValueError(
+            f"events_type_overlap packs types into one int64 bitmask; "
+            f"{len(types)} distinct event types exceed the 63-bit "
+            "capacity — use a pair-explosion path for large vocabularies")
+    from ..functions.joins import make_lookup, lookup_np
+    ttab = make_lookup(types, np.arange(len(types), dtype=np.int64))
     k = len(types)
 
     def tag(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch.column("event_type")))
-        import pandas as pd
-        bit = pd.Series(batch.column("event_type").to_pandas()).map(tidx) \
-            .to_numpy(dtype=np.int64)
+        bit = lookup_np(batch.column("event_type"), ttab) \
+            .astype(np.int64)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
         t = pa.table({"user_id": pa.array(uid, pa.int64()),
                       "mask": pa.array(1 << bit, pa.int64()),

@@ -409,13 +409,14 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1 << 17) -> "ray.data.Dataset
             vocab["n"].to_numpy().astype(np.float64), float(total)))),
             1_000_000.0),
         ndigits=0, round_mode="half_towards_infinity"), pa.int64())
-    mdict = dict(zip(vocab["term"], micro.to_numpy()))
+    from ..functions.joins import make_lookup, lookup_np
+    mtab = make_lookup(vocab["term"], micro)
     # same half-away-from-zero micro snap as the in-vocab values (Python
     # round() is half-to-even and would break the convention on midpoints)
     m_oov = int(pc.round(pa.scalar(-np.log(0.5 / total) * 1e6),
                          ndigits=0,
                          round_mode="half_towards_infinity").as_py())
-    ref = ray.put((mdict, m_oov))
+    ref = ray.put((mtab, m_oov))
 
     def score(batch: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -432,14 +433,13 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1 << 17) -> "ray.data.Dataset
         flat, parent = flat.filter(keep), parent.filter(keep)
         if len(flat) == 0:
             return empty
-        import pandas as pd
         # dictionary-encode first: the md lookup runs over the batch's
         # UNIQUE tokens (vocab-bounded), then fans out by index gather
         denc = pc.dictionary_encode(flat)
         arr = (denc.combine_chunks()
                if isinstance(denc, pa.ChunkedArray) else denc)
-        m_uniq = pd.Series(arr.dictionary.to_pandas()).map(md).fillna(mo) \
-                   .to_numpy(dtype=np.int64)
+        m_uniq = lookup_np(arr.dictionary, md, default=mo) \
+            .astype(np.int64)
         m = m_uniq[arr.indices.to_numpy()]
         par = parent.to_numpy()
         starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
@@ -486,9 +486,8 @@ def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> "ray.data.Datase
     freq = pa.concat_tables(
         [pa.table({"term": pa.array([], pa.string()),
                    "n": pa.array([], pa.int64())})] + freq_batches)
-    udict = dict(zip(freq.column("term").to_pylist(),
-                     freq.column("n").to_pylist()))
-    uref = ray.put(udict)
+    from ..functions.joins import make_lookup, lookup_np
+    uref = ray.put(make_lookup(freq.column("term"), freq.column("n")))
 
     ds = _read_docs(sf_dir, ["text"])
 
@@ -525,11 +524,8 @@ def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> "ray.data.Datase
         if batch.num_rows == 0:
             return empty
         ud = ray.get(uref)
-        import pandas as pd
-        c1 = pd.Series(batch.column("w1").to_pandas()).map(ud) \
-               .to_numpy(dtype=np.float64)
-        c2 = pd.Series(batch.column("w2").to_pandas()).map(ud) \
-               .to_numpy(dtype=np.float64)
+        c1 = lookup_np(batch.column("w1"), ud).astype(np.float64)
+        c2 = lookup_np(batch.column("w2"), ud).astype(np.float64)
         c = batch.column("n_pairs").to_numpy().astype(np.float64)
         pmi = np.log((c / total_bg)
                      / ((c1 / total_uni) * (c2 / total_uni)))
@@ -905,8 +901,9 @@ def source_divergence(sf_dir: str) -> "ray.data.Dataset":
             "source": pa.array([], pa.string()),
             "n_tokens": pa.array([], pa.int64()),
             "kl": pa.array([], pa.float64())}))
-    s_tok = dict(zip(totals["source"], totals["n_tokens"]))
-    t_total = float(sum(s_tok.values()))
+    from ..functions.joins import make_lookup, lookup_np
+    s_tok = make_lookup(totals["source"], totals["n_tokens"])
+    t_total = float(totals["n_tokens"].sum())
     ref = ray.put(s_tok)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -926,7 +923,7 @@ def source_divergence(sf_dir: str) -> "ray.data.Dataset":
         ct = ts.groupby("term", sort=False)["c"].transform("sum") \
             .to_numpy(dtype=np.float64)
         c = ts["c"].to_numpy(dtype=np.float64)
-        s = ts["source"].map(st).to_numpy(dtype=np.float64)
+        s = lookup_np(pa.array(ts["source"]), st).astype(np.float64)
         # the twin's exact operation order: (c/s) * ln((c/s) / (ct/t))
         ps = c / s
         contrib = ps * np.log(ps / (ct / t_total))
@@ -943,12 +940,11 @@ def source_divergence(sf_dir: str) -> "ray.data.Dataset":
            .groupby("source").aggregate(Sum("m", alias_name="m")))
 
     def finish(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        src = batch.column("source").to_pandas()
         return pa.table({
             "source": batch.column("source"),
-            "n_tokens": pa.array(src.map(s_tok).to_numpy(dtype=np.int64),
-                                 pa.int64()),
+            "n_tokens": pa.array(
+                lookup_np(batch.column("source"), s_tok).astype(np.int64),
+                pa.int64()),
             "kl": pc.divide(pc.cast(batch.column("m"), pa.float64(),
                                     safe=False), 1e9),
         })
@@ -1149,7 +1145,9 @@ def quality_by_source(sf_dir: str) -> "ray.data.Dataset":
         q = quality_score(batch.column("text"))
         t = pa.table({
             "source": batch.column("source"),
-            "q_micro": pc.cast(pc.round(pc.multiply(q, 1e6)), pa.int64()),
+            "q_micro": pc.cast(pc.round(
+                pc.multiply(q, 1e6),
+                round_mode="half_towards_infinity"), pa.int64()),
         })
         g = t.group_by(["source", "q_micro"]).aggregate(
             [([], "count_all")])

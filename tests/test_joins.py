@@ -117,3 +117,49 @@ def test_customers_without_orders_filter_to_empty(ray_session):
     n_cust = pads.dataset(
         "/root/testdata/sf0.001/customer.parquet").count_rows()
     assert res["n_customers"].sum() == n_cust
+
+
+def test_lookup_np_arrow_native_broadcast_map():
+    """lookup_np is the Arrow-native replacement for pd.Series.map(dict):
+    hash probe via pc.index_in, gather in numpy, loud failure on missing
+    keys when no default is given."""
+    import numpy as np
+    from pdf_extract_kit_ray.functions.joins import make_lookup, lookup_np
+
+    tab = make_lookup(["a", "b", "c"], [10, 20, 30])
+    keys = pa.array(["b", "a", "c", "b"])
+    assert lookup_np(keys, tab).tolist() == [20, 10, 30, 20]
+    # chunked input
+    ch = pa.chunked_array([["a"], ["c", "b"]])
+    assert lookup_np(ch, tab).tolist() == [10, 30, 20]
+    # missing key with a default fills; without one it raises
+    assert lookup_np(pa.array(["a", "zz"]), tab,
+                     default=-1).tolist() == [10, -1]
+    with pytest.raises(KeyError, match="zz"):
+        lookup_np(pa.array(["a", "zz"]), tab)
+    # Arrow-column construction preserves the key type even when empty
+    empty = make_lookup(pa.array([], pa.string()),
+                        pa.array([], pa.int64()))
+    assert lookup_np(pa.array(["x"]), empty, default=7).tolist() == [7]
+    # integer keys
+    itab = make_lookup(pa.array([5, 9], pa.int64()),
+                       np.array([1.5, 2.5]))
+    got = lookup_np(pa.array([9, 5, 9], pa.int64()), itab)
+    assert got.tolist() == [2.5, 1.5, 2.5]
+
+
+def test_events_type_overlap_rejects_wide_type_vocab(ray_session, tmp_path):
+    """The int64 bitmask caps at 63 distinct event types — a wider
+    vocabulary must error instead of silently corrupting counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines.streaming import events_type_overlap
+
+    n = 200
+    pq.write_table(pa.table({
+        "user_id": pa.array(np.arange(n) % 10, pa.int64()),
+        "event_type": pa.array([f"t{i % 64}" for i in range(n)],
+                               pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="63-bit"):
+        events_type_overlap(str(tmp_path))

@@ -216,6 +216,13 @@ def test_bloom_positions_deterministic_and_uniform():
     # large_string parity (the coarse-hash regression class)
     assert (bloom_positions(fps.cast(pa.large_string()), 1 << 20)
             == p1).all()
+    # the md5 digest yields exactly 4 independent words: k > 4 must fail
+    # loudly instead of silently running a worse filter
+    import pytest
+    with pytest.raises(ValueError, match="1 <= k <= 4"):
+        bloom_positions(fps, 1 << 20, k=8)
+    with pytest.raises(ValueError, match="1 <= k <= 4"):
+        bloom_positions(fps, 1 << 20, k=0)
 
 
 def test_bloom_incremental_dedup_no_false_negatives(ray_session, tmp_path):
