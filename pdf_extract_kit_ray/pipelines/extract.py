@@ -196,20 +196,59 @@ def extract_markdown(ds: "ray.data.Dataset",
     """raw docs Dataset -> (doc_id, markdown): per-page markdown emission
     joined with blank lines, the reference's .md sink (SURVEY.md §2.1 S8,
     pdf2markdown.py:341-347) as a projection of the span stream."""
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from ..functions.assemble import spans_to_markdown
+    # per-kind (prefix, suffix) of the reference's per-page emission
+    # (pdf2markdown.py:312-324; functions/assemble.spans_to_markdown is
+    # the row-wise twin, kept for the YAML/unit surface) — kinds outside
+    # this map contribute nothing
+    affix = {"title": ("\n# ", "\n"),
+             "isolated_formula": ("\n", "\n"),
+             "plain_text": (" ", " "),
+             "figure_caption": (" ", " "),
+             "table_caption": (" ", " ")}
 
     def doc_markdown(group: pa.Table) -> pa.Table:
+        """Arrow-direct markdown assembly (the `_spans_list_column` idiom):
+        fragments build via a dictionary-encoded kind->affix gather +
+        ``binary_join_element_wise``; pages slice by offsets off the sorted
+        (page_no, block_idx) order — a whale doc never pays per-span
+        Python-dict cost."""
         group = group.sort_by([("page_no", "ascending"),
                                ("block_idx", "ascending")])
         doc_id = group.column("doc_id")[0].as_py()
-        pages: dict = {}
-        for row in group.to_pylist():
-            pages.setdefault(row["page_no"], []).append(row)
-        md_pages = [spans_to_markdown(pages[p]) for p in sorted(pages)]
+        n = group.num_rows
+        kinds = group.column("kind").combine_chunks()
+        denc = pc.dictionary_encode(kinds)
+        kind_vocab = denc.dictionary.to_pylist()          # tiny
+        pre_v = [affix.get(k, ("", ""))[0] for k in kind_vocab]
+        suf_v = [affix.get(k, ("", ""))[1] for k in kind_vocab]
+        emit_v = [k in affix for k in kind_vocab]
+        idx = denc.indices
+        pre = pa.array(pre_v, pa.string()).take(idx)
+        suf = pa.array(suf_v, pa.string()).take(idx)
+        emit = pa.array(emit_v, pa.bool_()).take(idx)
+        text = pc.fill_null(group.column("text").combine_chunks(), "")
+        frag = pc.if_else(emit,
+                          pc.binary_join_element_wise(pre, text, suf, ""),
+                          "")
+        # page boundaries off the sorted page_no column
+        pages = group.column("page_no").to_numpy(zero_copy_only=False)
+        starts = (np.flatnonzero(np.r_[True, pages[1:] != pages[:-1]])
+                  if n else np.zeros(0, np.int64))
+        offsets = pa.array(np.r_[starts, n].astype(np.int32), pa.int32())
+        page_md = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, frag), "")
+        md = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(page_md)], pa.int32()),
+                page_md.combine_chunks() if isinstance(page_md,
+                                                       pa.ChunkedArray)
+                else page_md), "\n\n")
         return pa.table({"doc_id": pa.array([doc_id]),
-                         "markdown": pa.array(["\n\n".join(md_pages)])})
+                         "markdown": md})
 
     page_spans = extract_page_spans(ds, config)
     return page_spans.groupby("doc_id").map_groups(doc_markdown,

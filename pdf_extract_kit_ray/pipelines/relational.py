@@ -1653,12 +1653,26 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#12",
         ["l_partkey"], [("partial_q", "sum", "sum_q"),
                         ("partial_n", "sum", "n")])
 
-    # bounded driver pull: one row per part OF ONE BRAND (the broadcast
-    # side of the rejoin — at 100 TB this is the small side by contract)
-    thr_rows = per_part.take_all()
-    pk = np.array([r["l_partkey"] for r in thr_rows], dtype=np.int64)
-    thr = np.array([frac * (r["sum_q"] / 100.0 / r["n"])
-                    for r in thr_rows], dtype=np.float64)
+    # threshold doubles compute DISTRIBUTED (same op order as the twin:
+    # sum_cents -> /100.0 -> /count -> *frac, elementwise); the driver
+    # then pulls only the aggregated 2-column Arrow table — one row per
+    # part OF ONE BRAND, the broadcast side of the rejoin (at 100 TB this
+    # is the small side by contract; even a million-part brand is ~16 MB
+    # of Arrow, never Python row objects)
+    def thr_map(batch: pa.Table) -> pa.Table:
+        sum_q = batch.column("sum_q").to_numpy().astype(np.float64)
+        n = batch.column("n").to_numpy().astype(np.float64)
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "thr": pa.array(frac * (sum_q / 100.0 / n), pa.float64())})
+
+    thr_tab = pa.concat_tables(
+        [pa.table({"l_partkey": pa.array([], pa.int64()),
+                   "thr": pa.array([], pa.float64())})]
+        + list(per_part.map_batches(thr_map, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")))
+    pk = thr_tab.column("l_partkey").to_numpy().astype(np.int64)
+    thr = thr_tab.column("thr").to_numpy()
     order = np.argsort(pk)
     pk, thr = pk[order], thr[order]
     pk_ref = ray.put(pk)

@@ -96,3 +96,29 @@ def test_zero_page_doc_kept_with_empty_spans(ray_session):
         assert set(out) == {"doc-empty", "doc-a"}, mode
         assert out["doc-empty"] == [], mode
         assert len(out["doc-a"]) > 0, mode
+
+
+def test_whale_markdown_byte_identical(ray_session):
+    """The Arrow-direct markdown assembly (dictionary-affix gather +
+    per-page binary_join) must stay byte-equal to the row-wise oracle on a
+    600-page whale plus small docs and an empty doc."""
+    from pdf_extract_kit_ray.oracle import extract_markdown_document
+    from pdf_extract_kit_ray.pipelines.extract import extract_markdown
+
+    rows = [{"doc_id": "doc-whale",
+             "spans": generate_raw_document("doc-whale", seed=21,
+                                            n_pages=600)},
+            {"doc_id": "doc-empty", "spans": []}]
+    for i in range(4):
+        rows.append({"doc_id": "doc-%04d" % i,
+                     "spans": generate_raw_document("doc-%04d" % i, seed=21,
+                                                    n_pages=2)})
+    raw = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+    out = extract_markdown(ray.data.from_arrow(raw),
+                           ExtractConfig.for_cpus(4)).take_all()
+    assert len(out) == len(rows)
+    md = {r["doc_id"]: r["markdown"] for r in out}
+    golden = {r["doc_id"]: extract_markdown_document(r["spans"])
+              for r in rows}
+    assert md == golden
+    assert len(md["doc-whale"]) > 100_000     # genuinely big output
