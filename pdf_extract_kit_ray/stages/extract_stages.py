@@ -78,8 +78,20 @@ def explode_pages(batch: pa.Table, backend: str = "fitz") -> pa.Table:
     same flat arrays, and the output list<struct> column is built directly
     from Arrow offsets — no per-span Python.  Semantics are pinned against
     the straight-line ``split_pages_geom`` twin (the oracle path) by
-    byte-equality tests."""
+    byte-equality tests.
+
+    Real-PDF seam: a batch carrying a ``pdf_bytes`` binary column (no
+    ``spans``) routes to the import-gated PyMuPDF render path
+    (sources/pdf_ingest.render_pdf_pages) — actual page rasters at dpi-144
+    with the same >3000px dpi-72 re-render rule, emitted as one
+    ``page_image`` det per page.  Raises ImportError when fitz is absent
+    (this sandbox); the geom:// path is unaffected."""
     import numpy as np
+
+    if ("pdf_bytes" in batch.column_names
+            and "spans" not in batch.column_names):
+        from ..sources.pdf_ingest import render_pdf_pages
+        return render_pdf_pages(batch)
 
     empty = pa.Table.from_pydict(
         {n: [] for n in PAGE_SCHEMA.names}, schema=PAGE_SCHEMA)
@@ -252,14 +264,17 @@ class LayoutStage:
     Backend loaded once per actor; pluggable (mock in sandbox)."""
 
     def __init__(self, backend: str = "mock",
-                 emulate_inference_ms: float = 0.0):
+                 emulate_inference_ms: float = 0.0,
+                 backend_options: dict = None):
         from ..mocks import LAYOUT_BACKENDS
-        if backend not in LAYOUT_BACKENDS:
-            raise NotImplementedError(
-                "real layout backends (DocLayout-YOLO / LayoutLMv3) need GPU "
-                "weights not present in this sandbox; available mocks: "
-                + ", ".join(sorted(LAYOUT_BACKENDS)))
-        self._detect = LAYOUT_BACKENDS[backend]
+        if backend in LAYOUT_BACKENDS:
+            self._detect = LAYOUT_BACKENDS[backend]
+        else:
+            # real-weights seam (stages/model_adapters.py): loads once per
+            # actor here; raises ImportError without the real libs
+            from .model_adapters import build_backend
+            self._detect = build_backend("layout", backend,
+                                         **(backend_options or {}))
         self._emulate = 0.3 * emulate_inference_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -278,8 +293,14 @@ class MFDStage:
     span-pool order contract, SURVEY.md §2.4 G1)."""
 
     def __init__(self, backend: str = "mock",
-                 emulate_inference_ms: float = 0.0):
-        self._detect = mock_mfd
+                 emulate_inference_ms: float = 0.0,
+                 backend_options: dict = None):
+        if backend == "mock":
+            self._detect = mock_mfd
+        else:
+            from .model_adapters import build_backend
+            self._detect = build_backend("mfd", backend,
+                                         **(backend_options or {}))
         self._emulate = 0.1 * emulate_inference_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -307,22 +328,42 @@ class MFRStage:
     of distribution, SURVEY.md §2.4 G2)."""
 
     def __init__(self, backend: str = "mock",
-                 emulate_inference_ms: float = 0.0):
-        self._recognize = mock_mfr
+                 emulate_inference_ms: float = 0.0,
+                 backend_options: dict = None):
+        if backend == "mock":
+            self._recognize = mock_mfr
+        else:
+            from .model_adapters import build_backend
+            self._recognize = build_backend("mfr", backend,
+                                            **(backend_options or {}))
         self._emulate = 0.2 * emulate_inference_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         burn_compute(self._emulate * max(1, batch.num_rows))
         cols = _batch_pages(batch)
+        needs_image = getattr(self._recognize, "needs_image", False)
         keys, payloads = [], []
         for p_idx, (page, dets) in enumerate(zip(cols["raw_dets"], cols["dets"])):
+            page_img = None
+            if needs_image:
+                from .model_adapters import (crop_image,
+                                             page_image_from_raw_dets)
+                page_img = page_image_from_raw_dets(page)
             for d_idx, det in enumerate(dets):
                 if det["kind"] in ("inline", "isolated"):
                     keys.append((p_idx, d_idx))
-                    payloads.append((formula_crop_payload(page, det), det))
-        # one "batched inference" call over all crops
-        latexes = [latex_compact(self._recognize(payload, det))
-                   for payload, det in payloads]
+                    crop = (crop_image(page_img, det) if needs_image
+                            else formula_crop_payload(page, det))
+                    payloads.append((crop, det))
+        # one batched inference call over all crops (real adapters expose
+        # recognize_batch — true torch batching in 128-crop chunks)
+        if hasattr(self._recognize, "recognize_batch"):
+            latexes = [latex_compact(t) for t in
+                       self._recognize.recognize_batch(
+                           [p for p, _ in payloads])]
+        else:
+            latexes = [latex_compact(self._recognize(payload, det))
+                       for payload, det in payloads]
         for (p_idx, d_idx), latex in zip(keys, latexes):
             cols["dets"][p_idx][d_idx] = dict(cols["dets"][p_idx][d_idx],
                                               text=latex)
@@ -338,7 +379,14 @@ class OCRStage:
     to the page frame, append text detections in region order."""
 
     def __init__(self, backend: str = "mock", drop_score: float = 0.5,
-                 emulate_inference_ms: float = 0.0):
+                 emulate_inference_ms: float = 0.0,
+                 backend_options: dict = None):
+        if backend == "mock":
+            self._ocr = ocr_page_text_dets
+        else:
+            from .model_adapters import build_backend
+            self._ocr = build_backend("ocr", backend,
+                                      **(backend_options or {}))
         self.drop_score = drop_score
         self._emulate = 0.4 * emulate_inference_ms
 
@@ -348,8 +396,7 @@ class OCRStage:
         for page, dets in zip(cols["raw_dets"], cols["dets"]):
             burn_compute(self._emulate)
             dets = list(dets)
-            dets.extend(ocr_page_text_dets(page, dets,
-                                           drop_score=self.drop_score))
+            dets.extend(self._ocr(page, dets, drop_score=self.drop_score))
             out_dets.append(dets)
         return _pages_out(cols, out_dets)
 
@@ -363,21 +410,39 @@ class TableStage:
     table text does not enter the golden span sequence (the reference's md
     emitter skips tables)."""
 
-    def __init__(self, backend: str = "mock", max_elements: int = 10_000):
-        self._parse = mock_table
+    def __init__(self, backend: str = "mock", max_elements: int = 10_000,
+                 backend_options: dict = None):
+        if backend == "mock":
+            self._parse = mock_table
+        else:
+            from .model_adapters import build_backend
+            self._parse = build_backend("table", backend,
+                                        **(backend_options or {}))
         self.max_elements = max_elements
         self.timeouts = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = _batch_pages(batch)
+        needs_image = getattr(self._parse, "needs_image", False)
         tables = []
         for page, dets in zip(cols["raw_dets"], cols["dets"]):
             page_tables = []
+            page_img = None
+            if needs_image and any(d["kind"] in TABLE_CLASSES
+                                   for d in dets):
+                from .model_adapters import (crop_image,
+                                             page_image_from_raw_dets)
+                page_img = page_image_from_raw_dets(page)
             for det in dets:
                 if det["kind"] not in TABLE_CLASSES:
                     continue
-                payload = formula_crop_payload(page, det)
-                over_cap = len(payload) > self.max_elements
+                payload = (crop_image(page_img, det) if needs_image
+                           else formula_crop_payload(page, det))
+                # the element cap pre-filters geometry payloads; real
+                # backends carry their own max_time cap inside the model
+                # (struct_eqtable build_model(max_time=30))
+                over_cap = (not needs_image
+                            and len(payload) > self.max_elements)
                 if over_cap:
                     self.timeouts += 1
                 page_tables.append(self._parse(payload, det,
