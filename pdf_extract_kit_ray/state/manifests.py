@@ -166,9 +166,25 @@ TABLE_MANIFEST_SCHEMA = pa.schema([
 ])
 
 
+def _require_lance():
+    """Import gate shared with the read side (pipelines/extract.read_corpus):
+    Lance is the named production format (BASELINE.json north rule) but the
+    sandbox ships no wheel, so the format is config-selectable and fails
+    loudly at SUBMIT time (driver side), never mid-corpus in a worker."""
+    try:
+        import lance
+    except ImportError:
+        raise ImportError(
+            "data_format='lance' needs the pylance wheel (`pip install "
+            "pylance`); not installed in this sandbox — use the default "
+            "data_format='parquet'")
+    return lance
+
+
 def write_partitioned_table(ds: "ray.data.Dataset", out_dir: str,
                             num_partitions: int = 32,
-                            key_col: str = "doc_id") -> "ray.data.Dataset":
+                            key_col: str = "doc_id",
+                            data_format: str = "parquet") -> "ray.data.Dataset":
     """The extraction sink's checkpoint/lineage protocol for ANY flat
     table (the curation-job sink): partition by crc32 of the key column's
     decimal string, one atomic data file + manifest-last commit per
@@ -176,8 +192,21 @@ def write_partitioned_table(ds: "ray.data.Dataset", out_dir: str,
 
     The partition checksum is crc32 of the partition's Arrow IPC bytes
     AFTER an in-partition sort by ``key_col`` — deterministic across runs,
-    workers, and block layouts without any per-row Python."""
+    workers, and block layouts without any per-row Python, and IDENTICAL
+    across ``data_format`` choices (the checksum hashes the logical rows,
+    not the container bytes), so a parquet run and a lance run of the same
+    input roll up to the same lineage.
 
+    ``data_format``: ``"parquet"`` (default; atomic tmp-file + rename) or
+    ``"lance"`` (one Lance dataset per partition, ``mode="overwrite"`` so a
+    crashed partial write is replaced idempotently on resume — the
+    manifest-last commit still decides completeness either way)."""
+
+    if data_format not in ("parquet", "lance"):
+        raise ValueError(f"data_format must be 'parquet' or 'lance', "
+                         f"got {data_format!r}")
+    if data_format == "lance":
+        _require_lance()                     # fail at submit, not in workers
     os.makedirs(out_dir, exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -193,10 +222,15 @@ def write_partitioned_table(ds: "ray.data.Dataset", out_dir: str,
         group = group.sort_by(key_col).drop_columns(["partition_id"])
         part_dir = os.path.join(out_dir, "part=%05d" % pid)
         os.makedirs(part_dir, exist_ok=True)
-        data_path = os.path.join(part_dir, "data.parquet")
-        tmp_path = data_path + ".tmp"
-        pq.write_table(group, tmp_path)
-        os.replace(tmp_path, data_path)
+        if data_format == "lance":
+            lance = _require_lance()
+            data_path = os.path.join(part_dir, "data.lance")
+            lance.write_dataset(group, data_path, mode="overwrite")
+        else:
+            data_path = os.path.join(part_dir, "data.parquet")
+            tmp_path = data_path + ".tmp"
+            pq.write_table(group, tmp_path)
+            os.replace(tmp_path, data_path)
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, group.schema) as w:
             w.write_table(group)
@@ -240,3 +274,25 @@ def rollup_table_metrics(manifests: "ray.data.Dataset") -> dict:
         "rows": int(sum(r["n_rows"] for r in rows)),
         "checksum": _xor_all(r["checksum"] for r in rows),
     }
+
+
+def read_partitioned_table(out_dir: str) -> "ray.data.Dataset":
+    """Read a ``write_partitioned_table`` output back as one Dataset,
+    format-detected from the COMPLETED partitions' manifests (incomplete
+    partitions — data without a manifest — are skipped, matching the
+    resume protocol's completeness rule).  Parquet parts read as one
+    multi-file ``read_parquet`` (per-file blocks, streaming); lance parts
+    are independent datasets, read and unioned lazily."""
+    paths = []
+    for part in sorted(os.listdir(out_dir)):
+        mpath = os.path.join(out_dir, part, MANIFEST_NAME)
+        if part.startswith("part=") and os.path.exists(mpath):
+            with open(mpath) as f:
+                paths.append(json.load(f)["path"])
+    if not paths:
+        raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    if paths[0].endswith(".lance"):
+        _require_lance()
+        parts = [ray.data.read_lance(p) for p in paths]
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    return ray.data.read_parquet(paths)

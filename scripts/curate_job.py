@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--resume", action="store_true",
                     help="skip partitions with a complete manifest")
+    ap.add_argument("--format", dest="data_format", default="parquet",
+                    choices=("parquet", "lance"),
+                    help="partition container format (lance needs the "
+                         "pylance wheel; the north rule's production format)")
     args = ap.parse_args()
 
     import ray
@@ -69,7 +73,8 @@ def main() -> None:
                                          args.num_partitions)
 
     manifests = write_partitioned_table(curated, args.output,
-                                        args.num_partitions)
+                                        args.num_partitions,
+                                        data_format=args.data_format)
     metrics = rollup_table_metrics(manifests)
     elapsed = round(time.time() - t0, 2)
 
