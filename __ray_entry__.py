@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "embedding_neardup": similarity.embedding_neardup,
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
+        "ivfpq_topk": similarity.ivfpq_topk,       # non-SQL (approximate, int8 codes)
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
         "embedding_pca": similarity.embedding_pca,  # non-SQL (eigendecomp)
         "label_centroids": similarity.label_centroids,

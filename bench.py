@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "knn_classify",
     "embedding_neardup",
     "ivf_topk",
+    "ivfpq_topk",
     "embedding_quantize",
     "media_exact_dedup",
     "media_kind_bytes",

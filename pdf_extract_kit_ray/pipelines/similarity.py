@@ -315,6 +315,155 @@ def ivf_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
               .map_groups(final_topk, batch_format="pyarrow"))
 
 
+def ivfpq_topk(sf_dir: str, k: int = 10, num_queries: int = 8,
+               nlist: int = 16, nprobe: int = 8,
+               sample_size: int = 2048, iters: int = 5) -> "ray.data.Dataset":
+    """IVF + int8 residual quantization — the 100 TB ANN *serving* shape:
+    coarse cells prune the scan (as ``ivf_topk``) and the scanned payload is
+    the COMPRESSED residual codes, not the raw float vectors.
+
+    Composition of the two existing primitives (VERDICT r3 item 7):
+    ``_train_coarse_centroids`` supplies the coarse quantizer and the
+    ``embedding_quantize`` int8 scheme encodes the RESIDUAL
+    ``r = normalize(x) - centroid[cell]`` against a global per-dim range.
+
+    Pipeline shape (three streaming passes, no shuffle of raw vectors):
+
+    1. *Range pass* — per-batch per-dim (lo, hi) of the residuals; bounded
+       driver pull of two dim-length rows per BLOCK (the
+       ``embedding_quantize`` sufficient-statistics pattern).
+    2. *Encode stage* — pure map emitting ``(vec_id, cell, codes: binary)``;
+       this is the stored index: 1 byte/dim + 1 cell id per vector, so the
+       object-store (and at 100 TB, the disk) traffic downstream of this
+       stage is ~4x smaller than the float column.
+    3. *Scan stage* — consumes ONLY the codes table: reconstructs
+       ``centroid[cell] + dequant(codes)`` for rows whose cell is among the
+       query's ``nprobe`` probes, dots against the broadcast query matrix,
+       and emits per-block partial top-k.  A final tiny
+       ``groupby(query_id)`` merges partials.
+
+    Scores are computed from the RECONSTRUCTED vectors, so quantization
+    error shows up honestly in recall (measured vs exact in
+    tests/test_dedup_similarity.py and scripts/similarity_headroom.py)
+    rather than being hidden by re-reading the floats."""
+    cent = _train_coarse_centroids(sf_dir, nlist, sample_size, iters)
+    qt = _load_queries(sf_dir, num_queries)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if cent.shape[0] == 0 or qt.num_rows == 0:   # empty embeddings table
+        return ray.data.from_arrow(empty)
+    cent_ref = ray.put(cent)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    # ---- pass 1: global per-dim residual range (KB-sized partials) ----
+    def range_partial(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch)
+        if mat.size == 0:
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
+        c = ray.get(cent_ref)
+        x = _normalize(mat)
+        resid = x - c[(x @ c.T).argmax(axis=1)]
+        return pa.table({
+            "lo": pa.array([resid.min(axis=0).tolist()], pa.list_(pa.float64())),
+            "hi": pa.array([resid.max(axis=0).tolist()], pa.list_(pa.float64()))})
+
+    rows = [r for r in ds.map_batches(range_partial,
+                                      batch_format="pyarrow").take_all()
+            if len(r["lo"])]                 # bounded: 2*dim doubles per block
+    if not rows:
+        return ray.data.from_arrow(empty)
+    lo = np.min([r["lo"] for r in rows], axis=0)
+    hi = np.max([r["hi"] for r in rows], axis=0)
+    scale = (hi - lo) / 255.0
+    scale[scale == 0] = 1.0
+
+    q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    q_mat = _normalize(_matrix_from_lists(qt.column("embedding").to_pylist()))
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, cent, probes, lo, scale))
+
+    # ---- pass 2: encode to (vec_id, cell, int8 residual codes) ----
+    empty_codes = pa.table({"vec_id": pa.array([], pa.int64()),
+                            "cell": pa.array([], pa.int32()),
+                            "codes": pa.array([], pa.binary())})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch)
+        if mat.size == 0:
+            return empty_codes
+        _, _, c, _, qlo, qscale = ray.get(ref)
+        x = _normalize(mat)
+        cell = (x @ c.T).argmax(axis=1)
+        codes = np.clip(np.rint((x - c[cell] - qlo) / qscale),
+                        0, 255).astype(np.uint8)
+        d = codes.shape[1]
+        offs = pa.array(np.arange(codes.shape[0] + 1, dtype=np.int32) * d,
+                        pa.int32())
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cell": pa.array(cell.astype(np.int32), pa.int32()),
+            "codes": pa.BinaryArray.from_buffers(
+                pa.binary(), codes.shape[0],
+                [None, offs.buffers()[1], pa.py_buffer(codes.tobytes())]),
+        })
+
+    # ---- pass 3: scan the codes only ----
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "raw_score": pa.array([], pa.float64())})
+        ids, qm, c, pr, qlo, qscale = ray.get(ref)
+        col = batch.column("codes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = c.shape[1]
+        # fixed-width values (dim bytes each): slice the data buffer by the
+        # first value offset so sliced/offset views decode correctly
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
+        start = int(offs[col.offset])
+        codes = np.frombuffer(col.buffers()[2], dtype=np.uint8,
+                              count=start + batch.num_rows * dim) \
+            [start:].reshape(batch.num_rows, dim)
+        cell = np.asarray(batch.column("cell").to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+        recon = codes.astype(np.float64) * qscale + qlo + c[cell]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ids)):
+            mask = np.isin(cell, pr[qi])
+            if not mask.any():
+                continue
+            s = recon[mask] @ qm[qi]
+            sub_ids = vec_ids[mask]
+            order = np.lexsort((sub_ids, -s))[:k]
+            out_q.extend([ids[qi]] * len(order))
+            out_n.extend(sub_ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "raw_score": pa.array(out_s, pa.float64())})
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        n = np.asarray(group.column("neighbor_id").to_pylist(), dtype=np.int64)
+        s = np.asarray(group.column("raw_score").to_pylist(), dtype=np.float64)
+        order = np.lexsort((n, -s))[:k]
+        return pa.table({"query_id": pa.array([qid] * len(order), pa.int64()),
+                         "neighbor_id": pa.array(n[order], pa.int64()),
+                         "score": pa.array(np.round(s[order], 4), pa.float64())})
+
+    return (ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
+              .map_batches(scan, batch_format="pyarrow", batch_size=4096)
+              .groupby("query_id")
+              .map_groups(final_topk, batch_format="pyarrow"))
+
+
 def label_centroids(sf_dir: str) -> "ray.data.Dataset":
     """Per-label centroid (prototype) vectors over the embedding column —
     the class-prototype computation behind nearest-centroid labeling and

@@ -75,6 +75,14 @@ def main() -> None:
         i = {(int(q), int(n)) for q, n in zip(ivf.query_id, ivf.neighbor_id)}
         res[f"ivf_nprobe{nprobe}_recall"] = round(len(e & i) / len(e), 3)
 
+    # IVF-PQ: same pruning + int8 residual codes — recall gap vs ivf at the
+    # same nprobe isolates the quantization error
+    t0 = time.time()
+    pq_res = similarity.ivfpq_topk(OUT, nprobe=8).to_pandas()
+    res["ivfpq_nprobe8_sec"] = round(time.time() - t0, 1)
+    p = {(int(q), int(n)) for q, n in zip(pq_res.query_id, pq_res.neighbor_id)}
+    res["ivfpq_nprobe8_recall"] = round(len(e & p) / len(e), 3)
+
     t0 = time.time()
     km = similarity.embedding_kmeans(OUT).to_pandas()
     res["kmeans_sec"] = round(time.time() - t0, 1)

@@ -224,6 +224,42 @@ def test_ivf_recall_on_planted(ray_session, tmp_path):
     assert 50 in q3["neighbor_id"].tolist()
 
 
+def test_ivfpq_recall_vs_exact(ray_session, tmp_path):
+    """IVF-PQ (coarse cells + int8 residual codes) must agree with exact
+    brute-force top-k within tolerance: the residual-quantization error is
+    small (codes span the residual range at 1/255 resolution) so at full
+    probe coverage recall should be near-perfect, and planted near-dups
+    must always be recalled."""
+    sf_dir = _make_embeddings(str(tmp_path))
+    k = 5
+    exact = similarity.ann_topk(sf_dir, k=k, num_queries=4).to_pandas()
+    apx = similarity.ivfpq_topk(sf_dir, k=k, num_queries=4, nlist=8,
+                                nprobe=8).to_pandas()
+    e = {(int(q), int(n)) for q, n in zip(exact.query_id, exact.neighbor_id)}
+    a = {(int(q), int(n)) for q, n in zip(apx.query_id, apx.neighbor_id)}
+    assert len(e & a) / len(e) >= 0.9        # full-probe: only PQ error left
+    # planted neighbor (50 ~ 3) must survive compression
+    q3 = apx[apx["query_id"] == 3].sort_values("score", ascending=False)
+    assert 50 in q3["neighbor_id"].tolist()[:2]
+    # reconstructed scores stay close to true cosines
+    merged = exact.merge(apx, on=["query_id", "neighbor_id"],
+                         suffixes=("_e", "_a"))
+    assert (merged["score_e"] - merged["score_a"]).abs().max() < 0.05
+
+
+def test_ivfpq_pruning_drops_unprobed_cells(ray_session, tmp_path):
+    """With nprobe=1 the scan must only surface same-cell rows — evidence
+    the codes table's cell column actually prunes."""
+    sf_dir = _make_embeddings(str(tmp_path))
+    res = similarity.ivfpq_topk(sf_dir, k=200, num_queries=2, nlist=8,
+                                nprobe=1).to_pandas()
+    full = similarity.ivfpq_topk(sf_dir, k=200, num_queries=2, nlist=8,
+                                 nprobe=8).to_pandas()
+    n1 = res.groupby("query_id").size()
+    n8 = full.groupby("query_id").size()
+    assert (n1 <= n8).all() and (n1 < 200).all()   # pruned strictly below n
+
+
 def test_winnow_fingerprints_substring_guarantee():
     import numpy as np
     from pdf_extract_kit_ray.pipelines.dedup import winnow_fingerprints
