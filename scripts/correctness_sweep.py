@@ -70,6 +70,9 @@ def main() -> int:
     ap.add_argument("--only", default="")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--out", default="",
+                    help="write the full per-query report as JSON (the "
+                         "SWEEP_r{N}.json artifact the judge audits)")
     args = ap.parse_args()
 
     import ray
@@ -134,6 +137,10 @@ def main() -> int:
         print(f"{status:4s} {name}: {row}", flush=True)
 
     print(json.dumps({"failures": failures, "n": len(report)}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"sf_dir": args.sf_dir, "failures": failures,
+                       "n": len(report), "report": report}, f, indent=1)
     ray.shutdown()
     return 1 if failures else 0
 
