@@ -64,7 +64,7 @@ def _golden_dir(sf_dir: str) -> str:
     return os.path.join(os.path.dirname(raw), "golden")
 
 
-def _extract(sf_dir: str):
+def _extract(sf_dir: str, layout_backend: str = "mock"):
     import ray
     from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
                                                        extract_documents,
@@ -73,7 +73,8 @@ def _extract(sf_dir: str):
     cpus = int(ray.cluster_resources().get("CPU", 8))
     num_blocks = int(os.environ.get("PEK_NUM_BLOCKS", "0")) or None
     ds = read_corpus(raw_path, num_blocks=num_blocks)
-    return extract_documents(ds, ExtractConfig.for_cpus(cpus))
+    return extract_documents(ds, ExtractConfig.for_cpus(
+        cpus, layout_backend=layout_backend))
 
 
 def entry() -> Any:
@@ -81,7 +82,7 @@ def entry() -> Any:
     return _extract(SF0001)
 
 
-def _span_kind_counts(sf_dir: str):
+def _span_kind_counts(sf_dir: str, layout_backend: str = "mock"):
     """Flagship output rolled up: spans per (kind) across the corpus —
     a stable, schema-fixed summary of the extraction result."""
     import pyarrow as pa
@@ -98,9 +99,17 @@ def _span_kind_counts(sf_dir: str):
         g = t.group_by("kind").aggregate([([], "count_all")])
         return g.rename_columns(["kind", "partial_n"])
 
-    return (_extract(sf_dir)
+    return (_extract(sf_dir, layout_backend)
             .map_batches(explode, batch_format="pyarrow")
             .groupby("kind").aggregate(Sum("partial_n", alias_name="n_spans")))
+
+
+def _span_kind_counts_lmv3(sf_dir: str):
+    """M2 surface: the same kind rollup under the LayoutLMv3-analog head
+    (class-wise NMS + score-sorted emission + SCORE_THRESH analog) —
+    byte-equality of the full span stream vs the backend-parametrized
+    straight-line oracle is pinned in tests/test_extract_e2e.py."""
+    return _span_kind_counts(sf_dir, layout_backend="mock2")
 
 
 def _extract_markdown(sf_dir: str):
@@ -175,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship extraction (non-SQL; driver rows-only check) ---
         "extract_flagship": _extract,
         "extract_kind_counts": _span_kind_counts,
+        "extract_kind_counts_lmv3": _span_kind_counts_lmv3,
         "extract_markdown": _extract_markdown,
         "extract_spans": _extract_spans_flat,
         "table_sources": _table_sources,

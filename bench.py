@@ -42,6 +42,7 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "extract_flagship",
+    "extract_kind_counts_lmv3",
     "table_sources",
     "reference_json",
     "q1_pricing_summary",
@@ -362,10 +363,13 @@ def run_inner_extract(sf_dir: str, num_cpus: int,
     cfg = dataclasses.replace(ExtractConfig.for_cpus(num_cpus),
                               emulate_inference_ms=emulate_ms)
     t0 = time.time()
-    # 8 blocks per CPU: with one task per block, the stage span is the
-    # slowest task — finer blocks keep the tail wave short (measured: 16
-    # blocks on 16 CPUs = one 8-11 s wave, span == slowest straggler)
-    ds = read_corpus(raw_path, num_blocks=8 * num_cpus)
+    # work-aware block sizing (extract.corpus_read_blocks): 8 blocks/CPU
+    # when model-bound (the padded mode — fine blocks keep the straggler
+    # tail short), 1 block/CPU when per-page cost is sub-ms (per-task fixed
+    # overhead dominates; measured 128 -> 16 blocks at 16 CPUs: 3.9 -> 2.6 s)
+    from pdf_extract_kit_ray.pipelines.extract import corpus_read_blocks
+    ds = read_corpus(raw_path,
+                     num_blocks=corpus_read_blocks(num_cpus, emulate_ms))
     rows = extract_documents(ds, cfg).count()
     dt = time.time() - t0
     ray.shutdown()

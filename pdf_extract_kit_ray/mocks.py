@@ -135,14 +135,56 @@ def mock_layout(raw_dets: Sequence[dict], score_thresh: float = 0.0) -> List[dic
     return out
 
 
+def mock_layout_lmv3(raw_dets: Sequence[dict], score_thresh: float = 0.5,
+                     nms_iou: float = 0.5) -> List[dict]:
+    """LayoutLMv3-analog head (M2): same candidate gather as ``mock_layout``
+    but with detectron2 ROI-heads POST-PROCESSING semantics — the part of
+    the alternate backend that is observable without the 3.6k-LoC vendored
+    ViT weights (tasks/layout_detection/models/layoutlmv3.py:11-81,
+    layoutlmv3_util/model_init.py:71,119-141):
+
+    * score threshold BEFORE emission — 0.2 in the reference
+      (``SCORE_THRESH_TEST``, model_init.py:71); 0.5 here because the mock
+      score distribution is uniform 0.42-0.99, where 0.2 would drop nothing;
+    * CLASS-WISE greedy NMS at IoU 0.5 (detectron2
+      ``ROI_HEADS.NMS_THRESH_TEST`` default — an RCNN head proposes
+      overlapping regions per class; the YOLO mock's raw elements are
+      pre-NMS'd by construction);
+    * emission sorted by score DESCENDING, ties by candidate index
+      (detectron2 ``Instances`` arrive score-sorted, model_init.py:125-128),
+      vs the YOLO mock's raw emission order.
+
+    The downstream block-consumption order therefore genuinely differs from
+    the "mock" backend — not just the det COUNT (the old threshold-only
+    analog) but the det ORDER, which ``fill_spans_in_blocks`` consumes.
+    Like ``mock_layout`` it emits no class-8 isolate_formula box: the MFD
+    'isolated' det becomes that block during assembly (see LAYOUT_KIND_MAP
+    note)."""
+    from .functions.geometry import nms_bboxes
+    cands = mock_layout(raw_dets, score_thresh=score_thresh)
+    out: List[dict] = []
+    for cls in {d["kind"] for d in cands}:
+        idx = [i for i, d in enumerate(cands) if d["kind"] == cls]
+        boxes = [(cands[i]["x0"], cands[i]["y0"],
+                  cands[i]["x1"], cands[i]["y1"]) for i in idx]
+        scores = [cands[i]["score"] for i in idx]
+        out.extend(cands[idx[k]] for k in nms_bboxes(boxes, scores, nms_iou))
+    # global score-descending order across classes (Instances order);
+    # ties broken by candidate emission index for determinism under the
+    # 2dp-rounded mock scores
+    order = {id(d): i for i, d in enumerate(cands)}
+    out.sort(key=lambda d: (-d["score"], order[id(d)]))
+    return out
+
+
 # Config-selectable layout backends (the reference's MODEL_REGISTRY switch,
 # layout_detection/models/{yolo,layoutlmv3}.py): same interface, different
-# score threshold.  "mock2"'s 0.5 stands in for LayoutLMv3's 0.2 (the mock
-# score distribution is uniform 0.42-0.99, so 0.5 is the value that makes
-# the backends observably differ).
+# head semantics.  "mock2" is the LayoutLMv3 analog (threshold + class-wise
+# NMS + score-sorted emission); "layoutlmv3-mock" is its explicit alias.
 LAYOUT_BACKENDS = {
     "mock": mock_layout,
-    "mock2": lambda raw_dets: mock_layout(raw_dets, score_thresh=0.5),
+    "mock2": mock_layout_lmv3,
+    "layoutlmv3-mock": mock_layout_lmv3,
 }
 
 

@@ -30,7 +30,6 @@ from .functions.geometry import quad_crop_to_page, quad_to_bbox
 from .functions.textnorm import latex_compact
 from .mocks import (
     formula_crop_payload,
-    mock_layout,
     mock_mfd,
     mock_mfr,
     ocr_page_text_dets,
@@ -39,13 +38,17 @@ from .sources.corpus import split_pages
 
 
 def extract_document(raw_spans: List[dict],
-                     render_backend: str = "fitz") -> List[Dict]:
+                     render_backend: str = "fitz",
+                     layout_backend: str = "mock") -> List[Dict]:
     """One raw document's span stream -> the golden extracted span sequence
     ``[{kind, text, media_ref, offset}, ...]`` with dense offsets.  Render
     geometry (the S3 dpi-72 downshift for >3000px pages) is applied inside
-    split_pages, identically to the Ray pipeline's explode stage."""
+    split_pages, identically to the Ray pipeline's explode stage.
+    ``layout_backend`` selects the layout head (M1 YOLO-analog "mock" /
+    M2 LayoutLMv3-analog "mock2"), as the reference's MODEL_REGISTRY does."""
     out: List[Dict] = []
-    for page_spans in extract_document_pages(raw_spans, render_backend):
+    for page_spans in extract_document_pages(raw_spans, render_backend,
+                                             layout_backend):
         for span in page_spans:
             out.append(dict(span, offset=len(out)))
     return out
@@ -61,9 +64,12 @@ def extract_markdown_document(raw_spans: List[dict]) -> str:
 
 
 def extract_document_pages(raw_spans: List[dict],
-                           render_backend: str = "fitz") -> List[List[Dict]]:
+                           render_backend: str = "fitz",
+                           layout_backend: str = "mock") -> List[List[Dict]]:
     """Per-page ordered span lists (no global offsets) — the common core of
     the span-sequence and markdown goldens."""
+    from .mocks import LAYOUT_BACKENDS
+    layout = LAYOUT_BACKENDS[layout_backend]
     pages = split_pages(raw_spans, render_backend)
 
     # Pass A: layout + MFD per page; queue formula crops doc-wide.
@@ -71,7 +77,7 @@ def extract_document_pages(raw_spans: List[dict],
     fill_keys: List[tuple] = []
     crops: List[tuple] = []
     for p_idx, page in enumerate(pages):
-        dets = mock_layout(page)
+        dets = layout(page)
         for det in mock_mfd(page):
             dets.append(det)
             fill_keys.append((p_idx, len(dets) - 1))

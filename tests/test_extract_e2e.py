@@ -102,6 +102,34 @@ def test_markdown_blank_page_byte_golden(ray_session):
     assert got == exp
 
 
+def test_pipeline_matches_oracle_lmv3(ray_session, corpus):
+    """M2 byte-equality: the distributed pipeline under the LayoutLMv3-analog
+    head (class-wise NMS + score-descending emission + SCORE_THRESH analog)
+    must match the backend-parametrized straight-line oracle span-for-span —
+    the same contract the flagship backend carries."""
+    from pdf_extract_kit_ray.oracle import extract_document
+    raw, _ = corpus
+    sl = raw.slice(0, 12)
+    cfg = dataclasses.replace(ExtractConfig.for_cpus(4),
+                              layout_backend="mock2")
+    out = extract_documents(ray.data.from_arrow(sl).repartition(4), cfg)
+    result = {r["doc_id"]: r["spans"] for r in out.take_all()}
+    expected = {r["doc_id"]: extract_document(r["spans"],
+                                              layout_backend="mock2")
+                for r in sl.to_pylist()}
+    assert set(result) == set(expected)
+    bad = [d for d in expected
+           if not span_sequence_equal(result[d], expected[d])]
+    assert bad == [], f"lmv3 span-sequence mismatch for {bad[:3]}"
+    # and the head genuinely reorders blocks vs the default backend
+    # somewhere in the slice (score-sorted vs raw emission order)
+    base = {r["doc_id"]: extract_document(r["spans"])
+            for r in sl.to_pylist()}
+    assert any(
+        [s["kind"] for s in expected[d]] != [s["kind"] for s in base[d]]
+        for d in expected)
+
+
 def test_backend_switch_mock2(ray_session, corpus, tmp_path):
     """M2: the config-selected layout backend switch.  'mock2' (higher score
     threshold, the LayoutLMv3-SCORE_THRESH analog) must produce a different,
