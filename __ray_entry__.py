@@ -178,7 +178,7 @@ def _table_sources(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extract_kit_ray.pipelines import (curation, dedup, multimodal,
                                                relational, similarity,
-                                               streaming, text)
+                                               streaming, text, web)
 
     return {
         # --- flagship extraction (non-SQL; driver rows-only check) ---
@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_prev_click_asof": relational.purchase_prev_click_asof,
         "events_value_bands": relational.events_value_bands,
         "engaged_users_union": relational.engaged_users_union,
+        # --- web-tier main-content extraction (HTML boilerplate strip) ---
+        "html_main_content": web.html_main_content,
+        "html_boilerplate_rate": web.html_boilerplate_rate,
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
@@ -922,6 +925,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    sum(CAST(floor(value*100.0) AS BIGINT))/100.0 AS total_value
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC LIMIT 20
+        """,
+        # closed forms of the synthetic-page round-trip (see pipelines/
+        # web.py module docstring): main_text == text with every 12th
+        # space -> newline, chrome is a fixed 8 leaf blocks per page
+        "html_main_content": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR text = '' THEN 0
+                        ELSE length(text) END AS main_chars,
+                   CASE WHEN text IS NULL OR text = '' THEN 0
+                        ELSE CAST(ceil(len(string_split(text, ' ')) / 12.0)
+                                  AS BIGINT) END AS kept_blocks,
+                   CAST(8 AS BIGINT) AS dropped_blocks
+            FROM documents
+        """,
+        "html_boilerplate_rate": """
+            SELECT source,
+                   CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 0
+                       ELSE CAST(ceil(len(string_split(text, ' ')) / 12.0)
+                                 AS BIGINT) END) AS BIGINT) AS kept_blocks,
+                   8 * count(*) AS dropped_blocks,
+                   round(8.0 * count(*) /
+                         (sum(CASE WHEN text IS NULL OR text = '' THEN 0
+                              ELSE CAST(ceil(len(string_split(text, ' '))
+                                             / 12.0) AS BIGINT) END)
+                          + 8.0 * count(*)), 6) AS boilerplate_rate
+            FROM documents GROUP BY source
         """,
         "doc_stats": f"""
             SELECT doc_id,

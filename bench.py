@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "orders_per_nation",
     "events_hourly",
     "top_users",
+    "html_main_content",
+    "html_boilerplate_rate",
     "doc_stats",
     "lang_profile",
     "doc_fingerprints",
