@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": text.doc_chunks,
         "unigram_logprob": text.unigram_logprob,
         "bigram_pmi": text.bigram_pmi,
+        "bigram_perplexity": text.bigram_perplexity,
         "vocab_growth": text.vocab_growth,
         "source_divergence": text.source_divergence,
         "inverted_index": text.inverted_index,
@@ -1847,6 +1848,43 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                / (count(*) * 1000000.0)) * 1000000.0)
                         AS BIGINT) / 1000000.0 AS avg_neg_logprob
             FROM tok JOIN m USING (term) GROUP BY tok.doc_id
+        """,
+        # add-k bigram LM over the corpus itself (k=0.5, min_count=1);
+        # per-pair -ln P snapped to micro-ints (round = half away from
+        # zero, same as Arrow's half_towards_infinity) so per-doc sums are
+        # exact integer math in both engines; exp is libm on both sides
+        "bigram_perplexity": """
+            WITH l AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+                FROM l WHERE len(l) >= 2
+            ), bc AS (
+                SELECT p[1] AS w1, p[2] AS w2, count(*) AS c
+                FROM z GROUP BY 1, 2
+            ), lc AS (
+                SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM bc GROUP BY 1
+            ), v AS (
+                SELECT count(*) AS nv FROM (
+                    SELECT w1 AS t FROM bc UNION SELECT w2 FROM bc)
+            ), m AS (
+                SELECT bc.w1, bc.w2,
+                       CAST(round(-ln((bc.c + 0.5)
+                                      / (lc.cw + 0.5 * v.nv))
+                                  * 1000000.0) AS BIGINT) AS micro
+                FROM bc JOIN lc USING (w1) CROSS JOIN v
+            )
+            SELECT z.doc_id, count(*) AS n_pairs,
+                   round(CAST(sum(m.micro) AS BIGINT)
+                         / (count(*) * 1000000.0), 6) AS avg_neg_logprob,
+                   round(exp(CAST(sum(m.micro) AS BIGINT)
+                             / (count(*) * 1000000.0)), 6) AS ppl
+            FROM z JOIN m ON m.w1 = z.p[1] AND m.w2 = z.p[2]
+            GROUP BY z.doc_id
         """,
         "bigram_pmi": """
             WITH l AS (

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "value_mad_outliers",
     "unigram_logprob",
     "bigram_pmi",
+    "bigram_perplexity",
     "events_sliding_window",
     "users_only_first_half",
     "events_locf_grid",

@@ -458,6 +458,159 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1 << 17) -> "ray.data.Dataset
         score, batch_format="pyarrow")
 
 
+def _bigram_pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch adjacent-token bigram histogram (the combiner shared by
+    ``bigram_pmi`` and ``bigram_perplexity``): the shuffle ships one row
+    per distinct (w1, w2) per batch, never per token."""
+    split = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(batch.column("text")))
+    arr = (split.combine_chunks()
+           if isinstance(split, pa.ChunkedArray) else split)
+    # list_flatten/list_parent_indices (not .values) — both slice-aware
+    vals = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    par = pc.list_parent_indices(arr).to_numpy()
+    if len(vals) < 2:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "partial_n": pa.array([], pa.int64())})
+    adj = (par[:-1] == par[1:]) & (vals[:-1] != "") & (vals[1:] != "")
+    t = pa.table({"w1": pa.array(vals[:-1][adj], pa.string()),
+                  "w2": pa.array(vals[1:][adj], pa.string())})
+    g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+    return g.rename_columns(["w1", "w2", "partial_n"])
+
+
+def bigram_perplexity(sf_dir: str, k_smooth: float = 0.5,
+                      min_count: int = 1) -> "ray.data.Dataset":
+    """Per-document bigram-LM perplexity — the conditional-probability
+    companion to ``unigram_logprob`` (CCNet scores documents with a
+    pretrained LM; here the LM is the corpus's own add-k-smoothed bigram
+    model, the self-contained analog):
+
+        P(w2|w1) = (c(w1,w2) + k) / (c(w1, ·) + k·V)
+
+    with V = |distinct tokens appearing in any bigram| and c(w1, ·) the
+    corpus count of w1 as a LEFT context.  Emits per doc (docs with < 2
+    tokens have no bigrams and are omitted, like the SQL twin's join):
+    n_pairs, avg_neg_logprob and ppl = exp(avg).  Low ppl = stereotyped
+    text, high = token soup; curation filters both tails.
+
+    Scale shape: ONE coarse (w1, w2)-keyed shuffle builds the pair table
+    (per-batch combiner ``_bigram_pair_partial``); left-context totals
+    and V derive from that table Arrow-side; the pair->micro-logp mapping
+    broadcasts via ``ray.put`` and scoring is a pure map.  At 100 TB the
+    broadcast is bounded by ``min_count`` pruning (a pruned pair backs
+    off to the per-w1 smoothing floor, the second broadcast table); the
+    default ``min_count=1`` keeps the test-scale model exact.
+
+    Bit-parity with the SQL twin: each DISTINCT pair's -ln P is snapped
+    to integer micro-units (half away from zero), per-doc sums are exact
+    integer math, and the final ``exp`` runs through libm (``math.exp``)
+    on both engines — numpy's SIMD exp can differ in the last ulp."""
+    import math
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import lookup_np, make_lookup
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_pairs", pa.int64()),
+                            ("avg_neg_logprob", pa.float64()),
+                            ("ppl", pa.float64())])
+    pairs = coarse_grouped_aggregate(
+        _read_docs(sf_dir, ["text"]).map_batches(
+            _bigram_pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"], [("partial_n", "sum", "n_pairs")],
+        hash_cols=["w1", "w2"])
+    # bounded driver pull: the DISTINCT-pair table (min_count prunes it at
+    # scale; left totals/V are computed before pruning so the smoothing
+    # denominators stay exact)
+    tab = pa.concat_tables(
+        [pa.table({"w1": pa.array([], pa.string()),
+                   "w2": pa.array([], pa.string()),
+                   "n_pairs": pa.array([], pa.int64())})]
+        + list(pairs.iter_batches(batch_format="pyarrow")))
+    if tab.num_rows == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    lc = tab.group_by("w1").aggregate([("n_pairs", "sum")]) \
+            .rename_columns(["w1", "cw"])
+    n_vocab = len(pc.unique(pa.chunked_array(
+        [tab.column("w1").combine_chunks(),
+         tab.column("w2").combine_chunks()])))
+    kept = tab.filter(pc.greater_equal(tab.column("n_pairs"), min_count)) \
+        if min_count > 1 else tab
+
+    def micro_neg_ln(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        return pc.cast(pc.round(
+            pc.multiply(pc.negate(pc.ln(pa.array(num / den))), 1_000_000.0),
+            ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy()
+
+    cw_of = make_lookup(lc.column("w1"), lc.column("cw"))
+    den_kept = lookup_np(kept.column("w1").combine_chunks(), cw_of) \
+        .astype(np.float64) + k_smooth * n_vocab
+    pair_keys = pc.binary_join_element_wise(
+        kept.column("w1"), kept.column("w2"), "\x1f")
+    pair_tab = make_lookup(pair_keys.combine_chunks(), micro_neg_ln(
+        kept.column("n_pairs").to_numpy().astype(np.float64) + k_smooth,
+        den_kept))
+    # smoothing floor per left context (hit only for min_count-pruned
+    # pairs): -ln(k / (cw + kV))
+    floor_tab = make_lookup(lc.column("w1"), micro_neg_ln(
+        np.full(lc.num_rows, k_smooth),
+        lc.column("cw").to_numpy().astype(np.float64) + k_smooth * n_vocab))
+    refs = ray.put((pair_tab, floor_tab))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        ptab, ftab = ray.get(refs)
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        arr = (split.combine_chunks()
+               if isinstance(split, pa.ChunkedArray) else split)
+        vals = pc.list_flatten(arr)
+        par = pc.list_parent_indices(arr).to_numpy()
+        if len(vals) < 2:
+            return out_schema.empty_table()
+        v_np = vals.to_numpy(zero_copy_only=False)
+        adj = (par[:-1] == par[1:]) & (v_np[:-1] != "") & (v_np[1:] != "")
+        if not adj.any():
+            return out_schema.empty_table()
+        w1 = vals.filter(pa.array(np.r_[adj, False]))
+        w2 = vals.filter(pa.array(np.r_[False, adj]))
+        keys = pc.binary_join_element_wise(w1, w2, "\x1f")
+        denc = pc.dictionary_encode(keys)
+        denc = (denc.combine_chunks()
+                if isinstance(denc, pa.ChunkedArray) else denc)
+        m_uniq = lookup_np(denc.dictionary, ptab, default=-1)
+        miss = m_uniq < 0
+        if miss.any():                      # min_count-pruned pairs
+            u_w1 = pc.list_element(
+                pc.split_pattern(denc.dictionary, "\x1f", max_splits=1), 0)
+            m_uniq = np.where(
+                miss,
+                lookup_np(u_w1, ftab,
+                          default=int(round(math.log(n_vocab) * 1e6))),
+                m_uniq)
+        m = m_uniq[denc.indices.to_numpy()].astype(np.int64)
+        pd_ = par[:-1][adj]                  # doc index per pair
+        starts = np.flatnonzero(np.r_[True, pd_[1:] != pd_[:-1]])
+        msum = np.add.reduceat(m, starts)
+        n = np.diff(np.r_[starts, len(pd_)]).astype(np.int64)
+        avg = msum.astype(np.float64) / (n * 1_000_000.0)
+        ppl = np.array([math.exp(a) for a in avg])
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(
+                pa.array(pd_[starts], pa.int64())),
+            "n_pairs": pa.array(n, pa.int64()),
+            "avg_neg_logprob": round6(pa.array(avg)),
+            "ppl": round6(pa.array(ppl)),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
 def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> "ray.data.Dataset":
     """Top-k adjacent-token bigrams by pointwise mutual information —
     Mikolov-style phrase mining over the corpus:
@@ -491,27 +644,9 @@ def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> "ray.data.Datase
 
     ds = _read_docs(sf_dir, ["text"])
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        split = pc.utf8_split_whitespace(
-            pc.utf8_trim_whitespace(batch.column("text")))
-        arr = (split.combine_chunks()
-               if isinstance(split, pa.ChunkedArray) else split)
-        # list_flatten/list_parent_indices (not .values) — both slice-aware
-        vals = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
-        par = pc.list_parent_indices(arr).to_numpy()
-        if len(vals) < 2:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "partial_n": pa.array([], pa.int64())})
-        adj = (par[:-1] == par[1:]) & (vals[:-1] != "") & (vals[1:] != "")
-        t = pa.table({"w1": pa.array(vals[:-1][adj], pa.string()),
-                      "w2": pa.array(vals[1:][adj], pa.string())})
-        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
-        return g.rename_columns(["w1", "w2", "partial_n"])
-
     from ..functions.agg import coarse_grouped_aggregate
     pairs = coarse_grouped_aggregate(
-        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ds.map_batches(_bigram_pair_partial, batch_format="pyarrow"),
         ["w1", "w2"], [("partial_n", "sum", "n_pairs")],
         hash_cols=["w1", "w2"]).materialize()
     total_bg = pairs.sum("n_pairs") or 0
