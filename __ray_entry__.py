@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": curation.curation_funnel,
         "filter_report": curation.filter_report,
         "url_density": curation.url_density,
+        "domain_counts": curation.domain_counts,
+        "blocklist_filter": curation.blocklist_filter,
         "dsir_weights": curation.dsir_weights,
         "epoch_plan": curation.epoch_plan,
         "uniform_sample": curation.uniform_sample,
@@ -1202,6 +1204,47 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # URL density per doc (RE2 identical in both engines); token-less
         # docs go NULL density
+        # zero rows / all-kept on the clean corpus (planted paths are
+        # unit-tested); regex semantics are RE2 in both engines
+        "domain_counts": """
+            WITH u AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                           'https?://[^\\s]+|www\\.[^\\s]+')) AS url
+                FROM documents
+            ), d AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^(?:https?://)?(?:www\\.)?([^/:?#\\s]+)', 1))
+                           AS domain
+                FROM u
+            )
+            SELECT domain, count(*) AS n_urls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM d GROUP BY domain
+        """,
+        "blocklist_filter": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(text,
+                               'https?://[^\\s]+|www\\.[^\\s]+'),
+                           u -> lower(regexp_extract(u,
+                               '^(?:https?://)?(?:www\\.)?([^/:?#\\s]+)',
+                               1))) AS doms
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(coalesce(len(doms), 0) AS BIGINT) AS n_urls,
+                   CAST(coalesce(len(list_filter(doms,
+                       x -> x IN ('ads.example', 'spam.example',
+                                  'tracker.test'))), 0) AS BIGINT)
+                       AS n_blocked_urls,
+                   coalesce(len(list_filter(doms,
+                       x -> x IN ('ads.example', 'spam.example',
+                                  'tracker.test'))), 0) = 0 AS kept
+            FROM d
+        """,
         "url_density": f"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "top_terms",
     "pii_redact",
     "url_density",
+    "domain_counts",
+    "blocklist_filter",
     "doc_repetition",
     "ngram_repetition",
     "train_val_split",

@@ -1242,3 +1242,105 @@ def url_density(sf_dir: str) -> "ray.data.Dataset":
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         density, batch_format="pyarrow")
+
+
+# registrable-domain extraction from a matched URL: scheme and a single
+# leading "www." stripped, host ends at / : ? # or whitespace.  RE2 in
+# both engines (Arrow and DuckDB), so the twins match byte-for-byte.
+_DOMAIN_RE = r"^(?:https?://)?(?:www\.)?(?P<dom>[^/:?#\s]+)"
+
+# deterministic default blocklist for the sandbox corpora (real
+# deployments broadcast UT1-style lists of millions of domains through
+# the same ray.put path — the lookup is an Arrow index_in probe either way)
+DEFAULT_BLOCKLIST = ("spam.example", "ads.example", "tracker.test")
+
+
+def _doc_domains(text: "pa.ChunkedArray") -> tuple:
+    """Every URL occurrence's (lowercased registrable domain, parent row
+    index) — fully vectorized.  Arrow has no findall kernel, so matches
+    are recovered by wrapping each one in a \\x1e sentinel (RE2 backref
+    replace), splitting on the sentinel, and keeping the segments that ARE
+    a whole match.  Sentinel contract: \\x1e (ASCII record separator) must
+    not appear in the text — true of any real corpus; a hostile document
+    could only split its own URLs, never leak another row's."""
+    marked = pc.replace_substring_regex(text, f"({URL_RE})", "\x1e\\1\x1e")
+    parts = pc.split_pattern(marked, "\x1e")
+    flat = pc.list_flatten(parts)
+    par = pc.list_parent_indices(parts)
+    is_url = pc.match_substring_regex(flat, f"^(?:{URL_RE})$")
+    urls, par = flat.filter(is_url), par.filter(is_url)
+    dom = pc.utf8_lower(pc.struct_field(
+        pc.extract_regex(urls, _DOMAIN_RE), "dom"))
+    return dom, par
+
+
+def domain_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Per-domain URL and document counts across the corpus — the
+    link-graph rollup web curation ranks and blocklists from.
+
+    Scale shape: per-batch domain histograms (URL count + distinct-doc
+    count, exact because a document row lives in exactly one batch) feed
+    ONE domain-keyed coarse shuffle.  Zero rows on the clean synthetic
+    corpus (exact twin either way); the planted-URL path is unit-tested."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from .text import _read_docs as _read
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dom, par = _doc_domains(batch.column("text"))
+        t = pa.table({"domain": dom, "par": par})
+        g = t.group_by("domain").aggregate([([], "count_all"),
+                                            ("par", "count_distinct")])
+        return g.rename_columns(["domain", "p_urls", "p_docs"])
+
+    agg = coarse_grouped_aggregate(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["domain"], [("p_urls", "sum", "n_urls"),
+                     ("p_docs", "sum", "n_docs")])
+    # typed empty seed: a URL-free corpus yields ZERO aggregate rows and
+    # Ray drops the schema entirely; the union pins it
+    import ray as _ray
+    seed = pa.table({"domain": pa.array([], pa.string()),
+                     "n_urls": pa.array([], pa.int64()),
+                     "n_docs": pa.array([], pa.int64())})
+    return _ray.data.from_arrow(seed).union(agg)
+
+
+def blocklist_filter(sf_dir: str,
+                     blocklist=DEFAULT_BLOCKLIST) -> "ray.data.Dataset":
+    """UT1-style domain blocklist audit — the RefinedWeb/FineWeb URL
+    filtering step: per doc, count URL occurrences whose registrable
+    domain is on the (broadcast) blocklist and flag survivors.
+
+    Pure map, no shuffle: the blocklist ships once via ``ray.put`` and
+    each batch probes it with one Arrow ``index_in`` over the batch's
+    extracted domains.  On the clean corpus every doc survives with
+    0 urls / 0 hits (exact twin); planted-URL paths are unit-tested.
+    NULL/empty text emits 0 urls / 0 blocked / kept=true in both engines
+    (the twin coalesces ``len(NULL)`` to 0)."""
+    import numpy as np
+    import ray as _ray
+
+    from .text import _read_docs as _read
+    bl_ref = _ray.put(pa.array(sorted(set(blocklist)), pa.string()))
+
+    def audit(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        dom, par = _doc_domains(text)
+        hit = pc.is_in(dom, value_set=_ray.get(bl_ref))
+        n_urls = np.zeros(batch.num_rows, dtype=np.int64)
+        n_blocked = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(par):
+            p = par.to_numpy()
+            np.add.at(n_urls, p, 1)
+            np.add.at(n_blocked, p,
+                      hit.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_urls": pa.array(n_urls, pa.int64()),
+            "n_blocked_urls": pa.array(n_blocked, pa.int64()),
+            "kept": pa.array(n_blocked == 0, pa.bool_()),
+        })
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        audit, batch_format="pyarrow")

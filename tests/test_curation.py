@@ -319,3 +319,47 @@ def test_url_density_planted(ray_session, tmp_path):
     assert res.loc[0, "urls_per_100_tokens"] == round(2 / 5 * 100, 6)
     assert res.loc[1, "n_urls"] == 0
     assert pd.isna(res.loc[2, "urls_per_100_tokens"])
+
+
+def test_domain_counts_planted(ray_session, tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import curation
+
+    rows = [
+        {"doc_id": 0, "text": "x https://www.A.example/p?q=1 y "
+                              "http://a.example:8080/z and www.b.org"},
+        {"doc_id": 1, "text": "again https://a.example/other plain"},
+        {"doc_id": 2, "text": "no links"},
+        {"doc_id": 3, "text": None},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = {r["domain"]: (r["n_urls"], r["n_docs"])
+           for r in curation.domain_counts(str(tmp_path)).take_all()}
+    # www. and scheme stripped, host lowercased, port/path cut
+    assert res == {"a.example": (3, 2), "b.org": (1, 1)}
+
+
+def test_blocklist_filter_planted(ray_session, tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extract_kit_ray.pipelines import curation
+
+    rows = [
+        {"doc_id": 0, "text": "buy at https://ads.example/buy and "
+                              "https://ok.org/fine"},
+        {"doc_id": 1, "text": "clean https://ok.org/page only"},
+        {"doc_id": 2, "text": "WWW.SPAM.EXAMPLE/lp is blocked too"
+                              .replace("WWW.SPAM.EXAMPLE", "www.Spam.example")},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": None},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = {r["doc_id"]: (r["n_urls"], r["n_blocked_urls"], r["kept"])
+           for r in curation.blocklist_filter(str(tmp_path)).take_all()}
+    assert res == {0: (2, 1, False), 1: (1, 0, True),
+                   2: (1, 1, False), 3: (0, 0, True), 4: (0, 0, True)}
