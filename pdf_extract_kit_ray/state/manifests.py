@@ -197,14 +197,17 @@ def write_partitioned_table(ds: "ray.data.Dataset", out_dir: str,
     not the container bytes), so a parquet run and a lance run of the same
     input roll up to the same lineage.
 
-    ``data_format``: ``"parquet"`` (default; atomic tmp-file + rename) or
+    ``data_format``: ``"parquet"`` (default; atomic tmp-file + rename),
     ``"lance"`` (one Lance dataset per partition, ``mode="overwrite"`` so a
     crashed partial write is replaced idempotently on resume — the
-    manifest-last commit still decides completeness either way)."""
+    manifest-last commit still decides completeness either way), or
+    ``"jsonl"`` (atomic tmp + rename; the interchange format training
+    corpora commonly move as — pandas' C serializer, deterministic
+    bytes)."""
 
-    if data_format not in ("parquet", "lance"):
-        raise ValueError(f"data_format must be 'parquet' or 'lance', "
-                         f"got {data_format!r}")
+    if data_format not in ("parquet", "lance", "jsonl"):
+        raise ValueError(f"data_format must be 'parquet', 'lance' or "
+                         f"'jsonl', got {data_format!r}")
     if data_format == "lance":
         _require_lance()                     # fail at submit, not in workers
     os.makedirs(out_dir, exist_ok=True)
@@ -226,6 +229,12 @@ def write_partitioned_table(ds: "ray.data.Dataset", out_dir: str,
             lance = _require_lance()
             data_path = os.path.join(part_dir, "data.lance")
             lance.write_dataset(group, data_path, mode="overwrite")
+        elif data_format == "jsonl":
+            data_path = os.path.join(part_dir, "data.jsonl")
+            tmp_path = data_path + ".tmp"
+            group.to_pandas().to_json(tmp_path, orient="records",
+                                      lines=True, force_ascii=False)
+            os.replace(tmp_path, data_path)
         else:
             data_path = os.path.join(part_dir, "data.parquet")
             tmp_path = data_path + ".tmp"
@@ -295,4 +304,6 @@ def read_partitioned_table(out_dir: str) -> "ray.data.Dataset":
         _require_lance()
         parts = [ray.data.read_lance(p) for p in paths]
         return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    if paths[0].endswith(".jsonl"):
+        return ray.data.read_json(paths)
     return ray.data.read_parquet(paths)

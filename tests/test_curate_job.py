@@ -58,6 +58,7 @@ def _have_lance() -> bool:
 
 @pytest.mark.parametrize("data_format", [
     "parquet",
+    "jsonl",
     pytest.param("lance", marks=pytest.mark.skipif(
         not _have_lance(), reason="no pylance wheel in this sandbox")),
 ])
@@ -88,7 +89,7 @@ def test_partitioned_table_writer_resume(ray_session, planted_docs, tmp_path,
 
     def data_bytes(part):
         path = os.path.join(out_dir, part, f"data.{data_format}")
-        if data_format == "parquet":
+        if data_format in ("parquet", "jsonl"):
             return open(path, "rb").read()
         # lance partitions are datasets (version-stamped container bytes);
         # compare the LOGICAL rows via the shared IPC checksum instead
