@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": text.unigram_logprob,
         "bigram_pmi": text.bigram_pmi,
         "bigram_perplexity": text.bigram_perplexity,
+        "bpe_train": text.bpe_train,      # non-SQL (iterative merge loop)
+        "bpe_encode": text.bpe_encode,    # non-SQL (BPE application)
         "vocab_growth": text.vocab_growth,
         "source_divergence": text.source_divergence,
         "inverted_index": text.inverted_index,

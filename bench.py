@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "bigram_pmi",
     "bigram_perplexity",
+    "bpe_train",
+    "bpe_encode",
     "events_sliding_window",
     "users_only_first_half",
     "events_locf_grid",

@@ -611,6 +611,149 @@ def bigram_perplexity(sf_dir: str, k_smooth: float = 0.5,
         score, batch_format="pyarrow")
 
 
+_BPE_EOW = "</w>"
+
+
+def _bpe_learn(vocab: "dict[tuple, int]", num_merges: int) -> list:
+    """Sennrich-style BPE merge learning over a word-frequency table:
+    repeatedly merge the most frequent adjacent symbol pair (ties broken
+    by lexicographically smallest (left, right) — deterministic).
+    Returns [(rank, left, right, pair_freq), ...]."""
+    merges = []
+    for rank in range(num_merges):
+        pairs: dict = {}
+        for seq, f in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        left, right = min(p for p, n in pairs.items() if n == best_n)
+        merges.append((rank, left, right, best_n))
+        merged = left + right
+        out: dict = {}
+        for seq, f in vocab.items():
+            i, acc = 0, []
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == left
+                        and seq[i + 1] == right):
+                    acc.append(merged)
+                    i += 2
+                else:
+                    acc.append(seq[i])
+                    i += 1
+            t = tuple(acc)
+            out[t] = out.get(t, 0) + f
+        vocab = out
+    return merges
+
+
+def _bpe_apply(word: str, ranks: dict) -> int:
+    """Number of BPE pieces for one word under learned merge ranks —
+    the standard greedy lowest-rank-first application."""
+    seq = list(word) + [_BPE_EOW]
+    while len(seq) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        seq[best_i:best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return len(seq)
+
+
+def _trained_merges(sf_dir: str, num_merges: int, max_vocab: int) -> list:
+    """ONE distributed wordcount shuffle -> bounded vocab pull -> the
+    driver-side merge loop (the fastBPE/Sennrich shape: BPE trains on
+    the word-FREQUENCY table, never the raw corpus — the loop's input
+    is capped at ``max_vocab`` rows at any corpus scale)."""
+    counts = _corpus_unigram_counts(sf_dir)
+    top = pa.concat_tables(
+        [pa.table({"term": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64())})]
+        + list(counts.sort(["n", "term"], descending=[True, False])
+               .limit(max_vocab).iter_batches(batch_format="pyarrow")))
+    vocab = {tuple(t) + (_BPE_EOW,): n for t, n in
+             zip(top.column("term").to_pylist(),
+                 top.column("n").to_pylist())}
+    return _bpe_learn(vocab, num_merges)
+
+
+def bpe_train(sf_dir: str, num_merges: int = 32,
+              max_vocab: int = 1 << 16) -> "ray.data.Dataset":
+    """Learn a byte-pair-encoding merge table over the corpus (tokenizer
+    training — the step every LLM data pipeline runs before packing).
+
+    Scale shape: see ``_trained_merges`` — the corpus contributes one
+    wordcount shuffle; the quadratic-ish merge loop runs over the capped
+    word-frequency table only.  Iterative and therefore non-SQL (rows-only
+    driver check); the merge semantics are pinned against a straight-line
+    reference implementation in tests/test_bpe.py."""
+    merges = _trained_merges(sf_dir, num_merges, max_vocab)
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_freq": pa.array([m[3] for m in merges], pa.int64()),
+    }))
+
+
+def bpe_encode(sf_dir: str, num_merges: int = 32,
+               max_vocab: int = 1 << 16) -> "ray.data.Dataset":
+    """Encode every document with the corpus-trained BPE merges and emit
+    per-doc piece counts: (doc_id, n_tokens, n_bpe_tokens, pieces_per_tok
+    = round6(n_bpe/n_tokens), NULL for token-less docs).
+
+    Scale shape: the merge-rank dict broadcasts via ``ray.put``; each
+    batch dictionary-encodes its words so the Python merge application
+    runs once per DISTINCT word (vocab-bounded), then fans out by index
+    gather + segmented sums — same pattern as ``unigram_logprob``."""
+    ranks = {(m[1], m[2]): m[0]
+             for m in _trained_merges(sf_dir, num_merges, max_vocab)}
+    ref = ray.put(ranks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        rk = ray.get(ref)
+        n_rows = batch.num_rows
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        arr = (split.combine_chunks()
+               if isinstance(split, pa.ChunkedArray) else split)
+        flat = pc.list_flatten(arr)
+        par = pc.list_parent_indices(arr)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        n_tok = np.zeros(n_rows, dtype=np.int64)
+        n_bpe = np.zeros(n_rows, dtype=np.int64)
+        if len(flat):
+            denc = pc.dictionary_encode(flat)
+            denc = (denc.combine_chunks()
+                    if isinstance(denc, pa.ChunkedArray) else denc)
+            per_uniq = np.array([_bpe_apply(w, rk)
+                                 for w in denc.dictionary.to_pylist()],
+                                dtype=np.int64)
+            p = par.to_numpy()
+            np.add.at(n_tok, p, 1)
+            np.add.at(n_bpe, p, per_uniq[denc.indices.to_numpy()])
+        # snap on zero-filled lanes (round6 casts through int64 — NaN
+        # would throw), then NULL out the token-less docs
+        ratio = pc.if_else(
+            pa.array(n_tok > 0),
+            round6(pa.array(n_bpe / np.maximum(n_tok, 1))),
+            pa.scalar(None, pa.float64()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "pieces_per_tok": ratio,
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow")
+
+
 def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> "ray.data.Dataset":
     """Top-k adjacent-token bigrams by pointwise mutual information —
     Mikolov-style phrase mining over the corpus:
