@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_star": relational.orders_star,
         "supplier_scorecard": relational.supplier_scorecard,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
+        "peak_window_revenue": relational.peak_window_revenue,
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "late_shipment_priority": relational.late_shipment_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -572,6 +573,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # 7-day moving average over the bounded daily rollup; the window
         # sum stays in exact cents and divides once, identically in both
         # engines
+        # range join: top-k peak days widen to ±1-day windows (may
+        # overlap — a day can join two windows); day-level pre-reduction
+        # in both engines, exact cents
+        "peak_window_revenue": """
+            WITH d AS (
+                SELECT date_trunc('day', l_shipdate) AS day,
+                       sum(CAST(floor((l_extendedprice*(1.0-l_discount))
+                                      *100.0) AS BIGINT)) AS rev_c
+                FROM lineitem GROUP BY 1
+            ), top AS (
+                SELECT day, row_number() OVER (ORDER BY rev_c DESC,
+                                               day ASC) - 1 AS window_id
+                FROM d ORDER BY rev_c DESC, day ASC LIMIT 5
+            ), w AS (
+                SELECT window_id,
+                       day - INTERVAL 1 DAY AS w_start,
+                       day + INTERVAL 1 DAY AS w_end
+                FROM top
+            )
+            SELECT w.window_id, w.w_start, w.w_end,
+                   count(*) AS n_days,
+                   CAST(CAST(sum(d.rev_c) AS BIGINT) AS DOUBLE) / 100.0
+                       AS revenue
+            FROM w JOIN d ON d.day BETWEEN w.w_start AND w.w_end
+            GROUP BY 1, 2, 3
+        """,
         "daily_revenue_ma7": """
             WITH d AS (
                 SELECT date_trunc('day', l_shipdate) AS day,

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "supplier_scorecard",
     "order_lines_histogram",
     "daily_revenue_ma7",
+    "peak_window_revenue",
     "monthly_revenue_growth",
     "late_shipment_priority",
     "q3_shipping_priority",

@@ -209,6 +209,58 @@ def lookup_np(batch_keys: "pa.Array | pa.ChunkedArray", table: tuple,
 BROADCAST_BYTES = 128 << 20
 
 
+def broadcast_range_join(ds: "ray.data.Dataset", intervals: pa.Table,
+                         on: str, start_col: str,
+                         end_col: str) -> "ray.data.Dataset":
+    """INNER interval join: keep each fact row once per interval whose
+    [start, end] (inclusive) contains ``row[on]``, appending ALL interval
+    columns to the emitted row — the range-join primitive Ray Data lacks
+    (the fact x small-dimension shape: calendar windows, price bands,
+    IP ranges).
+
+    Partitioning contract: the interval table is the SMALL side — it
+    ships once via ``ray.put`` and every batch probes it with one
+    vectorized mask per interval (intervals may overlap; a row matching
+    m intervals emits m times).  Cost is O(k · batch) — fine for the
+    broadcast-dimension regime this implements; for k beyond ~10^3
+    non-overlapping SORTED intervals, switch the probe to a single
+    searchsorted over the boundary array instead.
+
+    NULL ``on`` values match nothing (SQL BETWEEN semantics)."""
+    schema = ds.schema()
+    # a fully-empty upstream loses its schema (Ray quirk) — nothing to
+    # collide with, and the probe only ever appends to non-empty batches
+    if schema is not None:
+        overlap = set(intervals.column_names) & set(schema.names)
+        if overlap:
+            raise ValueError(f"interval columns collide with fact "
+                             f"columns: {sorted(overlap)}")
+    ref = ray.put(intervals)
+    import pyarrow.compute as _pc
+
+    def probe(batch: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        empty = batch.slice(0, 0)
+        for c in iv.column_names:
+            empty = empty.append_column(c, iv.column(c).slice(0, 0))
+        outs = [empty]
+        vals = batch.column(on)
+        for i in range(iv.num_rows):
+            mask = _pc.and_kleene(
+                _pc.greater_equal(vals, iv.column(start_col)[i]),
+                _pc.less_equal(vals, iv.column(end_col)[i]))
+            sub = batch.filter(_pc.fill_null(mask, False))
+            if sub.num_rows == 0:
+                continue
+            idx = pa.array(np.full(sub.num_rows, i, dtype=np.int64))
+            for c in iv.column_names:       # type-preserving constant fill
+                sub = sub.append_column(c, _pc.take(iv.column(c), idx))
+            outs.append(sub)
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def join_partitions(num_partitions: "int | None" = None) -> int:
     """Hash-join partition count: ~CPUs/4, min 8.  Each partition is a
     long-lived aggregator ACTOR; more partitions than ~CPUs/4

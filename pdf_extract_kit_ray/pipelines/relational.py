@@ -2838,3 +2838,86 @@ def order_lines_histogram(sf_dir: str) -> "ray.data.Dataset":
     return (per_order.map_batches(hist, batch_format="pyarrow")
             .groupby("n_lines").aggregate(Sum("partial_n",
                                               alias_name="n_orders")))
+
+
+def peak_window_revenue(sf_dir: str, k: int = 5,
+                        pad_days: int = 1) -> "ray.data.Dataset":
+    """Revenue concentrated around the top-k peak shipping days — each
+    peak day expands to a ±``pad_days`` window and every DAY whose
+    revenue falls in a window joins it via the range-join primitive
+    (``functions.joins.broadcast_range_join``; windows from adjacent
+    peaks genuinely overlap, so a day can count toward two windows —
+    real interval-join semantics, not binning).
+
+    Scale shape: the corpus-sized scan pre-reduces to per-day cents
+    partials (ONE bounded shuffle, date-domain-sized result); the top-k
+    peak pull is k rows; the interval table broadcasts; the final
+    rollup is over k windows.  Nothing corpus-sized reaches the driver
+    or the range probe."""
+    from ..functions.joins import broadcast_range_join
+    from ..functions.num import round6  # noqa: F401  (convention import)
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_shipdate", "l_extendedprice",
+                                       "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("l_shipdate"), unit="day")
+        rev_c = _cents(pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount"))))
+        g = pa.table({"day": day, "rev_c": rev_c}).group_by("day") \
+            .aggregate([("rev_c", "sum")])
+        return g.rename_columns(["day", "rev_c"])
+
+    daily = (line.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("rev_c", alias_name="rev_c"))
+             .materialize())                 # date-domain-sized, reused twice
+
+    # bounded pull: exactly k peak rows (timestamp unit follows whatever
+    # the engine's rollup emitted — don't pin it in a seed)
+    peak_batches = list(daily.sort(["rev_c", "day"],
+                                   descending=[True, False])
+                        .limit(k).iter_batches(batch_format="pyarrow"))
+    peaks = pa.concat_tables(peak_batches) if peak_batches else \
+        pa.table({"day": pa.array([], pa.timestamp("us")),
+                  "rev_c": pa.array([], pa.int64())})
+    pad = np.timedelta64(pad_days, "D")
+    days = peaks.column("day").to_numpy()
+    day_t = peaks.column("day").type    # match the fact column's unit
+    windows = pa.table({
+        "window_id": pa.array(np.arange(len(days), dtype=np.int64)),
+        "w_start": pa.array(days - pad).cast(day_t),
+        "w_end": pa.array(days + pad).cast(day_t),
+    })
+
+    joined = broadcast_range_join(daily, windows, on="day",
+                                  start_col="w_start", end_col="w_end")
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["window_id", "w_start", "w_end"]).aggregate(
+            [("rev_c", "sum"), ([], "count_all")])
+        return g.rename_columns(["window_id", "w_start", "w_end",
+                                 "p_rev", "p_days"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_id": batch.column("window_id"),
+            "w_start": batch.column("w_start"),
+            "w_end": batch.column("w_end"),
+            "n_days": batch.column("n_days"),
+            "revenue": pc.divide(pc.cast(batch.column("rev_c"),
+                                         pa.float64()), 100.0),
+        })
+
+    seed = pa.table({"window_id": pa.array([], pa.int64()),
+                     "w_start": pa.array([], day_t),
+                     "w_end": pa.array([], day_t),
+                     "n_days": pa.array([], pa.int64()),
+                     "revenue": pa.array([], pa.float64())})
+    agg = (joined.map_batches(rollup, batch_format="pyarrow")
+           .groupby(["window_id", "w_start", "w_end"])
+           .aggregate(Sum("p_rev", alias_name="rev_c"),
+                      Sum("p_days", alias_name="n_days"))
+           .map_batches(finish, batch_format="pyarrow"))
+    return ray.data.from_arrow(seed).union(agg)
