@@ -292,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
+        "cdc_chunk_stats": dedup.cdc_chunk_stats,   # non-SQL (rolling hash)
+        "cdc_dedup_stats": dedup.cdc_dedup_stats,   # non-SQL (rolling hash)
         "contamination_check": dedup.contamination_check,
         "doc_novelty": dedup.doc_novelty,
         "dedup_rate_report": dedup.dedup_rate_report,

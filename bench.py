@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "dup_clusters",
     "dup_spans",
+    "cdc_chunk_stats",
+    "cdc_dedup_stats",
     "winnow_neardup",
     "doc_token_counts",
     "top_terms",

@@ -1597,3 +1597,165 @@ def dedup_cascade_report(sf_dir: str) -> "ray.data.Dataset":
                             int(mh_docs)], pa.int64()),
         "corpus_docs": pa.array([n_docs] * 3, pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC/gear-hash family): chunk boundaries
+# follow CONTENT, so an insertion early in a document shifts no later
+# chunk — the storage/dedup property fixed-size chunking lacks.
+# ---------------------------------------------------------------------------
+
+# deterministic 256-entry gear table (splitmix64 over the byte value)
+def _gear_table() -> np.ndarray:
+    x = np.arange(256, dtype=np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+_GEAR = _gear_table()
+
+
+def cdc_boundaries(data: bytes, min_size: int = 16, avg_bits: int = 6,
+                   max_size: int = 256) -> List[int]:
+    """Chunk END offsets (exclusive; last == len(data)) under gear-CDC:
+    a CANDIDATE cut after byte i when the low ``avg_bits`` bits of the
+    gear hash are zero there (expected chunk ~2^avg_bits bytes); a cut is
+    taken when >= ``min_size`` bytes since the last cut, and a cut is
+    FORCED every ``max_size`` bytes regardless.
+
+    Vectorized on the observation that the gear recurrence
+    ``h = (h << 1) + gear[b]`` leaves the low m bits depending on only
+    the last m bytes: candidates are m shifted adds in numpy; the
+    sequential min/max walk touches only the ~n/2^m candidates."""
+    n = len(data)
+    if n == 0:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8)
+    g = _GEAR[arr]
+    m = avg_bits
+    low = g.copy()
+    for k in range(1, m):
+        low[k:] += g[:-k] << np.uint64(k)
+    cand = np.flatnonzero((low & np.uint64((1 << m) - 1)) == 0) + 1
+    cuts, last = [], 0
+    for c in cand:
+        while c - last > max_size:           # forced cuts in the gap
+            last += max_size
+            cuts.append(last)
+        if c - last >= min_size:
+            cuts.append(int(c))
+            last = int(c)
+    while n - last > max_size:
+        last += max_size
+        cuts.append(last)
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    return cuts
+
+
+def _doc_chunk_hashes(text: str, **kw) -> np.ndarray:
+    """crc32 fingerprint per CDC chunk of the utf-8 text."""
+    data = text.encode("utf-8")
+    out, start = [], 0
+    for end in cdc_boundaries(data, **kw):
+        out.append(zlib.crc32(data[start:end]))
+        start = end
+    return np.asarray(out, dtype=np.int64)
+
+
+def cdc_chunk_stats(sf_dir: str, min_size: int = 16, avg_bits: int = 6,
+                    max_size: int = 256) -> "ray.data.Dataset":
+    """Per-doc CDC chunking profile: (doc_id, n_chunks, avg_chunk_len
+    6dp; NULL text = 0 chunks, NULL avg).  Pure map, no shuffle."""
+    from ..functions.num import round6
+    from .text import _read_docs
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_chunks, total = [], []
+        for t in batch.column("text").to_pylist():
+            b = (t or "").encode("utf-8")
+            cuts = cdc_boundaries(b, min_size, avg_bits, max_size)
+            n_chunks.append(len(cuts))
+            total.append(len(b))
+        n = np.asarray(n_chunks, dtype=np.int64)
+        avg = pc.if_else(
+            pa.array(n > 0),
+            round6(pa.array(np.asarray(total, dtype=np.float64)
+                            / np.maximum(n, 1))),
+            pa.scalar(None, pa.float64()))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chunks": pa.array(n, pa.int64()),
+                         "avg_chunk_len": avg})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
+
+
+def cdc_dedup_stats(sf_dir: str, min_size: int = 16, avg_bits: int = 6,
+                    max_size: int = 256) -> "ray.data.Dataset":
+    """Corpus-level CDC dedup yield: how many content-defined chunks are
+    SHARED across documents (the storage-dedup estimate; one row:
+    total_chunks, distinct_chunks, shared_chunks = distinct hashes seen
+    in >= 2 docs, dup_ratio = 1 - distinct/total, 6dp).
+
+    Scale shape: per-batch (chunk_hash -> n_occurrences, n_docs-partial)
+    histograms feed ONE hash-keyed coarse shuffle (a chunk hash repeated
+    within a doc counts every occurrence toward total but its doc once
+    toward n_docs — per-batch distinct is exact because a doc lives in
+    one batch); the final reduce is a streaming aggregate over the
+    chunk-hash table, never a driver pull."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.num import round6
+    from .text import _read_docs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs, docs = [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            h = _doc_chunk_hashes(t or "", min_size=min_size,
+                                  avg_bits=avg_bits, max_size=max_size)
+            hs.append(h)
+            docs.append(np.full(len(h), i, dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "p_occ": pa.array([], pa.int64()),
+                             "p_docs": pa.array([], pa.int64())})
+        h = np.concatenate(hs)
+        d = np.concatenate(docs)
+        t = pa.table({"h": pa.array(h), "d": pa.array(d)})
+        occ = t.group_by("h").aggregate([([], "count_all"),
+                                         ("d", "count_distinct")])
+        return occ.rename_columns(["h", "p_occ", "p_docs"])
+
+    per_hash = coarse_grouped_aggregate(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        "h", [("p_occ", "sum", "n_occ"), ("p_docs", "sum", "n_docs")])
+
+    def reduce_partial(batch: pa.Table) -> pa.Table:
+        occ = batch.column("n_occ").to_numpy()
+        nd = batch.column("n_docs").to_numpy()
+        return pa.table({
+            "total_chunks": pa.array([int(occ.sum())], pa.int64()),
+            "distinct_chunks": pa.array([batch.num_rows], pa.int64()),
+            "shared_chunks": pa.array([int((nd >= 2).sum())], pa.int64()),
+        })
+
+    agg = per_hash.map_batches(reduce_partial, batch_format="pyarrow") \
+        .aggregate(Sum("total_chunks", alias_name="total_chunks"),
+                   Sum("distinct_chunks", alias_name="distinct_chunks"),
+                   Sum("shared_chunks", alias_name="shared_chunks")) or {}
+    total = int(agg.get("total_chunks") or 0)
+    distinct = int(agg.get("distinct_chunks") or 0)
+    shared = int(agg.get("shared_chunks") or 0)
+    ratio = round(1.0 - distinct / total, 6) if total else None
+    return ray.data.from_arrow(pa.table({
+        "total_chunks": pa.array([total], pa.int64()),
+        "distinct_chunks": pa.array([distinct], pa.int64()),
+        "shared_chunks": pa.array([shared], pa.int64()),
+        "dup_ratio": pa.array([ratio], pa.float64()),
+    }))
