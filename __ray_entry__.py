@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text.stratified_sample,
         "tfidf_top_terms": text.tfidf_top_terms,
         "bm25_topk": text.bm25_topk,
+        "hybrid_rrf_topk": text.hybrid_rrf_topk,
         "doc_chunks": text.doc_chunks,
         "unigram_logprob": text.unigram_logprob,
         "bigram_pmi": text.bigram_pmi,
@@ -396,7 +397,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                ELSE 0.0 END) * 0.6
                          + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
                          6) END"""
-    return {
+    sql = {
         # Flagship extraction vs the MATERIALIZED GOLDEN TABLE (the
         # straight-line oracle's output, written at corpus generation):
         # unnest golden spans, count per kind — hash-equality here pins the
@@ -2630,3 +2631,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2
         """,
     }
+    # hybrid RRF composes the two constituent twins as CTEs so the three
+    # rankings can never drift apart; ranks assign over each CTE's OUTPUT
+    # ordering (score desc, id asc — the same keys the Ray op sorts on)
+    sql["hybrid_rrf_topk"] = f"""
+        WITH bm_base AS ({sql['bm25_topk']}),
+        dn_base AS ({sql['ann_topk']}),
+        bmr AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM bm_base
+        ), dnr AS (
+            SELECT neighbor_id AS doc_id, row_number() OVER (
+                ORDER BY score DESC, neighbor_id ASC) AS rnk
+            FROM dn_base WHERE query_id = 0
+        )
+        SELECT coalesce(bmr.doc_id, dnr.doc_id) AS doc_id,
+               bmr.rnk AS bm25_rank,
+               dnr.rnk AS dense_rank,
+               round(coalesce(1.0/(60+bmr.rnk), 0.0)
+                     + coalesce(1.0/(60+dnr.rnk), 0.0), 6) AS rrf
+        FROM bmr FULL OUTER JOIN dnr ON bmr.doc_id = dnr.doc_id
+        ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """
+    return sql

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_daily_pivot",
     "tfidf_top_terms",
     "bm25_topk",
+    "hybrid_rrf_topk",
     "doc_chunks",
     "contamination_check",
     "doc_novelty",

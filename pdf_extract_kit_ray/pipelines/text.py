@@ -817,6 +817,47 @@ def bigram_pmi(sf_dir: str, k: int = 20, min_count: int = 5) -> "ray.data.Datase
                  .limit(k))
 
 
+def hybrid_rrf_topk(sf_dir: str, k: int = 20,
+                    rrf_k: int = 60) -> "ray.data.Dataset":
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking (``bm25_topk``) and the dense cosine ranking (query vector 0
+    of ``similarity.ann_topk``) — rrf = Σ 1/(rrf_k + rank), the standard
+    score-free fusion for lexical+dense corpus slicing.
+
+    Scale shape: both constituent rankings are already bounded top-k
+    results (their own pipelines carry the distributed work — BM25's
+    stats combiner, ANN's per-batch partial top-k); fusion itself touches
+    ≤ 2k rows on the driver by construction.  Ranks are assigned over
+    each constituent's OUTPUT ordering (score desc, id asc — on the
+    emitted, rounding-snapped scores), so both engines rank the same
+    values; the fused score is a two-term double sum in fixed order,
+    round6."""
+    from ..functions.num import round6  # noqa: F401 (same convention)
+    from .similarity import ann_topk
+
+    bm = sorted(((r["score"], r["doc_id"]) for r in
+                 bm25_topk(sf_dir, k=k).take_all()),
+                key=lambda t: (-t[0], t[1]))
+    dn = sorted(((r["score"], r["neighbor_id"]) for r in
+                 ann_topk(sf_dir).take_all() if r["query_id"] == 0),
+                key=lambda t: (-t[0], t[1]))
+    bm_rank = {d: i + 1 for i, (_, d) in enumerate(bm)}
+    dn_rank = {d: i + 1 for i, (_, d) in enumerate(dn)}
+    rows = []
+    for d in set(bm_rank) | set(dn_rank):
+        s = (1.0 / (rrf_k + bm_rank[d]) if d in bm_rank else 0.0) \
+            + (1.0 / (rrf_k + dn_rank[d]) if d in dn_rank else 0.0)
+        rows.append((d, bm_rank.get(d), dn_rank.get(d), round(s, 6)))
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    rows = rows[:k]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "bm25_rank": pa.array([r[1] for r in rows], pa.int64()),
+        "dense_rank": pa.array([r[2] for r in rows], pa.int64()),
+        "rrf": pa.array([r[3] for r in rows], pa.float64()),
+    }))
+
+
 def top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Distributed wordcount with global top-k: per-batch term counting
     (the combiner — each block ships its term histogram, not its words),
