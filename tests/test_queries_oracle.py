@@ -25,7 +25,16 @@ def _to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data
     if isinstance(res, ray.data.Dataset):
-        res = res.to_pandas()
+        df = res.to_pandas()
+        if not len(df.columns):
+            # Ray quirk: to_pandas() on a fully-empty Dataset drops the
+            # columns even though schema() knows them — rebuild (the
+            # sweep does the same)
+            schema = res.schema()
+            if schema is not None and schema.names:
+                df = pa.schema(list(zip(schema.names, schema.types))) \
+                    .empty_table().to_pandas()
+        res = df
     elif isinstance(res, pa.Table):
         res = res.to_pandas()
     return res
