@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_scorecard": relational.supplier_scorecard,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
         "peak_window_revenue": relational.peak_window_revenue,
+        "key_skew_report": relational.key_skew_report,
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "late_shipment_priority": relational.late_shipment_priority,
         "customers_without_orders": relational.customers_without_orders,
@@ -576,6 +577,61 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # 7-day moving average over the bounded daily rollup; the window
         # sum stays in exact cents and divides once, identically in both
         # engines
+        # hot-key skew diagnosis; CAST-to-double BEFORE dividing on both
+        # engines; NULL keys excluded (the NULL-group-key shuffle rule)
+        "key_skew_report": """
+            WITH ek AS (SELECT user_id AS k, count(*) AS c FROM events
+                        WHERE user_id IS NOT NULL GROUP BY 1),
+                 et AS (SELECT event_type AS k, count(*) AS c FROM events
+                        WHERE event_type IS NOT NULL GROUP BY 1),
+                 lk AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+                        WHERE l_partkey IS NOT NULL GROUP BY 1),
+                 ck AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+                        WHERE o_custkey IS NOT NULL GROUP BY 1)
+            SELECT 'events.user_id' AS key_name,
+                   CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+                   round(CAST(max(c) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+                   round(CAST((SELECT sum(c) FROM (SELECT c FROM ek
+                               ORDER BY c DESC, k ASC LIMIT 10)) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS topn_share,
+                   round(CAST(max(c) * count(*) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS skew
+            FROM ek
+            UNION ALL
+            SELECT 'events.event_type',
+                   CAST(sum(c) AS BIGINT), count(*),
+                   round(CAST(max(c) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6),
+                   round(CAST((SELECT sum(c) FROM (SELECT c FROM et
+                               ORDER BY c DESC, k ASC LIMIT 10)) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6),
+                   round(CAST(max(c) * count(*) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6)
+            FROM et
+            UNION ALL
+            SELECT 'lineitem.l_partkey',
+                   CAST(sum(c) AS BIGINT), count(*),
+                   round(CAST(max(c) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6),
+                   round(CAST((SELECT sum(c) FROM (SELECT c FROM lk
+                               ORDER BY c DESC, k ASC LIMIT 10)) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6),
+                   round(CAST(max(c) * count(*) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6)
+            FROM lk
+            UNION ALL
+            SELECT 'orders.o_custkey',
+                   CAST(sum(c) AS BIGINT), count(*),
+                   round(CAST(max(c) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6),
+                   round(CAST((SELECT sum(c) FROM (SELECT c FROM ck
+                               ORDER BY c DESC, k ASC LIMIT 10)) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6),
+                   round(CAST(max(c) * count(*) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6)
+            FROM ck
+        """,
         # range join: top-k peak days widen to ±1-day windows (may
         # overlap — a day can join two windows); day-level pre-reduction
         # in both engines, exact cents

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "orders_star",
     "supplier_scorecard",
     "order_lines_histogram",
+    "key_skew_report",
     "daily_revenue_ma7",
     "peak_window_revenue",
     "monthly_revenue_growth",

@@ -2921,3 +2921,67 @@ def peak_window_revenue(sf_dir: str, k: int = 5,
                       Sum("p_days", alias_name="n_days"))
            .map_batches(finish, batch_format="pyarrow"))
     return ray.data.from_arrow(seed).union(agg)
+
+
+def key_skew_report(sf_dir: str, top_n: int = 10) -> "ray.data.Dataset":
+    """Hot-key skew diagnosis for the shuffle keys this engine groups on —
+    the report you read BEFORE picking a salting strategy: per (table,
+    key): row count, distinct keys, top-1/top-N key shares, and
+    skew = top1 * n_keys / n_rows (1.0 = perfectly uniform).
+
+    Scale shape, per key: per-batch key histograms feed ONE coarse
+    shuffle; the per-key table then reduces via streaming aggregates
+    (count/sum/max) plus a bounded ``top_n``-row sort+limit pull.  NULL
+    keys are excluded in both engines (a NULL group key also breaks
+    Ray's sort-based partitioning — the CLAUDE.md sentinel rule)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.num import round6
+
+    specs = [("events.user_id", "events", "user_id"),
+             ("events.event_type", "events", "event_type"),
+             ("lineitem.l_partkey", "lineitem", "l_partkey"),
+             ("orders.o_custkey", "orders", "o_custkey")]
+    rows = []
+    for key_name, table, col in specs:
+        ds = sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def partial(batch: pa.Table, col=col) -> pa.Table:
+            t = batch.filter(pc.is_valid(batch.column(col)))
+            g = t.group_by(col).aggregate([([], "count_all")])
+            return g.rename_columns(["k", "partial_n"])
+
+        per_key = coarse_grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "k", [("partial_n", "sum", "c")]).materialize()
+        agg = per_key.aggregate(Count(alias_name="n_keys"),
+                                Sum("c", alias_name="n_rows"),
+                                Max("c", alias_name="top1")) or {}
+        n_keys = int(agg.get("n_keys") or 0)
+        n_rows = int(agg.get("n_rows") or 0)
+        top1 = int(agg.get("top1") or 0)
+        topn = sum(r["c"] for r in per_key.sort(
+            ["c", "k"], descending=[True, False]).limit(top_n).take_all())
+        rows.append({
+            "key_name": key_name,
+            "n_rows": n_rows,
+            "n_keys": n_keys,
+            # float() each integer BEFORE dividing — the twin's
+            # CAST(x AS DOUBLE)/CAST(y AS DOUBLE) order (Python int/int
+            # true division rounds the exact rational instead, which can
+            # differ past 2^53)
+            "top1_share": (round6(pa.array(
+                [float(top1) / float(n_rows)]))[0].as_py()
+                if n_rows else None),
+            "topn_share": (round6(pa.array(
+                [float(topn) / float(n_rows)]))[0].as_py()
+                if n_rows else None),
+            "skew": (round6(pa.array(
+                [float(top1 * n_keys) / float(n_rows)]))[0].as_py()
+                if n_rows else None),
+        })
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=pa.schema([
+        ("key_name", pa.string()), ("n_rows", pa.int64()),
+        ("n_keys", pa.int64()), ("top1_share", pa.float64()),
+        ("topn_share", pa.float64()), ("skew", pa.float64())])))
