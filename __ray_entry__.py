@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": relational.order_count_distribution,
         "sole_late_supplier": relational.sole_late_supplier,
         "top_supplier": relational.top_supplier,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "important_parts": relational.important_parts,
+        "supplier_part_variety": relational.supplier_part_variety,
+        "excess_shipped_suppliers": relational.excess_shipped_suppliers,
         "small_quantity_revenue": relational.small_quantity_revenue,
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
         "ship_latency_percentiles": relational.ship_latency_percentiles,
@@ -940,6 +944,86 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
             FROM r JOIN supplier ON l_suppkey = s_suppkey
             WHERE rev_c = (SELECT max(rev_c) FROM r)
+        """,
+        "min_cost_supplier": """
+            WITH eligible_parts AS (
+                SELECT p_partkey, p_name FROM part
+                WHERE p_size = 13 AND p_type = 'STANDARD'
+            ), eligible_supp AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ), costs AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(
+                           CAST(sum(CAST(floor(l_extendedprice*100.0)
+                                         AS BIGINT)) AS DOUBLE) * 10000.0
+                           / CAST(sum(CAST(l_quantity AS BIGINT))
+                                  AS DOUBLE)) AS BIGINT) AS cost_micro
+                FROM lineitem
+                JOIN eligible_parts ON p_partkey = l_partkey
+                JOIN eligible_supp ON s_suppkey = l_suppkey
+                GROUP BY 1, 2
+            ), best AS (
+                SELECT l_partkey,
+                       min(cost_micro * 4194304 + l_suppkey) AS packed
+                FROM costs GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name,
+                   l_partkey AS p_partkey, p_name,
+                   (packed // 4194304) / 1000000.0 AS supply_cost
+            FROM best
+            JOIN eligible_supp ON s_suppkey = packed % 4194304
+            JOIN eligible_parts ON p_partkey = l_partkey
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "important_parts": """
+            WITH v AS (
+                SELECT l_partkey AS p_partkey,
+                       sum(CAST(floor((l_extendedprice*(1.0-l_discount))
+                                      * 100.0) AS BIGINT)) AS val_c
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+                GROUP BY 1
+            )
+            SELECT p_partkey, val_c / 100.0 AS value
+            FROM v
+            WHERE CAST(val_c AS DOUBLE)
+                  > CAST((SELECT sum(val_c) FROM v) AS DOUBLE) * 2.0
+                    / CAST((SELECT count(*) FROM v) AS DOUBLE)
+            ORDER BY value DESC, p_partkey
+        """,
+        "supplier_part_variety": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "excess_shipped_suppliers": """
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3' AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'red %'
+                GROUP BY l_partkey, l_suppkey
+                HAVING 2 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                     AND l_shipdate < TIMESTAMP '1998-01-01'
+                                    THEN CAST(l_quantity AS BIGINT)
+                                    ELSE 0 END)
+                       > sum(CAST(l_quantity AS BIGINT))
+            )
+            ORDER BY s_suppkey
         """,
         "small_quantity_revenue": """
             WITH t AS (

@@ -129,6 +129,10 @@ BENCH_QUERIES = [
     "sole_late_supplier",
     "top_supplier",
     "small_quantity_revenue",
+    "min_cost_supplier",
+    "important_parts",
+    "supplier_part_variety",
+    "excess_shipped_suppliers",
     "brand_disjunction_revenue",
     "ship_latency_percentiles",
     "customer_value_deciles",

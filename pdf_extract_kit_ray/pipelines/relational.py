@@ -2985,3 +2985,361 @@ def key_skew_report(sf_dir: str, top_n: int = 10) -> "ray.data.Dataset":
         ("key_name", pa.string()), ("n_rows", pa.int64()),
         ("n_keys", pa.int64()), ("top1_share", pa.float64()),
         ("topn_share", pa.float64()), ("skew", pa.float64())])))
+
+
+def min_cost_supplier(sf_dir: str, size: int = 13,
+                      ptype: str = "STANDARD",
+                      region: str = "ASIA") -> "ray.data.Dataset":
+    """TPC-H Q2-shaped (minimum-cost supplier): for every part of one size
+    and type, the cheapest supplier in one region — this corpus has no
+    partsupp table, so supply cost is the shipped unit price
+    ``sum(extendedprice) / sum(quantity)`` per (part, supplier) pair from
+    lineitem (reference shape: TPC-H Q2's correlated min-subquery).
+
+    Scale shape: both dimension sides (filtered parts; region suppliers ⨝
+    nation ⨝ region, pre-joined on the driver) broadcast as SEMI joins, so
+    lineitem is pruned and filtered in one pass; per-(part,supp) partials
+    combine per batch, ONE coarse pair shuffle, then the per-part argmin is
+    a packed-int64 ``min`` (cost_micro * 2^22 + suppkey — ties break to the
+    smallest suppkey) so no per-key Python dispatch.  Exact-cents / exact-
+    quantity integer sums keep float parity with the SQL twin; the one
+    division is performed identically (int64 -> float64) on both sides.
+
+    Packed-argmin contract (asserted per batch): cost_micro < 2^41
+    (unit price below ~$2.2M) and suppkey < 2^22 (~4.2M suppliers)."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+    import pyarrow.dataset as pads
+
+    parts = read_small_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"],
+        filter=(pads.field("p_size") == size)
+               & (pads.field("p_type") == ptype))
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name", "s_acctbal",
+                                     "s_nationkey"])
+    nation = read_small_table(f"{sf_dir}/nation.parquet")
+    reg = read_small_table(f"{sf_dir}/region.parquet",
+                           filter=pads.field("r_name") == region)
+    nat = nation.join(reg, keys="n_regionkey", right_keys="r_regionkey",
+                      join_type="inner").select(["n_nationkey", "n_name"])
+    supp = supp.join(nat, keys="s_nationkey", right_keys="n_nationkey",
+                     join_type="inner") \
+        .select(["s_suppkey", "s_name", "s_acctbal", "n_name"])
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey",
+                                       "l_extendedprice", "l_quantity"])
+    line = broadcast_join(line, parts.select(["p_partkey"]),
+                          on="l_partkey", right_on="p_partkey",
+                          join_type="left semi")
+    line = broadcast_join(line, supp.select(["s_suppkey"]),
+                          on="l_suppkey", right_on="s_suppkey",
+                          join_type="left semi")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "price_c": _cents(batch.column("l_extendedprice")),
+            "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+        })
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("price_c", "sum"), ("qty", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey",
+                                 "price_c", "qty"])
+
+    pairs = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        [("price_c", "sum", "price_c"), ("qty", "sum", "qty")])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # cost_micro = round_half_away(price_c * 10000.0 / qty): the same
+        # int64 -> float64 promotion, division and rounding DuckDB performs
+        cost_micro = pc.cast(
+            pc.round(pc.divide(
+                pc.multiply(pc.cast(batch.column("price_c"), pa.float64()),
+                            10000.0),
+                pc.cast(batch.column("qty"), pa.float64())),
+                ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64())
+        sk = batch.column("l_suppkey")
+        if len(batch) and (
+                pc.max(cost_micro).as_py() >= (1 << 41)
+                or pc.max(sk).as_py() >= (1 << 22)):
+            raise ValueError(
+                "min_cost_supplier packed-argmin contract violated: "
+                "cost_micro must be < 2^41 and suppkey < 2^22")
+        packed = pc.add(pc.multiply(cost_micro, pa.scalar(1 << 22,
+                                                          pa.int64())),
+                        pc.cast(sk, pa.int64()))
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "packed": packed})
+
+    best = coarse_grouped_aggregate(
+        pairs.map_batches(pack, batch_format="pyarrow"),
+        "l_partkey", [("packed", "min", "packed")])
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch.column("packed")
+        return pa.table({
+            "p_partkey": batch.column("l_partkey"),
+            "s_suppkey": pc.bit_wise_and(packed,
+                                         pa.scalar((1 << 22) - 1,
+                                                   pa.int64())),
+            "cost_micro": pc.shift_right(packed, 22),
+        })
+
+    out = broadcast_join(best.map_batches(unpack, batch_format="pyarrow"),
+                         supp, on="s_suppkey")
+    out = broadcast_join(out, parts, on="p_partkey")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_acctbal": batch.column("s_acctbal"),
+            "s_name": batch.column("s_name"),
+            "n_name": batch.column("n_name"),
+            "p_partkey": batch.column("p_partkey"),
+            "p_name": batch.column("p_name"),
+            "supply_cost": pc.divide(
+                pc.cast(batch.column("cost_micro"), pa.float64(),
+                        safe=False), 1000000.0),
+        })
+
+    return (out.map_batches(finish, batch_format="pyarrow")
+               .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                     descending=[True, False, False, False])
+               .limit(100))
+
+
+def important_parts(sf_dir: str, nation: str = "NATION_7",
+                    mult: float = 2.0) -> "ray.data.Dataset":
+    """TPC-H Q11-shaped (important stock): parts whose shipped value from
+    one nation's suppliers exceeds ``mult`` x the AVERAGE per-part value
+    (no partsupp table — value is discounted lineitem revenue, the Q11
+    group-HAVING-over-global-scalar shape; Q11's own ``fraction/SF``
+    threshold is scale-dependent, so the mean-relative form keeps the
+    query's selectivity — and its test corpus output — scale-invariant).
+
+    Scale shape: the nation's supplier keys broadcast as a semi join;
+    per-part exact-cents partials combine per batch into ONE coarse part
+    shuffle; the global total/count is an aggregation-tree Sum over the
+    bounded per-part table (materialized once so threshold + filter reuse
+    it); the comparison ``value_c > total*mult/n`` uses the same int64 ->
+    float64 promotion and operation order as the SQL twin."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+    import pyarrow.dataset as pads
+
+    nat = read_small_table(f"{sf_dir}/nation.parquet",
+                           filter=pads.field("n_name") == nation)
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+    supp = supp.join(nat, keys="s_nationkey", right_keys="n_nationkey",
+                     join_type="left semi").select(["s_suppkey"])
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey",
+                                       "l_extendedprice", "l_discount"])
+    line = broadcast_join(line, supp, on="l_suppkey", right_on="s_suppkey",
+                          join_type="left semi")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        val_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0,
+                                               batch.column("l_discount"))))
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "val_c": val_c})
+        g = t.group_by("l_partkey").aggregate([("val_c", "sum")])
+        return g.rename_columns(["l_partkey", "val_c"])
+
+    per_part = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "l_partkey", [("val_c", "sum", "val_c")]).materialize()
+
+    stats = per_part.aggregate(Sum("val_c", alias_name="t"),
+                               Count(alias_name="n")) or {}
+    total, n = stats.get("t"), stats.get("n", 0)
+    seed = pa.table({"p_partkey": pa.array([], pa.int64()),
+                     "value": pa.array([], pa.float64())})
+    if total is None or not n:
+        return ray.data.from_arrow(seed)
+    # same operation order as the SQL twin: sum*mult first, then /count
+    threshold = float(total) * mult / float(n)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(
+            pc.cast(batch.column("val_c"), pa.float64()), threshold))
+        return pa.table({
+            "p_partkey": batch.column("l_partkey"),
+            "value": pc.divide(pc.cast(batch.column("val_c"), pa.float64(),
+                                       safe=False), 100.0),
+        })
+
+    # the typed 0-row seed UNION'd after the sort keeps the output schema
+    # when the filter removes every row (Ray's sort returns schema=None on
+    # fully-empty data; appending 0 rows cannot perturb the sorted order)
+    return (per_part.map_batches(finish, batch_format="pyarrow")
+            .sort(["value", "p_partkey"], descending=[True, False])
+            .union(ray.data.from_arrow(seed)))
+
+
+def supplier_part_variety(sf_dir: str, brand: str = "Brand#45",
+                          ptype: str = "MEDIUM",
+                          sizes: "tuple[int, ...]" = (1, 4, 9, 14, 19, 23,
+                                                      36, 49)
+                          ) -> "ray.data.Dataset":
+    """TPC-H Q16-shaped (parts/supplier relationship): how many DISTINCT
+    suppliers ship parts of each (brand, type, size) bucket, excluding one
+    brand, one type, sizes outside a list, and "complaint" suppliers (no
+    comment column — negative account balance is the complaint analog;
+    no partsupp — the shipped lineitem pair is the relationship).
+
+    Scale shape: the filtered part attributes broadcast once (inner
+    broadcast join attaches brand/type/size and drops non-qualifying
+    parts); the excluded-supplier key set broadcasts as an ANTI join;
+    per-batch distinct (brand, type, size, suppkey) quads pre-reduce the
+    pair stream, ONE coarse shuffle on suppkey dedupes them globally, and
+    the per-bucket distinct count is a second, tiny coarse aggregate —
+    count(DISTINCT) without ever shipping raw pairs."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+    import pyarrow.dataset as pads
+
+    parts = read_small_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(pads.field("p_brand") != brand)
+               & (pads.field("p_type") != ptype)
+               & (pads.field("p_size").isin(list(sizes))))
+    bad_supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey"],
+                                filter=pads.field("s_acctbal") < 0.0)
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey"])
+    line = broadcast_join(line, bad_supp, on="l_suppkey",
+                          right_on="s_suppkey", join_type="left anti")
+    line = broadcast_join(line, parts, on="l_partkey",
+                          right_on="p_partkey", join_type="inner")
+
+    def quads(batch: pa.Table) -> pa.Table:
+        g = batch.select(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .group_by(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["p_brand", "p_type", "p_size",
+                                 "l_suppkey", "n"])
+
+    distinct = coarse_grouped_aggregate(
+        line.map_batches(quads, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        [("n", "sum", "n")], hash_cols=["l_suppkey"])
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        g = batch.select(["p_brand", "p_type", "p_size"]) \
+            .group_by(["p_brand", "p_type", "p_size"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["p_brand", "p_type", "p_size",
+                                 "supplier_cnt"])
+
+    counts = coarse_grouped_aggregate(
+        distinct.map_batches(per_bucket, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size"],
+        [("supplier_cnt", "sum", "supplier_cnt")],
+        hash_cols=["p_brand", "p_type", "p_size"])
+
+    return counts.map_batches(
+        lambda b: b.rename_columns(["p_brand", "p_type", "p_size",
+                                    "supplier_cnt"]),
+        batch_format="pyarrow") \
+        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+              descending=[True, False, False, False])
+
+
+def excess_shipped_suppliers(sf_dir: str, prefix: str = "red ",
+                             nation: str = "NATION_3",
+                             year_lo: str = "1997-01-01",
+                             year_hi: str = "1998-01-01"
+                             ) -> "ray.data.Dataset":
+    """TPC-H Q20-shaped (excess-concentration suppliers): suppliers in one
+    nation that, for SOME part whose name starts with ``prefix``, shipped
+    more than half of that (part, supplier) pair's all-time quantity
+    inside one window — Q20's nested semi-join over a per-pair aggregate
+    threshold, with the window-share predicate standing in for the
+    partsupp availqty comparison this corpus cannot express.
+
+    Scale shape: the prefix-filtered part keys broadcast as a semi join;
+    the window sum and all-time sum ride the SAME per-(part,supp) partial
+    (a conditional sum, exact integer quantities), combined by ONE coarse
+    pair shuffle; qualifying pairs reduce to distinct suppliers in a
+    second tiny coarse aggregate, and the nation's supplier names attach
+    by broadcast inner join (which applies the nation filter)."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+    import pyarrow.dataset as pads
+
+    # pyarrow dataset filters have no LIKE: prefix-filter on the driver
+    # (part is a dimension table; the filtered keys broadcast)
+    pname = read_small_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_name"])
+    parts = pname.filter(pc.starts_with(pname.column("p_name"), prefix)) \
+        .select(["p_partkey"])
+
+    nat = read_small_table(f"{sf_dir}/nation.parquet",
+                           filter=pads.field("n_name") == nation)
+    supp = read_small_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name", "s_nationkey"])
+    supp = supp.join(nat, keys="s_nationkey", right_keys="n_nationkey",
+                     join_type="left semi").select(["s_suppkey", "s_name"])
+
+    lo_ts = pa.scalar(pd.Timestamp(year_lo), pa.timestamp("us"))
+    hi_ts = pa.scalar(pd.Timestamp(year_hi), pa.timestamp("us"))
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey",
+                                       "l_quantity", "l_shipdate"])
+    line = broadcast_join(line, parts, on="l_partkey",
+                          right_on="p_partkey", join_type="left semi")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        sd = batch.column("l_shipdate")
+        in_win = pc.and_(pc.greater_equal(sd, lo_ts), pc.less(sd, hi_ts))
+        win_qty = pc.if_else(in_win, qty, pa.scalar(0, pa.int64()))
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "l_suppkey": batch.column("l_suppkey"),
+                      "win_qty": win_qty, "qty": qty})
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("win_qty", "sum"), ("qty", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey",
+                                 "win_qty", "qty"])
+
+    pairs = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        [("win_qty", "sum", "win_qty"), ("qty", "sum", "qty")],
+        hash_cols=["l_suppkey"])
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(batch.column("win_qty"),
+                                      pa.scalar(2, pa.int64())),
+                          batch.column("qty"))
+        batch = batch.filter(keep)
+        g = batch.select(["l_suppkey"]).group_by("l_suppkey") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["l_suppkey", "n"])
+
+    distinct = coarse_grouped_aggregate(
+        pairs.map_batches(qualify, batch_format="pyarrow"),
+        "l_suppkey", [("n", "sum", "n")])
+
+    out = broadcast_join(distinct, supp, on="l_suppkey",
+                         right_on="s_suppkey", join_type="inner")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": batch.column("l_suppkey"),
+                         "s_name": batch.column("s_name")})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("s_suppkey")
