@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_order": curation.training_order,
         "quality_percentile_filter": curation.quality_percentile_filter,
         "quality_weighted_sample": curation.quality_weighted_sample,
+        "nb_quality_scores": curation.nb_quality_scores,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "paragraph_dedup": dedup.paragraph_dedup,
@@ -2037,6 +2038,63 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT tok.doc_id, count(*) AS n_tokens,
                    CAST(sum(lam.m) AS DOUBLE) / 1000000.0 AS logw
             FROM tok JOIN lam USING (term) GROUP BY tok.doc_id
+        """,
+        # multinomial Naive Bayes on weak source labels (src0-src4 =
+        # positive class, add-1 smoothing, 512-term vocab); per-term
+        # log-odds snapped to micro-ints (half away from zero) so per-doc
+        # sums are exact integer math in both engines; OOV terms score 0;
+        # docs with no vocab tokens keep the prior-only score
+        "nb_quality_scores": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), cls AS (
+                SELECT term,
+                       sum(CASE WHEN source IN ('src0','src1','src2',
+                                                'src3','src4')
+                                THEN 1 ELSE 0 END) AS n_pos,
+                       count(*) AS n
+                FROM tok GROUP BY 1
+            ), vocab AS (
+                SELECT term, n_pos, n - n_pos AS n_neg FROM cls
+                ORDER BY n DESC, term LIMIT 512
+            ), tot AS (
+                SELECT sum(n_pos) AS tp, sum(n_neg) AS tn,
+                       count(*) AS v
+                FROM vocab
+            ), w AS (
+                SELECT term,
+                       CAST(round((ln((n_pos + 1.0) / (tp + v))
+                                 - ln((n_neg + 1.0) / (tn + v)))
+                                  * 1000000.0) AS BIGINT) AS w_micro
+                FROM vocab CROSS JOIN tot
+            ), prior AS (
+                SELECT CAST(round(ln(
+                           (sum(CASE WHEN source IN ('src0','src1','src2',
+                                                     'src3','src4')
+                                     THEN 1 ELSE 0 END) + 1.0)
+                         / (sum(CASE WHEN source IN ('src0','src1','src2',
+                                                     'src3','src4')
+                                     THEN 1 ELSE 0 END) * -1
+                            + count(*) + 1.0)) * 1000000.0)
+                            AS BIGINT) AS p_micro
+                FROM documents
+            ), s AS (
+                SELECT d.doc_id,
+                       COALESCE(sum(w.w_micro), 0)
+                       + (SELECT p_micro FROM prior) AS s_micro
+                FROM documents d
+                LEFT JOIN tok ON tok.doc_id = d.doc_id
+                LEFT JOIN w ON w.term = tok.term
+                GROUP BY 1
+            )
+            SELECT doc_id, s_micro / 1000000.0 AS nb_score,
+                   CAST(CASE WHEN s_micro > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS pred_pos
+            FROM s
         """,
         "unigram_logprob": """
             -- per-token -ln(c/s) snapped to integer micro-units (the

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "training_order",
     "quality_percentile_filter",
     "dsir_weights",
+    "nb_quality_scores",
     "source_divergence",
     "inverted_index",
     "zipf_slope",

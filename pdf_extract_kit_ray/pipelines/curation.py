@@ -1344,3 +1344,148 @@ def blocklist_filter(sf_dir: str,
 
     return _read(sf_dir, ["doc_id", "text"]).map_batches(
         audit, batch_format="pyarrow")
+
+
+def nb_quality_scores(sf_dir: str,
+                      pos_sources: tuple = ("src0", "src1", "src2",
+                                            "src3", "src4"),
+                      vocab_k: int = 512,
+                      alpha: float = 1.0) -> "ray.data.Dataset":
+    """FastText-style weak-supervision quality classifier, Naive-Bayes
+    form: train a multinomial NB model on weak source labels (docs from
+    ``pos_sources`` are the positive class — the CCNet/RefinedWeb setup
+    where a trusted corpus slice defines "high quality"), then score and
+    label EVERY document with the log-odds
+
+        score(d) = ln(P_pos/P_neg)
+                 + sum_{t in d, t in vocab} [ln p(t|pos) - ln p(t|neg)]
+
+    with add-``alpha`` smoothing over the top-``vocab_k`` vocabulary.
+    Emits one row per document (prior-only when the doc has no vocab
+    tokens or no text): ``doc_id, nb_score, pred_pos``.
+
+    Scale shape: training is ONE coarse term shuffle whose per-batch
+    combiner ships (term, n_pos, n) histograms, finished by a vocab_k-
+    bounded sort+limit pull (kilobytes at any corpus size); the class
+    priors ride a one-column scalar aggregate.  The per-term log-odds
+    table broadcasts via ``ray.put`` and scoring is a pure map — a
+    dictionary-encoded gather over each batch's unique tokens and a
+    segmented integer sum per doc.  No corpus-sized state anywhere.
+
+    Bit-parity with the SQL twin: each vocab term's log-odds is snapped
+    to integer micro-units (half away from zero) with the same
+    double-expression shape DuckDB evaluates; per-doc summation and the
+    prior addition are exact integer math; out-of-vocab tokens contribute
+    exactly 0.  NULL sources count as negative on both sides (SQL CASE
+    over a NULL IN-list is not-true)."""
+    import math
+
+    import numpy as np
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import lookup_np, make_lookup
+
+    pos = set(pos_sources)
+    out_schema = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "nb_score": pa.array([], pa.float64()),
+        "pred_pos": pa.array([], pa.int64())})
+
+    # --- class priors: one pruned-column scalar aggregate -------------
+    def prior_partial(batch: pa.Table) -> pa.Table:
+        is_pos = pc.fill_null(
+            pc.is_in(batch.column("source"),
+                     value_set=pa.array(sorted(pos), pa.string())), False)
+        npos = int(pc.sum(pc.cast(is_pos, pa.int64())).as_py() or 0)
+        return pa.table({"n_pos": pa.array([npos], pa.int64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    tot = _read_docs(sf_dir, ["source"]).map_batches(
+        prior_partial, batch_format="pyarrow").sum(["n_pos", "n"])
+    n_docs = int((tot or {}).get("sum(n)") or 0)
+    if n_docs == 0:
+        return ray.data.from_arrow(out_schema)
+    nd_pos = int(tot.get("sum(n_pos)") or 0)
+    prior_micro = int(pc.round(
+        pa.scalar(math.log((nd_pos + 1.0) / ((n_docs - nd_pos) + 1.0))
+                  * 1e6),
+        ndigits=0, round_mode="half_towards_infinity").as_py())
+
+    # --- training: (term, n_pos, n) histograms, one coarse shuffle ----
+    def train_partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text")))
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        is_pos = pc.fill_null(
+            pc.is_in(batch.column("source"),
+                     value_set=pa.array(sorted(pos), pa.string())), False)
+        tok_pos = pc.cast(is_pos.take(parent), pa.int64())
+        g = pa.table({"term": flat, "pos": tok_pos}).group_by("term") \
+            .aggregate([("pos", "sum"), ([], "count_all")])
+        return g.rename_columns(["term", "n_pos", "n"])
+
+    counts = coarse_grouped_aggregate(
+        _read_docs(sf_dir, ["text", "source"]).map_batches(
+            train_partial, batch_format="pyarrow"),
+        "term", [("n_pos", "sum", "n_pos"), ("n", "sum", "n")])
+    # bounded pull: vocab_k rows after the sort+limit, never the corpus
+    vocab = counts.sort(["n", "term"], descending=[True, False]) \
+                  .limit(vocab_k).to_pandas()
+    if len(vocab) == 0:                       # corpus with no tokens at all
+        w_ref = None
+    else:
+        v = len(vocab)
+        n_pos_t = vocab["n_pos"].to_numpy().astype(np.float64)
+        n_neg_t = (vocab["n"] - vocab["n_pos"]).to_numpy() \
+            .astype(np.float64)
+        tp = float(int(vocab["n_pos"].sum()))
+        tn = float(int((vocab["n"] - vocab["n_pos"]).sum()))
+        # same expression shape as the SQL twin: ln((n+alpha)/(tot+alpha*V))
+        # per class, differenced, x1e6, half-away-from-zero snap
+        w_micro = pc.cast(pc.round(pc.multiply(
+            pc.subtract(
+                pc.ln(pc.divide(pa.array(n_pos_t + alpha, pa.float64()),
+                                tp + alpha * v)),
+                pc.ln(pc.divide(pa.array(n_neg_t + alpha, pa.float64()),
+                                tn + alpha * v))),
+            1_000_000.0), ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64())
+        w_ref = ray.put(make_lookup(vocab["term"], w_micro))
+
+    # --- scoring: pure map, one output row per input row ---------------
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema
+        s_micro = np.full(batch.num_rows, prior_micro, dtype=np.int64)
+        if w_ref is not None:
+            wtab = ray.get(w_ref)
+            split = pc.utf8_split_whitespace(
+                pc.utf8_trim_whitespace(batch.column("text")))
+            flat = pc.list_flatten(split)
+            parent = pc.list_parent_indices(split)
+            keep = pc.not_equal(flat, "")
+            flat, parent = flat.filter(keep), parent.filter(keep)
+            if len(flat):
+                denc = pc.dictionary_encode(flat)
+                arr = (denc.combine_chunks()
+                       if isinstance(denc, pa.ChunkedArray) else denc)
+                w_uniq = lookup_np(arr.dictionary, wtab,
+                                   default=0).astype(np.int64)
+                w = w_uniq[arr.indices.to_numpy()]
+                par = parent.to_numpy()
+                starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+                np.add.at(s_micro, par[starts],
+                          np.add.reduceat(w, starts))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "nb_score": pa.array(s_micro.astype(np.float64) / 1e6,
+                                 pa.float64()),
+            "pred_pos": pa.array((s_micro > 0).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")

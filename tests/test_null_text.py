@@ -38,6 +38,7 @@ ORACLE_QUERIES = [
     "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
     "zipf_slope", "quality_by_source", "doc_novelty",
     "doc_sentence_stats", "term_frequency_spectrum", "url_density",
+    "nb_quality_scores",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
