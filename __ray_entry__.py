@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_cv": streaming.user_activity_cv,
         "first_purchase_latency": streaming.first_purchase_latency,
         "table_profile": streaming.table_profile,  # non-SQL (HLL sketch)
+        "numeric_correlations": streaming.numeric_correlations,
         "events_pareto_share": streaming.events_pareto_share,
         "events_type_overlap": streaming.events_type_overlap,
         "top_session_paths": streaming.top_session_paths,
@@ -2038,6 +2039,104 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT tok.doc_id, count(*) AS n_tokens,
                    CAST(sum(lam.m) AS DOUBLE) / 1000000.0 AS logw
             FROM tok JOIN lam USING (term) GROUP BY tok.doc_id
+        """,
+        # one-pass sufficient-statistics Pearson correlations; inputs snap
+        # to exact integers first (quantity/price 1x, rates 100x) so the
+        # sums are order-independent; the final expression is evaluated in
+        # the identical double operation order as the engine (IEEE sqrt is
+        # correctly rounded and cannot diverge)
+        "numeric_correlations": """
+            WITH b AS (
+                SELECT CAST(floor(CAST(l_quantity AS DOUBLE) * 1.0) AS BIGINT) AS q,
+                       CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1.0) AS BIGINT) AS p,
+                       CAST(floor(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT) AS d,
+                       CAST(floor(CAST(l_tax AS DOUBLE) * 100.0) AS BIGINT) AS t
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ), s AS (
+                SELECT count(*) AS n,
+                       sum(q) AS s_q,
+                       sum(p) AS s_p,
+                       sum(d) AS s_d,
+                       sum(t) AS s_t,
+                       sum(q*q) AS ss_q,
+                       sum(p*p) AS ss_p,
+                       sum(d*d) AS ss_d,
+                       sum(t*t) AS ss_t,
+                       sum(q*p) AS x_qp,
+                       sum(q*d) AS x_qd,
+                       sum(q*t) AS x_qt,
+                       sum(p*d) AS x_pd,
+                       sum(p*t) AS x_pt,
+                       sum(d*t) AS x_dt
+                FROM b
+            ), arms AS (
+                SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col, n,
+                       CAST(n AS DOUBLE) * CAST(x_qp AS DOUBLE)
+                       - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE) AS num,
+                       sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                            - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                              - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                           AS den
+                FROM s
+                UNION ALL
+                SELECT 'l_quantity' AS x_col, 'l_discount' AS y_col, n,
+                       CAST(n AS DOUBLE) * CAST(x_qd AS DOUBLE)
+                       - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE) AS num,
+                       sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                            - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                              - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                           AS den
+                FROM s
+                UNION ALL
+                SELECT 'l_quantity' AS x_col, 'l_tax' AS y_col, n,
+                       CAST(n AS DOUBLE) * CAST(x_qt AS DOUBLE)
+                       - CAST(s_q AS DOUBLE) * CAST(s_t AS DOUBLE) AS num,
+                       sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                            - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE)
+                              - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))
+                           AS den
+                FROM s
+                UNION ALL
+                SELECT 'l_extendedprice' AS x_col, 'l_discount' AS y_col, n,
+                       CAST(n AS DOUBLE) * CAST(x_pd AS DOUBLE)
+                       - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE) AS num,
+                       sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                            - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                              - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                           AS den
+                FROM s
+                UNION ALL
+                SELECT 'l_extendedprice' AS x_col, 'l_tax' AS y_col, n,
+                       CAST(n AS DOUBLE) * CAST(x_pt AS DOUBLE)
+                       - CAST(s_p AS DOUBLE) * CAST(s_t AS DOUBLE) AS num,
+                       sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                            - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE)
+                              - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))
+                           AS den
+                FROM s
+                UNION ALL
+                SELECT 'l_discount' AS x_col, 'l_tax' AS y_col, n,
+                       CAST(n AS DOUBLE) * CAST(x_dt AS DOUBLE)
+                       - CAST(s_d AS DOUBLE) * CAST(s_t AS DOUBLE) AS num,
+                       sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                            - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE)
+                              - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))
+                           AS den
+                FROM s
+            )
+            SELECT x_col, y_col, n,
+                   CASE WHEN den > 0.0
+                        THEN CAST(round((num / den) * 1000000.0) AS BIGINT)
+                             / 1000000.0
+                        ELSE NULL END AS corr
+            FROM arms
         """,
         # multinomial Naive Bayes on weak source labels (src0-src4 =
         # positive class, add-1 smoothing, 512-term vocab); per-term

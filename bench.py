@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "quality_percentile_filter",
     "dsir_weights",
     "nb_quality_scores",
+    "numeric_correlations",
     "source_divergence",
     "inverted_index",
     "zipf_slope",

@@ -1948,3 +1948,110 @@ def events_pareto_share(sf_dir: str, p: float = 0.9) -> "ray.data.Dataset":
         })
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+_CORR_COLS = (("l_quantity", 1.0), ("l_extendedprice", 1.0),
+              ("l_discount", 100.0), ("l_tax", 100.0))
+
+
+def numeric_correlations(sf_dir: str, table: str = "lineitem",
+                         cols: tuple = _CORR_COLS) -> "ray.data.Dataset":
+    """Pairwise Pearson correlation matrix over a table's numeric columns
+    — the cross-column companion to `table_profile` (the Deequ-style
+    profiling report a pipeline runs before trusting a new data drop).
+
+    Scale shape: the textbook ONE-pass sufficient-statistics reduction —
+    each batch ships a single row of exact integer sums (n, Σx, Σx², Σxy
+    for every pair), the aggregation tree merges them associatively, and
+    the k(k-1)/2-row correlation table is assembled on the driver from
+    that constant-size statistic (the `embedding_pca` shape; nothing
+    corpus-sized moves, no shuffle at all).
+
+    Bit-parity with the SQL twin: inputs snap to exact integers FIRST
+    (``floor(x * scale)``: quantity 1x, price 1x = whole dollars,
+    discount/tax 100x = percent points — dollars not cents because
+    Σ(price_cents²) already exceeds int64 at sf0.1), so the integer sums
+    are order-independent; the final expression casts each sum to DOUBLE
+    and evaluates ``(n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²̄)·√(n·Σy²−Σȳ²))`` in
+    the identical operation order on both engines (IEEE sqrt is
+    correctly-rounded, so it cannot diverge), snapped to round6.
+
+    Integer-overflow contract (guarded per batch): |snapped| < 2^21 and
+    batch rows < 2^20, so per-batch sums stay < 2^62; the GLOBAL sums
+    must stay < 2^63 — at dollars-scale that holds to ~40x the sf0.1
+    corpus per statistic; beyond that, shard the pass and combine the
+    per-shard statistics in Python ints (the partial rows are exact)."""
+    names = [c for c, _ in cols]
+    scales = {c: s for c, s in cols}
+    out_empty = pa.table({
+        "x_col": pa.array([], pa.string()),
+        "y_col": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "corr": pa.array([], pa.float64())})
+
+    pairs = [(names[i], names[j]) for i in range(len(names))
+             for j in range(i + 1, len(names))]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows >= (1 << 20):
+            raise ValueError("numeric_correlations: batch too large for "
+                             "the int64 partial-sum contract")
+        # drop rows where ANY selected column is null (pinned contract,
+        # mirrored by the twin's WHERE — one shared n for every pair)
+        mask = None
+        for c in names:
+            v = pc.is_valid(batch.column(c))
+            mask = v if mask is None else pc.and_(mask, v)
+        batch = batch.filter(mask)
+        snapped = {}
+        for c in names:
+            x = pc.cast(pc.floor(pc.multiply(
+                pc.cast(batch.column(c), pa.float64()), scales[c])),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            if len(x) and int(np.abs(x).max()) >= (1 << 21):
+                raise ValueError(
+                    f"numeric_correlations: |{c}| snap exceeds the 2^21 "
+                    "int64 partial-sum contract")
+            snapped[c] = x
+        out = {"n": [batch.num_rows]}
+        for c in names:
+            out[f"s_{c}"] = [int(snapped[c].sum())]
+            out[f"ss_{c}"] = [int((snapped[c] * snapped[c]).sum())]
+        for a, b in pairs:
+            out[f"sx_{a}_{b}"] = [int((snapped[a] * snapped[b]).sum())]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    ds = sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=names)
+    stat_cols = (["n"] + [f"s_{c}" for c in names]
+                 + [f"ss_{c}" for c in names]
+                 + [f"sx_{a}_{b}" for a, b in pairs])
+    tot = ds.map_batches(partial, batch_format="pyarrow").sum(stat_cols)
+    if not tot or not int(tot.get("sum(n)") or 0):
+        return ray.data.from_arrow(out_empty)
+
+    import math
+
+    from ..functions.num import round6_scalar
+    g = {k: int(tot.get(f"sum({k})") or 0) for k in stat_cols}
+    n_f = float(g["n"])
+    rows = {"x_col": [], "y_col": [], "n": [], "corr": []}
+    for a, b in pairs:
+        # identical operation order to the SQL twin, all doubles
+        num = n_f * float(g[f"sx_{a}_{b}"]) \
+            - float(g[f"s_{a}"]) * float(g[f"s_{b}"])
+        dx = n_f * float(g[f"ss_{a}"]) \
+            - float(g[f"s_{a}"]) * float(g[f"s_{a}"])
+        dy = n_f * float(g[f"ss_{b}"]) \
+            - float(g[f"s_{b}"]) * float(g[f"s_{b}"])
+        den = math.sqrt(dx) * math.sqrt(dy)
+        rows["x_col"].append(a)
+        rows["y_col"].append(b)
+        rows["n"].append(g["n"])
+        rows["corr"].append(round6_scalar(num / den) if den > 0.0
+                            else None)
+    return ray.data.from_arrow(pa.table({
+        "x_col": pa.array(rows["x_col"], pa.string()),
+        "y_col": pa.array(rows["y_col"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "corr": pa.array(rows["corr"], pa.float64())}))
