@@ -11,6 +11,7 @@ import ray
 import __ray_entry__ as entrymod
 from pdf_extract_kit_ray.pipelines.extract import read_corpus
 from pdf_extract_kit_ray.registry import build_pipeline, load_pipeline_yaml
+import pdf_extract_kit_ray.stages.curate  # noqa: F401 (registry)
 import pdf_extract_kit_ray.stages.extract_stages  # noqa: F401 (registry)
 import pdf_extract_kit_ray.stages.visualize  # noqa: F401 (registry)
 
@@ -24,12 +25,23 @@ def test_configs_shipped():
 
 @pytest.mark.parametrize("spec_path", SPECS, ids=os.path.basename)
 def test_shipped_spec_runs(ray_session, spec_path):
-    raw = entrymod._corpus_path("/root/testdata/sf0.001")
-    ds = read_corpus(raw).limit(8)
+    name = os.path.basename(spec_path)
+    if name.startswith("curate_"):
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+    else:
+        raw = entrymod._corpus_path("/root/testdata/sf0.001")
+        ds = read_corpus(raw).limit(8)
     out = build_pipeline(ds, load_pipeline_yaml(spec_path))
     rows = out.take_all()
     assert rows
-    name = os.path.basename(spec_path)
+    if name.startswith("curate_"):
+        cols = set(rows[0].keys())
+        assert {"doc_id", "text", "quality", "n_tokens", "fp"} <= cols
+        assert all(r["quality"] >= 0.3 and r["n_tokens"] >= 5
+                   and r["lang"] in ("en", "zh") for r in rows)
+        assert all(r["fp"] is not None and len(r["fp"]) == 32
+                   for r in rows)
     if name.startswith("extract_spans"):
         assert {"doc_id", "page_no", "block_idx", "kind", "text",
                 "media_ref"} <= set(rows[0].keys())
