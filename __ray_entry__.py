@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_late_supplier": relational.sole_late_supplier,
         "top_supplier": relational.top_supplier,
         "min_cost_supplier": relational.min_cost_supplier,
+        "part_pagerank": relational.part_pagerank,
         "important_parts": relational.important_parts,
         "supplier_part_variety": relational.supplier_part_variety,
         "excess_shipped_suppliers": relational.excess_shipped_suppliers,
@@ -946,6 +947,53 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
             FROM r JOIN supplier ON l_suppkey = s_suppkey
             WHERE rev_c = (SELECT max(rev_c) FROM r)
+        """,
+        # fixed-3-iteration PageRank in exact integer micro-units with
+        # floor division — every iteration is order-independent integer
+        # math, so the chained CTEs hash-match the engine's power method
+        "part_pagerank": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT a.l_partkey AS sa, b.l_partkey AS sb,
+                       count(*) AS n
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), e AS (
+                SELECT sa AS src, sb AS dst FROM pairs
+                UNION ALL
+                SELECT sb AS src, sa AS dst FROM pairs
+            ), deg AS (
+                SELECT src AS part, count(*) AS deg FROM e GROUP BY 1
+            ), r0 AS (
+                SELECT part, CAST(1000000 AS BIGINT) AS r FROM deg
+            ), r1 AS (
+                SELECT e.dst AS part,
+                       150000 + sum((p.r * 85) // (100 * d.deg)) AS r
+                FROM e
+                JOIN r0 p ON e.src = p.part
+                JOIN deg d ON e.src = d.part
+                GROUP BY 1
+            ), r2 AS (
+                SELECT e.dst AS part,
+                       150000 + sum((p.r * 85) // (100 * d.deg)) AS r
+                FROM e
+                JOIN r1 p ON e.src = p.part
+                JOIN deg d ON e.src = d.part
+                GROUP BY 1
+            ), r3 AS (
+                SELECT e.dst AS part,
+                       150000 + sum((p.r * 85) // (100 * d.deg)) AS r
+                FROM e
+                JOIN r2 p ON e.src = p.part
+                JOIN deg d ON e.src = d.part
+                GROUP BY 1
+            )
+            SELECT part AS p_partkey, r / 1000000.0 AS pagerank
+            FROM r3
+            ORDER BY pagerank DESC, part
+            LIMIT 100
         """,
         "min_cost_supplier": """
             WITH eligible_parts AS (

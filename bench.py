@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "top_supplier",
     "small_quantity_revenue",
     "min_cost_supplier",
+    "part_pagerank",
     "important_parts",
     "supplier_part_variety",
     "excess_shipped_suppliers",

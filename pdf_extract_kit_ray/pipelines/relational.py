@@ -3343,3 +3343,100 @@ def excess_shipped_suppliers(sf_dir: str, prefix: str = "red ",
 
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort("s_suppkey")
+
+
+def part_pagerank(sf_dir: str, min_count: int = 2, iters: int = 3,
+                  d_num: int = 85, d_den: int = 100,
+                  top_k: int = 100) -> "ray.data.Dataset":
+    """PageRank over the co-purchase part graph — the iterative-
+    linear-algebra operator class (power method), run for a FIXED
+    ``iters`` rounds with damping ``d_num/d_den`` on the undirected
+    part-affinity edges (both orientations, unweighted):
+
+        r_{k+1}(v) = (1-d)·1e6  +  Σ_{(u,v)∈E} (r_k(u)·d_num) // (d_den·deg(u))
+
+    in integer micro-units with floor division, so every iteration is
+    EXACT integer arithmetic — bit-identical between the engine and the
+    SQL twin's chained CTEs regardless of summation order (the classic
+    float power iteration could never hash-match across engines).
+
+    Scale shape: the edge list comes from the ONE order-keyed affinity
+    exchange (`part_affinity_pairs`) and is materialized once; each
+    iteration is a pure map over the directed edges (rank/degree
+    lookups broadcast via ``ray.put``) followed by ONE coarse dst-keyed
+    shuffle; the per-part rank vector is a #parts-bounded catalog
+    domain (the `part_affinity_lift` marginals contract), so pulling it
+    between iterations is a bounded driver pull, never corpus-sized.
+    At a billion-part catalog, swap the pull for a broadcast-join of
+    the materialized rank Dataset — the iteration structure is
+    unchanged."""
+    import numpy as np
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import lookup_np, make_lookup
+
+    out_empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                          "pagerank": pa.array([], pa.float64())})
+
+    edges = part_affinity_pairs(sf_dir, min_count)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([
+                batch.column("part_a").combine_chunks().cast(pa.int64()),
+                batch.column("part_b").combine_chunks().cast(pa.int64())]),
+            "dst": pa.concat_arrays([
+                batch.column("part_b").combine_chunks().cast(pa.int64()),
+                batch.column("part_a").combine_chunks().cast(pa.int64())]),
+        })
+
+    e = edges.map_batches(directed, batch_format="pyarrow").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["src"]).group_by("src") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["src", "n"])
+
+    deg = coarse_grouped_aggregate(
+        e.map_batches(deg_partial, batch_format="pyarrow"),
+        "src", [("n", "sum", "deg")]).to_pandas()   # #parts-bounded pull
+    if len(deg) == 0:
+        return ray.data.from_arrow(out_empty)
+
+    parts_np = deg["src"].to_numpy().astype(np.int64)
+    deg_tab = make_lookup(deg["src"], deg["deg"])
+    base = (1_000_000 * (d_den - d_num)) // d_den   # (1-d) in micro-units
+    # r0 = 1.0 per node (micro): uniform start, unnormalized — rankings
+    # are scale-free in the start vector
+    r_tab = make_lookup(deg["src"],
+                        np.full(len(deg), 1_000_000, dtype=np.int64))
+
+    for _ in range(iters):
+        ref = ray.put((r_tab, deg_tab))
+
+        def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
+            rt, dt = ray.get(_ref)
+            src = batch.column("src")
+            r_u = lookup_np(src, rt, default=0).astype(np.int64)
+            deg_u = lookup_np(src, dt, default=1).astype(np.int64)
+            c = (r_u * d_num) // (d_den * deg_u)    # exact floor division
+            g = pa.table({"dst": batch.column("dst"),
+                          "c": pa.array(c, pa.int64())}) \
+                .group_by("dst").aggregate([("c", "sum")])
+            return g.rename_columns(["dst", "c"])
+
+        nxt = coarse_grouped_aggregate(
+            e.map_batches(contrib, batch_format="pyarrow"),
+            "dst", [("c", "sum", "c")]).to_pandas()  # #parts-bounded pull
+        sums = lookup_np(pa.array(parts_np, pa.int64()),
+                         make_lookup(nxt["dst"], nxt["c"]),
+                         default=0).astype(np.int64)
+        r_tab = make_lookup(deg["src"], base + sums)
+
+    r_final = lookup_np(pa.array(parts_np, pa.int64()), r_tab,
+                        default=0).astype(np.int64)
+    order = np.lexsort((parts_np, -r_final))[:top_k]
+    return ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array(parts_np[order], pa.int64()),
+        "pagerank": pa.array(r_final[order].astype(np.float64) / 1e6,
+                             pa.float64())}))
