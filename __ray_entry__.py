@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": relational.top_supplier,
         "min_cost_supplier": relational.min_cost_supplier,
         "part_pagerank": relational.part_pagerank,
+        "part_skyline": relational.part_skyline,
         "important_parts": relational.important_parts,
         "supplier_part_variety": relational.supplier_part_variety,
         "excess_shipped_suppliers": relational.excess_shipped_suppliers,
@@ -947,6 +948,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
             FROM r JOIN supplier ON l_suppkey = s_suppkey
             WHERE rev_c = (SELECT max(rev_c) FROM r)
+        """,
+        # 2-d skyline on exact integers: NOT EXISTS dominance is the SQL
+        # spelling; the engine computes local skylines per block and merges
+        # survivors (local dominance implies global dominance)
+        "part_skyline": """
+            WITH m AS (
+                SELECT l_partkey,
+                       sum(CAST(floor((l_extendedprice*(1.0-l_discount))
+                                      * 100.0) AS BIGINT)) AS rev_c,
+                       sum(CAST(l_quantity AS BIGINT)) AS qty
+                FROM lineitem GROUP BY 1
+            )
+            SELECT a.l_partkey AS p_partkey,
+                   CAST(a.rev_c AS BIGINT) / 100.0 AS revenue,
+                   CAST(a.qty AS BIGINT) AS quantity
+            FROM m a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM m b
+                WHERE b.rev_c >= a.rev_c AND b.qty >= a.qty
+                  AND (b.rev_c > a.rev_c OR b.qty > a.qty)
+            )
+            ORDER BY revenue DESC, p_partkey
         """,
         # fixed-3-iteration PageRank in exact integer micro-units with
         # floor division — every iteration is order-independent integer

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "small_quantity_revenue",
     "min_cost_supplier",
     "part_pagerank",
+    "part_skyline",
     "important_parts",
     "supplier_part_variety",
     "excess_shipped_suppliers",

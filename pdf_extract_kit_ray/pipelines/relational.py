@@ -3440,3 +3440,94 @@ def part_pagerank(sf_dir: str, min_count: int = 2, iters: int = 3,
         "p_partkey": pa.array(parts_np[order], pa.int64()),
         "pagerank": pa.array(r_final[order].astype(np.float64) / 1e6,
                              pa.float64())}))
+
+
+def part_skyline(sf_dir: str) -> "ray.data.Dataset":
+    """Pareto frontier (skyline) of parts over two maximize dimensions —
+    total discounted revenue and total shipped quantity: a part survives
+    iff NO other part is >= in both and > in at least one (the classic
+    multi-objective catalog-triage query; e.g. "which parts are
+    undominated on volume x revenue").
+
+    Scale shape: per-part exact-integer metrics from ONE coarse part
+    shuffle; then the textbook distributed skyline — each block reduces
+    to its LOCAL skyline in a pure map (local dominance implies global
+    dominance, so no survivor is ever lost), and only the local
+    survivors merge for the final sweep.  On random data a 2-d skyline
+    is O(log n) expected, so the merged set is tiny; fully
+    anti-correlated data degrades toward O(n) — if that bound bites,
+    apply the same local-skyline map recursively (the merge step IS the
+    map), which this implementation notes but does not need at any
+    bundled scale.
+
+    Dominance on exact integers (cents / unit counts) — ties on BOTH
+    dimensions survive together on both engines; output is sorted
+    (revenue desc, partkey asc)."""
+    import numpy as np
+
+    from ..functions.agg import coarse_grouped_aggregate
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_extendedprice",
+                                       "l_discount", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0,
+                                               batch.column("l_discount"))))
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "rev_c": rev_c,
+                      "qty": pc.cast(batch.column("l_quantity"),
+                                     pa.int64())})
+        g = t.group_by("l_partkey").aggregate([("rev_c", "sum"),
+                                               ("qty", "sum")])
+        return g.rename_columns(["l_partkey", "rev_c", "qty"])
+
+    per_part = coarse_grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "l_partkey", [("rev_c", "sum", "rev_c"), ("qty", "sum", "qty")])
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev_c").to_numpy(zero_copy_only=False)
+        qty = batch.column("qty").to_numpy(zero_copy_only=False)
+        # sort rev desc, qty desc; survivor iff qty == max(qty | same rev)
+        # AND qty > max(qty | rev strictly greater)
+        order = np.lexsort((-qty, -rev))
+        r, q = rev[order], qty[order]
+        new_rev = np.r_[True, r[1:] != r[:-1]]
+        gid = np.cumsum(new_rev) - 1                 # rev-group id per row
+        # per-group max qty = the group's FIRST row (qty sorted desc)
+        gmax = q[new_rev]
+        # exclusive running max of gmax over STRICTLY-higher-rev groups
+        hmax = np.r_[np.int64(np.iinfo(np.int64).min),
+                     np.maximum.accumulate(gmax)[:-1]]
+        keep = (q == gmax[gid]) & (gmax[gid] > hmax[gid])
+        sel = order[keep]
+        return pa.table({"l_partkey": pa.array(pk[sel], pa.int64()),
+                         "rev_c": pa.array(rev[sel], pa.int64()),
+                         "qty": pa.array(qty[sel], pa.int64())})
+
+    survivors = per_part.map_batches(local_skyline,
+                                     batch_format="pyarrow").to_pandas()
+    out_empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64()),
+                          "quantity": pa.array([], pa.int64())})
+    if len(survivors) == 0:
+        return ray.data.from_arrow(out_empty)
+    merged = local_skyline(pa.table({
+        "l_partkey": pa.array(survivors["l_partkey"].to_numpy(),
+                              pa.int64()),
+        "rev_c": pa.array(survivors["rev_c"].to_numpy(), pa.int64()),
+        "qty": pa.array(survivors["qty"].to_numpy(), pa.int64())}))
+    import pandas as pd_  # noqa: F401 (sorted output built Arrow-side)
+    order = np.lexsort((merged.column("l_partkey").to_numpy(),
+                        -merged.column("rev_c").to_numpy()))
+    idx = pa.array(order, pa.int64())
+    return ray.data.from_arrow(pa.table({
+        "p_partkey": merged.column("l_partkey").take(idx),
+        "revenue": pc.divide(pc.cast(merged.column("rev_c").take(idx),
+                                     pa.float64(), safe=False), 100.0),
+        "quantity": merged.column("qty").take(idx)}))
