@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_purchase_latency": streaming.first_purchase_latency,
         "table_profile": streaming.table_profile,  # non-SQL (HLL sketch)
         "numeric_correlations": streaming.numeric_correlations,
+        "integrity_report": streaming.integrity_report,
         "events_pareto_share": streaming.events_pareto_share,
         "events_type_overlap": streaming.events_type_overlap,
         "top_session_paths": streaming.top_session_paths,
@@ -948,6 +949,62 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
             FROM r JOIN supplier ON l_suppkey = s_suppkey
             WHERE rev_c = (SELECT max(rev_c) FROM r)
+        """,
+        # Deequ-style constraint suite; NOT EXISTS (not NOT IN) for the fk
+        # checks so a NULL foreign key counts as an orphan on both engines
+        "integrity_report": """
+            WITH c AS (
+                SELECT 'chk_lineitem_discount_range' AS constraint_name,
+                       count(*) FILTER (WHERE l_discount IS NULL
+                                        OR l_discount < 0.0
+                                        OR l_discount > 1.0) AS n
+                FROM lineitem
+                UNION ALL
+                SELECT 'chk_lineitem_shipdate_notnull',
+                       count(*) FILTER (WHERE l_shipdate IS NULL)
+                FROM lineitem
+                UNION ALL
+                SELECT 'chk_orders_totalprice_positive',
+                       count(*) FILTER (WHERE o_totalprice IS NULL
+                                        OR o_totalprice <= 0.0)
+                FROM orders
+                UNION ALL
+                SELECT 'pk_customer',
+                       count(*) - count(DISTINCT c_custkey)
+                FROM customer
+                UNION ALL
+                SELECT 'pk_orders',
+                       count(*) - count(DISTINCT o_orderkey)
+                FROM orders
+                UNION ALL
+                SELECT 'pk_lineitem',
+                       count(*) - count(DISTINCT (l_orderkey,
+                                                  l_linenumber))
+                FROM lineitem
+                UNION ALL
+                SELECT 'fk_lineitem_partkey', count(*)
+                FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part
+                                  WHERE p_partkey = l.l_partkey)
+                UNION ALL
+                SELECT 'fk_lineitem_suppkey', count(*)
+                FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier
+                                  WHERE s_suppkey = l.l_suppkey)
+                UNION ALL
+                SELECT 'fk_orders_custkey', count(*)
+                FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer
+                                  WHERE c_custkey = o.o_custkey)
+                UNION ALL
+                SELECT 'fk_lineitem_orderkey', count(*)
+                FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders
+                                  WHERE o_orderkey = l.l_orderkey)
+            )
+            SELECT constraint_name,
+                   CAST(n AS BIGINT) AS n_violations
+            FROM c ORDER BY constraint_name
         """,
         # 2-d skyline on exact integers: NOT EXISTS dominance is the SQL
         # spelling; the engine computes local skylines per block and merges

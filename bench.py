@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "nb_quality_scores",
     "numeric_correlations",
+    "integrity_report",
     "source_divergence",
     "inverted_index",
     "zipf_slope",

@@ -2055,3 +2055,205 @@ def numeric_correlations(sf_dir: str, table: str = "lineitem",
         "y_col": pa.array(rows["y_col"], pa.string()),
         "n": pa.array(rows["n"], pa.int64()),
         "corr": pa.array(rows["corr"], pa.float64())}))
+
+
+def integrity_report(sf_dir: str) -> "ray.data.Dataset":
+    """Declarative data-quality constraint suite (the Deequ `check`
+    shape): referential integrity, key uniqueness, and range/null checks
+    over the warehouse tables — the gate a pipeline runs on every new
+    data drop before trusting it downstream.
+
+    Scale shape: every constraint is a LAZY branch emitting per-batch
+    (constraint_name, n) partial rows, and all branches UNION into ONE
+    execution finished by a single tiny rollup — the streaming executor
+    runs the branches concurrently instead of paying per-check pipeline
+    latency (the first sequential version took 39 s at sf0.01; this one
+    ~4 s).  Per branch:
+    - range / not-null / dimension-fk checks FUSE into one map over each
+      fact read (dimension key sets broadcast via the shared lookup, so
+      orphan counting is an is_in inside the same pass);
+    - key uniqueness = metadata row count (no scan) minus distinct keys,
+      distinct via the coarse-keyed aggregate (pre-reduced key rows,
+      never the driver);
+    - the one fact-to-fact reference (lineitem -> orders) is a
+      hash-shuffle ``left_anti`` join, both sides key-pruned at the read.
+
+    All counts are exact integers; the DuckDB twin is a UNION ALL of the
+    same constraints (NOT EXISTS spelling, so NULL foreign keys count as
+    orphans on both engines).  On the bundled corpora every count is 0 —
+    tests/test_integrity_report.py plants each violation class."""
+    import pyarrow.dataset as pads
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import (BROADCAST_BYTES, join_partitions,
+                                   lookup_np, make_lookup,
+                                   pruned_parquet_bytes)
+
+    def _tag(name: str, n) -> "tuple[pa.Array, pa.Array]":
+        return (pa.array([name], pa.string()), pa.array([int(n)],
+                                                        pa.int64()))
+
+    def _count_rows_branch(ds, name):
+        def partial(batch: pa.Table) -> pa.Table:
+            return pa.table({"constraint_name": pa.array([name],
+                                                         pa.string()),
+                             "n": pa.array([batch.num_rows], pa.int64())})
+        return ds.map_batches(partial, batch_format="pyarrow")
+
+    # --- dimension key sets (broadcast once; bounded catalog domains) --
+    part_keys = ray.put(make_lookup(
+        pads.dataset(f"{sf_dir}/part.parquet").to_table(
+            columns=["p_partkey"]).column("p_partkey"),
+        np.zeros(pads.dataset(f"{sf_dir}/part.parquet").count_rows(),
+                 dtype=np.int8)))
+    supp_keys = ray.put(make_lookup(
+        pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+            columns=["s_suppkey"]).column("s_suppkey"),
+        np.zeros(pads.dataset(f"{sf_dir}/supplier.parquet").count_rows(),
+                 dtype=np.int8)))
+    cust_keys = ray.put(make_lookup(
+        pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+            columns=["c_custkey"]).column("c_custkey"),
+        np.zeros(pads.dataset(f"{sf_dir}/customer.parquet").count_rows(),
+                 dtype=np.int8)))
+
+    # size rule: when the PRUNED orders key column fits the broadcast
+    # budget, the fact->fact fk check also fuses into branch A as an
+    # is_in probe (one fewer hash-shuffle join); past the budget it
+    # falls back to the left_anti hash join below
+    order_keys = None
+    if pruned_parquet_bytes(f"{sf_dir}/orders.parquet",
+                            ["o_orderkey"]) <= BROADCAST_BYTES:
+        order_keys = ray.put(make_lookup(
+            pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+                columns=["o_orderkey"]).column("o_orderkey"),
+            np.zeros(pads.dataset(
+                f"{sf_dir}/orders.parquet").count_rows(),
+                dtype=np.int8)))
+
+    # --- branch A: all lineitem map checks fused into one pass --------
+    def li_checks(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_discount")
+        bad_disc = int(pc.sum(pc.cast(pc.fill_null(pc.or_(
+            pc.less(d, 0.0), pc.greater(d, 1.0)), True),
+            pa.int64())).as_py() or 0)
+        null_ship = batch.num_rows - int(pc.sum(pc.cast(
+            pc.is_valid(batch.column("l_shipdate")),
+            pa.int64())).as_py() or 0)
+        pk_orphan = int((lookup_np(batch.column("l_partkey"),
+                                   ray.get(part_keys),
+                                   default=-1) < 0).sum())
+        sk_orphan = int((lookup_np(batch.column("l_suppkey"),
+                                   ray.get(supp_keys),
+                                   default=-1) < 0).sum())
+        tags = [_tag("chk_lineitem_discount_range", bad_disc),
+                _tag("chk_lineitem_shipdate_notnull", null_ship),
+                _tag("fk_lineitem_partkey", pk_orphan),
+                _tag("fk_lineitem_suppkey", sk_orphan)]
+        if order_keys is not None:
+            ok_orphan = int((lookup_np(batch.column("l_orderkey"),
+                                       ray.get(order_keys),
+                                       default=-1) < 0).sum())
+            tags.append(_tag("fk_lineitem_orderkey", ok_orphan))
+        names, counts = zip(*tags)
+        return pa.table({"constraint_name": pa.concat_arrays(list(names)),
+                         "n": pa.concat_arrays(list(counts))})
+
+    li_cols = ["l_partkey", "l_suppkey", "l_discount", "l_shipdate"]
+    if order_keys is not None:
+        li_cols.append("l_orderkey")
+    li = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=li_cols)
+    branches = [li.map_batches(li_checks, batch_format="pyarrow")]
+
+    # --- branch B: orders map checks ----------------------------------
+    def o_checks(batch: pa.Table) -> pa.Table:
+        bad_price = int(pc.sum(pc.cast(pc.fill_null(
+            pc.less_equal(batch.column("o_totalprice"), 0.0), True),
+            pa.int64())).as_py() or 0)
+        ck_orphan = int((lookup_np(batch.column("o_custkey"),
+                                   ray.get(cust_keys),
+                                   default=-1) < 0).sum())
+        names, counts = zip(
+            _tag("chk_orders_totalprice_positive", bad_price),
+            _tag("fk_orders_custkey", ck_orphan))
+        return pa.table({"constraint_name": pa.concat_arrays(names),
+                         "n": pa.concat_arrays(counts)})
+
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    branches.append(orders.map_batches(o_checks, batch_format="pyarrow"))
+
+    # --- uniqueness branches: distinct-key counts (totals come free
+    # from parquet metadata) ------------------------------------------
+    totals = {}
+
+    def _distinct_branch(path, key_cols, name):
+        totals[name] = pads.dataset(path).count_rows()
+        ds = sized_read_parquet(path, columns=key_cols)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.select(key_cols).group_by(key_cols).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(key_cols + ["n"])
+
+        agg = coarse_grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            key_cols, [("n", "sum", "n")], hash_cols=[key_cols[0]])
+        return _count_rows_branch(agg, name)
+
+    branches.append(_distinct_branch(f"{sf_dir}/customer.parquet",
+                                     ["c_custkey"], "pk_customer"))
+    branches.append(_distinct_branch(f"{sf_dir}/orders.parquet",
+                                     ["o_orderkey"], "pk_orders"))
+    branches.append(_distinct_branch(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_linenumber"],
+        "pk_lineitem"))
+
+    # --- fact -> fact fk fallback: hash left_anti, key-pruned ---------
+    if order_keys is not None:
+        pass                         # fused into branch A (size rule)
+    elif (pads.dataset(f"{sf_dir}/lineitem.parquet").count_rows() == 0
+            or pads.dataset(f"{sf_dir}/orders.parquet").count_rows() == 0):
+        # Ray's hash join loses key schemas on fully-empty sides; with an
+        # empty orders side every lineitem row is an orphan
+        n = pads.dataset(f"{sf_dir}/lineitem.parquet").count_rows()
+        branches.append(ray.data.from_arrow(pa.table({
+            "constraint_name": pa.array(["fk_lineitem_orderkey"],
+                                        pa.string()),
+            "n": pa.array([n], pa.int64())})))
+    else:
+        lk = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey"])
+        ok = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey"])
+        orphans = lk.join(ok, join_type="left_anti",
+                          num_partitions=join_partitions(None),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+        branches.append(_count_rows_branch(orphans,
+                                           "fk_lineitem_orderkey"))
+
+    # --- ONE execution: union all branches, one tiny rollup -----------
+    from ray.data.aggregate import Sum
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.union(b)
+    rolled = {r["constraint_name"]: int(r["n"]) for r in
+              u.groupby("constraint_name")
+               .aggregate(Sum("n", alias_name="n")).take_all()}
+
+    all_names = ["chk_lineitem_discount_range",
+                 "chk_lineitem_shipdate_notnull",
+                 "chk_orders_totalprice_positive",
+                 "fk_lineitem_orderkey", "fk_lineitem_partkey",
+                 "fk_lineitem_suppkey", "fk_orders_custkey",
+                 "pk_customer", "pk_lineitem", "pk_orders"]
+    out = []
+    for name in sorted(all_names):
+        if name.startswith("pk_"):
+            out.append((name, totals[name] - rolled.get(name, 0)))
+        else:
+            out.append((name, rolled.get(name, 0)))
+    return ray.data.from_arrow(pa.table({
+        "constraint_name": pa.array([r[0] for r in out], pa.string()),
+        "n_violations": pa.array([r[1] for r in out], pa.int64())}))
