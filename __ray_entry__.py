@@ -112,6 +112,72 @@ def _span_kind_counts_lmv3(sf_dir: str):
     return _span_kind_counts(sf_dir, layout_backend="mock2")
 
 
+def _doc_modality_mix(sf_dir: str):
+    """Interleaving profile of the INPUT corpus (the north-rule table
+    itself): per document — span count, media-span count (``media://``
+    refs, the opaque-payload modality), text-bearing span count, and the
+    number of modality TRANSITIONS in offset order — the interleaving
+    measure a multimodal training mix is tuned on (text-only vs
+    media-dense vs tightly-interleaved documents behave differently
+    under packing and loss masking).
+
+    Scale shape: a document is ONE row of the spans table, so the whole
+    profile is a pure map — flatten each batch's span lists, segment by
+    parent row, compute counts/transitions with numpy bincounts.  No
+    shuffle anywhere; zero-span docs emit zero rows with media_frac 0.0
+    (pinned by COALESCE in the twin)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extract_kit_ray.functions.num import round6
+
+    ds = ray.data.read_parquet(_corpus_path(sf_dir))
+
+    def mix(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans).to_numpy()
+        n_rows = batch.num_rows
+        im = pc.fill_null(pc.starts_with(flat.field("media_ref"),
+                                         "media://"), False) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ht = pc.fill_null(pc.not_equal(flat.field("text"), ""), False) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # LIST position is the authoritative span order (the north-rule
+        # sequence invariant); offsets restart per page so they are NOT
+        # unique per doc.  list_flatten preserves list order, so the
+        # flat arrays are already ordered.
+        par_o, im_o = par, im
+        n_spans = np.bincount(par, minlength=n_rows).astype(np.int64)
+        n_media = np.bincount(par, weights=im,
+                              minlength=n_rows).astype(np.int64)
+        n_text = np.bincount(par, weights=ht,
+                             minlength=n_rows).astype(np.int64)
+        if len(par_o) > 1:
+            same = par_o[1:] == par_o[:-1]
+            flip = (im_o[1:] != im_o[:-1]) & same
+            n_trans = np.bincount(par_o[1:][flip],
+                                  minlength=n_rows).astype(np.int64)
+        else:
+            n_trans = np.zeros(n_rows, dtype=np.int64)
+        frac = np.where(n_spans > 0,
+                        n_media / np.maximum(n_spans, 1), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_media_spans": pa.array(n_media, pa.int64()),
+            "n_text_spans": pa.array(n_text, pa.int64()),
+            "n_transitions": pa.array(n_trans, pa.int64()),
+            "media_frac": round6(pa.array(frac, pa.float64())),
+        })
+
+    return ds.map_batches(mix, batch_format="pyarrow")
+
+
 def _extract_markdown(sf_dir: str):
     """Markdown projection of the flagship extraction (reference S8:
     per-page convert2md + '\\n\\n' join, pdf2markdown.py:341-347)."""
@@ -185,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flagship": _extract,
         "extract_kind_counts": _span_kind_counts,
         "extract_kind_counts_lmv3": _span_kind_counts_lmv3,
+        "doc_modality_mix": _doc_modality_mix,
         "extract_markdown": _extract_markdown,
         "extract_spans": _extract_spans_flat,
         "table_sources": _table_sources,
@@ -418,6 +485,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM (SELECT unnest(spans) AS s
                   FROM read_parquet('{golden_glob}'))
             GROUP BY 1
+        """,
+        # interleaving profile of the RAW corpus (the north-rule input
+        # table): modality transitions in LIST-position order (offsets
+        # restart per page, so list position — generate_subscripts — is
+        # the authoritative span order, same as the sequence invariant);
+        # a zero-span doc keeps a zero row (COALESCE left join)
+        "doc_modality_mix": f"""
+            WITH ex AS (
+                SELECT doc_id, unnest(spans) AS s,
+                       generate_subscripts(spans, 1) AS pos
+                FROM read_parquet('{raw_glob}')
+            ), flat AS (
+                SELECT doc_id, pos,
+                       CASE WHEN s.media_ref LIKE 'media://%'
+                            THEN 1 ELSE 0 END AS is_media,
+                       CASE WHEN s.text <> '' THEN 1 ELSE 0 END AS has_text
+                FROM ex
+            ), lagged AS (
+                SELECT doc_id, is_media, has_text,
+                       lag(is_media) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS prev
+                FROM flat
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_spans,
+                       sum(is_media) AS n_media_spans,
+                       sum(has_text) AS n_text_spans,
+                       count(*) FILTER (WHERE prev IS NOT NULL
+                                        AND prev <> is_media)
+                           AS n_transitions,
+                       round(CAST(sum(is_media) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE), 6) AS media_frac
+                FROM lagged GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(CAST(n_spans AS BIGINT), 0) AS n_spans,
+                   COALESCE(CAST(n_media_spans AS BIGINT), 0)
+                       AS n_media_spans,
+                   COALESCE(CAST(n_text_spans AS BIGINT), 0)
+                       AS n_text_spans,
+                   COALESCE(CAST(n_transitions AS BIGINT), 0)
+                       AS n_transitions,
+                   COALESCE(media_frac, 0.0) AS media_frac
+            FROM (SELECT doc_id FROM read_parquet('{raw_glob}')) d
+            LEFT JOIN agg USING (doc_id)
         """,
         # Flagship full-content equality, flattened: every span of every
         # doc vs the materialized golden through SCALAR columns (offset

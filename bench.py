@@ -43,6 +43,7 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "extract_flagship",
     "extract_kind_counts_lmv3",
+    "doc_modality_mix",
     "table_sources",
     "reference_json",
     "q1_pricing_summary",

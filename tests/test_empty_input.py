@@ -24,6 +24,7 @@ EMPTY_DIR = "/tmp/pek_empty_sf"
 _SKIP = {
     "extract_flagship", "extract_kind_counts", "extract_markdown",
     "extract_spans", "table_sources", "reference_json",
+    "doc_modality_mix", "extract_kind_counts_lmv3",
     "media_decode_summary", "image_thumbnails", "video_frame_sample",
     "media_features", "media_feature_neardup", "ocr_preprocess_summary",
     "resize_longest_side",
