@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "paragraph_dedup": dedup.paragraph_dedup,
+        "line_dedup_intra": dedup.line_dedup_intra,
         "curated_docs": dedup.curated_docs,
         "dedup_keep_best": dedup.dedup_keep_best,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1501,6 +1502,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) AS n_paras,
                    count(*) FILTER (WHERE rn = 1) AS n_kept,
                    string_agg(para, chr(10) ORDER BY para_ord)
+                       FILTER (WHERE rn = 1) AS text_dedup
+            FROM flagged GROUP BY doc_id
+        """,
+        # within-doc line dedup (RefinedWeb-style): first occurrence per
+        # (doc, line); NULL-text docs drop via unnest-over-NULL
+        "line_dedup_intra": """
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS ord
+                FROM documents
+            ), flagged AS (
+                SELECT doc_id, ord, line,
+                       row_number() OVER (PARTITION BY doc_id, line
+                                          ORDER BY ord) AS rn
+                FROM lines
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY ord)
                        FILTER (WHERE rn = 1) AS text_dedup
             FROM flagged GROUP BY doc_id
         """,

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "exact_dedup",
     "paragraph_dedup",
+    "line_dedup_intra",
     "curated_docs",
     "minhash_dedup",
     "simhash_dedup",

@@ -1759,3 +1759,79 @@ def cdc_dedup_stats(sf_dir: str, min_size: int = 16, avg_bits: int = 6,
         "shared_chunks": pa.array([shared], pa.int64()),
         "dup_ratio": pa.array([ratio], pa.float64()),
     }))
+
+
+def line_dedup_intra(sf_dir: str) -> "ray.data.Dataset":
+    """RefinedWeb-style WITHIN-document line dedup: split every doc on
+    newlines, keep only the FIRST occurrence of each exact line inside
+    that same document, and rebuild the doc's text from the survivors in
+    original order.  Returns one row per non-NULL-text doc: (doc_id,
+    n_lines, n_kept, text_dedup).  Complements ``paragraph_dedup`` (the
+    corpus-WIDE variant): intra-doc dedup needs no cross-doc state, so
+    where paragraph_dedup pays two coarse shuffles this is a PURE MAP —
+    at 100 TB it streams block-by-block with zero exchange.
+
+    Vectorized shape: one split kernel, a (doc, line, pos) lexsort per
+    batch to mark first-of-run (explicit ``pos`` tie-break — no reliance
+    on sort stability), scatter back to input order, then bincount +
+    offsets-based ``binary_join`` reassembly.  No per-row loop.
+
+    Null contract: NULL-text docs drop (SQL ``unnest`` over a NULL split
+    emits no rows, so the twin's GROUP BY never sees them); empty text is
+    one empty line, kept (n_lines = n_kept = 1).
+    """
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    empty_out = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_lines": pa.array([], pa.int64()),
+        "n_kept": pa.array([], pa.int64()),
+        "text_dedup": pa.array([], pa.large_string()),
+    })
+
+    def dedup_lines(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        n = batch.num_rows
+        if n == 0:
+            return empty_out
+        split = pc.split_pattern(
+            batch.column("text").combine_chunks(), "\n")
+        flat = pc.list_flatten(split)
+        lens = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        drow = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = np.arange(total, dtype=np.int64)
+        order = pc.sort_indices(
+            pa.table({"d": pa.array(drow), "line": flat,
+                      "pos": pa.array(pos)}),
+            sort_keys=[("d", "ascending"), ("line", "ascending"),
+                       ("pos", "ascending")]).to_numpy()
+        d_s = drow[order]
+        line_s = flat.take(pa.array(order))
+        if total > 1:
+            neq = pc.not_equal(
+                line_s.slice(1), line_s.slice(0, total - 1)).to_numpy(
+                zero_copy_only=False)
+            first_sorted = np.r_[True, (d_s[1:] != d_s[:-1]) | neq]
+        else:
+            first_sorted = np.ones(total, dtype=bool)
+        keep = np.zeros(total, dtype=bool)
+        keep[order] = first_sorted
+        n_kept = np.bincount(drow[keep], minlength=n).astype(np.int64)
+        kept_lines = pc.cast(flat.filter(pa.array(keep)),
+                             pa.large_string())
+        bounds = np.r_[0, np.cumsum(n_kept)].astype(np.int64)
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(bounds, pa.int64()),
+                                          kept_lines),
+            pa.scalar("\n", pa.large_string()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(lens, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "text_dedup": joined,
+        })
+
+    return ds.map_batches(dedup_lines, batch_format="pyarrow")
