@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": streaming.user_retention,
         "value_zscore_outliers": streaming.value_zscore_outliers,
         "value_mad_outliers": relational.value_mad_outliers,
+        "ks_value_drift": streaming.ks_value_drift,
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
@@ -796,6 +797,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # robust MAD outliers: exact-integer median/MAD via
         # percentile_disc, integer threshold comparison in both engines
+        # two-sample KS per event type between time halves; only types
+        # present in BOTH halves emit (no defined statistic otherwise);
+        # NULL ts/type/value drop (sibling event-op contract)
+        "ks_value_drift": """
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(floor(value * 100.0) AS BIGINT) AS vc,
+                       epoch_us(ts) AS tus
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  AND value IS NOT NULL
+            ), mid AS (
+                SELECT (min(tus) + max(tus)) // 2 AS m FROM ev
+            ), h AS (
+                SELECT event_type, vc,
+                       sum(CASE WHEN tus <= m THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN tus > m THEN 1 ELSE 0 END) AS nb
+                FROM ev, mid GROUP BY 1, 2
+            ), c AS (
+                SELECT event_type,
+                       sum(na) OVER w AS ca, sum(nb) OVER w AS cb,
+                       sum(na) OVER (PARTITION BY event_type) AS ta,
+                       sum(nb) OVER (PARTITION BY event_type) AS tb
+                FROM h
+                WINDOW w AS (PARTITION BY event_type ORDER BY vc)
+            )
+            SELECT event_type,
+                   CAST(max(ta) AS BIGINT) AS n_first,
+                   CAST(max(tb) AS BIGINT) AS n_second,
+                   round(max(abs(CAST(ca AS DOUBLE) / ta
+                                 - CAST(cb AS DOUBLE) / tb)), 6) AS ks_stat
+            FROM c GROUP BY 1
+            HAVING max(ta) > 0 AND max(tb) > 0
+        """,
         "value_mad_outliers": """
             WITH v AS (
                 SELECT event_type, CAST(floor(value*100.0) AS BIGINT) AS c

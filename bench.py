@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "user_retention",
     "value_zscore_outliers",
     "value_mad_outliers",
+    "ks_value_drift",
     "unigram_logprob",
     "bigram_pmi",
     "bigram_perplexity",

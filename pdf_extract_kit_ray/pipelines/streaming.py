@@ -2257,3 +2257,98 @@ def integrity_report(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.from_arrow(pa.table({
         "constraint_name": pa.array([r[0] for r in out], pa.string()),
         "n_violations": pa.array([r[1] for r in out], pa.int64())}))
+
+
+def ks_value_drift(sf_dir: str) -> "ray.data.Dataset":
+    """Two-sample Kolmogorov-Smirnov drift per event type: split the
+    event stream at the midpoint of its time range and report, for each
+    type present in BOTH halves, the KS statistic between the two value
+    distributions — max over distinct values of |CDF_first - CDF_second|.
+    The exact-distribution drift alarm that catches shape changes (new
+    price tiers, unit bugs) a mean/sigma monitor misses.
+
+    Scale shape: pass 0 reduces the scan to a 2-int (min, max) epoch
+    rollup; the midpoint broadcasts by closure.  Pass 1 is the
+    value_percentiles_by_type histogram shape — per-batch
+    (type, cent, n_first, n_second) partials, ONE #types x #distinct-cents
+    bounded shuffle, then a per-type kernel re-aggregates, sorts once and
+    takes the max CDF gap with two cumulative walks.  Both CDFs divide
+    exact int64 counts as doubles in the twin's operation order, so the
+    6dp-snapped statistic is bit-identical across engines.
+
+    Contract: rows with NULL ts/event_type/value drop (the sibling event
+    ops' contract); a type whose rows all land in one half is omitted
+    (no defined two-sample statistic)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(pc.and_(
+            pc.is_valid(batch.column("ts")),
+            pc.is_valid(batch.column("event_type"))),
+            pc.is_valid(batch.column("value"))))
+
+    def span_partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        if batch.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        tus = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({"mn": pa.array([pc.min(tus).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(tus).as_py()], pa.int64())})
+
+    span = ds.map_batches(span_partial, batch_format="pyarrow") \
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx")) \
+        or {}
+    empty_out = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "n_first": pa.array([], pa.int64()),
+        "n_second": pa.array([], pa.int64()),
+        "ks_stat": pa.array([], pa.float64()),
+    })
+    if span.get("mn") is None:
+        return ray.data.from_arrow(empty_out)
+    mid = (int(span["mn"]) + int(span["mx"])) // 2   # tiny; closure-broadcast
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        tus = pc.cast(batch.column("ts"), pa.int64())
+        na = pc.cast(pc.less_equal(tus, mid), pa.int64())
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "vc": pc.cast(pc.floor(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64()),
+            "na": na,
+            "nb": pc.subtract(1, na),
+        })
+        g = t.group_by(["event_type", "vc"]).aggregate(
+            [("na", "sum"), ("nb", "sum")])
+        return g.rename_columns(["event_type", "vc", "pna", "pnb"])
+
+    def ks_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        h = group.group_by("vc").aggregate([("pna", "sum"),
+                                            ("pnb", "sum")])
+        h = h.take(pc.sort_indices(h.column("vc")))
+        na = h.column("pna_sum").to_numpy().astype(np.int64)
+        nb = h.column("pnb_sum").to_numpy().astype(np.int64)
+        ta, tb = int(na.sum()), int(nb.sum())
+        if ta == 0 or tb == 0:
+            return empty_out
+        gap = np.abs(np.cumsum(na).astype(np.float64) / ta
+                     - np.cumsum(nb).astype(np.float64) / tb)
+        from ..functions.num import round6
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()], pa.string()),
+            "n_first": pa.array([ta], pa.int64()),
+            "n_second": pa.array([tb], pa.int64()),
+            "ks_stat": round6(pa.array([float(gap.max())], pa.float64())),
+        })
+
+    return (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(ks_kernel, batch_format="pyarrow"))

@@ -23,7 +23,8 @@ QUERIES = [
     "events_sliding_window", "value_percentiles_by_type",
     "purchase_prev_click_asof", "top_events_per_user",
     "user_running_totals", "events_value_bands", "distinct_users_by_type",
-    "value_zscore_outliers", "value_mad_outliers", "user_activity_cv",
+    "value_zscore_outliers", "value_mad_outliers", "ks_value_drift",
+    "user_activity_cv",
     "first_purchase_latency", "events_pareto_share", "events_daily_pivot", "top_users",
     "users_active_both_halves", "users_only_first_half",
     "events_locf_grid", "user_growth_curve", "events_type_overlap",
