@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore_outliers": streaming.value_zscore_outliers,
         "value_mad_outliers": relational.value_mad_outliers,
         "ks_value_drift": streaming.ks_value_drift,
+        "join_key_overlap": relational.join_key_overlap,
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
@@ -797,6 +798,73 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # robust MAD outliers: exact-integer median/MAD via
         # percentile_disc, integer threshold comparison in both engines
+        # join-key overlap discovery: distinct-set sizes, intersection,
+        # containment both ways and Jaccard per candidate join pair;
+        # NULL keys drop (NULLs never join)
+        "join_key_overlap": """
+            WITH
+            a0 AS (SELECT DISTINCT o_custkey AS k FROM orders
+                   WHERE o_custkey IS NOT NULL),
+            b0 AS (SELECT DISTINCT c_custkey AS k FROM customer
+                   WHERE c_custkey IS NOT NULL),
+            a1 AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+                   WHERE l_partkey IS NOT NULL),
+            b1 AS (SELECT DISTINCT p_partkey AS k FROM part
+                   WHERE p_partkey IS NOT NULL),
+            a2 AS (SELECT DISTINCT l_suppkey AS k FROM lineitem
+                   WHERE l_suppkey IS NOT NULL),
+            b2 AS (SELECT DISTINCT s_suppkey AS k FROM supplier
+                   WHERE s_suppkey IS NOT NULL),
+            a3 AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                   WHERE l_orderkey IS NOT NULL),
+            b3 AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                   WHERE o_orderkey IS NOT NULL),
+            a4 AS (SELECT DISTINCT user_id AS k FROM events
+                   WHERE user_id IS NOT NULL),
+            b4 AS (SELECT DISTINCT c_custkey AS k FROM customer
+                   WHERE c_custkey IS NOT NULL),
+            raw AS (
+                SELECT 'orders.o_custkey->customer.c_custkey' AS pair,
+                       (SELECT count(*) FROM a0) AS n_a,
+                       (SELECT count(*) FROM b0) AS n_b,
+                       (SELECT count(*) FROM a0 JOIN b0 USING (k))
+                           AS n_common
+                UNION ALL
+                SELECT 'lineitem.l_partkey->part.p_partkey',
+                       (SELECT count(*) FROM a1),
+                       (SELECT count(*) FROM b1),
+                       (SELECT count(*) FROM a1 JOIN b1 USING (k))
+                UNION ALL
+                SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                       (SELECT count(*) FROM a2),
+                       (SELECT count(*) FROM b2),
+                       (SELECT count(*) FROM a2 JOIN b2 USING (k))
+                UNION ALL
+                SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+                       (SELECT count(*) FROM a3),
+                       (SELECT count(*) FROM b3),
+                       (SELECT count(*) FROM a3 JOIN b3 USING (k))
+                UNION ALL
+                SELECT 'events.user_id->customer.c_custkey',
+                       (SELECT count(*) FROM a4),
+                       (SELECT count(*) FROM b4),
+                       (SELECT count(*) FROM a4 JOIN b4 USING (k))
+            )
+            SELECT pair,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CASE WHEN n_a > 0 THEN
+                       round(CAST(n_common AS DOUBLE) / n_a, 6) END
+                       AS containment_a,
+                   CASE WHEN n_b > 0 THEN
+                       round(CAST(n_common AS DOUBLE) / n_b, 6) END
+                       AS containment_b,
+                   CASE WHEN n_a + n_b - n_common > 0 THEN
+                       round(CAST(n_common AS DOUBLE)
+                             / (n_a + n_b - n_common), 6) END AS jaccard
+            FROM raw
+        """,
         # two-sample KS per event type between time halves; only types
         # present in BOTH halves emit (no defined statistic otherwise);
         # NULL ts/type/value drop (sibling event-op contract)

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "value_zscore_outliers",
     "value_mad_outliers",
     "ks_value_drift",
+    "join_key_overlap",
     "unigram_logprob",
     "bigram_pmi",
     "bigram_perplexity",

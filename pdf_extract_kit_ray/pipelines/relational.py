@@ -3531,3 +3531,127 @@ def part_skyline(sf_dir: str) -> "ray.data.Dataset":
         "revenue": pc.divide(pc.cast(merged.column("rev_c").take(idx),
                                      pa.float64(), safe=False), 100.0),
         "quantity": merged.column("qty").take(idx)}))
+
+
+def join_key_overlap(sf_dir: str) -> "ray.data.Dataset":
+    """Join-key overlap discovery across the schema's candidate join
+    pairs: for each (fact.key -> dim.key) pair, the distinct-key counts
+    of both sides, the intersection size, both containment ratios and
+    the Jaccard — the data-discovery profile (LSH-Ensemble / Aurum
+    family) that tells a pipeline author whether a join is total,
+    partial, or bogus BEFORE paying the shuffle, and the referential-
+    integrity number (containment_a < 1.0 = dangling foreign keys).
+
+    Scale shape: each table scans ONCE and emits per-batch DISTINCT
+    (pair, key, in_fact, in_dim) rows for every role the table plays;
+    one coarse shuffle hashed on the key co-locates a key's occurrences
+    across both sides (max-combine the flags), then per-batch count
+    partials reduce through a #pairs-sized groupby.  A zero-row seed
+    per pair keeps all pairs present (and the schema typed) on empty
+    input.  NULL keys drop on both engines (NULLs never join)."""
+    from ray.data.aggregate import Sum
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.num import round6
+
+    PAIR_NAMES = [
+        "orders.o_custkey->customer.c_custkey",
+        "lineitem.l_partkey->part.p_partkey",
+        "lineitem.l_suppkey->supplier.s_suppkey",
+        "lineitem.l_orderkey->orders.o_orderkey",
+        "events.user_id->customer.c_custkey",
+    ]
+    # table -> [(pair_id, column, is_fact)]
+    ROLES = {
+        "lineitem": [(1, "l_partkey", True), (2, "l_suppkey", True),
+                     (3, "l_orderkey", True)],
+        "orders": [(0, "o_custkey", True), (3, "o_orderkey", False)],
+        "customer": [(0, "c_custkey", False), (4, "c_custkey", False)],
+        "part": [(1, "p_partkey", False)],
+        "supplier": [(2, "s_suppkey", False)],
+        "events": [(4, "user_id", True)],
+    }
+
+    def make_emit(roles):
+        def emit(batch: pa.Table) -> pa.Table:
+            parts = []
+            for pid, col, is_fact in roles:
+                keys = pc.unique(pc.drop_null(batch.column(col)))
+                n = len(keys)
+                parts.append(pa.table({
+                    "pair_id": pa.array(np.full(n, pid, np.int64)),
+                    "key": pc.cast(keys, pa.int64()),
+                    "fa": pa.array(
+                        np.full(n, 1 if is_fact else 0, np.int64)),
+                    "fb": pa.array(
+                        np.full(n, 0 if is_fact else 1, np.int64)),
+                }))
+            return pa.concat_tables(parts)
+        return emit
+
+    scans = []
+    for table, roles in ROLES.items():
+        cols = sorted({c for _, c, _ in roles})
+        scans.append(sized_read_parquet(f"{sf_dir}/{table}.parquet",
+                                        columns=cols)
+                     .map_batches(make_emit(roles),
+                                  batch_format="pyarrow"))
+    tagged = scans[0].union(*scans[1:])
+
+    per_key = coarse_grouped_aggregate(
+        tagged, ["pair_id", "key"],
+        [("fa", "max", "fa"), ("fb", "max", "fb")],
+        hash_cols=["key"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        fa = batch.column("fa")
+        fb = batch.column("fb")
+        t = pa.table({
+            "pair_id": batch.column("pair_id"),
+            "pa_": fa,
+            "pb_": fb,
+            "pc_": pc.multiply(fa, fb),
+        })
+        g = t.group_by("pair_id").aggregate(
+            [("pa_", "sum"), ("pb_", "sum"), ("pc_", "sum")])
+        return g.rename_columns(["pair_id", "pa_", "pb_", "pc_"])
+
+    seed = pa.table({
+        "pair_id": pa.array(np.arange(len(PAIR_NAMES), dtype=np.int64)),
+        "pa_": pa.array(np.zeros(len(PAIR_NAMES), np.int64)),
+        "pb_": pa.array(np.zeros(len(PAIR_NAMES), np.int64)),
+        "pc_": pa.array(np.zeros(len(PAIR_NAMES), np.int64)),
+    })
+    agg = (per_key.map_batches(count_partial, batch_format="pyarrow")
+           .union(ray.data.from_arrow(seed))
+           .groupby("pair_id")
+           .aggregate(Sum("pa_", alias_name="n_a"),
+                      Sum("pb_", alias_name="n_b"),
+                      Sum("pc_", alias_name="n_common")))
+
+    names = pa.array(PAIR_NAMES, pa.string())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pid = batch.column("pair_id").to_numpy().astype(np.int64)
+        na = batch.column("n_a").to_numpy().astype(np.int64)
+        nb = batch.column("n_b").to_numpy().astype(np.int64)
+        ncm = batch.column("n_common").to_numpy().astype(np.int64)
+        uni = na + nb - ncm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ca = np.where(na > 0, ncm.astype(np.float64) / na, np.nan)
+            cb = np.where(nb > 0, ncm.astype(np.float64) / nb, np.nan)
+            jc = np.where(uni > 0, ncm.astype(np.float64) / uni, np.nan)
+        def _opt(v):
+            arr = pa.array(v, pa.float64())
+            return round6(pc.if_else(pa.array(np.isnan(v)),
+                                     pa.scalar(None, pa.float64()), arr))
+        return pa.table({
+            "pair": names.take(pa.array(pid, pa.int64())),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "n_common": pa.array(ncm, pa.int64()),
+            "containment_a": _opt(ca),
+            "containment_b": _opt(cb),
+            "jaccard": _opt(jc),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
