@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_outliers": relational.value_mad_outliers,
         "ks_value_drift": streaming.ks_value_drift,
         "join_key_overlap": relational.join_key_overlap,
+        "part_triangles": relational.part_triangles,
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
@@ -798,6 +799,43 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # robust MAD outliers: exact-integer median/MAD via
         # percentile_disc, integer threshold comparison in both engines
+        # exact triangle count + local clustering per co-purchase node;
+        # the twin enumerates triangles in plain key order (the set is
+        # orientation-invariant); clustering pinned 0.0 for degree < 2
+        "part_triangles": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pr AS (
+                SELECT a.l_partkey AS pa_, b.l_partkey AS pb_
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), tri AS (
+                SELECT e1.pa_ AS x, e1.pb_ AS y, e2.pb_ AS z
+                FROM pr e1
+                JOIN pr e2 ON e2.pa_ = e1.pb_
+                JOIN pr e3 ON e3.pa_ = e1.pa_ AND e3.pb_ = e2.pb_
+            ), pt AS (
+                SELECT x AS part FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ), tc AS (
+                SELECT part, count(*) AS nt FROM pt GROUP BY 1
+            ), deg AS (
+                SELECT part, count(*) AS degree
+                FROM (SELECT pa_ AS part FROM pr
+                      UNION ALL SELECT pb_ FROM pr)
+                GROUP BY 1
+            )
+            SELECT d.part AS p_partkey,
+                   CAST(d.degree AS BIGINT) AS degree,
+                   CAST(COALESCE(tc.nt, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.degree >= 2 THEN
+                       round(CAST(COALESCE(tc.nt, 0) AS DOUBLE) * 2.0
+                             / (d.degree * (d.degree - 1)), 6)
+                   ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN tc ON tc.part = d.part
+        """,
         # join-key overlap discovery: distinct-set sizes, intersection,
         # containment both ways and Jaccard per candidate join pair;
         # NULL keys drop (NULLs never join)

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "part_affinity_pairs",
     "part_affinity_lift",
     "part_communities",
+    "part_triangles",
     "uniform_sample",
     "token_budget_mixture",
     "nation_year_rollup",
