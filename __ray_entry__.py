@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_filter": curation.quality_percentile_filter,
         "quality_weighted_sample": curation.quality_weighted_sample,
         "nb_quality_scores": curation.nb_quality_scores,
+        "logreg_quality_scores": curation.logreg_quality_scores,  # non-SQL (iterative GD)
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "paragraph_dedup": dedup.paragraph_dedup,

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "quality_percentile_filter",
     "dsir_weights",
     "nb_quality_scores",
+    "logreg_quality_scores",
     "numeric_correlations",
     "integrity_report",
     "source_divergence",

@@ -1489,3 +1489,151 @@ def nb_quality_scores(sf_dir: str,
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def _logreg_tokenize(batch: pa.Table, dim: int):
+    """Shared tokenizer+hasher for the logistic-regression family: str.split
+    tokens hashed into ``dim`` buckets (the hashing trick), uniqued per doc
+    (binary features).  Returns (parent_row, bucket) int64 arrays sorted by
+    (row, bucket) — THE pinned dot-product summation order."""
+    import numpy as np
+    from .dedup import _string_coarse_hash
+
+    split = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+        pc.fill_null(batch.column("text"), "")))
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parent = parent.filter(keep).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if len(flat) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    bucket = _string_coarse_hash(flat.combine_chunks()
+                                 if isinstance(flat, pa.ChunkedArray)
+                                 else flat, dim).astype(np.int64)
+    packed = np.unique(parent * dim + bucket)
+    return packed // dim, packed % dim
+
+
+def _logreg_sigmoid(dot):
+    """Numerically-stable sigmoid, the SAME branch split in the engine and
+    the in-test reference so results are bit-identical."""
+    import numpy as np
+    out = np.empty_like(dot)
+    pos = dot >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-dot[pos]))
+    e = np.exp(dot[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def logreg_quality_scores(sf_dir: str,
+                          pos_sources: tuple = ("src0", "src1", "src2",
+                                                "src3", "src4"),
+                          dim: int = 128,
+                          iters: int = 6,
+                          lr: float = 0.5) -> "ray.data.Dataset":
+    """Weak-supervision quality classifier, logistic-regression form —
+    the iterative-optimization sibling of ``nb_quality_scores``: binary
+    hashed bag-of-words features (``dim`` buckets + bias), weak labels
+    from ``pos_sources``, trained with ``iters`` rounds of full-batch
+    gradient descent and scored over every document.  Output (doc_id,
+    lr_score, pred_pos).
+
+    Scale shape (the distributed-GD template): each round broadcasts the
+    (dim+1)-double weight vector via ``ray.put``, a pure map computes
+    per-batch gradient partials, and the partials reduce through a
+    dim-bounded rollup pulled to the driver (kilobytes at any corpus
+    size) — ``iters`` streamed passes over the corpus, no corpus-sized
+    state, no shuffle of the fact data.  At 100 TB you'd train on a
+    doc_id-hash sample (one extra filter in the training read) and still
+    score everything; the full-batch form is kept here because it is
+    exactly reproducible.
+
+    Determinism contract (why this hash-matches run-to-run while a
+    textbook float GD would not): per-row residuals snap to integer
+    MICRO-UNITS before entering the gradient, so partials are exact
+    int64 sums — independent of batch boundaries AND reduce order; the
+    dot product sums weights in ascending bucket order (pinned by the
+    tokenizer); weight updates happen once per round on the driver in
+    float64.  tests/test_logreg.py replays the identical math
+    single-node and asserts bit-equality."""
+    import numpy as np
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ray.data.aggregate import Sum
+
+    out_schema = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lr_score": pa.array([], pa.float64()),
+        "pred_pos": pa.array([], pa.int64())})
+    pos_set = pa.array(sorted(set(pos_sources)), pa.string())
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    tot = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        count_partial, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n")) or {}
+    n_docs = int(tot.get("n") or 0)
+    if n_docs == 0:
+        return ray.data.from_arrow(out_schema)
+
+    def make_grad(w_ref):
+        def grad_partial(batch: pa.Table) -> pa.Table:
+            w = ray.get(w_ref)
+            rows, buck = _logreg_tokenize(batch, dim)
+            n = batch.num_rows
+            dot = np.bincount(rows, weights=w[buck],
+                              minlength=n) + w[dim]
+            y = pc.fill_null(pc.is_in(batch.column("source"),
+                                      value_set=pos_set), False) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            r = _logreg_sigmoid(dot) - y
+            # per-ROW micro-snap (half away from zero): partials become
+            # exact ints, immune to batch boundaries and reduce order
+            r_int = np.where(r >= 0, np.floor(r * 1e6 + 0.5),
+                             np.ceil(r * 1e6 - 0.5)).astype(np.int64)
+            g = np.bincount(buck, weights=r_int[rows].astype(np.float64),
+                            minlength=dim).astype(np.int64)
+            gi = np.concatenate([g, [r_int.sum()]])
+            return pa.table({"j": pa.array(np.arange(dim + 1,
+                                                     dtype=np.int64)),
+                             "g": pa.array(gi, pa.int64())})
+        return grad_partial
+
+    w = np.zeros(dim + 1, np.float64)
+    for _ in range(iters):
+        w_ref = ray.put(w)
+        grads = coarse_grouped_aggregate(
+            _read_docs(sf_dir, ["text", "source"]).map_batches(
+                make_grad(w_ref), batch_format="pyarrow"),
+            "j", [("g", "sum", "g")])
+        gt = pa.concat_tables(
+            [pa.table({"j": pa.array([], pa.int64()),
+                       "g": pa.array([], pa.int64())})]
+            + list(grads.iter_batches(batch_format="pyarrow")))
+        G = np.zeros(dim + 1, np.float64)
+        jv = gt.column("j").to_numpy().astype(np.int64)
+        G[jv] = gt.column("g").to_numpy().astype(np.float64)
+        w = w - lr * (G / 1e6) / n_docs
+
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema
+        wv = ray.get(w_ref)
+        rows, buck = _logreg_tokenize(batch, dim)
+        dot = np.bincount(rows, weights=wv[buck],
+                          minlength=batch.num_rows) + wv[dim]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lr_score": round6(pa.array(_logreg_sigmoid(dot),
+                                        pa.float64())),
+            "pred_pos": pa.array((dot >= 0).astype(np.int64), pa.int64()),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        score, batch_format="pyarrow")
