@@ -178,6 +178,15 @@ def _doc_modality_mix(sf_dir: str):
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def _interleaved_pack_plan(sf_dir: str):
+    """Multimodal concat-and-chunk packing over the raw interleaved
+    corpus (pipelines/curation.interleaved_pack_plan): text tokens +
+    64 vision tokens per media span, global offsets via the shared
+    distributed prefix scan."""
+    from pdf_extract_kit_ray.pipelines.curation import interleaved_pack_plan
+    return interleaved_pack_plan(_corpus_path(sf_dir))
+
+
 def _extract_markdown(sf_dir: str):
     """Markdown projection of the flagship extraction (reference S8:
     per-page convert2md + '\\n\\n' join, pdf2markdown.py:341-347)."""
@@ -252,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts": _span_kind_counts,
         "extract_kind_counts_lmv3": _span_kind_counts_lmv3,
         "doc_modality_mix": _doc_modality_mix,
+        "interleaved_pack_plan": _interleaved_pack_plan,
         "extract_markdown": _extract_markdown,
         "extract_spans": _extract_spans_flat,
         "table_sources": _table_sources,
@@ -534,6 +544,53 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    COALESCE(media_frac, 0.0) AS media_frac
             FROM (SELECT doc_id FROM read_parquet('{raw_glob}')) d
             LEFT JOIN agg USING (doc_id)
+        """,
+        # multimodal concat-and-chunk packing over the raw corpus:
+        # cost = str.split tokens + 64 per media:// span; offsets are a
+        # SUM window in bytewise doc_id order (zero-padded ids, so string
+        # order == numeric order); zero-span docs cost 0 via COALESCE
+        "interleaved_pack_plan": f"""
+            WITH ex AS (
+                SELECT doc_id, unnest(spans) AS s
+                FROM read_parquet('{raw_glob}')
+            ), per_span AS (
+                SELECT doc_id,
+                       CASE WHEN s.text IS NULL
+                            OR regexp_replace(s.text,
+                                              '^\\s+|\\s+$', '', 'g') = ''
+                            THEN 0
+                            ELSE length(string_split_regex(
+                                regexp_replace(s.text,
+                                               '^\\s+|\\s+$', '', 'g'),
+                                '\\s+')) END AS toks,
+                       CASE WHEN s.media_ref LIKE 'media://%'
+                            THEN 1 ELSE 0 END AS im
+                FROM ex
+            ), agg AS (
+                SELECT doc_id, sum(toks) AS nt, sum(im) AS nm
+                FROM per_span GROUP BY 1
+            ), pd AS (
+                SELECT d.doc_id,
+                       COALESCE(CAST(nt AS BIGINT), 0) AS n_text_tokens,
+                       COALESCE(CAST(nm AS BIGINT), 0) AS n_media_spans,
+                       COALESCE(CAST(nt AS BIGINT), 0)
+                           + 64 * COALESCE(CAST(nm AS BIGINT), 0) AS cost
+                FROM (SELECT doc_id FROM read_parquet('{raw_glob}')) d
+                LEFT JOIN agg USING (doc_id)
+            ), sc AS (
+                SELECT *,
+                       CAST(COALESCE(sum(cost) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS cost_start
+                FROM pd
+            )
+            SELECT doc_id, n_text_tokens, n_media_spans, cost,
+                   cost_start,
+                   cost_start // 2048 AS seq_id,
+                   cost_start % 2048 AS seq_off
+            FROM sc
         """,
         # Flagship full-content equality, flattened: every span of every
         # doc vs the materialized golden through SCALAR columns (offset

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "extract_flagship",
     "extract_kind_counts_lmv3",
     "doc_modality_mix",
+    "interleaved_pack_plan",
     "table_sources",
     "reference_json",
     "q1_pricing_summary",

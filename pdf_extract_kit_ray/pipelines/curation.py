@@ -1637,3 +1637,99 @@ def logreg_quality_scores(sf_dir: str,
 
     return _read_docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
         score, batch_format="pyarrow")
+
+
+def interleaved_pack_plan(corpus_dir: str, budget: int = 2048,
+                          media_tokens: int = 64,
+                          n_buckets: int = 1 << 12) -> "ray.data.Dataset":
+    """Multimodal sequence packing over the north-rule interleaved corpus:
+    every document costs ``n_text_tokens + media_tokens * n_media_spans``
+    context slots (text spans tokenize by the str.split contract; each
+    ``media://`` span pays the fixed vision-token budget a multimodal LM
+    spends per image), and docs pack concat-and-chunk in doc_id order —
+    global cost offset, sequence id and in-sequence offset per doc.  The
+    bookkeeping an interleaved text+image pre-training run needs, without
+    concatenating anything (the multimodal extension of
+    ``sequence_pack``).
+
+    Scale shape: one pure vectorized map turns each doc row into a
+    4-int row (spans flatten once; token counts and media flags reduce by
+    parent with bincounts), then the shared two-phase distributed prefix
+    scan (functions/scan.py) assigns global offsets — driver state is
+    O(n_buckets) ints, one hash shuffle of int rows, no global sort.
+    Buckets key on the doc_id's numeric suffix (the corpus id scheme
+    ``doc-%08d``, zero-padded so bytewise doc_id order == numeric order);
+    in-bucket ordering uses the doc_id string itself, bytewise like the
+    twin's ORDER BY.
+
+    Null contract: zero-span docs (and NULL span text) cost 0 and still
+    occupy a row (COALESCE left join in the twin)."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+    from ..functions.scan import int_range_buckets, ordered_prefix_scan
+    from .text import _token_count
+
+    ds = ray.data.read_parquet(corpus_dir, columns=["doc_id", "spans"])
+
+    def cost_map(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        toks = pc.fill_null(pc.cast(
+            _token_count(flat.field("text")), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        im = pc.fill_null(pc.starts_with(flat.field("media_ref"),
+                                         "media://"), False) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_text = np.bincount(par, weights=toks,
+                             minlength=n).astype(np.int64)
+        n_media = np.bincount(par, weights=im,
+                              minlength=n).astype(np.int64)
+        did = pc.cast(pc.utf8_slice_codeunits(
+            batch.column("doc_id"), 4), pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "did": did,
+            "n_text_tokens": pa.array(n_text, pa.int64()),
+            "n_media_spans": pa.array(n_media, pa.int64()),
+            "cost": pa.array(n_text + media_tokens * n_media, pa.int64()),
+        })
+
+    costs = ds.map_batches(cost_map, batch_format="pyarrow").materialize()
+
+    empty_out = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "n_text_tokens": pa.array([], pa.int64()),
+        "n_media_spans": pa.array([], pa.int64()),
+        "cost": pa.array([], pa.int64()),
+        "cost_start": pa.array([], pa.int64()),
+        "seq_id": pa.array([], pa.int64()),
+        "seq_off": pa.array([], pa.int64()),
+    })
+    bounds = costs.aggregate(Min("did"), Max("did")) or {}
+    if bounds.get("min(did)") is None:
+        return ray.data.from_arrow(empty_out)
+    lo, hi = int(bounds["min(did)"]), int(bounds["max(did)"])
+
+    scanned = ordered_prefix_scan(
+        costs, ["doc_id"], int_range_buckets("did", lo, hi, n_buckets),
+        value_col="cost", out_col="cost_start")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        cs = batch.column("cost_start").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_text_tokens": batch.column("n_text_tokens"),
+            "n_media_spans": batch.column("n_media_spans"),
+            "cost": batch.column("cost"),
+            "cost_start": batch.column("cost_start"),
+            "seq_id": pa.array(cs // budget, pa.int64()),
+            "seq_off": pa.array(cs % budget, pa.int64()),
+        })
+
+    return scanned.map_batches(pack, batch_format="pyarrow")
