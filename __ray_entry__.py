@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore_outliers": streaming.value_zscore_outliers,
         "value_mad_outliers": relational.value_mad_outliers,
         "ks_value_drift": streaming.ks_value_drift,
+        "value_cusum_changepoint": streaming.value_cusum_changepoint,
         "join_key_overlap": relational.join_key_overlap,
         "part_triangles": relational.part_triangles,
         "events_daily_pivot": streaming.events_daily_pivot,
@@ -960,6 +961,43 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        round(CAST(n_common AS DOUBLE)
                              / (n_a + n_b - n_common), 6) END AS jaccard
             FROM raw
+        """,
+        # CUSUM changepoint per type: both engines maximize the exact
+        # integer statistic |n*prefix_cents - i*total_cents| over the
+        # (ts, event_id) order, earliest-i tie; one double division at
+        # the end.  NULL ts/type/value drop (sibling contract)
+        "value_cusum_changepoint": """
+            WITH ev AS (
+                SELECT event_id, ts, event_type,
+                       CAST(floor(value * 100.0) AS BIGINT) AS vc
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  AND value IS NOT NULL
+            ), tot AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(vc) AS BIGINT) AS tc
+                FROM ev GROUP BY 1
+            ), sc AS (
+                SELECT event_type, ts,
+                       CAST(sum(vc) OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS pci,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                                               ORDER BY ts, event_id)
+                            AS BIGINT) AS i
+                FROM ev
+            ), s AS (
+                SELECT sc.event_type, ts, i, n,
+                       abs(n * pci - i * tc) AS abss
+                FROM sc JOIN tot USING (event_type)
+            )
+            SELECT event_type, n, i AS change_idx, ts AS change_ts,
+                   round(CAST(abss AS DOUBLE) / n / 100.0, 6)
+                       AS cusum_max
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abss DESC, i ASC) = 1
         """,
         # two-sample KS per event type between time halves; only types
         # present in BOTH halves emit (no defined statistic otherwise);

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "value_zscore_outliers",
     "value_mad_outliers",
     "ks_value_drift",
+    "value_cusum_changepoint",
     "join_key_overlap",
     "unigram_logprob",
     "bigram_pmi",

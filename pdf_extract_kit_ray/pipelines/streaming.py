@@ -2352,3 +2352,192 @@ def ks_value_drift(sf_dir: str) -> "ray.data.Dataset":
     return (ds.map_batches(hist_partial, batch_format="pyarrow")
             .groupby("event_type")
             .map_groups(ks_kernel, batch_format="pyarrow"))
+
+
+def value_cusum_changepoint(sf_dir: str,
+                            n_ts_buckets: int = 1 << 10) -> "ray.data.Dataset":
+    """CUSUM changepoint per event type: over the type's events in
+    (ts, event_id) order, the cumulative sum of deviations from the type
+    mean peaks at the most likely level-shift point — Page's classic
+    changepoint statistic.  Reports, per type, the argmax row (1-based
+    index and its timestamp) and the normalized peak |CUSUM| in value
+    units.
+
+    Exact-integer form (why this hash-matches across engines): instead of
+    the float mean, both engines maximize |S_i| where
+
+        S_i = n_t * prefix_cents_i  -  i * total_cents_t
+
+    (= n_t * CUSUM_i, all int64 — the assert guards the n*total head-
+    room), tie broken to the EARLIEST i; the one double division
+    |S|/n/100 happens once at the end, in the twin's operation order.
+
+    Scale shape: per-type ordering never sits in one kernel — a pass-0
+    rollup (#types rows) fixes the type order, per-type totals and the
+    ts range; the shared distributed prefix scan (functions/scan.py)
+    then assigns GLOBAL exclusive value- and row-prefixes over the
+    (type, ts, event_id) total order in two int-row shuffles, and the
+    driver-side per-type offsets (prefix of the pass-0 totals) convert
+    global prefixes to per-type ones inside a pure map.  Per-batch
+    argmax partials reduce through a #types groupby.  NULL
+    ts/type/value rows drop (sibling contract)."""
+    from ray.data.aggregate import Max, Min, Sum
+    from ..functions.joins import lookup_np, make_lookup
+    from ..functions.num import round6
+    from ..functions.scan import ordered_prefix_scan
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "event_type",
+                                     "value"])
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(pc.and_(
+            pc.is_valid(batch.column("ts")),
+            pc.is_valid(batch.column("event_type"))),
+            pc.is_valid(batch.column("value"))))
+
+    # pass 0: per-type (n, total_cents) + ts range, one tiny rollup
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64()),
+                             "pc_": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        tus = pc.cast(batch.column("ts"), pa.int64())
+        vc = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)),
+                     pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "pn": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "pc_": vc, "mn": tus, "mx": tus})
+        g = t.group_by("event_type").aggregate(
+            [("pn", "sum"), ("pc_", "sum"), ("mn", "min"), ("mx", "max")])
+        return g.rename_columns(["event_type", "pn", "pc_", "mn", "mx"])
+
+    tot = (ds.map_batches(tot_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("pc_", alias_name="tc"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx")))
+    tot_tab = pa.concat_tables(
+        [pa.table({"event_type": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "tc": pa.array([], pa.int64()),
+                   "mn": pa.array([], pa.int64()),
+                   "mx": pa.array([], pa.int64())})]
+        + [b.select(["event_type", "n", "tc", "mn", "mx"])
+           for b in tot.iter_batches(batch_format="pyarrow")])
+    empty_out = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "change_idx": pa.array([], pa.int64()),
+        "change_ts": pa.array([], pa.timestamp("us")),
+        "cusum_max": pa.array([], pa.float64()),
+    })
+    if tot_tab.num_rows == 0:
+        return ray.data.from_arrow(empty_out)
+    order = pc.sort_indices(tot_tab.column("event_type"))
+    tot_tab = tot_tab.take(order)
+    types = tot_tab.column("event_type").to_pylist()
+    n_t = tot_tab.column("n").to_numpy().astype(np.int64)
+    tc_t = tot_tab.column("tc").to_numpy().astype(np.int64)
+    # int64 headroom for n_t * prefix_c and i * tc_t (fail loudly at the
+    # scale where the packed statistic would need int128)
+    assert (n_t.astype(np.float64)
+            * np.abs(tc_t).astype(np.float64)).max() < 2**62, \
+        "value_cusum_changepoint: n*total_cents exceeds int64 headroom"
+    off_n = np.r_[0, np.cumsum(n_t)[:-1]]
+    off_c = np.r_[0, np.cumsum(tc_t)[:-1]]
+    ts_lo = int(pc.min(tot_tab.column("mn")).as_py())
+    ts_hi = int(pc.max(tot_tab.column("mx")).as_py())
+    width = max(1, (ts_hi - ts_lo + n_ts_buckets) // n_ts_buckets)
+    tmap = {t: i for i, t in enumerate(types)}
+    ttab = make_lookup(types, np.arange(len(types), dtype=np.int64))
+    n_ref = ray.put(n_t)
+    tc_ref = ray.put(tc_t)
+    offn_ref = ray.put(off_n)
+    offc_ref = ray.put(off_c)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        tus = pc.cast(batch.column("ts"), pa.int64())
+        tidx = pa.array(lookup_np(batch.column("event_type"), ttab)
+                        .astype(np.int64), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "tidx": tidx,
+            "tus": tus,
+            "event_id": batch.column("event_id"),
+            "vc": pc.cast(pc.floor(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64()),
+        })
+
+    def bucket_fn(batch: pa.Table) -> np.ndarray:
+        ti = batch.column("tidx").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tu = batch.column("tus").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return ti * n_ts_buckets + (tu - ts_lo) // width
+
+    sort_cols = ["tidx", "tus", "event_id"]
+    scanned = ordered_prefix_scan(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        sort_cols, bucket_fn, value_col="vc", out_col="gpc")
+    scanned = ordered_prefix_scan(
+        scanned, sort_cols, bucket_fn, value_col=None, out_col="grn")
+
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        """Per-batch argmax partial: |S_i| max with earliest-i tie."""
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "i": pa.array([], pa.int64()),
+                          "tus": pa.array([], pa.int64()),
+                          "abss": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ti = batch.column("tidx").to_numpy().astype(np.int64)
+        nn = ray.get(n_ref)
+        tc = ray.get(tc_ref)
+        on = ray.get(offn_ref)
+        oc = ray.get(offc_ref)
+        pci = batch.column("gpc").to_numpy().astype(np.int64) \
+            - oc[ti] + batch.column("vc").to_numpy().astype(np.int64)
+        i = batch.column("grn").to_numpy().astype(np.int64) - on[ti] + 1
+        s = nn[ti] * pci - i * tc[ti]
+        abss = np.abs(s)
+        # per-type best within the batch: lexsort (type, -abss, i)
+        o = np.lexsort((i, -abss, ti))
+        ti_s = ti[o]
+        first = np.r_[True, ti_s[1:] != ti_s[:-1]]
+        sel = o[first]
+        return pa.table({
+            "event_type": batch.column("event_type").take(
+                pa.array(sel, pa.int64())),
+            "i": pa.array(i[sel], pa.int64()),
+            "tus": batch.column("tus").take(pa.array(sel, pa.int64())),
+            "abss": pa.array(abss[sel], pa.int64()),
+        })
+
+    def best(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        idx = pc.sort_indices(group, sort_keys=[
+            ("abss", "descending"), ("i", "ascending")])
+        g = group.take(idx).slice(0, 1)
+        t = g.column("event_type")[0].as_py()
+        k = tmap[t]
+        nval = int(n_t[k])
+        s_abs = float(g.column("abss")[0].as_py())
+        return pa.table({
+            "event_type": pa.array([t], pa.string()),
+            "n": pa.array([nval], pa.int64()),
+            "change_idx": g.column("i"),
+            "change_ts": pc.cast(g.column("tus"), pa.timestamp("us")),
+            "cusum_max": round6(pa.array([s_abs / nval / 100.0],
+                                         pa.float64())),
+        })
+
+    return (scanned.map_batches(cand_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(best, batch_format="pyarrow"))
