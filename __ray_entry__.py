@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_weighted_sample": curation.quality_weighted_sample,
         "nb_quality_scores": curation.nb_quality_scores,
         "logreg_quality_scores": curation.logreg_quality_scores,  # non-SQL (iterative GD)
+        "term_label_mi": curation.term_label_mi,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "paragraph_dedup": dedup.paragraph_dedup,
@@ -2642,6 +2643,63 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # log-odds snapped to micro-ints (half away from zero) so per-doc
         # sums are exact integer math in both engines; OOV terms score 0;
         # docs with no vocab tokens keep the prior-only score
+        # MI between doc-level term presence and the weak label: both
+        # engines evaluate the four 2x2 cell terms in the same pinned
+        # left-to-right + chain (zero cells contribute 0), then 6dp-snap
+        "term_label_mi": """
+            WITH tok0 AS (
+                SELECT doc_id, source,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), tok AS (
+                SELECT DISTINCT doc_id, source, term FROM tok0
+            ), cls AS (
+                SELECT term,
+                       sum(CASE WHEN source IN ('src0','src1','src2',
+                                                'src3','src4')
+                                THEN 1 ELSE 0 END) AS a,
+                       count(*) AS ab
+                FROM tok GROUP BY 1
+            ), vocab AS (
+                SELECT term, CAST(a AS BIGINT) AS a,
+                       CAST(ab AS BIGINT) AS ab
+                FROM cls ORDER BY ab DESC, term LIMIT 256
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN source IN ('src0','src1','src2',
+                                                     'src3','src4')
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS np_
+                FROM documents
+            )
+            SELECT term, ab AS n_docs_with, a AS n_pos_with,
+                   round(
+                     (CASE WHEN a > 0 AND ab > 0 AND np_ > 0 THEN
+                        (CAST(a AS DOUBLE) / n)
+                        * ln(CAST(a AS DOUBLE) * n
+                             / (CAST(ab AS DOUBLE) * np_))
+                      ELSE 0.0 END
+                      + CASE WHEN ab - a > 0 AND ab > 0
+                                  AND n - np_ > 0 THEN
+                          (CAST(ab - a AS DOUBLE) / n)
+                          * ln(CAST(ab - a AS DOUBLE) * n
+                               / (CAST(ab AS DOUBLE) * (n - np_)))
+                        ELSE 0.0 END
+                      + CASE WHEN np_ - a > 0 AND n - ab > 0
+                                  AND np_ > 0 THEN
+                          (CAST(np_ - a AS DOUBLE) / n)
+                          * ln(CAST(np_ - a AS DOUBLE) * n
+                               / (CAST(n - ab AS DOUBLE) * np_))
+                        ELSE 0.0 END
+                      + CASE WHEN (n - np_) - (ab - a) > 0
+                                  AND n - ab > 0 AND n - np_ > 0 THEN
+                          (CAST((n - np_) - (ab - a) AS DOUBLE) / n)
+                          * ln(CAST((n - np_) - (ab - a) AS DOUBLE) * n
+                               / (CAST(n - ab AS DOUBLE) * (n - np_)))
+                        ELSE 0.0 END), 6) AS mi
+            FROM vocab CROSS JOIN tot
+        """,
         "nb_quality_scores": """
             WITH tok AS (
                 SELECT doc_id, source,

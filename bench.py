@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "nb_quality_scores",
     "logreg_quality_scores",
+    "term_label_mi",
     "numeric_correlations",
     "integrity_report",
     "source_divergence",

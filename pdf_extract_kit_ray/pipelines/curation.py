@@ -1733,3 +1733,105 @@ def interleaved_pack_plan(corpus_dir: str, budget: int = 2048,
         })
 
     return scanned.map_batches(pack, batch_format="pyarrow")
+
+
+def term_label_mi(sf_dir: str,
+                  pos_sources: tuple = ("src0", "src1", "src2",
+                                        "src3", "src4"),
+                  vocab_k: int = 256) -> "ray.data.Dataset":
+    """Mutual information between term PRESENCE and the weak quality
+    label, per top-``vocab_k`` term — the feature-selection report behind
+    the classifier family (nb/logreg): which words actually carry the
+    quality signal.  For each term the doc-level 2x2 contingency
+    (present/absent x pos/neg) yields
+
+        MI = sum_cells (cell/n) * ln(cell*n / (row_tot*col_tot))
+
+    in nats, zero-cell terms contributing 0.  Output (term, n_docs_with,
+    n_pos_with, mi).
+
+    Scale shape: ONE coarse term shuffle of per-batch DISTINCT
+    (doc, term) presence partials (a doc is one row, so per-batch
+    dedup is exact), a vocab_k-bounded sort+limit pull, one scalar doc
+    rollup, and a driver-side K-row finish — kilobytes of driver state
+    at any corpus size.  The MI doubles evaluate the four cell terms in
+    a pinned left-to-right order with the twin's exact expression shape,
+    then snap to 6dp.  NULL sources count as negative; NULL text docs
+    simply contribute no presences (they still count in n)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+    from ..functions.agg import coarse_grouped_aggregate
+
+    pos_set = pa.array(sorted(set(pos_sources)), pa.string())
+    empty_out = pa.table({
+        "term": pa.array([], pa.string()),
+        "n_docs_with": pa.array([], pa.int64()),
+        "n_pos_with": pa.array([], pa.int64()),
+        "mi": pa.array([], pa.float64())})
+
+    def presence_partial(batch: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.fill_null(batch.column("text"), "")))
+        flat = pc.list_flatten(split)
+        parent = pc.list_parent_indices(split)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        # exact doc-level presence: one doc == one row, dedup in-batch
+        t = pa.table({"d": parent, "term": flat}).group_by(
+            ["d", "term"]).aggregate([])
+        is_pos = pc.fill_null(pc.is_in(batch.column("source"),
+                                       value_set=pos_set), False)
+        dpos = pc.cast(is_pos.take(t.column("d")), pa.int64())
+        g = pa.table({"term": t.column("term"), "a": dpos}) \
+            .group_by("term").aggregate([("a", "sum"), ([], "count_all")])
+        return g.rename_columns(["term", "pa_", "pab"])
+
+    counts = coarse_grouped_aggregate(
+        _read_docs(sf_dir, ["text", "source"]).map_batches(
+            presence_partial, batch_format="pyarrow"),
+        "term", [("pa_", "sum", "a"), ("pab", "sum", "ab")])
+    vocab = counts.sort(["ab", "term"], descending=[True, False]) \
+        .limit(vocab_k).to_pandas()               # vocab_k-bounded pull
+    if len(vocab) == 0:
+        return ray.data.from_arrow(empty_out)
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        is_pos = pc.fill_null(pc.is_in(batch.column("source"),
+                                       value_set=pos_set), False)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "np_": pa.array([int(pc.sum(pc.cast(is_pos, pa.int64()))
+                                 .as_py() or 0)], pa.int64())})
+
+    tot = _read_docs(sf_dir, ["source"]).map_batches(
+        doc_partial, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("np_", alias_name="np_")) or {}
+    n = int(tot.get("n") or 0)
+    npos = int(tot.get("np_") or 0)
+
+    a = vocab["a"].to_numpy().astype(np.int64)
+    ab = vocab["ab"].to_numpy().astype(np.int64)
+    b = ab - a
+    c = npos - a
+    d = (n - npos) - b
+
+    def cell(cnt, rt, ct):
+        cnt = cnt.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = (cnt / n) * np.log(cnt * n / (rt.astype(np.float64) * ct))
+        return np.where((cnt > 0) & (rt > 0) & (ct > 0), v, 0.0)
+
+    # pinned left-to-right cell order: (present,pos) + (present,neg)
+    # + (absent,pos) + (absent,neg) — matches the twin's + chain
+    mi = ((cell(a, ab, npos) + cell(b, ab, n - npos))
+          + cell(c, n - ab, npos)) + cell(d, n - ab, n - npos)
+    from ..functions.num import round6
+    return ray.data.from_arrow(pa.table({
+        "term": pa.array(vocab["term"].tolist(), pa.string()),
+        "n_docs_with": pa.array(ab, pa.int64()),
+        "n_pos_with": pa.array(a, pa.int64()),
+        "mi": round6(pa.array(mi, pa.float64())),
+    }))
