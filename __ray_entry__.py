@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_cusum_changepoint": streaming.value_cusum_changepoint,
         "join_key_overlap": relational.join_key_overlap,
         "part_triangles": relational.part_triangles,
+        "part_coreness": relational.part_coreness,  # non-SQL (iterative fixpoint)
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "part_affinity_lift",
     "part_communities",
     "part_triangles",
+    "part_coreness",
     "uniform_sample",
     "token_budget_mixture",
     "nation_year_rollup",

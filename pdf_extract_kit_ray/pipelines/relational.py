@@ -3858,3 +3858,151 @@ def part_triangles(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
         "n_triangles": pa.array(nt, pa.int64()),
         "clustering": round6(pa.array(cl, pa.float64())),
     }))
+
+
+def part_coreness(sf_dir: str, min_count: int = 2,
+                  max_rounds: int = 64) -> "ray.data.Dataset":
+    """k-core decomposition of the co-purchase part graph: every node's
+    CORENESS (the largest k such that the node survives in the k-core) —
+    the degeneracy-ordering signal that separates structurally-embedded
+    products from incidentally-popular ones, completing the graph suite
+    (pagerank = centrality, components = membership, triangles =
+    cohesion, coreness = depth).  Output (p_partkey, degree, coreness).
+
+    Algorithm — iterated neighborhood H-index (Lu, Zhou, Zhang, Stanley
+    2016, "The H-index of a network node and its relation to degree and
+    coreness"): start h = degree and repeatedly set h(v) to the H-index
+    of its neighbors' h values; the sequence is monotone non-increasing
+    and converges EXACTLY to coreness — peeling with no sequential
+    dependency, so each round is one data-parallel pass.
+
+    Scale shape: the edge list shuffles ONCE into an adjacency-list
+    table (one row per node, dsts as a list column — a row is atomic, so
+    later block splits can never cut a neighborhood); every round is
+    then a PURE MAP over that materialized table (flatten + broadcast
+    gather + segmented rank count, fully vectorized) with the
+    #parts-bounded node->h array pulled and re-broadcast per round (the
+    part_affinity_lift marginal rationale).  Convergence = exact integer
+    checksum (sum of h, monotone), ``max_rounds`` a loud upper bound.
+
+    No SQL twin (iterative fixpoint); tests/test_part_coreness.py pins
+    exact equality against a single-node Batagelj-Zaversnik peeling
+    reference and a hand-computed clique+pendant graph."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    pairs = part_affinity_pairs(sf_dir, min_count=min_count) \
+        .map_batches(lambda b: b.select(["part_a", "part_b"]),
+                     batch_format="pyarrow")
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("part_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("part_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "__coarse": pa.array((src * _GOLDEN) % nc, pa.int64()),
+        })
+
+    empty_adj = pa.table({
+        "part": pa.array([], pa.int64()),
+        "dsts": pa.array([], pa.list_(pa.int64()))})
+
+    def build_adj(group: pa.Table) -> pa.Table:
+        """One src bucket -> one adjacency row per node (row-atomic)."""
+        if group.num_rows == 0:
+            return empty_adj
+        s = group.column("src").to_numpy().astype(np.int64)
+        d = group.column("dst").to_numpy().astype(np.int64)
+        o = np.argsort(s, kind="stable")
+        s, d = s[o], d[o]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        bounds = np.r_[starts, len(s)].astype(np.int64)
+        return pa.table({
+            "part": pa.array(s[starts], pa.int64()),
+            "dsts": pa.ListArray.from_arrays(
+                pa.array(bounds, pa.int32()) if len(s) < 2**31
+                else pa.array(bounds, pa.int64()),
+                pa.array(d, pa.int64())),
+        })
+
+    adj = pairs.map_batches(both_dirs, batch_format="pyarrow") \
+        .groupby("__coarse") \
+        .map_groups(build_adj, batch_format="pyarrow").materialize()
+
+    def pull_nodes(ds) -> "tuple[np.ndarray, np.ndarray]":
+        t = pa.concat_tables(
+            [pa.table({"part": pa.array([], pa.int64()),
+                       "h": pa.array([], pa.int64())})]
+            + [b.select(["part", "h"])
+               for b in ds.iter_batches(batch_format="pyarrow")])
+        p = t.column("part").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        o = np.argsort(p)
+        return p[o], h[o]
+
+    def deg_map(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": batch.column("part"),
+            "h": pc.cast(pc.list_value_length(batch.column("dsts")),
+                         pa.int64())})
+
+    parts_np, deg_np = pull_nodes(
+        adj.map_batches(deg_map, batch_format="pyarrow"))
+    empty_out = pa.table({"p_partkey": pa.array([], pa.int64()),
+                          "degree": pa.array([], pa.int64()),
+                          "coreness": pa.array([], pa.int64())})
+    if len(parts_np) == 0:
+        return ray.data.from_arrow(empty_out)
+
+    h_np = deg_np.copy()
+    checksum = int(h_np.sum())
+    for _ in range(max_rounds):
+        pk_ref = ray.put(parts_np)
+        h_ref = ray.put(h_np)
+
+        def hindex_map(batch: pa.Table) -> pa.Table:
+            """Pure map: H-index of each row's neighbor-h multiset."""
+            keys = ray.get(pk_ref)
+            hv = ray.get(h_ref)
+            dsts = batch.column("dsts")
+            if isinstance(dsts, pa.ChunkedArray):
+                dsts = dsts.combine_chunks()
+            flat = pc.list_flatten(dsts).to_numpy().astype(np.int64)
+            par = pc.list_parent_indices(dsts).to_numpy() \
+                .astype(np.int64)
+            nh = hv[np.searchsorted(keys, flat)]
+            o = np.lexsort((-nh, par))
+            par_s, nh_s = par[o], nh[o]
+            starts = np.flatnonzero(np.r_[True, par_s[1:] != par_s[:-1]])
+            sizes = np.diff(np.r_[starts, len(par_s)])
+            rank = np.arange(len(par_s), dtype=np.int64) \
+                - np.repeat(starts, sizes) + 1
+            ok = (nh_s >= rank).astype(np.int64)
+            csum = np.r_[0, np.cumsum(ok)]
+            bounds = np.r_[starts, len(par_s)]
+            hnew = np.diff(csum[bounds])
+            return pa.table({"part": batch.column("part"),
+                             "h": pa.array(hnew, pa.int64())})
+
+        parts_new, h_new = pull_nodes(
+            adj.map_batches(hindex_map, batch_format="pyarrow"))
+        assert np.array_equal(parts_new, parts_np)
+        h_np = h_new
+        new_sum = int(h_np.sum())
+        if new_sum == checksum:
+            break
+        checksum = new_sum
+    else:
+        raise RuntimeError(
+            f"part_coreness did not converge in {max_rounds} rounds")
+
+    return ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array(parts_np, pa.int64()),
+        "degree": pa.array(deg_np, pa.int64()),
+        "coreness": pa.array(h_np, pa.int64()),
+    }))
