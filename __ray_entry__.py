@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": similarity.knn_classify,
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
         "embedding_quantize": similarity.embedding_quantize,  # non-SQL (binary codes)
+        "ann_recall_report": similarity.ann_recall_report,  # non-SQL (self-eval of IVF vs exact)
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "session_stats": streaming.session_stats,

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "ivf_topk",
     "ivfpq_topk",
+    "ann_recall_report",
     "embedding_quantize",
     "media_exact_dedup",
     "media_kind_bytes",

@@ -851,3 +851,40 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def ann_recall_report(sf_dir: str, k: int = 10,
+                      num_queries: int = 8) -> "ray.data.Dataset":
+    """Self-measuring ANN quality: recall@k of the IVF approximate path
+    (``ivf_topk``) against the exact brute-force oracle (``ann_topk``)
+    per query — the "measure, don't guess" gauge that tells an operator
+    whether the nprobe/nlist trade-off is safe BEFORE deduplicating or
+    retrieving with it at scale.  Output (query_id, k, n_hits, recall).
+
+    Both inputs are the existing distributed pipelines; their outputs are
+    num_queries x k rows (bounded by construction — the only driver pull
+    here), so the comparison is a kilobyte-sized set intersection."""
+    import numpy as np
+
+    from ..functions.num import round6
+
+    exact = ann_topk(sf_dir, k=k, num_queries=num_queries).to_pandas()
+    approx = ivf_topk(sf_dir, k=k, num_queries=num_queries).to_pandas()
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "k": pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64()),
+                      "recall": pa.array([], pa.float64())})
+    if len(exact) == 0:
+        return ray.data.from_arrow(empty)
+    gold = exact.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    got = approx.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    qids = sorted(gold)
+    hits = np.array([len(gold[q] & got.get(q, set())) for q in qids],
+                    dtype=np.int64)
+    kk = np.array([len(gold[q]) for q in qids], dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "k": pa.array(kk, pa.int64()),
+        "n_hits": pa.array(hits, pa.int64()),
+        "recall": round6(pa.array(hits / kk, pa.float64())),
+    }))

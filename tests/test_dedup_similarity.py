@@ -660,3 +660,16 @@ def test_dedup_cascade_report_planted(ray_session, tmp_path):
     assert res.loc["exact_duplicate", "n_docs"] == 1       # doc 1
     assert res.loc["paragraph_affected", "n_docs"] >= 2    # doc 1 (whole) + doc 3
     assert res.loc["minhash_near_dup", "n_docs"] >= 1      # doc 1 vs 0
+
+
+def test_ann_recall_report(ray_session):
+    """IVF self-eval: every query finds itself (score 1 in both paths),
+    recalls land in [0,1], and k matches the requested depth."""
+    import __ray_entry__ as E
+    df = E.queries()["ann_recall_report"]("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("query_id").reset_index(drop=True)
+    assert len(df) == 8
+    assert (df["k"] == 10).all()
+    assert df["recall"].between(0.0, 1.0).all()
+    # the query vector itself scores 1.0 in both exact and IVF paths
+    assert (df["n_hits"] >= 1).all()
