@@ -55,7 +55,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 # The flagship/table oracles read materialized corpus files generated for
 # the driver's sf0.01 gate, so their pytest mirror must run at sf0.01 too.
 _SF001_QUERIES = {"extract_kind_counts", "table_sources",
-                  "extract_spans", "extract_markdown"}
+                  "extract_spans", "extract_markdown",
+                  # raw-corpus queries: the no-arg oracle pins the
+                  # sf0.01 corpus glob, so run the Ray side there too
+                  "doc_modality_mix", "interleaved_pack_plan"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
