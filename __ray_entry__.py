@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_outliers": relational.value_mad_outliers,
         "ks_value_drift": streaming.ks_value_drift,
         "value_cusum_changepoint": streaming.value_cusum_changepoint,
+        "late_event_report": streaming.late_event_report,
         "join_key_overlap": relational.join_key_overlap,
         "part_triangles": relational.part_triangles,
         "part_coreness": relational.part_coreness,  # non-SQL (iterative fixpoint)
@@ -964,6 +965,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        round(CAST(n_common AS DOUBLE)
                              / (n_a + n_b - n_common), 6) END AS jaccard
             FROM raw
+        """,
+        # watermark / late-data audit: arrival order = event_id, the
+        # watermark is an exclusive prefix max of event time (NULL for
+        # the first arrival); all integer microseconds until the final
+        # division.  NULL ts/type/id rows drop (sibling contract)
+        "late_event_report": """
+            WITH ev AS (
+                SELECT event_id, event_type,
+                       epoch_us(ts) AS tus
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  AND event_id IS NOT NULL
+            ), w AS (
+                SELECT event_type, tus,
+                       max(tus) OVER (ORDER BY event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS wm
+                FROM ev
+            ), l AS (
+                SELECT event_type,
+                       CASE WHEN wm IS NULL THEN 0
+                            ELSE greatest(wm - tus, 0) END AS lag
+                FROM w
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE lag > 0) AS BIGINT)
+                       AS n_out_of_order,
+                   CAST(count(*) FILTER (WHERE lag > 3600000000)
+                        AS BIGINT) AS n_late,
+                   round(CAST(max(lag) AS DOUBLE) / 1000000.0, 6)
+                       AS max_lag_sec
+            FROM l GROUP BY 1
         """,
         # CUSUM changepoint per type: both engines maximize the exact
         # integer statistic |n*prefix_cents - i*total_cents| over the

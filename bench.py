@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "value_mad_outliers",
     "ks_value_drift",
     "value_cusum_changepoint",
+    "late_event_report",
     "join_key_overlap",
     "unigram_logprob",
     "bigram_pmi",

@@ -47,10 +47,17 @@ def ordered_prefix_scan(
     value_col: Optional[str] = None,
     out_col: str = "prefix",
     max_buckets: int = 1 << 16,
+    op: str = "sum",
 ) -> "ray.data.Dataset":
-    """Append ``out_col`` = exclusive prefix sum of ``value_col`` (or of 1
-    per row when ``value_col`` is None — i.e. the 0-based global
+    """Append ``out_col`` = exclusive prefix ``op`` of ``value_col`` (or of
+    1 per row when ``value_col`` is None — i.e. the 0-based global
     row_number) over the global ``sort_cols`` ascending order.
+
+    ``op`` is ``"sum"`` (default) or ``"max"`` — prefix max is the
+    WATERMARK primitive (running max of event time over arrival order);
+    its exclusive form yields NULL for the globally-first row, matching
+    SQL's ``max(x) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)``.
 
     ``bucket_fn(batch) -> int64 ndarray`` must be monotone with respect to
     the sort order: every row of bucket b sorts before every row of bucket
@@ -58,6 +65,10 @@ def ordered_prefix_scan(
     column); within-bucket ordering uses ``pyarrow.compute.sort_indices``
     so string keys sort bytewise exactly like SQL ``ORDER BY``.
     """
+
+    if op not in ("sum", "max"):
+        raise ValueError(f"ordered_prefix_scan: unknown op {op!r}")
+    _SENTINEL = np.iinfo(np.int64).min   # -inf identity for prefix max
 
     def partials(batch: pa.Table) -> pa.Table:
         empty = pa.table({"bucket": pa.array([], pa.int64()),
@@ -71,15 +82,19 @@ def ordered_prefix_scan(
             v = batch.column(value_col).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
         ub, inv = np.unique(b, return_inverse=True)
-        sums = np.zeros(len(ub), dtype=np.int64)
-        np.add.at(sums, inv, v)
+        if op == "sum":
+            sums = np.zeros(len(ub), dtype=np.int64)
+            np.add.at(sums, inv, v)
+        else:
+            sums = np.full(len(ub), _SENTINEL, dtype=np.int64)
+            np.maximum.at(sums, inv, v)
         return pa.table({"bucket": pa.array(ub, pa.int64()),
                          "partial": pa.array(sums, pa.int64())})
 
     from .agg import coarse_grouped_aggregate
     bucket_sums = coarse_grouped_aggregate(
         ds.map_batches(partials, batch_format="pyarrow"),
-        "bucket", [("partial", "sum", "total")])
+        "bucket", [("partial", op, "total")])
     # Bounded driver pull: one row per DISTINCT bucket (<= max_buckets).
     rows = bucket_sums.take_all()
     if len(rows) > max_buckets:
@@ -89,7 +104,11 @@ def ordered_prefix_scan(
     rows.sort(key=lambda r: r["bucket"])
     ids = np.array([r["bucket"] for r in rows], dtype=np.int64)
     sums = np.array([r["total"] for r in rows], dtype=np.int64)
-    excl = np.cumsum(sums) - sums
+    if op == "sum":
+        excl = np.cumsum(sums) - sums
+    else:
+        run = np.maximum.accumulate(sums)
+        excl = np.r_[_SENTINEL, run[:-1]]
     prefix_ref = ray.put((ids, excl))
 
     def with_bucket(batch: pa.Table) -> pa.Table:
@@ -112,9 +131,19 @@ def ordered_prefix_scan(
         bids, excls = ray.get(prefix_ref)
         bucket = g.column(_BUCKET_COL)[0].as_py()
         base = int(excls[np.searchsorted(bids, bucket)])
-        cum = np.cumsum(v) - v + base
+        if op == "sum":
+            cum = np.cumsum(v) - v + base
+            out_arr = pa.array(cum, pa.int64())
+        else:
+            run = np.maximum.accumulate(v)
+            cum = np.maximum(np.r_[np.int64(base), run[:-1]],
+                             np.int64(base))
+            out_arr = pa.array(
+                np.where(cum == np.iinfo(np.int64).min, 0, cum),
+                pa.int64(),
+                mask=(cum == np.iinfo(np.int64).min))
         return g.drop_columns([_BUCKET_COL]).append_column(
-            out_col, pa.array(cum, pa.int64()))
+            out_col, out_arr)
 
     return (ds.map_batches(with_bucket, batch_format="pyarrow")
               .groupby(_BUCKET_COL)

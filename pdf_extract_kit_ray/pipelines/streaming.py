@@ -2355,7 +2355,7 @@ def ks_value_drift(sf_dir: str) -> "ray.data.Dataset":
 
 
 def value_cusum_changepoint(sf_dir: str,
-                            n_ts_buckets: int = 1 << 10) -> "ray.data.Dataset":
+                            n_ts_buckets: int = 64) -> "ray.data.Dataset":
     """CUSUM changepoint per event type: over the type's events in
     (ts, event_id) order, the cumulative sum of deviations from the type
     mean peaks at the most likely level-shift point — Page's classic
@@ -2541,3 +2541,101 @@ def value_cusum_changepoint(sf_dir: str,
     return (scanned.map_batches(cand_partial, batch_format="pyarrow")
             .groupby("event_type")
             .map_groups(best, batch_format="pyarrow"))
+
+
+def late_event_report(sf_dir: str,
+                      allowed_lateness_sec: int = 3600,
+                      n_buckets: int = 256) -> "ray.data.Dataset":
+    """Watermark / late-data audit over the event stream: treating
+    ``event_id`` as ARRIVAL order, the watermark at each arrival is the
+    running max of event time over everything that arrived before; an
+    event is out-of-order when its own time sits behind the watermark
+    and LATE when it sits more than ``allowed_lateness_sec`` behind —
+    the numbers that size a streaming pipeline's window-retention /
+    allowed-lateness knobs.  Output per event type: n_events,
+    n_out_of_order, n_late, max_lag_sec (6dp).
+
+    Scale shape: the watermark is an exclusive PREFIX MAX over the
+    global arrival order — the ``op="max"`` mode of the shared
+    distributed prefix scan (one int-row hash shuffle, O(buckets) driver
+    state; NULL for the globally-first arrival, matching the twin's
+    ``max() OVER (... 1 PRECEDING)``); lag and the per-type rollup are
+    pure maps reduced through a #types groupby, all exact int64
+    microseconds until the single final division."""
+    from ray.data.aggregate import Max, Min, Sum
+    from ..functions.num import round6
+    from ..functions.scan import int_range_buckets, ordered_prefix_scan
+
+    L = int(allowed_lateness_sec) * 1_000_000
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "event_type"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.and_(
+            pc.is_valid(batch.column("ts")),
+            pc.is_valid(batch.column("event_type"))),
+            pc.is_valid(batch.column("event_id"))))
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "tus": pc.cast(batch.column("ts"), pa.int64()),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    bounds = keyed_ds.aggregate(Min("event_id"), Max("event_id")) or {}
+    empty_out = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "n_events": pa.array([], pa.int64()),
+        "n_out_of_order": pa.array([], pa.int64()),
+        "n_late": pa.array([], pa.int64()),
+        "max_lag_sec": pa.array([], pa.float64()),
+    })
+    if bounds.get("min(event_id)") is None:
+        return ray.data.from_arrow(empty_out)
+    lo, hi = int(bounds["min(event_id)"]), int(bounds["max(event_id)"])
+
+    scanned = ordered_prefix_scan(
+        keyed_ds, ["event_id"],
+        int_range_buckets("event_id", lo, hi, n_buckets),
+        value_col="tus", out_col="wm", op="max")
+
+    def lag_partial(batch: pa.Table) -> pa.Table:
+        wm = batch.column("wm")
+        tus = batch.column("tus")
+        lag = pc.if_else(pc.is_valid(wm),
+                         pc.max_element_wise(pc.subtract(wm, tus),
+                                             pa.scalar(0, pa.int64())),
+                         pa.scalar(0, pa.int64()))
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "ooo": pc.cast(pc.greater(lag, 0), pa.int64()),
+            "late": pc.cast(pc.greater(lag, L), pa.int64()),
+            "lag": lag,
+        })
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("ooo", "sum"), ("late", "sum"),
+             ("lag", "max")])
+        return g.rename_columns(["event_type", "pn", "pooo", "plate",
+                                 "plag"])
+
+    agg = (scanned.map_batches(lag_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("pn", alias_name="n_events"),
+                      Sum("pooo", alias_name="n_out_of_order"),
+                      Sum("plate", alias_name="n_late"),
+                      Max("plag", alias_name="max_lag")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_out
+        lag = batch.column("max_lag").to_numpy().astype(np.float64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": batch.column("n_events"),
+            "n_out_of_order": batch.column("n_out_of_order"),
+            "n_late": batch.column("n_late"),
+            "max_lag_sec": round6(pa.array(lag / 1e6, pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -122,3 +122,36 @@ def test_training_order_is_seeded_permutation(ray_session, pack_dir):
     m2 = dict(zip(df2["doc_id"], df2["train_rank"]))
     m3 = dict(zip(df3["doc_id"], df3["train_rank"]))
     assert m2 == m3
+
+
+@pytest.mark.parametrize("seed", [3, 9])
+def test_max_scan_matches_serial(ray_session, seed):
+    """op='max': exclusive running max over key order — the watermark
+    primitive.  First row NULL (matching SQL's 1-PRECEDING window)."""
+    rng = np.random.RandomState(seed)
+    n = 400
+    keys = rng.choice(np.arange(0, 3000), size=n, replace=False)
+    vals = rng.randint(-500, 500, size=n).astype(np.int64)
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = ordered_prefix_scan(ds, ["k"],
+                              int_range_buckets("k", 0, 2999, 16),
+                              value_col="v", out_col="wm", op="max")
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    order = np.argsort(keys)
+    v_sorted = vals[order]
+    expect = np.maximum.accumulate(v_sorted).astype(float)
+    expect = np.r_[np.nan, expect[:-1]]          # exclusive, first NULL
+    got = df["wm"].to_numpy(dtype=float)
+    assert np.isnan(got[0])
+    assert np.array_equal(got[1:], expect[1:])
+
+
+def test_max_scan_rejects_unknown_op(ray_session):
+    tbl = pa.table({"k": pa.array([1, 2], pa.int64()),
+                    "v": pa.array([1, 2], pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError):
+        ordered_prefix_scan(ds, ["k"], int_range_buckets("k", 1, 2, 2),
+                            value_col="v", op="median")
