@@ -187,6 +187,86 @@ def _interleaved_pack_plan(sf_dir: str):
     return interleaved_pack_plan(_corpus_path(sf_dir))
 
 
+def _span_kind_transitions(sf_dir: str):
+    """First-order Markov profile of the interleaved corpus: for every
+    adjacent span pair WITHIN a document (list-position order — the
+    north-rule sequence), the (kind_from, kind_to) count and the
+    conditional transition probability p = n / n_from — the layout-
+    structure statistic a document-LM data mix is balanced on (how often
+    a formula follows text, a caption follows a figure, ...).
+
+    Scale shape: a doc is one row, so adjacent pairs are a pure
+    vectorized map (flatten + shift-compare within parents); pair
+    partials pre-reduce per batch and the final groupby is bounded by
+    #kinds^2 (~170 rows here).  The per-from totals derive from the same
+    finished tiny table — never a second corpus pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_kit_ray.functions.num import round6
+
+    ds = ray.data.read_parquet(_corpus_path(sf_dir),
+                               columns=["doc_id", "spans"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = flat.field("kind")
+        n = len(par)
+        empty = pa.table({"kind_from": pa.array([], pa.string()),
+                          "kind_to": pa.array([], pa.string()),
+                          "pn": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        same = pa.array(par[1:] == par[:-1])
+        t = pa.table({"kind_from": kind.slice(0, n - 1),
+                      "kind_to": kind.slice(1)}).filter(same)
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["kind_from", "kind_to"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["kind_from", "kind_to", "pn"])
+
+    agg = (ds.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["kind_from", "kind_to"])
+           .aggregate(Sum("pn", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"kind_from": pa.array([], pa.string()),
+                          "kind_to": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "p": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        kf = batch.column("kind_from")
+        nn = batch.column("n").to_numpy().astype(np.int64)
+        tot = pa.table({"kind_from": kf,
+                        "n": batch.column("n")}) \
+            .group_by("kind_from").aggregate([("n", "sum")])
+        keys = tot.column("kind_from")
+        sums = tot.column("n_sum").to_numpy().astype(np.int64)
+        idx = pc.index_in(kf, value_set=keys).to_numpy(
+            zero_copy_only=False)
+        denom = sums[idx]
+        return pa.table({
+            "kind_from": kf,
+            "kind_to": batch.column("kind_to"),
+            "n": batch.column("n"),
+            "p": round6(pa.array(nn.astype(np.float64) / denom,
+                                 pa.float64())),
+        })
+
+    # the aggregate output is #kinds^2-bounded -> one finish map over the
+    # (repartitioned-to-1) tiny table so per-from totals see every row
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
 def _extract_markdown(sf_dir: str):
     """Markdown projection of the flagship extraction (reference S8:
     per-page convert2md + '\\n\\n' join, pdf2markdown.py:341-347)."""
@@ -262,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts_lmv3": _span_kind_counts_lmv3,
         "doc_modality_mix": _doc_modality_mix,
         "interleaved_pack_plan": _interleaved_pack_plan,
+        "span_kind_transitions": _span_kind_transitions,
         "extract_markdown": _extract_markdown,
         "extract_spans": _extract_spans_flat,
         "table_sources": _table_sources,
@@ -549,6 +630,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    COALESCE(media_frac, 0.0) AS media_frac
             FROM (SELECT doc_id FROM read_parquet('{raw_glob}')) d
             LEFT JOIN agg USING (doc_id)
+        """,
+        # first-order span-kind Markov transitions in list-position order
+        # within docs; p = n / per-from total, 6dp
+        "span_kind_transitions": f"""
+            WITH ex AS (
+                SELECT doc_id, unnest(spans) AS s,
+                       generate_subscripts(spans, 1) AS pos
+                FROM read_parquet('{raw_glob}')
+            ), lagged AS (
+                SELECT doc_id, s.kind AS kind_to,
+                       lag(s.kind) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS kind_from
+                FROM ex
+            ), cnt AS (
+                SELECT kind_from, kind_to,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lagged WHERE kind_from IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT kind_from, kind_to, n,
+                   round(CAST(n AS DOUBLE)
+                         / sum(n) OVER (PARTITION BY kind_from), 6) AS p
+            FROM cnt
         """,
         # multimodal concat-and-chunk packing over the raw corpus:
         # cost = str.split tokens + 64 per media:// span; offsets are a

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "extract_kind_counts_lmv3",
     "doc_modality_mix",
     "interleaved_pack_plan",
+    "span_kind_transitions",
     "table_sources",
     "reference_json",
     "q1_pricing_summary",
