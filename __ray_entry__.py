@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
         "embedding_quantize": similarity.embedding_quantize,  # non-SQL (binary codes)
         "ann_recall_report": similarity.ann_recall_report,  # non-SQL (self-eval of IVF vs exact)
+        "embedding_outliers": similarity.embedding_outliers,
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "session_stats": streaming.session_stats,
@@ -3591,6 +3592,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 PARTITION BY q.query_id
                 ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
                          e.vec_id ASC) <= 10
+        """,
+        # per-label centroid-distance outliers: micro-int elements,
+        # integer-mean centroids (half-away snap), pure-int d2, and the
+        # EXACT integer flag d2*n > 4*sum_d2 (no float threshold)
+        "embedding_outliers": """
+            WITH vm AS (
+                SELECT vec_id, label,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000.0) AS BIGINT) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+                WHERE label IS NOT NULL AND embedding IS NOT NULL
+            ), cent AS (
+                SELECT label, dim,
+                       CAST(round(CAST(sum(v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS c
+                FROM vm GROUP BY 1, 2
+            ), d2t AS (
+                SELECT vec_id, vm.label,
+                       sum((v - c) * (v - c)) AS d2
+                FROM vm JOIN cent ON vm.label = cent.label
+                                 AND vm.dim = cent.dim
+                GROUP BY 1, 2
+            ), st AS (
+                SELECT label, sum(d2) AS sd2, count(*) AS n
+                FROM d2t GROUP BY 1
+            )
+            SELECT d.vec_id, d.label,
+                   round(sqrt(CAST(d.d2 AS DOUBLE)) / 1000000.0, 6)
+                       AS dist,
+                   CAST(CASE WHEN d.d2 * st.n > 4 * st.sd2
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM d2t d JOIN st ON d.label = st.label
         """,
         "knn_classify": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe,

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "ivfpq_topk",
     "ann_recall_report",
+    "embedding_outliers",
     "embedding_quantize",
     "media_exact_dedup",
     "media_kind_bytes",

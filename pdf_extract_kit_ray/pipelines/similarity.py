@@ -888,3 +888,163 @@ def ann_recall_report(sf_dir: str, k: int = 10,
         "n_hits": pa.array(hits, pa.int64()),
         "recall": round6(pa.array(hits / kk, pa.float64())),
     }))
+
+
+def embedding_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label embedding outliers by distance to the label centroid —
+    the dataset-cartography signal that surfaces mislabeled or
+    out-of-distribution vectors before they poison a retrieval index or
+    a classifier.  Output one row per vector: (vec_id, label, dist,
+    is_outlier) with is_outlier = 1 when the squared distance exceeds
+    4x the label's mean squared distance (i.e. dist > 2 x RMS-distance),
+    decided by the EXACT integer comparison ``d2 * n > 4 * sum_d2`` so
+    both engines flag identically (no float threshold to drift).
+
+    Exact-integer construction: elements snap to micro-units (the
+    label_centroids convention), centroids are the per-dim integer mean
+    (one float division of exact ints, half-away snap — the twin's
+    expression), squared distances are pure int64 sums (headroom
+    asserted), and the single double appears in the reported ``dist`` =
+    round6(sqrt(d2)/1e6).
+
+    Scale shape: pass 1 reduces to (label, dim-sums, n) KB partials
+    (label_centroids shape); pass 2 is a pure map emitting the int-only
+    (vec_id, label, d2) table, materialized (16 B/row); the label
+    moment rollup and the flag pass read THAT table, never the vector
+    stream again.  At 10^12 rows the per-label d2 sums would need a
+    hierarchical (int128/sharded) accumulator — the assert fails loudly
+    there by design."""
+    from ray.data.aggregate import Sum
+    from ..functions.num import round6
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label", "embedding"])
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(
+            pc.is_valid(batch.column("label")),
+            pc.is_valid(batch.column("embedding"))))
+
+    empty_partial = pa.table({
+        "label": pa.array([], pa.int32()),
+        "sums": pa.array([], pa.list_(pa.int64())),
+        "n": pa.array([], pa.int64())})
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        if batch.num_rows == 0:
+            return empty_partial
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb)
+        dim = len(flat) // batch.num_rows
+        vm = pc.cast(pc.round(
+            pc.multiply(pc.cast(flat, pa.float64()), 1_000_000.0),
+            ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy().reshape(batch.num_rows, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, codes, vm)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int32), pa.int32()),
+            "sums": pa.array(list(sums), pa.list_(pa.int64())),
+            "n": pa.array(counts, pa.int64())})
+
+    parts = pa.concat_tables(
+        [empty_partial]
+        + list(ds.map_batches(cent_partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")))
+    empty_out = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "label": pa.array([], pa.int32()),
+        "dist": pa.array([], pa.float64()),
+        "is_outlier": pa.array([], pa.int64())})
+    if parts.num_rows == 0:
+        return ray.data.from_arrow(empty_out)
+    # merge the KB partials driver-side (labels x dim ints)
+    lab = parts.column("label").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    smat = np.stack(
+        [np.asarray(x, dtype=np.int64) for x in
+         parts.column("sums").to_pylist()])
+    nvec = parts.column("n").to_numpy().astype(np.int64)
+    uniq, codes = np.unique(lab, return_inverse=True)
+    S = np.zeros((len(uniq), smat.shape[1]), dtype=np.int64)
+    np.add.at(S, codes, smat)
+    N = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(N, codes, nvec)
+    # per-dim integer mean, half-away snap — the twin's expression
+    C = np.where(S >= 0, np.floor(S.astype(np.float64) / N[:, None] + 0.5),
+                 np.ceil(S.astype(np.float64) / N[:, None] - 0.5)) \
+        .astype(np.int64)
+    cent_ref = ray.put((uniq, C))
+
+    def d2_map(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int32()),
+                             "d2": pa.array([], pa.int64())})
+        keys, cm = ray.get(cent_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb)
+        dim = cm.shape[1]
+        vm = pc.cast(pc.round(
+            pc.multiply(pc.cast(flat, pa.float64()), 1_000_000.0),
+            ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy().reshape(batch.num_rows, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        crows = cm[np.searchsorted(keys, labels)]
+        diff = vm - crows
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        assert d2.max(initial=0) < 2**60, \
+            "embedding_outliers: d2 exceeds int64 headroom"
+        return pa.table({
+            "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+            "label": batch.column("label"),
+            "d2": pa.array(d2, pa.int64())})
+
+    d2_ds = ds.map_batches(d2_map, batch_format="pyarrow").materialize()
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"label": batch.column("label"),
+                      "sd2": batch.column("d2")})
+        g = t.group_by("label").aggregate([("sd2", "sum")])
+        return g.rename_columns(["label", "psd2"])
+
+    mom = pa.concat_tables(
+        [pa.table({"label": pa.array([], pa.int32()),
+                   "psd2": pa.array([], pa.int64())})]
+        + list(d2_ds.map_batches(moment_partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")))
+    mlab = mom.column("label").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    msum = mom.column("psd2").to_numpy().astype(np.int64)
+    SD2 = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(SD2, np.searchsorted(uniq, mlab), msum)
+    thr_ref = ray.put((uniq, SD2, N))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        keys, sd2, nn = ray.get(thr_ref)
+        labels = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = np.searchsorted(keys, labels)
+        d2 = batch.column("d2").to_numpy().astype(np.int64)
+        # exact integer threshold: d2 * n > 4 * sum_d2
+        lhs = d2.astype(object) * nn[idx].astype(object)
+        rhs = 4 * sd2[idx].astype(object)
+        out = (lhs > rhs).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "label": batch.column("label"),
+            "dist": round6(pa.array(
+                np.sqrt(d2.astype(np.float64)) / 1e6, pa.float64())),
+            "is_outlier": pa.array(out, pa.int64())})
+
+    return d2_ds.map_batches(flag, batch_format="pyarrow")

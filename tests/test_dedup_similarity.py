@@ -673,3 +673,37 @@ def test_ann_recall_report(ray_session):
     assert df["recall"].between(0.0, 1.0).all()
     # the query vector itself scores 1.0 in both exact and IVF paths
     assert (df["n_hits"] >= 1).all()
+
+
+def test_embedding_outliers_planted(ray_session, tmp_path):
+    """A planted far-away vector is flagged; the tight cluster is not;
+    and the exact integer threshold agrees with the DuckDB twin."""
+    import os
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(64).astype(np.float32)
+    vecs = [list(base + rng.randn(64).astype(np.float32) * 0.01)
+            for _ in range(30)]
+    vecs.append(list(base + 50.0))          # the planted outlier
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(31), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([1] * 31, pa.int32())}),
+        os.path.join(d, "embeddings.parquet"))
+    got = E.queries()["embedding_outliers"](d).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert got.loc[30, "is_outlier"] == 1
+    assert got.loc[:29, "is_outlier"].sum() == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    orc = con.execute(E.oracle_sql()["embedding_outliers"]).df() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, orc, check_dtype=False)
