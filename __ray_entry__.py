@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_cusum_changepoint": streaming.value_cusum_changepoint,
         "late_event_report": streaming.late_event_report,
         "join_key_overlap": relational.join_key_overlap,
+        "join_overlap_hll": relational.join_overlap_hll,  # non-SQL sketch (set algebra)
         "part_triangles": relational.part_triangles,
         "part_coreness": relational.part_coreness,  # non-SQL (iterative fixpoint)
         "events_daily_pivot": streaming.events_daily_pivot,

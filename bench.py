@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "value_cusum_changepoint",
     "late_event_report",
     "join_key_overlap",
+    "join_overlap_hll",
     "unigram_logprob",
     "bigram_pmi",
     "bigram_perplexity",

@@ -247,12 +247,15 @@ def make_mg_aggregator(on: str, k: int = 1024, name: str = None):
 # HLL as a first-class Ray Data aggregator
 # ---------------------------------------------------------------------------
 
-def make_hll_aggregator(on: str, p: int = 12, name: str = None):
+def make_hll_aggregator(on: str, p: int = 12, name: str = None,
+                        raw_registers: bool = False):
     """HyperLogLog distinct-count as a ``ray.data`` ``AggregateFnV2`` —
     usable directly in ``ds.groupby(...).aggregate(...)`` like Sum/Count.
     The accumulator is the 2^p-byte register array (bytes, trivially
     serializable); combine is elementwise max; finalize is the HLL
-    estimate."""
+    estimate — or the raw register bytes when ``raw_registers`` is set,
+    the form set-ALGEBRA consumers need (union = elementwise max of two
+    sides' registers; intersection via inclusion-exclusion)."""
     from ray.data.aggregate import AggregateFnV2
 
     class HLLDistinct(AggregateFnV2):
@@ -273,7 +276,9 @@ def make_hll_aggregator(on: str, p: int = 12, name: str = None):
             return np.maximum(np.frombuffer(a, np.uint8),
                               np.frombuffer(b, np.uint8)).tobytes()
 
-        def finalize(self, acc: bytes) -> float:
+        def finalize(self, acc: bytes):
+            if raw_registers:
+                return acc
             h = HLL(p)
             h.merge_registers(np.frombuffer(acc, np.uint8))
             return h.estimate()

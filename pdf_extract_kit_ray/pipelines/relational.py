@@ -4006,3 +4006,83 @@ def part_coreness(sf_dir: str, min_count: int = 2,
         "degree": pa.array(deg_np, pa.int64()),
         "coreness": pa.array(h_np, pa.int64()),
     }))
+
+
+def join_overlap_hll(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
+    """Sketch twin of ``join_key_overlap``: the same five candidate join
+    pairs profiled with HyperLogLog SET ALGEBRA instead of an exact
+    distinct-key shuffle — |A| and |B| from each side's registers,
+    |A∪B| from their elementwise max, |A∩B| by inclusion-exclusion —
+    so the whole discovery pass is SHUFFLE-FREE: one aggregation tree
+    per table scan, 4 KB of registers per (pair, side) to the driver,
+    nothing keyed ever moves.  At 100 TB this is the affordable first
+    pass; the exact operator confirms the pairs the sketch shortlists.
+
+    Output mirrors the exact op (est_* columns, 6dp): (pair, est_n_a,
+    est_n_b, est_common, containment_a, containment_b, jaccard).
+    Deterministic (splitmix64 hashing — no RNG state), so the driver's
+    rows-only check is stable; tests/test_join_key_overlap.py bounds the
+    estimates against the exact operator."""
+    from ..functions.num import round6
+    from ..functions.sketches import HLL, make_hll_aggregator
+
+    PAIR_NAMES = [
+        "orders.o_custkey->customer.c_custkey",
+        "lineitem.l_partkey->part.p_partkey",
+        "lineitem.l_suppkey->supplier.s_suppkey",
+        "lineitem.l_orderkey->orders.o_orderkey",
+        "events.user_id->customer.c_custkey",
+    ]
+    ROLES = {
+        "lineitem": [(1, "l_partkey", "a"), (2, "l_suppkey", "a"),
+                     (3, "l_orderkey", "a")],
+        "orders": [(0, "o_custkey", "a"), (3, "o_orderkey", "b")],
+        "customer": [(0, "c_custkey", "b"), (4, "c_custkey", "b")],
+        "part": [(1, "p_partkey", "b")],
+        "supplier": [(2, "s_suppkey", "b")],
+        "events": [(4, "user_id", "a")],
+    }
+    regs = {}
+    for table, roles in ROLES.items():
+        cols = sorted({c for _, c, _ in roles})
+        ds = sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+        aggs = [make_hll_aggregator(c, p=p, name=f"{pid}_{side}",
+                                    raw_registers=True)
+                for pid, c, side in roles]
+        res = ds.aggregate(*aggs) or {}
+        for pid, c, side in roles:
+            acc = res.get(f"{pid}_{side}")
+            regs[(pid, side)] = (np.frombuffer(acc, np.uint8)
+                                 if acc is not None
+                                 else np.zeros(1 << p, np.uint8))
+
+    def est(r: np.ndarray) -> float:
+        h = HLL(p)
+        h.merge_registers(r)
+        return h.estimate()
+
+    rows = {"pair": [], "est_n_a": [], "est_n_b": [], "est_common": [],
+            "containment_a": [], "containment_b": [], "jaccard": []}
+    for pid, pname in enumerate(PAIR_NAMES):
+        ra, rb = regs[(pid, "a")], regs[(pid, "b")]
+        ea, eb = est(ra), est(rb)
+        eu = est(np.maximum(ra, rb))
+        ei = max(ea + eb - eu, 0.0)
+        rows["pair"].append(pname)
+        rows["est_n_a"].append(ea)
+        rows["est_n_b"].append(eb)
+        rows["est_common"].append(ei)
+        rows["containment_a"].append(ei / ea if ea > 0 else None)
+        rows["containment_b"].append(ei / eb if eb > 0 else None)
+        rows["jaccard"].append(ei / eu if eu > 0 else None)
+    return ray.data.from_arrow(pa.table({
+        "pair": pa.array(rows["pair"], pa.string()),
+        "est_n_a": round6(pa.array(rows["est_n_a"], pa.float64())),
+        "est_n_b": round6(pa.array(rows["est_n_b"], pa.float64())),
+        "est_common": round6(pa.array(rows["est_common"], pa.float64())),
+        "containment_a": round6(pa.array(rows["containment_a"],
+                                         pa.float64())),
+        "containment_b": round6(pa.array(rows["containment_b"],
+                                         pa.float64())),
+        "jaccard": round6(pa.array(rows["jaccard"], pa.float64())),
+    }))

@@ -58,3 +58,24 @@ def test_overlap_edges(ray_session, tmp_path):
     assert row["containment_a"] < 1.0                # dangling 99
     row = by.loc["events.user_id->customer.c_custkey"]
     assert (row["n_a"], row["n_common"]) == (2, 1)
+
+
+def test_hll_estimates_bound_exact(ray_session):
+    """The shuffle-free HLL profile tracks the exact operator within
+    sketch tolerance on the real sf0.001 tables (p=12 -> ~1.6% std
+    error per register set; inclusion-exclusion compounds it, so the
+    bound here is deliberately loose but non-vacuous)."""
+    exact = E.queries()["join_key_overlap"]("/root/testdata/sf0.001") \
+        .to_pandas().set_index("pair")
+    est = E.queries()["join_overlap_hll"]("/root/testdata/sf0.001") \
+        .to_pandas().set_index("pair")
+    assert sorted(exact.index) == sorted(est.index)
+    for pair in exact.index:
+        for side, col in (("n_a", "est_n_a"), ("n_b", "est_n_b")):
+            n = exact.loc[pair, side]
+            e = est.loc[pair, col]
+            assert abs(e - n) <= max(0.1 * n, 8), (pair, side, n, e)
+        ncm = exact.loc[pair, "n_common"]
+        ecm = est.loc[pair, "est_common"]
+        assert abs(ecm - ncm) <= max(0.2 * max(ncm, 1), 16), \
+            (pair, ncm, ecm)
