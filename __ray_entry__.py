@@ -267,6 +267,102 @@ def _span_kind_transitions(sf_dir: str):
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
+_SPAN_KINDS = (
+    "abandon", "figure", "figure_caption", "formula_caption",
+    "inline_formula", "isolated_formula", "page_geom", "plain_text",
+    "table", "table_caption", "table_footnote", "text_line", "title")
+
+
+def _corpus_integrity_report(sf_dir: str):
+    """Deequ-style declarative constraint suite over the NORTH-RULE input
+    table itself (the corpus-side sibling of the relational
+    integrity_report): doc_id non-null/unique/format, spans non-null,
+    span kinds in the 13-kind vocabulary, span text/ref contracts
+    (text never NULL; every ref carries a geom:// or media:// scheme),
+    offsets non-negative.  One row per constraint: (constraint_name,
+    n_violations) — the gate a 100 TB ingest runs BEFORE paying the
+    extraction pipeline.
+
+    Scale shape: ONE streamed pass — each batch reduces to a fixed
+    9-counter partial row (uniqueness rides as n vs per-batch-distinct
+    plus a tiny fp-coarse dedup shuffle — the only exchange, and it
+    ships one row per distinct doc_id per batch); everything else is a
+    scalar aggregate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from pdf_extract_kit_ray.functions.agg import coarse_grouped_aggregate
+
+    ds = ray.data.read_parquet(_corpus_path(sf_dir))
+    kinds = pa.array(sorted(_SPAN_KINDS), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id")
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        c = {}
+        c["doc_id_not_null"] = batch.num_rows - int(
+            pc.sum(pc.cast(pc.is_valid(doc), pa.int64())).as_py() or 0)
+        c["doc_id_format"] = int(pc.sum(pc.cast(pc.and_(
+            pc.is_valid(doc),
+            pc.invert(pc.starts_with(doc, "doc-"))),
+            pa.int64())).as_py() or 0)
+        c["spans_not_null"] = batch.num_rows - int(
+            pc.sum(pc.cast(pc.is_valid(spans), pa.int64())).as_py() or 0)
+        flat = pc.list_flatten(spans)
+        kind = flat.field("kind")
+        c["span_kind_known"] = len(flat) - int(pc.sum(pc.cast(
+            pc.fill_null(pc.is_in(kind, value_set=kinds), False),
+            pa.int64())).as_py() or 0)
+        c["span_text_not_null"] = len(flat) - int(pc.sum(pc.cast(
+            pc.is_valid(flat.field("text")), pa.int64())).as_py() or 0)
+        ref = flat.field("media_ref")
+        ok_ref = pc.or_(pc.fill_null(pc.starts_with(ref, "geom://"),
+                                     False),
+                        pc.fill_null(pc.starts_with(ref, "media://"),
+                                     False))
+        c["span_ref_scheme"] = len(flat) - int(pc.sum(pc.cast(
+            ok_ref, pa.int64())).as_py() or 0)
+        off = flat.field("offset")
+        bad_off = pc.or_(pc.invert(pc.is_valid(off)),
+                         pc.fill_null(pc.less(off, 0), False))
+        c["span_offset_nonneg"] = int(pc.sum(pc.cast(
+            bad_off, pa.int64())).as_py() or 0)
+        c["n_docs"] = batch.num_rows
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in sorted(c.items())})
+
+    names = ["doc_id_not_null", "doc_id_format", "spans_not_null",
+             "span_kind_known", "span_text_not_null", "span_ref_scheme",
+             "span_offset_nonneg"]
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .aggregate(*[Sum(n, alias_name=n)
+                        for n in names + ["n_docs"]])) or {}
+
+    # uniqueness: distinct doc_ids via the fp-coarse shuffle (one row per
+    # distinct id per batch), NULLs excluded (counted separately above)
+    def ids(batch: pa.Table) -> pa.Table:
+        u = pc.unique(pc.drop_null(batch.column("doc_id")))
+        return pa.table({"doc_id": u})
+
+    distinct = coarse_grouped_aggregate(
+        ds.map_batches(ids, batch_format="pyarrow"), "doc_id", [])
+    n_distinct = distinct.count()
+    n_docs = int(agg.get("n_docs") or 0)
+    n_null = int(agg.get("doc_id_not_null") or 0)
+    rows = {n: int(agg.get(n) or 0) for n in names}
+    rows["doc_id_unique"] = (n_docs - n_null) - n_distinct
+    order = sorted(rows)
+    return ray.data.from_arrow(pa.table({
+        "constraint_name": pa.array(order, pa.string()),
+        "n_violations": pa.array([rows[k] for k in order], pa.int64()),
+    }))
+
+
 def _extract_markdown(sf_dir: str):
     """Markdown projection of the flagship extraction (reference S8:
     per-page convert2md + '\\n\\n' join, pdf2markdown.py:341-347)."""
@@ -343,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_modality_mix": _doc_modality_mix,
         "interleaved_pack_plan": _interleaved_pack_plan,
         "span_kind_transitions": _span_kind_transitions,
+        "corpus_integrity_report": _corpus_integrity_report,
         "extract_markdown": _extract_markdown,
         "extract_spans": _extract_spans_flat,
         "table_sources": _table_sources,
@@ -632,6 +729,58 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    COALESCE(media_frac, 0.0) AS media_frac
             FROM (SELECT doc_id FROM read_parquet('{raw_glob}')) d
             LEFT JOIN agg USING (doc_id)
+        """,
+        # corpus-side Deequ suite over the north-rule input table; kind
+        # vocabulary and ref schemes pinned; violations counted, not rows
+        "corpus_integrity_report": f"""
+            WITH docs AS (
+                SELECT doc_id, spans FROM read_parquet('{raw_glob}')
+            ), flat AS (
+                SELECT unnest(spans) AS s FROM docs
+            )
+            SELECT 'doc_id_format' AS constraint_name,
+                   CAST(count(*) FILTER (WHERE doc_id IS NOT NULL
+                       AND doc_id NOT LIKE 'doc-%') AS BIGINT)
+                       AS n_violations
+            FROM docs
+            UNION ALL
+            SELECT 'doc_id_not_null',
+                   CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT)
+            FROM docs
+            UNION ALL
+            SELECT 'doc_id_unique',
+                   CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+            FROM docs
+            UNION ALL
+            SELECT 'spans_not_null',
+                   CAST(count(*) FILTER (WHERE spans IS NULL) AS BIGINT)
+            FROM docs
+            UNION ALL
+            SELECT 'span_kind_known',
+                   CAST(count(*) FILTER (WHERE s.kind IS NULL
+                       OR s.kind NOT IN ('abandon','figure',
+                           'figure_caption','formula_caption',
+                           'inline_formula','isolated_formula',
+                           'page_geom','plain_text','table',
+                           'table_caption','table_footnote','text_line',
+                           'title')) AS BIGINT)
+            FROM flat
+            UNION ALL
+            SELECT 'span_offset_nonneg',
+                   CAST(count(*) FILTER (WHERE s."offset" IS NULL
+                       OR s."offset" < 0) AS BIGINT)
+            FROM flat
+            UNION ALL
+            SELECT 'span_ref_scheme',
+                   CAST(count(*) FILTER (WHERE s.media_ref IS NULL
+                       OR (s.media_ref NOT LIKE 'geom://%'
+                           AND s.media_ref NOT LIKE 'media://%'))
+                       AS BIGINT)
+            FROM flat
+            UNION ALL
+            SELECT 'span_text_not_null',
+                   CAST(count(*) FILTER (WHERE s.text IS NULL) AS BIGINT)
+            FROM flat
         """,
         # first-order span-kind Markov transitions in list-position order
         # within docs; p = n / per-from total, 6dp

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "doc_modality_mix",
     "interleaved_pack_plan",
     "span_kind_transitions",
+    "corpus_integrity_report",
     "table_sources",
     "reference_json",
     "q1_pricing_summary",

@@ -26,6 +26,7 @@ _SKIP = {
     "extract_spans", "table_sources", "reference_json",
     "doc_modality_mix", "extract_kind_counts_lmv3",
     "interleaved_pack_plan", "span_kind_transitions",
+    "corpus_integrity_report",
     "media_decode_summary", "image_thumbnails", "video_frame_sample",
     "media_features", "media_feature_neardup", "ocr_preprocess_summary",
     "resize_longest_side",

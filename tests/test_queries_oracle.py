@@ -59,7 +59,7 @@ _SF001_QUERIES = {"extract_kind_counts", "table_sources",
                   # raw-corpus queries: the no-arg oracle pins the
                   # sf0.01 corpus glob, so run the Ray side there too
                   "doc_modality_mix", "interleaved_pack_plan",
-                  "span_kind_transitions"}
+                  "span_kind_transitions", "corpus_integrity_report"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
