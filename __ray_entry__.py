@@ -550,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_quality_scores": curation.nb_quality_scores,
         "logreg_quality_scores": curation.logreg_quality_scores,  # non-SQL (iterative GD)
         "term_label_mi": curation.term_label_mi,
+        "quality_calibration": curation.quality_calibration,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "paragraph_dedup": dedup.paragraph_dedup,
@@ -2934,6 +2935,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # log-odds snapped to micro-ints (half away from zero) so per-doc
         # sums are exact integer math in both engines; OOV terms score 0;
         # docs with no vocab tokens keep the prior-only score
+        # reliability diagram: equal-width bins of the SHARED quality
+        # definition, bucketed by pure integer micro-units (no float
+        # x10-floor edge); mean/rate divide once in the twin's op order
+        "quality_calibration": f"""
+            WITH q AS (
+                SELECT CAST(round(({quality_expr}) * 1000000.0)
+                            AS BIGINT) AS qm,
+                       CASE WHEN source IN ('src0','src1','src2',
+                                            'src3','src4')
+                            THEN 1 ELSE 0 END AS pos
+                FROM documents
+            )
+            SELECT least(qm // 100000, 9) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(qm) AS DOUBLE)
+                         / (count(*) * 1000000.0), 6) AS mean_quality,
+                   round(CAST(sum(pos) AS DOUBLE) / count(*), 6)
+                       AS pos_rate
+            FROM q GROUP BY 1
+        """,
         # MI between doc-level term presence and the weak label: both
         # engines evaluate the four 2x2 cell terms in the same pinned
         # left-to-right + chain (zero cells contribute 0), then 6dp-snap

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "nb_quality_scores",
     "logreg_quality_scores",
     "term_label_mi",
+    "quality_calibration",
     "numeric_correlations",
     "integrity_report",
     "source_divergence",

@@ -1835,3 +1835,74 @@ def term_label_mi(sf_dir: str,
         "n_pos_with": pa.array(a, pa.int64()),
         "mi": round6(pa.array(mi, pa.float64())),
     }))
+
+
+def quality_calibration(sf_dir: str,
+                        pos_sources: tuple = ("src0", "src1", "src2",
+                                              "src3", "src4"),
+                        n_bins: int = 10) -> "ray.data.Dataset":
+    """Reliability diagram for the shared quality score against the weak
+    source labels: equal-width score bins (the calibration-curve
+    convention — bin by predicted score, compare to observed positive
+    rate), one row per occupied bin: (bin, n_docs, mean_quality,
+    pos_rate).  A well-calibrated filter shows pos_rate rising with the
+    bin; a flat curve means the score is not separating the weak classes
+    and the threshold knobs are arbitrary.
+
+    Bin assignment is PURE INTEGER — bin = min(q_micro // (1e6/n_bins),
+    n_bins-1) on the micro-int snap of THE shared quality definition —
+    so both engines bucket identically (no float x10-floor edge); the
+    two divisions (mean, rate) happen once in the finish with the twin's
+    operation order.  One #bins-sized groupby; everything else is a
+    per-batch partial."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+    from .text import quality_score
+
+    width = 1_000_000 // n_bins
+    pos_set = pa.array(sorted(set(pos_sources)), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch.column("text"))
+        qm = pc.cast(pc.round(pc.multiply(q, 1_000_000.0), ndigits=0,
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.minimum(qm // width, n_bins - 1)
+        pos = pc.fill_null(pc.is_in(batch.column("source"),
+                                    value_set=pos_set), False) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"bin": pa.array(b, pa.int64()),
+                      "n": pa.array(np.ones(len(b), np.int64)),
+                      "qm": pa.array(qm, pa.int64()),
+                      "pos": pa.array(pos, pa.int64())})
+        g = t.group_by("bin").aggregate([("n", "sum"), ("qm", "sum"),
+                                         ("pos", "sum")])
+        return g.rename_columns(["bin", "pn", "pqm", "ppos"])
+
+    agg = (_read_docs(sf_dir, ["text", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bin")
+           .aggregate(Sum("pn", alias_name="n_docs"),
+                      Sum("pqm", alias_name="sum_qm"),
+                      Sum("ppos", alias_name="n_pos")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bin": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "mean_quality": pa.array([], pa.float64()),
+                          "pos_rate": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        n = batch.column("n_docs").to_numpy().astype(np.float64)
+        qm = batch.column("sum_qm").to_numpy().astype(np.float64)
+        pos = batch.column("n_pos").to_numpy().astype(np.float64)
+        return pa.table({
+            "bin": batch.column("bin"),
+            "n_docs": batch.column("n_docs"),
+            "mean_quality": round6(pa.array(qm / (n * 1_000_000.0),
+                                            pa.float64())),
+            "pos_rate": round6(pa.array(pos / n, pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -24,7 +24,7 @@ QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
            "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
            "token_budget_mixture", "cross_source_overlap",
            "top_terms_per_source", "dedup_keep_best", "paragraph_dedup",
-           "line_dedup_intra", "term_label_mi",
+           "line_dedup_intra", "term_label_mi", "quality_calibration",
            "dsir_weights", "ngram_repetition", "source_divergence",
            "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
            "zipf_slope", "quality_by_source", "doc_novelty",

@@ -34,7 +34,7 @@ ORACLE_QUERIES = [
     "gopher_quality_flags", "vocab_growth", "doc_length_histogram",
     "dedup_rate_report", "token_budget_mixture", "cross_source_overlap",
     "top_terms_per_source", "dedup_keep_best", "paragraph_dedup",
-    "line_dedup_intra", "term_label_mi",
+    "line_dedup_intra", "term_label_mi", "quality_calibration",
     "dsir_weights", "ngram_repetition", "source_divergence",
     "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
     "zipf_slope", "quality_by_source", "doc_novelty",
