@@ -596,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_value_drift": streaming.ks_value_drift,
         "value_cusum_changepoint": streaming.value_cusum_changepoint,
         "late_event_report": streaming.late_event_report,
+        "user_churn_labels": streaming.user_churn_labels,
         "join_key_overlap": relational.join_key_overlap,
         "join_overlap_hll": relational.join_overlap_hll,  # non-SQL sketch (set algebra)
         "part_triangles": relational.part_triangles,
@@ -1221,6 +1222,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        round(CAST(n_common AS DOUBLE)
                              / (n_a + n_b - n_common), 6) END AS jaccard
             FROM raw
+        """,
+        # churn-label generation: cutoff = max(ts) - 14d, leakage-safe
+        # feature-window features, label = no event after the cutoff;
+        # users with no feature-window support emit no row
+        "user_churn_labels": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS tus, event_type
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), mx AS (
+                SELECT max(tus) - 14 * 86400000000 AS cutoff FROM ev
+            ), agg AS (
+                SELECT user_id,
+                       CAST(sum(CASE WHEN tus <= cutoff THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_events_before,
+                       CAST(sum(CASE WHEN tus <= cutoff
+                                     AND COALESCE(event_type, '')
+                                         = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_purchases_before,
+                       max(CASE WHEN tus <= cutoff THEN tus END)
+                           AS last_ts,
+                       CAST(sum(CASE WHEN tus > cutoff THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_after,
+                       max(cutoff) AS cutoff
+                FROM ev, mx GROUP BY 1
+            )
+            SELECT user_id, n_events_before, n_purchases_before,
+                   CAST((cutoff - last_ts) // 86400000000 AS BIGINT)
+                       AS days_since_last_seen,
+                   CAST(CASE WHEN n_after = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS churned
+            FROM agg WHERE n_events_before > 0
         """,
         # watermark / late-data audit: arrival order = event_id, the
         # watermark is an exclusive prefix max of event time (NULL for

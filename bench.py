@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "ks_value_drift",
     "value_cusum_changepoint",
     "late_event_report",
+    "user_churn_labels",
     "join_key_overlap",
     "join_overlap_hll",
     "unigram_logprob",

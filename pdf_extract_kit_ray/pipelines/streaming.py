@@ -2639,3 +2639,104 @@ def late_event_report(sf_dir: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_churn_labels(sf_dir: str,
+                      horizon_days: int = 14) -> "ray.data.Dataset":
+    """Churn-label generation — the supervised-dataset builder: split
+    the stream at ``max(ts) - horizon_days``; every user active in the
+    FEATURE window (before the cutoff) gets one labeled row with
+    leakage-safe features computed only from that window:
+
+        (user_id, n_events_before, n_purchases_before,
+         days_since_last_seen, churned)
+
+    churned = 1 iff the user has NO event in the label window — exactly
+    the (features, label) table a churn model trains on, built without a
+    self-join: one pass of per-batch per-user partials (counts, max
+    feature-window ts, any-label-window flag), ONE coarse user shuffle,
+    and an integer finish (days as exact floor((cutoff - last_ts) /
+    86400e6); the cutoff derives from a 1-int max rollup).
+
+    Contract: rows with NULL ts/user_id drop; users who appear ONLY in
+    the label window emit no row (no feature support — the twin's WHERE
+    pins this)."""
+    from ray.data.aggregate import Max
+    from ..functions.agg import coarse_grouped_aggregate
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(
+            pc.is_valid(batch.column("ts")),
+            pc.is_valid(batch.column("user_id"))))
+
+    def mx_partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        if batch.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        tus = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({"mx": pa.array([pc.max(tus).as_py()],
+                                        pa.int64())})
+
+    span = ds.map_batches(mx_partial, batch_format="pyarrow") \
+        .aggregate(Max("mx", alias_name="mx")) or {}
+    empty_out = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "n_events_before": pa.array([], pa.int64()),
+        "n_purchases_before": pa.array([], pa.int64()),
+        "days_since_last_seen": pa.array([], pa.int64()),
+        "churned": pa.array([], pa.int64()),
+    })
+    if span.get("mx") is None:
+        return ray.data.from_arrow(empty_out)
+    cutoff = int(span["mx"]) - horizon_days * 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        tus = pc.cast(batch.column("ts"), pa.int64())
+        before = pc.less_equal(tus, cutoff)
+        nb = pc.cast(before, pa.int64())
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "nb": nb,
+            "np_": pc.cast(pc.and_(before, pc.equal(
+                pc.fill_null(batch.column("event_type"), ""),
+                "purchase")), pa.int64()),
+            # max feature-window ts (sentinel min when none in window)
+            "mt": pc.if_else(before, tus,
+                             pa.scalar(np.iinfo(np.int64).min,
+                                       pa.int64())),
+            "na": pc.subtract(1, nb),        # label-window activity
+        })
+        g = t.group_by("user_id").aggregate(
+            [("nb", "sum"), ("np_", "sum"), ("mt", "max"), ("na", "sum")])
+        return g.rename_columns(["user_id", "pnb", "pnp", "pmt", "pna"])
+
+    per_user = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("pnb", "sum", "n_before"),
+                    ("pnp", "sum", "n_purch"),
+                    ("pmt", "max", "last_ts"),
+                    ("pna", "sum", "n_after")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_out
+        nb = batch.column("n_before").to_numpy().astype(np.int64)
+        keep = nb > 0                       # feature-window support only
+        t = batch.filter(pa.array(keep))
+        last = t.column("last_ts").to_numpy().astype(np.int64)
+        days = (cutoff - last) // 86_400_000_000
+        churn = (t.column("n_after").to_numpy().astype(np.int64) == 0) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n_events_before": t.column("n_before"),
+            "n_purchases_before": t.column("n_purch"),
+            "days_since_last_seen": pa.array(days, pa.int64()),
+            "churned": pa.array(churn, pa.int64()),
+        })
+
+    return per_user.map_batches(finish, batch_format="pyarrow")

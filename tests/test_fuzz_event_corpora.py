@@ -25,6 +25,7 @@ QUERIES = [
     "user_running_totals", "events_value_bands", "distinct_users_by_type",
     "value_zscore_outliers", "value_mad_outliers", "ks_value_drift",
     "value_cusum_changepoint", "late_event_report",
+    "user_churn_labels",
     "user_activity_cv",
     "first_purchase_latency", "events_pareto_share", "events_daily_pivot", "top_users",
     "users_active_both_halves", "users_only_first_half",
