@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": relational.small_quantity_revenue,
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
         "ship_latency_percentiles": relational.ship_latency_percentiles,
+        "supplier_latency_trend": relational.supplier_latency_trend,
         "customer_value_deciles": relational.customer_value_deciles,
         "nation_year_rollup": relational.nation_year_rollup,
         "top_events_per_user": relational.top_events_per_user,
@@ -932,6 +933,35 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(1 + len(list_filter(thr.l, x -> x < t.total_c))
                         AS BIGINT) AS decile
             FROM t, thr
+        """,
+        # per-supplier OLS latency trend from exact integer moments
+        # (n, Σx, Σy, Σxy, Σx²); slope = one double division; NULL for
+        # zero-variance/single-point suppliers
+        "supplier_latency_trend": """
+            WITH j AS (
+                SELECT l_suppkey,
+                       CAST(date_diff('day', TIMESTAMP '1992-01-01',
+                                      o_orderdate) AS BIGINT) AS x,
+                       CAST(date_diff('day', o_orderdate, l_shipdate)
+                            AS BIGINT) AS y
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+            ), s AS (
+                SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM j GROUP BY 1
+            )
+            SELECT l_suppkey, n,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                       round(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (n * sxx - sx * sx), 6)
+                   END AS latency_slope,
+                   round(CAST(sy AS DOUBLE) / n, 6) AS mean_latency
+            FROM s
         """,
         "ship_latency_percentiles": """
             SELECT o_orderpriority,

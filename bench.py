@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "excess_shipped_suppliers",
     "brand_disjunction_revenue",
     "ship_latency_percentiles",
+    "supplier_latency_trend",
     "customer_value_deciles",
     "customer_repeat_rate",
     "customer_rfm",

@@ -4086,3 +4086,98 @@ def join_overlap_hll(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
                                          pa.float64())),
         "jaccard": round6(pa.array(rows["jaccard"], pa.float64())),
     }))
+
+
+def supplier_latency_trend(sf_dir: str,
+                           num_partitions: "int | None" = None
+                           ) -> "ray.data.Dataset":
+    """Per-GROUP ordinary-least-squares trend — the operator class the
+    suite lacked (forecast_revenue regresses globally): for every
+    supplier, the OLS slope of order-to-ship latency (days) over order
+    date (days since 1992-01-01, the TPC-H epoch — recentring keeps the
+    integer moments small), plus the mean latency.  A positive slope is
+    a supplier whose fulfillment is DEGRADING — the procurement-alarm
+    query.  Output (l_suppkey, n, latency_slope, mean_latency);
+    single-point or zero-variance suppliers get NULL slope.
+
+    Exactness: both engines accumulate the five integer sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) — per-batch Arrow partials, ONE
+    coarse supplier shuffle — and compute slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) as a single double division of exact int64 moments
+    (midnight-aligned timestamps make integer-µs division exact days).
+    lineitem joins orders through the size-ruled join, same as
+    ship_latency_percentiles."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import sized_join
+    from ..functions.num import round6
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_shipdate"])
+    joined = sized_join(line, f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
+    day_us = 86_400_000_000
+    epoch_1992 = 8035                     # days 1970-01-01 -> 1992-01-01
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("o_orderdate")),
+            pc.is_valid(batch.column("l_shipdate"))))
+        od = pc.divide(batch.column("o_orderdate").cast(pa.int64()),
+                       day_us)
+        x = pc.subtract(od, epoch_1992).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = pc.divide(pc.subtract(
+            batch.column("l_shipdate").cast(pa.int64()),
+            batch.column("o_orderdate").cast(pa.int64())), day_us) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "pn": pa.array(np.ones(len(x), np.int64)),
+            "psx": pa.array(x, pa.int64()),
+            "psy": pa.array(y, pa.int64()),
+            "psxy": pa.array(x * y, pa.int64()),
+            "psxx": pa.array(x * x, pa.int64()),
+        })
+        g = t.group_by("l_suppkey").aggregate(
+            [("pn", "sum"), ("psx", "sum"), ("psy", "sum"),
+             ("psxy", "sum"), ("psxx", "sum")])
+        return g.rename_columns(["l_suppkey", "pn", "psx", "psy",
+                                 "psxy", "psxx"])
+
+    per_supp = coarse_grouped_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        "l_suppkey", [("pn", "sum", "n"), ("psx", "sum", "sx"),
+                      ("psy", "sum", "sy"), ("psxy", "sum", "sxy"),
+                      ("psxx", "sum", "sxx")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "latency_slope": pa.array([], pa.float64()),
+                          "mean_latency": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        n = batch.column("n").to_numpy().astype(np.int64)
+        sx = batch.column("sx").to_numpy().astype(np.int64)
+        sy = batch.column("sy").to_numpy().astype(np.int64)
+        sxy = batch.column("sxy").to_numpy().astype(np.int64)
+        sxx = batch.column("sxx").to_numpy().astype(np.int64)
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = num.astype(np.float64) / den
+        slope_arr = round6(pa.array(
+            np.where(den > 0, slope, 0.0), pa.float64(),
+            mask=(den <= 0)))
+        return pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "n": batch.column("n"),
+            "latency_slope": slope_arr,
+            "mean_latency": round6(pa.array(
+                sy.astype(np.float64) / n, pa.float64())),
+        })
+
+    return per_supp.map_batches(finish, batch_format="pyarrow")
