@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
         "ship_latency_percentiles": relational.ship_latency_percentiles,
         "supplier_latency_trend": relational.supplier_latency_trend,
+        "open_orders_timeline": relational.open_orders_timeline,
         "customer_value_deciles": relational.customer_value_deciles,
         "nation_year_rollup": relational.nation_year_rollup,
         "top_events_per_user": relational.top_events_per_user,
@@ -933,6 +934,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(1 + len(list_filter(thr.l, x -> x < t.total_c))
                         AS BIGINT) AS decile
             FROM t, thr
+        """,
+        # sweep-line interval stabbing: open orders per change day via
+        # the +1/-1 delta trick and one cumulative walk; an order's
+        # interval ends at its LAST lineitem ship day (inner join)
+        "open_orders_timeline": """
+            WITH per_o AS (
+                SELECT o_orderkey,
+                       max(epoch_us(o_orderdate) // 86400000000) AS d0,
+                       max(epoch_us(l_shipdate) // 86400000000) AS d1
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_orderdate IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+                GROUP BY 1
+            ), deltas AS (
+                SELECT d0 AS day, 1 AS delta FROM per_o
+                UNION ALL
+                SELECT d1 + 1, -1 FROM per_o
+            ), agg AS (
+                SELECT day, CAST(sum(delta) AS BIGINT) AS net_change
+                FROM deltas GROUP BY 1
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(sum(net_change) OVER (ORDER BY day) AS BIGINT)
+                       AS open_orders,
+                   net_change
+            FROM agg
         """,
         # per-supplier OLS latency trend from exact integer moments
         # (n, Σx, Σy, Σxy, Σx²); slope = one double division; NULL for

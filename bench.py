@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "brand_disjunction_revenue",
     "ship_latency_percentiles",
     "supplier_latency_trend",
+    "open_orders_timeline",
     "customer_value_deciles",
     "customer_repeat_rate",
     "customer_rfm",

@@ -4181,3 +4181,108 @@ def supplier_latency_trend(sf_dir: str,
         })
 
     return per_supp.map_batches(finish, batch_format="pyarrow")
+
+
+def open_orders_timeline(sf_dir: str) -> "ray.data.Dataset":
+    """Sweep-line interval stabbing — the operator class the suite
+    lacked: how many orders are OPEN (placed but not fully shipped) on
+    each day the count changes.  An order's interval runs from its
+    order date to its LAST lineitem ship date; the timeline is the
+    classic delta trick (+1 at start, -1 past the end, running sum) —
+    no per-day explosion, no interval self-join.  Output one row per
+    change day: (day, open_orders, net_change), day = epoch days.
+
+    Scale shape: the two fact scans reduce per batch to (orderkey,
+    order-day / max-ship-day) partials and meet in ONE coarse orderkey
+    shuffle (inner-join semantics: either side missing drops, matching
+    the twin's JOIN); each bucket emits per-DAY delta partials, which
+    reduce through a date-domain-bounded day groupby (~2,500 distinct
+    days at any corpus size — that bound is what makes the final
+    single-partition cumulative walk safe).  Integer day arithmetic
+    throughout (midnight-aligned timestamps)."""
+    from ray.data.aggregate import Sum
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    day_us = 86_400_000_000
+    SENT = np.int64(np.iinfo(np.int64).min)
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate"])
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+
+    def ship_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("l_shipdate")))
+        d1 = pc.divide(batch.column("l_shipdate").cast(pa.int64()),
+                       day_us)
+        g = pa.table({"okey": batch.column("l_orderkey"), "d1": d1}) \
+            .group_by("okey").aggregate([("d1", "max")])
+        okey = g.column("okey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "okey": pa.array(okey, pa.int64()),
+            "d0": pa.array(np.full(len(okey), SENT), pa.int64()),
+            "d1": g.column("d1_max"),
+            "__coarse": pa.array((okey * _GOLDEN) % nc, pa.int64())})
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("o_orderdate")))
+        okey = batch.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "okey": pa.array(okey, pa.int64()),
+            "d0": pc.divide(batch.column("o_orderdate").cast(pa.int64()),
+                            day_us),
+            "d1": pa.array(np.full(len(okey), SENT), pa.int64()),
+            "__coarse": pa.array((okey * _GOLDEN) % nc, pa.int64())})
+
+    tagged = line.map_batches(ship_partial, batch_format="pyarrow") \
+        .union(orders.map_batches(order_partial, batch_format="pyarrow"))
+
+    empty_d = pa.table({"day": pa.array([], pa.int64()),
+                        "pdelta": pa.array([], pa.int64())})
+
+    def deltas(group: pa.Table) -> pa.Table:
+        """One orderkey bucket: per-order (d0, max d1), inner-join drop,
+        then per-day delta partials."""
+        if group.num_rows == 0:
+            return empty_d
+        g = group.group_by("okey").aggregate([("d0", "max"),
+                                              ("d1", "max")])
+        d0 = g.column("d0_max").to_numpy().astype(np.int64)
+        d1 = g.column("d1_max").to_numpy().astype(np.int64)
+        keep = (d0 != SENT) & (d1 != SENT)
+        d0, d1 = d0[keep], d1[keep]
+        days = np.concatenate([d0, d1 + 1])
+        dl = np.concatenate([np.ones(len(d0), np.int64),
+                             np.full(len(d1), -1, np.int64)])
+        u, inv = np.unique(days, return_inverse=True)
+        net = np.zeros(len(u), np.int64)
+        np.add.at(net, inv, dl)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "pdelta": pa.array(net, pa.int64())})
+
+    per_day = (tagged.groupby("__coarse")
+               .map_groups(deltas, batch_format="pyarrow")
+               .groupby("day")
+               .aggregate(Sum("pdelta", alias_name="net_change")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "open_orders": pa.array([], pa.int64()),
+                          "net_change": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch.column("day"))
+        b = batch.take(idx)
+        net = b.column("net_change").to_numpy().astype(np.int64)
+        return pa.table({
+            "day": b.column("day"),
+            "open_orders": pa.array(np.cumsum(net), pa.int64()),
+            "net_change": b.column("net_change"),
+        })
+
+    # date-domain-bounded (~2,500 rows) -> single-partition walk
+    return per_day.repartition(1).map_batches(finish,
+                                              batch_format="pyarrow")
