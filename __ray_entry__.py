@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_latency_percentiles": relational.ship_latency_percentiles,
         "supplier_latency_trend": relational.supplier_latency_trend,
         "open_orders_timeline": relational.open_orders_timeline,
+        "parquet_storage_profile": relational.parquet_storage_profile,
         "customer_value_deciles": relational.customer_value_deciles,
         "nation_year_rollup": relational.nation_year_rollup,
         "top_events_per_user": relational.top_events_per_user,
@@ -934,6 +935,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(1 + len(list_filter(thr.l, x -> x < t.total_c))
                         AS BIGINT) AS decile
             FROM t, thr
+        """,
+        # zero-data-scan storage profile from parquet FOOTERS; the twin
+        # reads the same footers via parquet_metadata()
+        "parquet_storage_profile": f"""
+            SELECT path_in_schema AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_row_groups,
+                   CAST(sum(num_values) AS BIGINT) AS n_values,
+                   CAST(sum(total_compressed_size) AS BIGINT)
+                       AS compressed_bytes,
+                   CAST(sum(total_uncompressed_size) AS BIGINT)
+                       AS uncompressed_bytes,
+                   round(CAST(sum(total_uncompressed_size) AS DOUBLE)
+                         / sum(total_compressed_size), 6)
+                       AS compression_ratio
+            FROM parquet_metadata('{sf_dir}/lineitem.parquet')
+            GROUP BY 1
         """,
         # sweep-line interval stabbing: open orders per change day via
         # the +1/-1 delta trick and one cumulative walk; an order's

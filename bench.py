@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "ship_latency_percentiles",
     "supplier_latency_trend",
     "open_orders_timeline",
+    "parquet_storage_profile",
     "customer_value_deciles",
     "customer_repeat_rate",
     "customer_rfm",

@@ -4286,3 +4286,95 @@ def open_orders_timeline(sf_dir: str) -> "ray.data.Dataset":
     # date-domain-bounded (~2,500 rows) -> single-partition walk
     return per_day.repartition(1).map_batches(finish,
                                               batch_format="pyarrow")
+
+
+def parquet_storage_profile(sf_dir: str,
+                            table: str = "lineitem") -> "ray.data.Dataset":
+    """Storage-planning profile from parquet FOOTERS ONLY — zero data
+    scan: per column, row-group count, value count, compressed /
+    uncompressed bytes and the compression ratio.  The numbers that
+    decide column pruning, row-group sizing and codec choices BEFORE any
+    pipeline reads a byte — and the demonstration that metadata
+    pushdown, not scanning, answers layout questions at 100 TB.
+
+    Scale shape: the work unit is a FILE, not a row — a Dataset of file
+    paths maps to footer summaries (pyarrow reads only the footer;
+    O(KB) per file regardless of file size), and per-column partials
+    reduce through a #columns-bounded groupby.  DuckDB twin reads the
+    same footers via ``parquet_metadata()``."""
+    import glob as _glob
+    import os
+    from ray.data.aggregate import Sum
+    from ..functions.num import round6
+
+    path = f"{sf_dir}/{table}.parquet"
+    files = sorted(_glob.glob(path)) if "*" in path else (
+        [path] if os.path.exists(path) else sorted(
+            _glob.glob(os.path.join(path, "*.parquet"))))
+    empty_out = pa.table({
+        "column_name": pa.array([], pa.string()),
+        "n_row_groups": pa.array([], pa.int64()),
+        "n_values": pa.array([], pa.int64()),
+        "compressed_bytes": pa.array([], pa.int64()),
+        "uncompressed_bytes": pa.array([], pa.int64()),
+        "compression_ratio": pa.array([], pa.float64()),
+    })
+    if not files:
+        return ray.data.from_arrow(empty_out)
+
+    def footer(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        names, nrg, nv, cb, ub = [], [], [], [], []
+        for f in batch.column("path").to_pylist():   # files, not rows
+            md = pq.read_metadata(f)
+            agg = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    a = agg.setdefault(c.path_in_schema, [0, 0, 0, 0])
+                    a[0] += 1
+                    a[1] += c.num_values
+                    a[2] += c.total_compressed_size
+                    a[3] += c.total_uncompressed_size
+            for k, v in agg.items():
+                names.append(k)
+                nrg.append(v[0])
+                nv.append(v[1])
+                cb.append(v[2])
+                ub.append(v[3])
+        return pa.table({
+            "column_name": pa.array(names, pa.string()),
+            "pn": pa.array(nrg, pa.int64()),
+            "pv": pa.array(nv, pa.int64()),
+            "pc_": pa.array(cb, pa.int64()),
+            "pu": pa.array(ub, pa.int64())})
+
+    agg = (ray.data.from_arrow(pa.table({"path": pa.array(files,
+                                                          pa.string())}))
+           .map_batches(footer, batch_format="pyarrow")
+           .groupby("column_name")
+           .aggregate(Sum("pn", alias_name="n_row_groups"),
+                      Sum("pv", alias_name="n_values"),
+                      Sum("pc_", alias_name="compressed_bytes"),
+                      Sum("pu", alias_name="uncompressed_bytes")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_out
+        cb = batch.column("compressed_bytes").to_numpy() \
+            .astype(np.float64)
+        ub = batch.column("uncompressed_bytes").to_numpy() \
+            .astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(cb > 0, ub / cb, 0.0)
+        return pa.table({
+            "column_name": batch.column("column_name"),
+            "n_row_groups": batch.column("n_row_groups"),
+            "n_values": batch.column("n_values"),
+            "compressed_bytes": batch.column("compressed_bytes"),
+            "uncompressed_bytes": batch.column("uncompressed_bytes"),
+            "compression_ratio": round6(pa.array(ratio, pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
