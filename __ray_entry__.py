@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parquet_storage_profile": relational.parquet_storage_profile,
         "customer_value_deciles": relational.customer_value_deciles,
         "nation_year_rollup": relational.nation_year_rollup,
+        "orders_cube": relational.orders_cube,
         "top_events_per_user": relational.top_events_per_user,
         "users_active_both_halves": relational.users_active_both_halves,
         "users_only_first_half": relational.users_only_first_half,
@@ -3290,6 +3291,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         AS BIGINT) AS n_error,
                    count(*) AS n_total
             FROM events GROUP BY 1
+        """,
+        # full CUBE: all four grouping sets from one pass
+        "orders_cube": """
+            SELECT n.n_name AS nation,
+                   o.o_orderpriority AS priority,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT))
+                       / 100.0 AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY CUBE(nation, priority)
         """,
         "nation_year_rollup": """
             SELECT n.n_name AS nation,

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "uniform_sample",
     "token_budget_mixture",
     "nation_year_rollup",
+    "orders_cube",
     "value_percentiles_by_type",
     "sessionize",
     "session_stats",

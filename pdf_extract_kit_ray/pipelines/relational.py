@@ -4378,3 +4378,79 @@ def parquet_storage_profile(sf_dir: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """Full CUBE(nation, o_orderpriority) over order revenue — ALL FOUR
+    grouping sets ((nation, priority), (nation), (priority), ()) from
+    one pass, completing the OLAP-subtotal family (nation_year_rollup
+    covers ROLLUP's three): detail cells, both one-dimensional margins
+    and the grand total land in a single result, the cross-tab a BI
+    layer pivots without re-querying.
+
+    Same machinery as the ROLLUP: each batch emits partials for every
+    grouping set (4x the rows of a plain group, all pre-combined), the
+    rolled-up key positions travel as sentinels ("" — Ray's sort-based
+    group partitioning cannot order NULL keys) and the finish map
+    restores SQL CUBE's NULLs.  Exact cents throughout."""
+    from ray.data.aggregate import Sum
+    from ..functions.joins import broadcast_join, read_small_table
+
+    cust = read_small_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+    nation = read_small_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys="c_nationkey",
+                    right_keys="n_nationkey") \
+              .select(["c_custkey", "n_name"])
+
+    ds = sized_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"])
+    joined = broadcast_join(ds, dim, on="o_custkey",
+                            right_on="c_custkey",
+                            select=["n_name", "o_totalprice",
+                                    "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nat = batch.column("n_name").combine_chunks() \
+            if isinstance(batch.column("n_name"), pa.ChunkedArray) \
+            else batch.column("n_name")
+        pri = batch.column("o_orderpriority").combine_chunks() \
+            if isinstance(batch.column("o_orderpriority"),
+                          pa.ChunkedArray) \
+            else batch.column("o_orderpriority")
+        cents = _cents(batch.column("o_totalprice"))
+        cents = cents.combine_chunks() \
+            if isinstance(cents, pa.ChunkedArray) else cents
+        blank = pa.array([""] * batch.num_rows, pa.string())
+        t = pa.table({
+            "nation_s": pa.concat_arrays([nat, nat, blank, blank]),
+            "priority_s": pa.concat_arrays([pri, blank, pri, blank]),
+            "cents": pa.concat_arrays([cents] * 4),
+        })
+        g = t.group_by(["nation_s", "priority_s"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["nation_s", "priority_s",
+                                 "partial_cents", "partial_n"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby(["nation_s", "priority_s"])
+           .aggregate(Sum("partial_n", alias_name="n_orders"),
+                      Sum("partial_cents", alias_name="cents")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nat = batch.column("nation_s")
+        pri = batch.column("priority_s")
+        return pa.table({
+            "nation": pc.if_else(pc.equal(nat, ""),
+                                 pa.scalar(None, pa.string()), nat),
+            "priority": pc.if_else(pc.equal(pri, ""),
+                                   pa.scalar(None, pa.string()), pri),
+            "n_orders": batch.column("n_orders"),
+            "total_price": pc.divide(
+                pc.cast(batch.column("cents"), pa.float64(), safe=False),
+                100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
