@@ -59,7 +59,10 @@ _SF001_QUERIES = {"extract_kind_counts", "table_sources",
                   # raw-corpus queries: the no-arg oracle pins the
                   # sf0.01 corpus glob, so run the Ray side there too
                   "doc_modality_mix", "interleaved_pack_plan",
-                  "span_kind_transitions", "corpus_integrity_report"}
+                  "span_kind_transitions", "corpus_integrity_report",
+                  # footer profile: the no-arg twin pins the sf0.01
+                  # lineitem file path
+                  "parquet_storage_profile"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
