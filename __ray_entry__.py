@@ -178,6 +178,205 @@ def _doc_modality_mix(sf_dir: str):
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def _media_ref_manifest(sf_dir: str):
+    """Fetch manifest of the interleaved corpus: one row per distinct
+    ``media://`` reference with how many documents and spans cite it —
+    the planning table a distributed payload-fetch/decode stage reads so
+    every blob is fetched ONCE no matter how many spans reuse it (and
+    the reuse histogram storage dedup is sized from).
+
+    Scale shape: flatten each batch's span lists and pre-reduce to
+    distinct (media_ref, doc_id) partials with span counts (the
+    combiner), then ONE coarse shuffle hashed on media_ref; the bucket
+    kernel finishes BOTH levels — pair dedup then the per-ref
+    (n_docs, n_spans) rollup — inside one call (every ref is complete
+    in its bucket), so no second shuffle and no reliance on output
+    block boundaries.  Nothing doc- or corpus-sized reaches the
+    driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extract_kit_ray.functions.agg import (_GOLDEN, _coarse_of,
+                                                   _default_num_coarse)
+    from pdf_extract_kit_ray.functions.joins import (pruned_parquet_bytes,
+                                                     target_num_blocks)
+
+    nc = _default_num_coarse()
+
+    path = _corpus_path(sf_dir)
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "spans"],
+        override_num_blocks=target_num_blocks(
+            pruned_parquet_bytes(path, ["doc_id", "spans"])))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans)
+        ref = flat.field("media_ref")
+        is_media = pc.fill_null(pc.starts_with(ref, "media://"), False)
+        doc = batch.column("doc_id").take(par)
+        t = pa.table({"media_ref": ref, "doc_id": doc}).filter(is_media)
+        g = t.group_by(["media_ref", "doc_id"]).aggregate(
+            [([], "count_all")])
+        g = g.rename_columns(["media_ref", "doc_id", "pn"])
+        coarse = _coarse_of(g.column("media_ref"), 1 << 62) % nc
+        return g.append_column("__coarse", pa.array(coarse, pa.int64()))
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        # every media_ref is complete within its bucket, so both levels
+        # finish here: pair dedup (sum of partial span counts), then the
+        # per-ref rollup
+        pairs = (group.select(["media_ref", "doc_id", "pn"])
+                 .group_by(["media_ref", "doc_id"])
+                 .aggregate([("pn", "sum")]))
+        g = (pairs.group_by("media_ref")
+             .aggregate([([], "count_all"), ("pn_sum", "sum")]))
+        return g.rename_columns(["media_ref", "n_docs", "n_spans"])
+
+    return (ds.map_batches(pair_partial, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(bucket_kernel, batch_format="pyarrow"))
+
+
+def _span_length_profile(sf_dir: str):
+    """Per-kind span text-length profile of the raw corpus — the
+    token/byte budgeting table (how much text each span kind carries
+    decides context-window packing and which kinds dominate storage).
+    NULL text is pinned to length 0 / empty (COALESCE in the twin).
+
+    Scale shape: pure per-batch Arrow group_by partials (count, empty
+    count, char sum, char max) — every block reduces to ≤ |kinds| rows
+    before the tiny final rollup; one division, rounded to 6dp, in the
+    finish map."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from pdf_extract_kit_ray.functions.num import round6
+
+    ds = ray.data.read_parquet(_corpus_path(sf_dir), columns=["spans"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        text = pc.fill_null(flat.field("text"), "")
+        chars = pc.cast(pc.utf8_length(text), pa.int64())
+        g = (pa.table({"kind": flat.field("kind"),
+                       "chars": chars,
+                       "empty": pc.cast(pc.equal(chars, 0), pa.int64())})
+             .group_by("kind")
+             .aggregate([([], "count_all"), ("empty", "sum"),
+                         ("chars", "sum"), ("chars", "max")]))
+        return g.rename_columns(["kind", "pn", "pe", "pc", "pm"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("kind")
+           .aggregate(Sum("pn", alias_name="n_spans"),
+                      Sum("pe", alias_name="n_empty"),
+                      Sum("pc", alias_name="total_chars"),
+                      Max("pm", alias_name="max_chars")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_spans")
+        total = batch.column("total_chars")
+        mean = pc.divide(pc.cast(total, pa.float64(), safe=False),
+                         pc.cast(n, pa.float64(), safe=False))
+        return pa.table({"kind": batch.column("kind"),
+                         "n_spans": n,
+                         "n_empty": batch.column("n_empty"),
+                         "total_chars": total,
+                         "max_chars": batch.column("max_chars"),
+                         "mean_chars": round6(mean)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _page_span_stats(sf_dir: str):
+    """Per-document page profile of the raw corpus — the SKEW EVIDENCE
+    the salted two-phase reassembly decision (`ExtractConfig.salt_pages`,
+    `detect_salt_pages`) is made from: pages per doc (``page_geom``
+    leader spans — the v2 corpus's page delimiters), total spans, the
+    largest single page's span count, and mean non-leader spans/page.
+
+    Scale shape: a document is one row of the spans table, so the whole
+    profile is a PURE MAP — flatten, segment by parent, page-id by a
+    within-doc running count of leaders, per-page counts and per-doc
+    maxima with numpy bincount/maximum.reduceat.  No shuffle anywhere.
+
+    Edges pinned in both engines: spans before a doc's first leader
+    count as page-id 0 (a real page group for the max); a doc with no
+    leader spans has n_pages 0, mean NULL, max = its span count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_extract_kit_ray.functions.num import round6
+
+    ds = ray.data.read_parquet(_corpus_path(sf_dir),
+                               columns=["doc_id", "spans"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        n = len(par)
+        leader = pc.fill_null(
+            pc.equal(flat.field("kind"), "page_geom"), False) \
+            .to_numpy(zero_copy_only=False)
+        n_spans = np.bincount(par, minlength=n_rows).astype(np.int64)
+        n_pages = np.bincount(par, weights=leader,
+                              minlength=n_rows).astype(np.int64)
+        if n:
+            lead_cum = np.cumsum(leader.astype(np.int64))
+            doc_start = np.searchsorted(par, np.arange(n_rows))
+            base = np.where(doc_start > 0,
+                            lead_cum[np.maximum(doc_start - 1, 0)], 0)
+            within = lead_cum - base[par]       # page id inside the doc
+            # per-(doc, page) non-leader span counts; keys are sorted
+            # because par asc then within asc follows list order
+            key = par.astype(np.int64) * (int(within.max()) + 1) + within
+            nl = ~leader
+            key_nl = key[nl]
+            if len(key_nl):
+                uniq, counts = np.unique(key_nl, return_counts=True)
+                page_doc = (uniq // (int(within.max()) + 1)).astype(np.int64)
+                starts = np.flatnonzero(
+                    np.r_[True, page_doc[1:] != page_doc[:-1]])
+                seg_max = np.maximum.reduceat(counts, starts)
+                max_page = np.zeros(n_rows, dtype=np.int64)
+                max_page[page_doc[starts]] = seg_max
+            else:
+                max_page = np.zeros(n_rows, dtype=np.int64)
+        else:
+            max_page = np.zeros(n_rows, dtype=np.int64)
+        mean = np.where(n_pages > 0,
+                        (n_spans - n_pages) / np.maximum(n_pages, 1),
+                        np.nan)
+        mean_arr = pa.array(mean, pa.float64())
+        mean_arr = pc.if_else(pa.array(n_pages > 0), round6(mean_arr),
+                              pa.scalar(None, pa.float64()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_pages": pa.array(n_pages, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "max_page_spans": pa.array(max_page, pa.int64()),
+            "mean_page_spans": mean_arr,
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def _interleaved_pack_plan(sf_dir: str):
     """Multimodal concat-and-chunk packing over the raw interleaved
     corpus (pipelines/curation.interleaved_pack_plan): text tokens +
@@ -437,6 +636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts": _span_kind_counts,
         "extract_kind_counts_lmv3": _span_kind_counts_lmv3,
         "doc_modality_mix": _doc_modality_mix,
+        "media_ref_manifest": _media_ref_manifest,
+        "span_length_profile": _span_length_profile,
+        "page_span_stats": _page_span_stats,
         "interleaved_pack_plan": _interleaved_pack_plan,
         "span_kind_transitions": _span_kind_transitions,
         "corpus_integrity_report": _corpus_integrity_report,
@@ -460,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_report": relational.key_skew_report,
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "late_shipment_priority": relational.late_shipment_priority,
+        "shipmode_priority_counts": relational.shipmode_priority_counts,
         "customers_without_orders": relational.customers_without_orders,
         "global_sales_opportunity": relational.global_sales_opportunity,
         "nation_balance_ranks": relational.nation_balance_ranks,
@@ -691,6 +894,72 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM (SELECT unnest(spans) AS s
                   FROM read_parquet('{golden_glob}'))
             GROUP BY 1
+        """,
+        # fetch manifest of the raw corpus: per media:// ref, citing docs
+        # (distinct) + citing spans
+        "media_ref_manifest": f"""
+            WITH ex AS (SELECT doc_id, unnest(spans) AS s
+                        FROM read_parquet('{raw_glob}'))
+            SELECT s.media_ref AS media_ref,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_spans
+            FROM ex
+            WHERE s.media_ref LIKE 'media://%'
+            GROUP BY 1
+        """,
+        # per-kind span text-length profile; NULL text pinned to length 0
+        # (COALESCE); sums cast back to BIGINT (DuckDB sum -> HUGEINT)
+        "span_length_profile": f"""
+            WITH ex AS (SELECT unnest(spans) AS s
+                        FROM read_parquet('{raw_glob}')),
+            f AS (SELECT s.kind AS kind,
+                         length(coalesce(s.text, '')) AS chars
+                  FROM ex)
+            SELECT kind, count(*) AS n_spans,
+                   count(*) FILTER (WHERE chars = 0) AS n_empty,
+                   CAST(sum(chars) AS BIGINT) AS total_chars,
+                   max(chars) AS max_chars,
+                   round(CAST(sum(chars) AS BIGINT)::DOUBLE / count(*), 6)
+                       AS mean_chars
+            FROM f GROUP BY 1
+        """,
+        # per-doc page profile: page id = running count of page_geom
+        # leaders in LIST-position order (the v2 corpus's page
+        # delimiters); per-page counts exclude the leader span itself;
+        # pre-leader spans form page-id 0 (a real group for the max);
+        # a doc with no leaders: n_pages 0, mean NULL, max = span count
+        "page_span_stats": f"""
+            WITH ex AS (
+                SELECT doc_id, unnest(spans) AS s,
+                       generate_subscripts(spans, 1) AS pos
+                FROM read_parquet('{raw_glob}')
+            ), pg AS (
+                SELECT doc_id, pos,
+                       CASE WHEN s.kind = 'page_geom' THEN 1 ELSE 0 END
+                           AS leader,
+                       sum(CASE WHEN s.kind = 'page_geom' THEN 1 ELSE 0
+                           END) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS page_id
+                FROM ex
+            ), per_doc AS (
+                SELECT doc_id, count(*) AS n_spans,
+                       CAST(sum(leader) AS BIGINT) AS n_pages
+                FROM pg GROUP BY 1
+            ), per_page AS (
+                SELECT doc_id, page_id,
+                       count(*) FILTER (WHERE leader = 0) AS c
+                FROM pg GROUP BY 1, 2
+            ), mx AS (
+                SELECT doc_id, max(c) AS max_page_spans
+                FROM per_page GROUP BY 1
+            )
+            SELECT d.doc_id, d.n_pages, d.n_spans,
+                   m.max_page_spans,
+                   CASE WHEN d.n_pages > 0
+                        THEN round((d.n_spans - d.n_pages)::DOUBLE
+                                   / d.n_pages, 6)
+                        END AS mean_page_spans
+            FROM per_doc d JOIN mx m USING (doc_id)
         """,
         # interleaving profile of the RAW corpus (the north-rule input
         # table): modality transitions in LIST-position order (offsets
@@ -1512,6 +1781,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
             GROUP BY o_orderpriority
+        """,
+        # TPC-H Q12 shape (category = l_linestatus, window on l_shipdate —
+        # this corpus has no shipmode/receiptdate); count(*) FILTER keeps
+        # both counts BIGINT like the engine's int64 sums
+        "shipmode_priority_counts": """
+            SELECT l_linestatus AS linestatus,
+                   count(*) FILTER (WHERE o_orderpriority IN
+                                    ('1-URGENT', '2-HIGH'))
+                       AS high_line_count,
+                   count(*) FILTER (WHERE o_orderpriority NOT IN
+                                    ('1-URGENT', '2-HIGH'))
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
         """,
         "customers_without_orders": """
             SELECT c_mktsegment, count(*) AS n_customers

@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "doc_modality_mix",
     "interleaved_pack_plan",
     "span_kind_transitions",
+    "media_ref_manifest",
+    "span_length_profile",
+    "page_span_stats",
     "corpus_integrity_report",
     "table_sources",
     "reference_json",
@@ -130,6 +133,7 @@ BENCH_QUERIES = [
     "peak_window_revenue",
     "monthly_revenue_growth",
     "late_shipment_priority",
+    "shipmode_priority_counts",
     "q3_shipping_priority",
     "promo_revenue",
     "supplier_region_volume",

@@ -4454,3 +4454,54 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def shipmode_priority_counts(sf_dir: str, date_from: str = "1996-01-01",
+                             date_to: str = "1997-01-01",
+                             num_partitions: "int | None" = None
+                             ) -> "ray.data.Dataset":
+    """TPC-H Q12 shape — the last of the 22 query shapes (this corpus's
+    lineitem carries no l_shipmode/l_receiptdate, so the category is
+    ``l_linestatus`` and the window predicate is on ``l_shipdate``): per
+    line-status, how many line items in the window belong to
+    high-priority orders (1-URGENT / 2-HIGH) vs everything else — the
+    dual conditional count over a fact→fact join that Q12 exercises.
+
+    Scale shape: the fact scan prunes to three columns and applies the
+    date window per batch BEFORE the join; the size-based join rule
+    attaches (o_orderkey, o_orderpriority) (broadcast under the 128 MB
+    metadata estimate, partitioned hash join above it); per-batch
+    conditional partials reduce every block to ≤ |linestatus| rows, so
+    the final groupby moves a handful of rows."""
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_linestatus",
+                                       "l_shipdate"])
+    lo = pa.scalar(pd.Timestamp(date_from), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(date_to), pa.timestamp("us"))
+
+    def window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("l_shipdate"), lo),
+                       pc.less(batch.column("l_shipdate"), hi))
+        return batch.filter(keep).select(["l_orderkey", "l_linestatus"])
+
+    joined = sized_join(line.map_batches(window, batch_format="pyarrow"),
+                        f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderpriority"],
+                        on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=num_partitions)
+    high_set = pa.array(["1-URGENT", "2-HIGH"], pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        high = pc.cast(pc.is_in(batch.column("o_orderpriority"),
+                                value_set=high_set), pa.int64())
+        t = pa.table({"linestatus": batch.column("l_linestatus"),
+                      "high": high,
+                      "low": pc.subtract(pa.scalar(1, pa.int64()), high)})
+        g = t.group_by("linestatus").aggregate([("high", "sum"),
+                                                ("low", "sum")])
+        return g.rename_columns(["linestatus", "high", "low"])
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("linestatus")
+                  .aggregate(Sum("high", alias_name="high_line_count"),
+                             Sum("low", alias_name="low_line_count")))

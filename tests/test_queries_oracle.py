@@ -60,6 +60,8 @@ _SF001_QUERIES = {"extract_kind_counts", "table_sources",
                   # sf0.01 corpus glob, so run the Ray side there too
                   "doc_modality_mix", "interleaved_pack_plan",
                   "span_kind_transitions", "corpus_integrity_report",
+                  "media_ref_manifest", "span_length_profile",
+                  "page_span_stats",
                   # footer profile: the no-arg twin pins the sf0.01
                   # lineitem file path
                   "parquet_storage_profile"}
