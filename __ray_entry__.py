@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": relational.monthly_revenue_growth,
         "late_shipment_priority": relational.late_shipment_priority,
         "shipmode_priority_counts": relational.shipmode_priority_counts,
+        "target_encode_priority": relational.target_encode_priority,
         "customers_without_orders": relational.customers_without_orders,
         "global_sales_opportunity": relational.global_sales_opportunity,
         "nation_balance_ranks": relational.nation_balance_ranks,
@@ -840,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
         "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,  # non-SQL sketch
         "ddsketch_quantiles_by_type": streaming.ddsketch_quantiles_by_type,  # non-SQL sketch
+        "cms_user_counts": streaming.cms_user_counts,     # non-SQL sketch (overcount-bound tested)
         # --- multimodal (non-SQL: binary payload stages; rows-only checks) ---
         "media_decode_summary": multimodal.media_decode_summary,
         "image_thumbnails": multimodal.image_thumbnails,
@@ -1781,6 +1783,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
             GROUP BY o_orderpriority
+        """,
+        # m-estimate target encoding: exact-cents category sums; the
+        # encoding expression evaluates in the engine's exact op order
+        # (cents/100.0; global mean = (tc/100.0)/tn; one final division)
+        "target_encode_priority": """
+            WITH agg AS (
+                SELECT o_orderpriority,
+                       CAST(sum(CAST(floor(o_totalprice*100.0) AS BIGINT))
+                            AS BIGINT) AS cents,
+                       count(*) AS n
+                FROM orders GROUP BY 1
+            ), g AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS tc,
+                       CAST(sum(n) AS BIGINT) AS tn
+                FROM agg
+            )
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   round((a.cents/100.0 + 20.0 * ((g.tc/100.0) / g.tn))
+                         / (a.n + 20.0), 6) AS te_priority
+            FROM orders o
+            JOIN agg a ON o.o_orderpriority = a.o_orderpriority
+            CROSS JOIN g
         """,
         # TPC-H Q12 shape (category = l_linestatus, window on l_shipdate —
         # this corpus has no shipmode/receiptdate); count(*) FILTER keeps

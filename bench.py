@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "monthly_revenue_growth",
     "late_shipment_priority",
     "shipmode_priority_counts",
+    "target_encode_priority",
     "q3_shipping_priority",
     "promo_revenue",
     "supplier_region_volume",
@@ -229,6 +230,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "semantic_dedup",
     "hll_distinct_users",
+    "cms_user_counts",
     "heavy_hitter_users",
     "ddsketch_value_quantiles",
     "ddsketch_quantiles_by_type",

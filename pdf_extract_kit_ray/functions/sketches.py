@@ -432,3 +432,106 @@ def bloom_probe(bitmap: bytes, fp_hex, m_bits: int,
     pos = bloom_positions(fp_hex, m_bits, k)                # (n, k)
     bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return bits.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency sketch)
+# ---------------------------------------------------------------------------
+
+# fixed row-salt constants (any distinct odd values work; pinned so every
+# worker and every session builds the identical sketch)
+_CMS_SEEDS = np.array([0x243F6A8885A308D3, 0x13198A2E03707344,
+                       0xA4093822299F31D0, 0x082EFA98EC4E6C89,
+                       0x452821E638D01377, 0xBE5466CF34E90C6C,
+                       0x3F84D5B5B5470917, 0x9216D5D98979FB1B],
+                      dtype=np.uint64)
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a d×w counter
+    matrix; each item increments one cell per row (splitmix64 with a
+    per-row salt), a point estimate is the MIN over rows.  Guarantees:
+    estimate >= true count ALWAYS (overcount-only), and
+    estimate <= true + e·N/w with probability >= 1 − (1/e)^d for any
+    fixed key.  The sketch is LINEAR — merge is elementwise counter
+    addition — so per-block partials combine associatively anywhere in
+    an aggregation tree, the property HLL/Bloom share."""
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        if not 1 <= d <= len(_CMS_SEEDS):
+            raise ValueError(f"CountMin supports 1 <= d <= "
+                             f"{len(_CMS_SEEDS)} rows (got d={d})")
+        self.w, self.d = w, d
+        self.counts = np.zeros((d, w), dtype=np.int64)
+        self.n = 0                     # total items added (exact)
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        """(d, n) column index per row for int64/uint64 keys."""
+        v = values.astype(np.uint64, copy=False)
+        return np.stack([splitmix64(v ^ s) % np.uint64(self.w)
+                         for s in _CMS_SEEDS[:self.d]])
+
+    def add_ints(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        pos = self._positions(values)
+        for r in range(self.d):
+            np.add.at(self.counts[r], pos[r], 1)
+        self.n += len(values)
+
+    def merge(self, other: "CountMin") -> None:
+        self.counts += other.counts
+        self.n += other.n
+
+    def estimate_ints(self, keys: np.ndarray) -> np.ndarray:
+        """Point estimates for int keys: min over rows."""
+        pos = self._positions(np.asarray(keys))
+        ests = np.stack([self.counts[r][pos[r]] for r in range(self.d)])
+        return ests.min(axis=0)
+
+
+def make_cms_aggregator(on: str, w: int = 2048, d: int = 4,
+                        name: str = None):
+    """Count-Min as a ``ray.data`` ``AggregateFnV2``: the accumulator is
+    the packed int64 [n, d·w counters] buffer; combine is elementwise
+    addition (CMS linearity); finalize returns the raw packed sketch —
+    callers probe it with ``cms_estimate``."""
+    from ray.data.aggregate import AggregateFnV2
+
+    def _pack(sk: CountMin) -> bytes:
+        return np.concatenate(([np.int64(sk.n)],
+                               sk.counts.ravel())).tobytes()
+
+    class CMSBuild(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name or f"cms({on})",
+                             zero_factory=lambda: bytes(8 * (1 + d * w)),
+                             on=on, ignore_nulls=True)
+
+        def aggregate_block(self, block) -> bytes:
+            sk = CountMin(w, d)
+            col = block.column(on) if hasattr(block, "column") else block[on]
+            vals = np.asarray(col.to_numpy() if hasattr(col, "to_numpy")
+                              else col, dtype=np.int64)
+            sk.add_ints(vals)
+            return _pack(sk)
+
+        def combine(self, a: bytes, b: bytes) -> bytes:
+            return (np.frombuffer(a, np.int64)
+                    + np.frombuffer(b, np.int64)).tobytes()
+
+        def finalize(self, acc: bytes) -> bytes:
+            return acc
+
+    return CMSBuild()
+
+
+def cms_estimate(packed: bytes, keys: np.ndarray, w: int = 2048,
+                 d: int = 4) -> "tuple[np.ndarray, int]":
+    """Probe a packed CMS buffer: (point estimates for ``keys``, total
+    item count n)."""
+    arr = np.frombuffer(packed, np.int64)
+    sk = CountMin(w, d)
+    sk.n = int(arr[0])
+    sk.counts = arr[1:].reshape(d, w).copy()
+    return sk.estimate_ints(keys), sk.n

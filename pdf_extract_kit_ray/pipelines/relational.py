@@ -4505,3 +4505,64 @@ def shipmode_priority_counts(sf_dir: str, date_from: str = "1996-01-01",
                   .groupby("linestatus")
                   .aggregate(Sum("high", alias_name="high_line_count"),
                              Sum("low", alias_name="low_line_count")))
+
+
+def target_encode_priority(sf_dir: str, m: float = 20.0) -> "ray.data.Dataset":
+    """Smoothed target encoding (the m-estimate) of ``o_orderpriority``
+    against order value — the categorical→numeric feature transform a
+    tabular-ML training pipeline runs before export:
+    ``te = (sum_cat + m·global_mean) / (n_cat + m)`` shrinks small
+    categories toward the global mean.
+
+    Scale shape: the aggregate-then-rejoin-to-fact pattern
+    (small_quantity_revenue's shape) — pass 1 reduces the fact scan to
+    per-category exact-cents partials (≤ |priorities| rows per block,
+    tiny rollup, driver pull bounded by the category vocabulary);
+    the encodings are computed once, broadcast, and pass 2 is a PURE MAP
+    attaching the feature by dictionary index — no shuffle anywhere.
+
+    Bit-parity: category sums are exact int64 cents; the m-estimate is
+    evaluated in the twin's exact operation order (cents/100.0, the
+    global mean's two divisions, one final division) and rounded to
+    6dp."""
+    from ..functions.num import round6
+
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                       "cents": _cents(batch.column("o_totalprice"))})
+             .group_by("o_orderpriority")
+             .aggregate([("cents", "sum"), ([], "count_all")]))
+        return g.rename_columns(["o_orderpriority", "pc", "pn"])
+
+    agg = (sized_read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderpriority", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("pc", alias_name="cents"),
+                      Sum("pn", alias_name="n")))
+    # bounded driver pull: one row per category (5 here; a categorical
+    # vocabulary by definition — never corpus-sized)
+    rows = agg.take_all()
+    cats = [r["o_orderpriority"] for r in rows]
+    if cats:
+        tc = sum(int(r["cents"]) for r in rows)
+        tn = sum(int(r["n"]) for r in rows)
+        gm = (tc / 100.0) / tn
+        te = round6(pa.array(
+            [((int(r["cents"]) / 100.0) + m * gm) / (int(r["n"]) + m)
+             for r in rows], pa.float64()))
+    else:
+        te = pa.array([], pa.float64())
+    cat_arr = pa.array(cats, pa.string())
+
+    def encode(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority")
+        idx = pc.index_in(pri, value_set=cat_arr)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "o_orderpriority": pri,
+                         "te_priority": te.take(idx)})
+
+    return (sized_read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+            .map_batches(encode, batch_format="pyarrow"))

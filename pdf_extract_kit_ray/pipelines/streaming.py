@@ -65,6 +65,37 @@ def hll_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
                      "precision_p": pa.array([p], pa.int32())})
 
 
+def cms_user_counts(sf_dir: str, probe_users: tuple = tuple(range(20)),
+                    w: int = 2048, d: int = 4) -> pa.Table:
+    """Point-frequency estimates for a probe set of user ids via a
+    Count-Min sketch ``AggregateFnV2`` — the constant-size answer to
+    "how many events did THESE keys have" when the key space is too
+    large to rollup exactly (the Bloom-broadcast idea applied to
+    counts).  The d*w counter matrix is LINEAR (merge = elementwise
+    add), so per-block partials combine associatively in the
+    aggregation tree and only one ~64 KB buffer reaches the driver.
+    Guarantees (tested): estimate >= exact ALWAYS; overcount bounded by
+    e*N/w w.h.p. per key.  Returns (user_id, est_count, n_events)."""
+    import numpy as np
+
+    from ..functions.sketches import cms_estimate, make_cms_aggregator
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    res = ds.aggregate(make_cms_aggregator("user_id", w=w, d=d,
+                                           name="cms_users"))
+    packed = (res or {}).get("cms_users")
+    probes = np.asarray(probe_users, dtype=np.int64)
+    if packed is None:                        # empty events table
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "est_count": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    ests, n = cms_estimate(packed, probes, w=w, d=d)
+    return pa.table({"user_id": pa.array(probes, pa.int64()),
+                     "est_count": pa.array(ests, pa.int64()),
+                     "n_events": pa.array([n] * len(probes), pa.int64())})
+
+
 def ddsketch_value_quantiles(sf_dir: str, alpha: float = 0.01,
                              qs: tuple = (0.5, 0.9, 0.99)) -> pa.Table:
     """Approximate quantiles of events.value via the DDSketch

@@ -274,3 +274,63 @@ def test_table_profile_tolerance(ray_session):
                     ("event_type", int(exact.d_types))):
         est = prof.loc[col, "approx_distinct"]
         assert abs(est - ex) <= max(2, 0.05 * ex), (col, est, ex)
+
+
+def test_cms_overcount_only_and_exact_in_sparse_regime():
+    from pdf_extract_kit_ray.functions.sketches import CountMin
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 500, size=20_000).astype(np.int64)
+    sk = CountMin(w=4096, d=4)
+    sk.add_ints(keys)
+    probe = np.arange(500, dtype=np.int64)
+    exact = np.bincount(keys, minlength=500)
+    est = sk.estimate_ints(probe)
+    # CMS never undercounts
+    assert (est >= exact).all()
+    # and the error obeys the e*N/w bound with wide margin
+    assert (est - exact).max() <= np.e * len(keys) / 4096 * 3
+    assert sk.n == len(keys)
+
+
+def test_cms_linearity_split_invariance():
+    from pdf_extract_kit_ray.functions.sketches import CountMin
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 10_000, size=30_000).astype(np.int64)
+    full = CountMin(w=2048, d=4)
+    full.add_ints(keys)
+    merged = CountMin(w=2048, d=4)
+    for part in np.array_split(keys, 7):
+        p = CountMin(w=2048, d=4)
+        p.add_ints(part)
+        merged.merge(p)
+    assert (merged.counts == full.counts).all()
+    assert merged.n == full.n
+
+
+def test_cms_invalid_depth_fails_loudly():
+    from pdf_extract_kit_ray.functions.sketches import CountMin
+    with pytest.raises(ValueError):
+        CountMin(w=64, d=9)
+    with pytest.raises(ValueError):
+        CountMin(w=64, d=0)
+
+
+def test_cms_user_counts_query_vs_exact(ray_session):
+    import duckdb
+
+    from pdf_extract_kit_ray.pipelines.streaming import cms_user_counts
+
+    sf = "/root/testdata/sf0.001"
+    out = cms_user_counts(sf).to_pandas().set_index("user_id")
+    exact = dict(duckdb.sql(
+        f"SELECT user_id, count(*) FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY 1").fetchall())
+    n_total = sum(exact.values())
+    assert (out["n_events"] == n_total).all()
+    for uid, row in out.iterrows():
+        ex = exact.get(uid, 0)
+        assert row["est_count"] >= ex            # overcount-only
+        assert row["est_count"] - ex <= np.e * n_total / 2048 * 3
+    # deterministic across runs
+    out2 = cms_user_counts(sf).to_pandas().set_index("user_id")
+    assert (out["est_count"] == out2["est_count"]).all()
