@@ -766,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": dedup.curated_docs,
         "dedup_keep_best": dedup.dedup_keep_best,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "prefix_jaccard_pairs": dedup.prefix_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
         "cdc_chunk_stats": dedup.cdc_chunk_stats,   # non-SQL (rolling hash)
@@ -4111,6 +4112,43 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(1 + sum(new_s) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        # prefix-filter EXACT similarity join (full corpus — no doc_id
+        # bound): the twin avoids the O(n^2) cross join by exploding
+        # shingles and counting co-occurrences (only co-occurring pairs
+        # materialize), mirroring the engine's index-row shape
+        "prefix_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM toks WHERE len(w) > 0
+            ), sz AS (
+                SELECT doc_id, len(s) AS n FROM sh
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS t FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE)
+                         / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE)
+                  / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "ngram_jaccard_pairs",
+    "prefix_jaccard_pairs",
     "dup_clusters",
     "dup_spans",
     "cdc_chunk_stats",

@@ -1835,3 +1835,128 @@ def line_dedup_intra(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(dedup_lines, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter exact similarity join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                         shingle_k: int = 3,
+                         table: str = "documents") -> "ray.data.Dataset":
+    """EXACT all-pairs word-shingle Jaccard join via PREFIX FILTERING
+    (the AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al.
+    2008): the deterministic, no-missed-pairs counterpart of
+    ``minhash_dedup``'s probabilistic LSH, with the same verified-pair
+    output contract (doc_a < doc_b, exact Jaccard >= threshold).
+
+    Why it is complete: fix any total order over shingles.  If
+    J(s,t) >= τ then the overlap i >= ceil(τ·|s|) (since i >= τ(|s|+|t|−i)
+    and |t| >= i), so the smallest SHARED shingle cannot sit deeper than
+    position |s| − i + 1 <= |s| − ceil(τ·|s|) + 1 in either set — i.e.
+    the two PREFIXES of that length share a token.  Emitting only prefix
+    tokens as index rows therefore generates every qualifying pair.
+
+    Scale shape: one doc scan emits (prefix_token, doc, |s|) index rows
+    (~(1−τ) of each doc's shingles); ONE coarse token-hashed shuffle
+    emits in-bucket candidate pairs (all pairs per token segment, pruned
+    by the |t| >= τ·|s| length filter); verification reuses the shared
+    membership-union primitive — corpus text ships through exactly one
+    hash shuffle, exact Jaccard per candidate, nothing on the driver.
+    The total order here is shingle-hash order (ties by string): an
+    unbiased stand-in for PPJoin's document-frequency-ascending order —
+    that optimization needs a DF pass; hash order keeps buckets small on
+    natural text because shingles are mostly rare.  A pathological
+    boilerplate shingle that lands in many prefixes degrades to a
+    quadratic bucket — the DF-ordered variant is the documented fix at
+    that regime."""
+    import math
+
+    from ..functions.pairs import verify_candidate_pairs
+
+    path = f"{sf_dir}/{table}.parquet"
+    ds = sized_read_parquet(path, columns=["doc_id", "text"])
+    n_docs = ds.count()
+    nc = _num_coarse(n_docs * 4)
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_t, out_id, out_sz = [], [], []
+        for doc_id, text in zip(ids, texts):
+            sh = word_shingles(text, shingle_k)
+            if not sh:
+                continue                 # null/empty text: never a candidate
+            size = len(sh)
+            # epsilon guards the float ceil from rounding UP past the
+            # exact value (a too-short prefix would break completeness;
+            # one token longer only adds candidates)
+            plen = size - math.ceil(threshold * size - 1e-9) + 1
+            ordered = sorted(sh, key=lambda s: (zlib.crc32(s.encode()), s))
+            for tok in ordered[:plen]:
+                out_t.append(tok)
+                out_id.append(doc_id)
+                out_sz.append(size)
+        tok = pa.array(out_t, pa.string())
+        h = np.array([zlib.crc32(t.encode()) for t in out_t],
+                     dtype=np.uint64)
+        mixed = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+        coarse = pc.cast(pa.array(mixed % np.uint64(nc)), pa.int64())
+        return pa.table({"coarse": coarse, "token": tok,
+                         "doc_id": pa.array(out_id, pa.int64()),
+                         "size": pa.array(out_sz, pa.int64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        tok = group.column("token").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sz = group.column("size").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tok))
+        tok, ids, sz = tok[order], ids[order], sz[order]
+        new_seg = np.r_[True, tok[1:] != tok[:-1]]
+        bounds = np.r_[np.flatnonzero(new_seg), len(tok)]
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            seg_ids, seg_sz = ids[s:e], sz[s:e]
+            iu, ju = np.triu_indices(m, k=1)
+            a, b = seg_ids[iu], seg_ids[ju]
+            sa, sb = seg_sz[iu], seg_sz[ju]
+            # length filter: J >= τ needs min(|s|,|t|) >= τ·max(|s|,|t|)
+            keep = (np.minimum(sa, sb)
+                    >= threshold * np.maximum(sa, sb) - 1e-9) & (a != b)
+            lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+            out_a.append(lo)
+            out_b.append(hi)
+        if out_a:
+            aa = np.concatenate(out_a)
+            bb = np.concatenate(out_b)
+        else:
+            aa = bb = np.array([], dtype=np.int64)
+        return pa.table({"doc_a": pa.array(aa, pa.int64()),
+                         "doc_b": pa.array(bb, pa.int64())})
+
+    cand = (ds.map_batches(prefix_rows, batch_format="pyarrow")
+              .groupby("coarse")
+              .map_groups(bucket_pairs, batch_format="pyarrow"))
+    num_coarse = _num_coarse(n_docs)
+
+    def verify(a_ids, b_ids, texts_a, texts_b) -> pa.Table:
+        ta, tb = texts_a.to_pylist(), texts_b.to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(a_ids)):
+            j = jaccard(ta[i], tb[i], shingle_k)
+            if j >= threshold:
+                out_a.append(a_ids[i])
+                out_b.append(b_ids[i])
+                out_j.append(j)
+        from ..functions.num import round6
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": round6(pa.array(out_j, pa.float64()))})
+
+    return verify_candidate_pairs(
+        ds, cand, id_col="doc_id", payload_col="text",
+        payload_type=pa.string(), num_coarse=num_coarse, verify=verify,
+        a_col="doc_a", b_col="doc_b")

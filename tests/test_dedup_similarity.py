@@ -707,3 +707,70 @@ def test_embedding_outliers_planted(ray_session, tmp_path):
     orc = con.execute(E.oracle_sql()["embedding_outliers"]).df() \
         .sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, orc, check_dtype=False)
+
+
+def _brute_jaccard_pairs(rows, threshold, k=3):
+    """Straight-line exact oracle for the prefix-filter join."""
+    out = set()
+    sets = {r["doc_id"]: dedup.word_shingles(r["text"], k) for r in rows}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_jaccard_pairs_completeness_vs_bruteforce(ray_session,
+                                                         tmp_path):
+    """The prefix filter must find EVERY pair brute force finds (the
+    completeness theorem), at several thresholds — the property that
+    distinguishes it from LSH."""
+    rng = random.Random(23)
+    rows = []
+    for i in range(120):
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.choice(WORDS) for _ in range(40))})
+    # planted: exact dup, one-word edit, half-overlap splice
+    rows.append({"doc_id": 500, "text": rows[0]["text"]})
+    toks = rows[1]["text"].split(); toks[3] = "EDIT"
+    rows.append({"doc_id": 501, "text": " ".join(toks)})
+    half = rows[2]["text"].split()[:20] + rows[3]["text"].split()[:20]
+    rows.append({"doc_id": 502, "text": " ".join(half)})
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    for thr in (0.3, 0.5, 0.8):
+        res = dedup.prefix_jaccard_pairs(str(tmp_path),
+                                         threshold=thr).to_pandas()
+        got = set(zip(res["doc_a"], res["doc_b"]))
+        expect = _brute_jaccard_pairs(rows, thr)
+        assert got == expect, f"thr={thr}: {got ^ expect}"
+        assert (res["jaccard"] >= thr).all()
+    # at 0.5 the planted pairs are all present
+    assert {(0, 500), (1, 501)} <= _brute_jaccard_pairs(rows, 0.5)
+
+
+def test_prefix_jaccard_short_and_null_docs(ray_session, tmp_path):
+    """Sub-k-token docs collapse to one whole-text shingle (the
+    word_shingles edge); NULL/empty docs never join."""
+    rows = [{"doc_id": 0, "text": "aa bb"},          # < k tokens
+            {"doc_id": 1, "text": "aa bb"},          # identical short doc
+            {"doc_id": 2, "text": "aa cc"},
+            {"doc_id": 3, "text": None},
+            {"doc_id": 4, "text": ""},
+            {"doc_id": 5, "text": None}]
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(rows).set_column(
+            1, "text", pa.array([r["text"] for r in rows], pa.string())),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    res = dedup.prefix_jaccard_pairs(str(tmp_path),
+                                     threshold=0.5).to_pandas()
+    assert set(zip(res["doc_a"], res["doc_b"])) == {(0, 1)}
+    assert res["jaccard"].tolist() == [1.0]
