@@ -767,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "prefix_jaccard_pairs": dedup.prefix_jaccard_pairs,
+        "part_adamic_adar": relational.part_adamic_adar,
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
         "cdc_chunk_stats": dedup.cdc_chunk_stats,   # non-SQL (rolling hash)
@@ -843,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,  # non-SQL sketch
         "ddsketch_quantiles_by_type": streaming.ddsketch_quantiles_by_type,  # non-SQL sketch
         "cms_user_counts": streaming.cms_user_counts,     # non-SQL sketch (overcount-bound tested)
+        "decayed_user_value": streaming.decayed_user_value,
         # --- multimodal (non-SQL: binary payload stages; rows-only checks) ---
         "media_decode_summary": multimodal.media_decode_summary,
         "image_thumbnails": multimodal.image_thumbnails,
@@ -1469,6 +1471,51 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # exact triangle count + local clustering per co-purchase node;
         # the twin enumerates triangles in plain key order (the set is
         # orientation-invariant); clustering pinned 0.0 for degree < 2
+        # Adamic-Adar link prediction: nano-int apex weights (ONE value
+        # per distinct degree, floor(1e9/ln(deg)+0.5) half-up), apexes
+        # above the 256-degree cap excluded BY CONTRACT (their wedge set
+        # is quadratic, their 1/ln weight negligible), adjacent pairs
+        # dropped, deterministic (score desc, pair) top-k
+        "part_adamic_adar": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pr AS (
+                SELECT a.l_partkey AS pa_, b.l_partkey AS pb_
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), deg AS (
+                SELECT part, count(*) AS degree
+                FROM (SELECT pa_ AS part FROM pr
+                      UNION ALL SELECT pb_ FROM pr)
+                GROUP BY 1
+            ), apexw AS (
+                SELECT part,
+                       CAST(floor(1000000000.0 / ln(degree) + 0.5)
+                            AS BIGINT) AS w_nano
+                FROM deg WHERE degree >= 2 AND degree <= 256
+            ), adj AS (
+                SELECT pa_ AS u, pb_ AS v FROM pr
+                UNION ALL SELECT pb_ AS u, pa_ AS v FROM pr
+            ), wedges AS (
+                SELECT a1.v AS x, a2.v AS y, w.w_nano AS w_nano
+                FROM adj a1
+                JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+                JOIN apexw w ON w.part = a1.u
+            ), scored AS (
+                SELECT x, y, CAST(sum(w_nano) AS BIGINT) AS nano
+                FROM wedges GROUP BY 1, 2
+            ), nonedge AS (
+                SELECT s.x, s.y, s.nano FROM scored s
+                LEFT JOIN pr ON pr.pa_ = s.x AND pr.pb_ = s.y
+                WHERE pr.pa_ IS NULL
+            )
+            SELECT x AS part_a, y AS part_b,
+                   round(nano / 1000000000.0, 6) AS aa_score
+            FROM nonedge
+            ORDER BY nano DESC, x, y
+            LIMIT 50
+        """,
         "part_triangles": """
             WITH op AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -3904,6 +3951,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # per-user daily-activity CV from exact integer moments; the
         # sqrt/division chain is the identical double expression
+        # recency-weighted engagement: decay snapped to integer micro-
+        # units per whole-day age (floor(pow*1e6+0.5) — half-up matches
+        # the engine), exact int64 cents*micro products, ONE final
+        # division; anchor = scalar max(ts) subquery
+        "decayed_user_value": """
+            WITH mx AS (SELECT max(ts) AS t FROM events),
+            e AS (
+                SELECT user_id,
+                       CAST(floor(value*100.0) AS BIGINT)
+                       * CAST(floor(pow(2.0,
+                             -(((epoch_us(mx.t) - epoch_us(ts))
+                                // 86400000000) / 7.0)) * 1000000.0
+                             + 0.5) AS BIGINT) AS wc
+                FROM events, mx
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            )
+            SELECT user_id, count(*) AS n_events,
+                   round(CAST(sum(wc) AS BIGINT) / 100000000.0, 6)
+                       AS decayed_value
+            FROM e GROUP BY 1
+        """,
         "user_activity_cv": """
             WITH ud AS (
                 SELECT user_id, date_trunc('day', ts) AS day,

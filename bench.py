@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "part_affinity_lift",
     "part_communities",
     "part_triangles",
+    "part_adamic_adar",
     "part_coreness",
     "uniform_sample",
     "token_budget_mixture",
@@ -194,6 +195,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "bpe_encode",
     "events_sliding_window",
+    "decayed_user_value",
     "users_only_first_half",
     "events_locf_grid",
     "user_growth_curve",

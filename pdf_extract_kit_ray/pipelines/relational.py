@@ -4566,3 +4566,186 @@ def target_encode_priority(sf_dir: str, m: float = 20.0) -> "ray.data.Dataset":
 
     return (sized_read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
             .map_batches(encode, batch_format="pyarrow"))
+
+
+def part_adamic_adar(sf_dir: str, min_count: int = 2, k: int = 50,
+                     max_center_degree: int = 256) -> "ray.data.Dataset":
+    """Adamic-Adar link prediction over the co-purchase part graph: for
+    every NON-adjacent pair (x, y), score = Σ over common neighbors u of
+    1/ln(deg(u)) — the classic "which parts will be bought together
+    next" candidate ranker; top-k pairs by score.
+
+    Scale shape: wedge generation is inherently Σ deg² (every wedge has
+    to be seen, unlike triangles' one-apex orientation trick), so apexes
+    above ``max_center_degree`` are EXCLUDED from scoring — part of the
+    operator's contract, mirrored in the twin (standard practice: a
+    super-hub's 1/ln(deg) weight is negligible and its wedge set is
+    quadratic).  Degrees are #parts-bounded (catalog domain) and
+    broadcast; adjacency shuffles ONCE on a coarse apex key; wedges
+    carry a nano-int apex weight (floor(1e9/ln(deg)+0.5) — half-up like
+    DuckDB round, ONE value per distinct degree, so per-pair sums are
+    exact int64 and order-independent); wedge rows + edge rows co-
+    shuffle on the packed pair key, the bucket kernel sums weights and
+    drops already-adjacent pairs; per-bucket lossless top-k candidates
+    merge in a final k-bounded sort.  Ties break on (score desc,
+    part_a, part_b) in both engines."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    pairs = part_affinity_pairs(sf_dir, min_count=min_count) \
+        .map_batches(lambda b: b.select(["part_a", "part_b"]),
+                     batch_format="pyarrow").materialize()
+
+    # --- degree rollup (#parts-bounded) -> sorted-array broadcast ---
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            batch.column("part_a").to_numpy(zero_copy_only=False),
+            batch.column("part_b").to_numpy(zero_copy_only=False),
+        ]).astype(np.int64)
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"part": pa.array(u, pa.int64()),
+                         "pd": pa.array(c, pa.int64())})
+
+    from ..functions.agg import coarse_grouped_aggregate
+    deg_ds = coarse_grouped_aggregate(
+        pairs.map_batches(deg_partial, batch_format="pyarrow"),
+        "part", [("pd", "sum", "degree")])
+    deg_tab = pa.concat_tables(
+        [pa.table({"part": pa.array([], pa.int64()),
+                   "degree": pa.array([], pa.int64())})]
+        + list(deg_ds.iter_batches(batch_format="pyarrow")))
+    parts_np = deg_tab.column("part").to_numpy().astype(np.int64)
+    deg_np = deg_tab.column("degree").to_numpy().astype(np.int64)
+    order = np.argsort(parts_np)
+    parts_np, deg_np = parts_np[order], deg_np[order]
+    # nano-int apex weight per distinct degree (identical in the twin)
+    w_nano_np = np.zeros_like(deg_np)
+    ok = (deg_np >= 2) & (deg_np <= max_center_degree)
+    w_nano_np[ok] = np.floor(
+        1e9 / np.log(deg_np[ok].astype(np.float64)) + 0.5).astype(np.int64)
+    pk_ref, wn_ref = ray.put(parts_np), ray.put(w_nano_np)
+
+    empty_final = pa.table({"part_a": pa.array([], pa.int64()),
+                            "part_b": pa.array([], pa.int64()),
+                            "aa_score": pa.array([], pa.float64())})
+    if len(parts_np) == 0:
+        return ray.data.from_arrow(empty_final)
+
+    empty_m = pa.table({"mkey": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.int64()),
+                        "is_edge": pa.array([], pa.int8()),
+                        "__mcoarse": pa.array([], pa.int64())})
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        a = batch.column("part_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("part_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "__coarse": pa.array((src * _GOLDEN) % nc, pa.int64()),
+        })
+
+    def wedge_gen(group: pa.Table) -> pa.Table:
+        """One apex bucket: neighbor pairs per apex (id-sorted so the
+        packed key is canonical lo<<32|hi), weighted by the apex's
+        nano weight; zero-weight apexes (deg > cap) skipped."""
+        if group.num_rows == 0:
+            return empty_m
+        keys = ray.get(pk_ref)
+        wn = ray.get(wn_ref)
+        idx = pc.sort_indices(group, sort_keys=[("src", "ascending"),
+                                                ("dst", "ascending")])
+        g = group.take(idx)
+        src = g.column("src").to_numpy()
+        dst = g.column("dst").to_numpy()
+        w_apex = wn[np.searchsorted(keys, src)]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sizes = np.diff(np.r_[starts, len(src)])
+        live = (sizes >= 2) & (w_apex[starts] > 0)
+        vs, ws, wts = [], [], []
+        for out_deg in np.unique(sizes[live]):
+            segs = starts[live & (sizes == out_deg)]
+            ii, jj = np.triu_indices(int(out_deg), k=1)
+            vs.append(dst[(segs[:, None] + ii[None, :]).ravel()])
+            ws.append(dst[(segs[:, None] + jj[None, :]).ravel()])
+            wts.append(np.repeat(w_apex[segs], len(ii)))
+        if not vs:
+            return empty_m
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        mkey = (v << 32) | w                    # v < w: id-sorted segment
+        return pa.table({
+            "mkey": pa.array(mkey, pa.int64()),
+            "w": pa.array(np.concatenate(wts), pa.int64()),
+            "is_edge": pa.array(np.zeros(len(v), np.int8())),
+            "__mcoarse": pa.array((mkey * _GOLDEN) % nc, pa.int64()),
+        })
+
+    wedges = (pairs.map_batches(adjacency, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(wedge_gen, batch_format="pyarrow"))
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("part_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("part_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mkey = (a << 32) | b                     # a < b by construction
+        return pa.table({
+            "mkey": pa.array(mkey, pa.int64()),
+            "w": pa.array(np.zeros(len(a), np.int64())),
+            "is_edge": pa.array(np.ones(len(a), np.int8())),
+            "__mcoarse": pa.array((mkey * _GOLDEN) % nc, pa.int64()),
+        })
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        """Per-pair weight sum, adjacent pairs dropped, then a LOSSLESS
+        per-bucket top-k candidate cut (every pair key is complete in
+        its bucket, so the global top-k is within the union of bucket
+        top-ks)."""
+        empty = pa.table({"mkey": pa.array([], pa.int64()),
+                          "nano": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        g = (group.select(["mkey", "w", "is_edge"])
+             .group_by("mkey")
+             .aggregate([("w", "sum"), ("is_edge", "max")]))
+        keep = pc.and_(pc.equal(g.column("is_edge_max"), 0),
+                       pc.greater(g.column("w_sum"), 0))
+        g = g.filter(keep)
+        t = pa.table({"mkey": g.column("mkey"), "nano": g.column("w_sum")})
+        if t.num_rows > k:
+            idx = pc.sort_indices(t, sort_keys=[("nano", "descending"),
+                                                ("mkey", "ascending")])
+            t = t.take(idx.slice(0, k))
+        return t
+
+    cand = (wedges.union(ray.data.from_arrow(empty_m),
+                         pairs.map_batches(edge_rows,
+                                           batch_format="pyarrow"))
+            .groupby("__mcoarse")
+            .map_groups(score_bucket, batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_final
+        idx = pc.sort_indices(batch, sort_keys=[("nano", "descending"),
+                                                ("mkey", "ascending")])
+        t = batch.take(idx.slice(0, k))
+        mkey = t.column("mkey").to_numpy()
+        from ..functions.num import round6
+        return pa.table({
+            "part_a": pa.array(mkey >> 32, pa.int64()),
+            "part_b": pa.array(mkey & 0xFFFFFFFF, pa.int64()),
+            "aa_score": round6(pc.divide(
+                pc.cast(t.column("nano"), pa.float64(), safe=False), 1e9)),
+        })
+
+    # typed empty seed keeps the schema on legit-empty output (the
+    # documented Ray empty-Dataset quirk)
+    return ray.data.from_arrow(empty_final).union(
+        cand.repartition(1).map_batches(finish, batch_format="pyarrow"))
