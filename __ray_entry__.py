@@ -768,6 +768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "prefix_jaccard_pairs": dedup.prefix_jaccard_pairs,
         "part_adamic_adar": relational.part_adamic_adar,
+        "daily_order_ship_coverage": relational.daily_order_ship_coverage,
+        "weighted_sample_topk": curation.weighted_sample_topk,
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
         "cdc_chunk_stats": dedup.cdc_chunk_stats,   # non-SQL (rolling hash)
@@ -1471,6 +1473,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # exact triangle count + local clustering per co-purchase node;
         # the twin enumerates triangles in plain key order (the set is
         # orientation-invariant); clustering pinned 0.0 for degree < 2
+        # FULL OUTER join shape over two date-domain rollups; zero-fill
+        # + coverage tag
+        "daily_order_ship_coverage": """
+            WITH od AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1
+            ), sd AS (
+                SELECT CAST(l_shipdate AS DATE) AS day,
+                       count(*) AS n_shipped
+                FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(COALESCE(od.day, sd.day) AS TIMESTAMP) AS day,
+                   COALESCE(od.n_orders, 0) AS n_orders,
+                   COALESCE(sd.n_shipped, 0) AS n_shipped,
+                   CASE WHEN od.day IS NULL THEN 'ship_only'
+                        WHEN sd.day IS NULL THEN 'order_only'
+                        ELSE 'both' END AS coverage
+            FROM od FULL JOIN sd ON od.day = sd.day
+        """,
         # Adamic-Adar link prediction: nano-int apex weights (ONE value
         # per distinct degree, floor(1e9/ln(deg)+0.5) half-up), apexes
         # above the 256-degree cap excluded BY CONTRACT (their wedge set
@@ -3633,6 +3655,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                   < printf('%08x', CAST(least(floor(quality * 4294967296.0),
                                               4294967295) AS BIGINT))
+        """,
+        # Efraimidis-Spirakis exact-size weighted sample: es_key =
+        # ln((hash32+1)/2^32)/w, top-k by (key desc, doc_id); hex->int
+        # via DuckDB's '0x' string cast
+        "weighted_sample_topk": f"""
+            WITH q AS (
+                SELECT doc_id, {quality_expr} AS w FROM documents
+            )
+            SELECT doc_id, w AS weight,
+                   ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT + 1) / 4294967296.0) / w AS es_key
+            FROM q WHERE w > 0
+            ORDER BY es_key DESC, doc_id
+            LIMIT 200
         """,
         "events_daily_pivot": """
             SELECT date_trunc('day', ts) AS day,

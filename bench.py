@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "doc_sentence_stats",
     "epoch_plan",
     "quality_weighted_sample",
+    "weighted_sample_topk",
     "events_daily_pivot",
     "tfidf_top_terms",
     "bm25_topk",
@@ -158,6 +159,7 @@ BENCH_QUERIES = [
     "ship_latency_percentiles",
     "supplier_latency_trend",
     "open_orders_timeline",
+    "daily_order_ship_coverage",
     "parquet_storage_profile",
     "customer_value_deciles",
     "customer_repeat_rate",

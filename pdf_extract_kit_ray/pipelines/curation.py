@@ -1906,3 +1906,61 @@ def quality_calibration(sf_dir: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def weighted_sample_topk(sf_dir: str, k: int = 200) -> "ray.data.Dataset":
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    (2006) exponential keys: es_key = ln(u)/w with u the doc's md5 hash
+    fraction in (0, 1] and w its quality weight; the k LARGEST keys are
+    exactly a w-weighted sample without replacement.  Deterministic (no
+    RNG state — the same hash-fraction trick as quality_weighted_sample,
+    which is Bernoulli/with-INCLUSION-probability; this one draws an
+    exact-size sample), reproducible across runs and cluster sizes.
+    Zero-weight docs are never sampled (contract; w > 0 filter).
+
+    Scale shape: pure scoring map, then a per-block LOSSLESS top-k
+    candidate cut before one k-bounded final sort — no global sort of
+    the corpus.  Ties break on (es_key desc, doc_id) in both engines."""
+    import numpy as np
+
+    from .text import quality_score
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "weight": pa.array([], pa.float64()),
+                      "es_key": pa.array([], pa.float64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        w = quality_score(batch.column("text"))
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        pos = pc.greater(w, 0.0)
+        ids = batch.column("doc_id").filter(pos)
+        w = w.filter(pos)
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids.to_pylist()),
+            dtype=np.int64, count=len(ids))
+        u = (h + 1) / 4294967296.0            # hash fraction in (0, 1]
+        key = np.log(u) / w.to_numpy(zero_copy_only=False)
+        t = pa.table({"doc_id": ids, "weight": w,
+                      "es_key": pa.array(key, pa.float64())})
+        if t.num_rows > k:                    # lossless per-block cut
+            idx = pc.sort_indices(t, sort_keys=[("es_key", "descending"),
+                                                ("doc_id", "ascending")])
+            t = t.take(idx.slice(0, k))
+        return t
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[("es_key", "descending"),
+                                                ("doc_id", "ascending")])
+        return batch.take(idx.slice(0, k))
+
+    return ray.data.from_arrow(empty).union(
+        ds.map_batches(score, batch_format="pyarrow")
+          .repartition(1)
+          .map_batches(finish, batch_format="pyarrow"))
