@@ -770,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_adamic_adar": relational.part_adamic_adar,
         "daily_order_ship_coverage": relational.daily_order_ship_coverage,
         "weighted_sample_topk": curation.weighted_sample_topk,
+        "user_modal_event": streaming.user_modal_event,
+        "part_random_walks": relational.part_random_walks,
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
         "cdc_chunk_stats": dedup.cdc_chunk_stats,   # non-SQL (rolling hash)
@@ -1473,6 +1475,61 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # exact triangle count + local clustering per co-purchase node;
         # the twin enumerates triangles in plain key order (the set is
         # orientation-invariant); clustering pinned 0.0 for degree < 2
+        # MODE per group: grouped argmax with (count desc, type asc)
+        # tie-break; NULL event types dropped (sibling-op contract)
+        "user_modal_event": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT user_id, event_type, n,
+                       CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+                           AS tot,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type)
+                           AS rn
+                FROM c
+            )
+            SELECT user_id, event_type AS modal_type, n AS n_modal,
+                   tot AS n_events
+            FROM r WHERE rn = 1
+        """,
+        # deterministic random walks: hop = md5(cur-step) % sorted
+        # neighbor list, exactly the engine's digest — replayed by the
+        # recursive CTE
+        "part_random_walks": """
+            WITH RECURSIVE op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pr AS (
+                SELECT a.l_partkey AS pa_, b.l_partkey AS pb_
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), adj AS (
+                SELECT pa_ AS u, pb_ AS v FROM pr
+                UNION ALL SELECT pb_ AS u, pa_ AS v FROM pr
+            ), nb AS (
+                SELECT u, list_sort(list(v)) AS ns FROM adj GROUP BY 1
+            ), walk(start, cur, step, path) AS (
+                SELECT u, u, 0, CAST(u AS VARCHAR) FROM nb
+                UNION ALL
+                SELECT w.start,
+                       nb.ns[1 + (('0x' || substr(md5(
+                            CAST(w.cur AS VARCHAR) || '-' ||
+                            CAST(w.step AS VARCHAR)), 1, 8))::BIGINT
+                            % len(nb.ns))],
+                       w.step + 1,
+                       w.path || '->' || CAST(nb.ns[1 + (('0x' ||
+                            substr(md5(CAST(w.cur AS VARCHAR) || '-' ||
+                            CAST(w.step AS VARCHAR)), 1, 8))::BIGINT
+                            % len(nb.ns))] AS VARCHAR)
+                FROM walk w JOIN nb ON nb.u = w.cur
+                WHERE w.step < 4
+            )
+            SELECT start AS p_partkey, path AS walk
+            FROM walk WHERE step = 4
+        """,
         # FULL OUTER join shape over two date-domain rollups; zero-fill
         # + coverage tag
         "daily_order_ship_coverage": """

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "part_communities",
     "part_triangles",
     "part_adamic_adar",
+    "part_random_walks",
     "part_coreness",
     "uniform_sample",
     "token_budget_mixture",
@@ -215,6 +216,7 @@ BENCH_QUERIES = [
     "dedup_cascade_report",
     "cross_source_overlap",
     "user_event_entropy",
+    "user_modal_event",
     "user_first_last",
     "user_event_sequences",
     "inter_event_gaps",

@@ -4840,3 +4840,83 @@ def daily_order_ship_coverage(sf_dir: str,
                          "coverage": tag})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def part_random_walks(sf_dir: str, min_count: int = 2,
+                      walk_len: int = 4) -> "ray.data.Dataset":
+    """Deterministic random walks over the co-purchase graph (the
+    node2vec/DeepWalk corpus generator): one ``walk_len``-step walk per
+    node, the next hop chosen by an md5 hash of (current node, step)
+    modulo the sorted neighbor list — no RNG state, byte-identical
+    across runs, workers and cluster sizes, and exactly replayable in
+    SQL (the twin's recursive CTE).
+
+    Scale shape: the adjacency is #parts-bounded (catalog domain, the
+    affinity-family broadcast rationale), built once as (sorted keys,
+    offsets, sorted neighbor array) and ``ray.put`` — then every walk
+    runs ALL its steps inside ONE pure map over the node table: no
+    per-round shuffle (contrast part_pagerank's per-round exchange —
+    walks don't aggregate, so the loop vectorizes per node batch)."""
+    import hashlib
+
+    from ..functions.agg import coarse_grouped_aggregate
+
+    pairs = part_affinity_pairs(sf_dir, min_count=min_count) \
+        .map_batches(lambda b: b.select(["part_a", "part_b"]),
+                     batch_format="pyarrow").materialize()
+
+    def adj_partial(batch: pa.Table) -> pa.Table:
+        a = batch.column("part_a").to_numpy(zero_copy_only=False)
+        b = batch.column("part_b").to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "v": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    # #parts-bounded adjacency assembled driver-side (the same bound the
+    # degree broadcasts rely on), neighbors sorted per node
+    adj = pa.concat_tables(
+        [pa.table({"u": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.int64())})]
+        + list(pairs.map_batches(adj_partial, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")))
+    empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "walk": pa.array([], pa.string())})
+    if adj.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    u = adj.column("u").to_numpy().astype(np.int64)
+    v = adj.column("v").to_numpy().astype(np.int64)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keys = np.unique(u)
+    offsets = np.searchsorted(u, keys)
+    offsets = np.r_[offsets, len(u)]
+    keys_ref = ray.put(keys)
+    off_ref = ray.put(offsets)
+    nbr_ref = ray.put(v)
+
+    nodes = ray.data.from_arrow(pa.table({"p_partkey":
+                                          pa.array(keys, pa.int64())}))
+
+    def walk(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        off = ray.get(off_ref)
+        nbr = ray.get(nbr_ref)
+        cur = batch.column("p_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64).copy()
+        paths = [str(c) for c in cur]
+        for step in range(walk_len):
+            # md5(cur-step) % degree picks the hop — same digest the
+            # twin computes; per-item hashing is #parts x walk_len
+            # bounded, never corpus-sized
+            h = np.fromiter(
+                (int(hashlib.md5(f"{c}-{step}".encode())
+                     .hexdigest()[:8], 16) for c in cur),
+                dtype=np.int64, count=len(cur))
+            pos = np.searchsorted(ks, cur)
+            deg = off[pos + 1] - off[pos]
+            cur = nbr[off[pos] + (h % deg)]
+            for i, c in enumerate(cur):
+                paths[i] += f"->{c}"
+        return pa.table({"p_partkey": batch.column("p_partkey"),
+                         "walk": pa.array(paths, pa.string())})
+
+    return nodes.map_batches(walk, batch_format="pyarrow")

@@ -2841,3 +2841,64 @@ def decayed_user_value(sf_dir: str, halflife_days: float = 7.0
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_modal_event(sf_dir: str) -> "ray.data.Dataset":
+    """MODE per group — the most frequent event type per user (with its
+    count and the user's total), the grouped-argmax aggregate the
+    window/rollup family lacked.  Ties break on the smaller event_type
+    string in both engines; NULL event types are dropped (the sibling
+    event ops' contract).
+
+    Scale shape: per-batch (user, type) count partials — the combiner,
+    shuffle volume bounded by users x types — then ONE coarse user-hash
+    shuffle; the bucket kernel finishes counts with Arrow group_by
+    (every user is complete in its bucket) and picks each user's modal
+    row via one multi-key sort + first-row-per-segment mask."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("event_type")))
+        g = (pa.table({"user_id": batch.column("user_id"),
+                       "event_type": batch.column("event_type")})
+             .group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all")]))
+        g = g.rename_columns(["user_id", "event_type", "pn"])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "modal_type": pa.array([], pa.string()),
+                      "n_modal": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64())})
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = (group.select(["user_id", "event_type", "pn"])
+             .group_by(["user_id", "event_type"])
+             .aggregate([("pn", "sum")]))
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("pn_sum", "descending"),
+            ("event_type", "ascending")])
+        g = g.take(idx)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = g.column("pn_sum").to_numpy(zero_copy_only=False)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(first) - 1
+        tot = np.bincount(seg, weights=n).astype(np.int64)
+        return pa.table({
+            "user_id": g.column("user_id").filter(pa.array(first)),
+            "modal_type": g.column("event_type").filter(pa.array(first)),
+            "n_modal": g.column("pn_sum").filter(pa.array(first)),
+            "n_events": pa.array(tot, pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(bucket_kernel, batch_format="pyarrow"))
