@@ -377,6 +377,128 @@ def _page_span_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def _extract_outline(sf_dir: str):
+    """Document outlines from the FLAGSHIP OUTPUT: the in-order ' > '
+    join of every title span per document — the TOC/structure artifact
+    a document-understanding consumer reads next to the markdown sink
+    (and a cheap structure-quality signal: title-less docs surface as
+    absent rows).
+
+    Scale shape: the extracted spans column flattens to (doc_id,
+    offset, title-text) rows — titles only, a small fraction — then ONE
+    coarse doc shuffle and a segment-offsets ``binary_join`` builds
+    each outline with no per-doc dispatch (the user_event_sequences
+    idiom)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_extract_kit_ray.functions.agg import (_coarse_of,
+                                                   _default_num_coarse)
+
+    nc = _default_num_coarse()
+
+    def title_rows(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans)
+        keep = pc.equal(flat.field("kind"), "title")
+        doc = batch.column("doc_id").take(par).combine_chunks() \
+            if isinstance(batch.column("doc_id").take(par),
+                          pa.ChunkedArray) \
+            else batch.column("doc_id").take(par)
+        t = pa.table({"doc_id": doc,
+                      "offset": flat.field("offset"),
+                      "text": flat.field("text")}).filter(keep)
+        doc_col = t.column("doc_id")
+        doc_col = doc_col.combine_chunks() \
+            if isinstance(doc_col, pa.ChunkedArray) else doc_col
+        return t.append_column(
+            "__coarse", pa.array(_coarse_of(doc_col, nc), pa.int64()))
+
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "n_titles": pa.array([], pa.int64()),
+                      "outline": pa.array([], pa.large_string())})
+
+    def assemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(group, sort_keys=[
+            ("doc_id", "ascending"), ("offset", "ascending")])
+        g = group.take(idx)
+        doc = g.column("doc_id").combine_chunks() \
+            if isinstance(g.column("doc_id"), pa.ChunkedArray) \
+            else g.column("doc_id")
+        dnp = doc.to_numpy(zero_copy_only=False)
+        texts = pc.cast(pc.fill_null(g.column("text").combine_chunks(),
+                                     ""), pa.large_string())
+        starts = np.flatnonzero(np.r_[True, dnp[1:] != dnp[:-1]])
+        offsets = np.r_[starts, len(dnp)].astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), texts)
+        return pa.table({
+            "doc_id": doc.take(pa.array(starts, pa.int64())),
+            "n_titles": pa.array(np.diff(offsets), pa.int64()),
+            "outline": pc.binary_join(lst,
+                                      pa.scalar(" > ", pa.large_string())),
+        })
+
+    return (_extract(sf_dir)
+            .map_batches(title_rows, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(assemble, batch_format="pyarrow"))
+
+
+def _figure_caption_pairs(sf_dir: str):
+    """Figure-caption training pairs from the RAW interleaved corpus:
+    every ``figure`` media span paired with its immediately-following
+    ``figure_caption`` span's text in list-position order — the
+    image-caption pair extractor a multimodal training mix is built
+    from (the media_ref joins back to the payload via the fetch
+    manifest).
+
+    Scale shape: PURE MAP — flatten, same-parent shift compare, no
+    shuffle anywhere."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(_corpus_path(sf_dir),
+                               columns=["doc_id", "spans"])
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "media_ref": pa.array([], pa.string()),
+                      "caption": pa.array([], pa.string())})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n = len(par)
+        if n < 2:
+            return empty
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        is_fig = (kind[:-1] == "figure") & (kind[1:] == "figure_caption") \
+            & (par[1:] == par[:-1])
+        idx = np.flatnonzero(is_fig)
+        if len(idx) == 0:
+            return empty
+        take_fig = pa.array(idx, pa.int64())
+        take_cap = pa.array(idx + 1, pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(
+                pa.array(par[idx], pa.int64())),
+            "media_ref": flat.field("media_ref").take(take_fig),
+            "caption": flat.field("text").take(take_cap),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def _interleaved_pack_plan(sf_dir: str):
     """Multimodal concat-and-chunk packing over the raw interleaved
     corpus (pipelines/curation.interleaved_pack_plan): text tokens +
@@ -637,6 +759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts_lmv3": _span_kind_counts_lmv3,
         "doc_modality_mix": _doc_modality_mix,
         "media_ref_manifest": _media_ref_manifest,
+        "extract_outline": _extract_outline,
+        "figure_caption_pairs": _figure_caption_pairs,
         "span_length_profile": _span_length_profile,
         "page_span_stats": _page_span_stats,
         "interleaved_pack_plan": _interleaved_pack_plan,
@@ -903,6 +1027,34 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM (SELECT unnest(spans) AS s
                   FROM read_parquet('{golden_glob}'))
             GROUP BY 1
+        """,
+        # document outlines: in-order title join over the GOLDEN span
+        # stream (the flagship output's oracle twin)
+        "extract_outline": f"""
+            WITH ex AS (SELECT doc_id, unnest(spans) AS s
+                        FROM read_parquet('{golden_glob}'))
+            SELECT doc_id, count(*) AS n_titles,
+                   string_agg(s.text, ' > ' ORDER BY s.offset) AS outline
+            FROM ex WHERE s.kind = 'title'
+            GROUP BY 1
+        """,
+        # figure-caption pairs: figure span + immediately-following
+        # figure_caption text in LIST-position order over the raw corpus
+        "figure_caption_pairs": f"""
+            WITH ex AS (
+                SELECT doc_id, unnest(spans) AS s,
+                       generate_subscripts(spans, 1) AS pos
+                FROM read_parquet('{raw_glob}')
+            ), w AS (
+                SELECT doc_id, s.kind AS kind, s.media_ref AS ref, pos,
+                       lead(s.kind) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS nk,
+                       lead(s.text) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS nt
+                FROM ex
+            )
+            SELECT doc_id, ref AS media_ref, nt AS caption
+            FROM w WHERE kind = 'figure' AND nk = 'figure_caption'
         """,
         # fetch manifest of the raw corpus: per media:// ref, citing docs
         # (distinct) + citing spans

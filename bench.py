@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "interleaved_pack_plan",
     "span_kind_transitions",
     "media_ref_manifest",
+    "extract_outline",
+    "figure_caption_pairs",
     "span_length_profile",
     "page_span_stats",
     "corpus_integrity_report",

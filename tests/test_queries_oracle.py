@@ -59,6 +59,7 @@ _SF001_QUERIES = {"extract_kind_counts", "table_sources",
                   # raw-corpus queries: the no-arg oracle pins the
                   # sf0.01 corpus glob, so run the Ray side there too
                   "doc_modality_mix", "interleaved_pack_plan",
+                  "extract_outline", "figure_caption_pairs",
                   "span_kind_transitions", "corpus_integrity_report",
                   "media_ref_manifest", "span_length_profile",
                   "page_span_stats",
