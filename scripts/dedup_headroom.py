@@ -141,6 +141,16 @@ def main() -> None:
     res["simhash_exact_found"] = len(spairs & exact)
 
     t0 = time.time()
+    pj = dedup.prefix_jaccard_pairs(OUT).to_pandas()
+    res["prefix_jaccard_sec"] = round(time.time() - t0, 1)
+    ppairs = {(int(a), int(b)) for a, b in zip(pj.doc_a, pj.doc_b)}
+    res["prefix_jaccard_pairs"] = len(ppairs)
+    # EXACT join: must find every planted pair AND nothing else (random
+    # pairs sit at Jaccard ~0) — the completeness guarantee LSH lacks
+    res["prefix_jaccard_planted_found"] = len(ppairs & (near | exact))
+    res["prefix_jaccard_false_pairs"] = len(ppairs - (near | exact))
+
+    t0 = time.time()
     wn = dedup.winnow_neardup(OUT).to_pandas()
     res["winnow_sec"] = round(time.time() - t0, 1)
     wpairs = {(int(a), int(b)) for a, b in zip(wn.a, wn.b)}
