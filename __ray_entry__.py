@@ -896,6 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
         "part_random_walks": relational.part_random_walks,
+        "events_debounce_report": streaming.events_debounce_report,
+        "part_frequent_triples": relational.part_frequent_triples,
+        "value_benford_deviation": streaming.value_benford_deviation,
         "dup_clusters": dedup.dup_clusters,
         "dup_spans": dedup.dup_spans,
         "cdc_chunk_stats": dedup.cdc_chunk_stats,   # non-SQL (rolling hash)
@@ -1627,6 +1630,86 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # exact triangle count + local clustering per co-purchase node;
         # the twin enumerates triangles in plain key order (the set is
         # orientation-invariant); clustering pinned 0.0 for degree < 2
+        # debounce audit: lag within the (user, type) stream, ties on
+        # event_id; suppressed = gap < window
+        "events_debounce_report": """
+            WITH e AS (
+                SELECT user_id, event_type, ts, event_id FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            ), l AS (
+                SELECT event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev
+                FROM e
+            ), s AS (
+                SELECT event_type,
+                       CASE WHEN prev IS NOT NULL
+                             AND epoch_us(ts) - epoch_us(prev)
+                                 < 3600000000
+                            THEN 1 ELSE 0 END AS s
+                FROM l
+            )
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(s) AS BIGINT) AS n_suppressed,
+                   round(CAST(sum(s) AS BIGINT)::DOUBLE / count(*), 6)
+                       AS suppressed_frac
+            FROM s GROUP BY 1
+        """,
+        # Apriori 3-itemsets: distinct (order, part) baskets, triple
+        # co-occurrence counts, support threshold
+        "part_frequent_triples": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   c.l_partkey AS part_c, count(*) AS n_orders
+            FROM op a
+            JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            JOIN op c ON a.l_orderkey = c.l_orderkey
+                     AND b.l_partkey < c.l_partkey
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
+        """,
+        # Benford first-digit audit: digit from the DECIMAL STRING of
+        # exact cents (no float log10 edges); micro-int shares vs
+        # floor(log10(1+1/d)*1e6+0.5); missing digits contribute p_micro
+        "value_benford_deviation": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(value*100.0) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                  AND value > 0
+            ), d AS (
+                SELECT event_type,
+                       CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                FROM e WHERE cents > 0
+            ), c AS (
+                SELECT event_type, digit, count(*) AS n
+                FROM d GROUP BY 1, 2
+            ), t AS (
+                SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                FROM c GROUP BY 1
+            ), b AS (
+                SELECT digit,
+                       CAST(floor(log10(1.0 + 1.0/digit)*1000000.0 + 0.5)
+                            AS BIGINT) AS p_micro
+                FROM (SELECT unnest(range(1, 10)) AS digit)
+            ), dev AS (
+                SELECT t.event_type, t.tot,
+                       abs(COALESCE((c.n * 1000000) // t.tot, 0)
+                           - b.p_micro) AS a
+                FROM t CROSS JOIN b
+                LEFT JOIN c ON c.event_type = t.event_type
+                           AND c.digit = b.digit
+            )
+            SELECT event_type, tot AS n_values,
+                   round(CAST(sum(a) AS BIGINT) / 1000000.0, 6)
+                       AS benford_l1
+            FROM dev GROUP BY 1, 2
+        """,
         # MODE per group: grouped argmax with (count desc, type asc)
         # tie-break; NULL event types dropped (sibling-op contract)
         "user_modal_event": """

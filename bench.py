@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "part_triangles",
     "part_adamic_adar",
     "part_random_walks",
+    "part_frequent_triples",
     "part_coreness",
     "uniform_sample",
     "token_budget_mixture",
@@ -190,6 +191,8 @@ BENCH_QUERIES = [
     "value_mad_outliers",
     "ks_value_drift",
     "value_cusum_changepoint",
+    "value_benford_deviation",
+    "events_debounce_report",
     "late_event_report",
     "user_churn_labels",
     "join_key_overlap",

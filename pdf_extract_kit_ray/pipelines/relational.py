@@ -4920,3 +4920,92 @@ def part_random_walks(sf_dir: str, min_count: int = 2,
                          "walk": pa.array(paths, pa.string())})
 
     return nodes.map_batches(walk, batch_format="pyarrow")
+
+
+def part_frequent_triples(sf_dir: str, min_count: int = 2
+                          ) -> "ray.data.Dataset":
+    """Frequent 3-itemsets over order baskets (the Apriori step after
+    part_affinity_pairs' 2-itemsets): triples of parts appearing
+    together in >= ``min_count`` distinct orders — the next-order
+    association-rule input (bundle discovery).  Output
+    (part_a < part_b < part_c, n_orders).
+
+    Scale shape: ONE coarse orderkey shuffle co-locates each basket
+    (distinct (order, part) combiner first); the bucket kernel emits
+    C(width, 3) triple partials per basket with precomputed per-width
+    combination index tables — cost is cubic in BASKET width (bounded
+    by the order_lines_histogram evidence, ~7 here), never corpus
+    size — then one coarse shuffle over the (a, b, c) key finishes the
+    counts and applies the support threshold."""
+    from itertools import combinations
+
+    from ..functions.agg import (_GOLDEN, _default_num_coarse,
+                                 coarse_grouped_aggregate)
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        g = batch.select(["l_orderkey", "l_partkey"]) \
+            .group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return g.append_column("__coarse",
+                               pa.array((ok * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"part_a": pa.array([], pa.int64()),
+                      "part_b": pa.array([], pa.int64()),
+                      "part_c": pa.array([], pa.int64()),
+                      "pn": pa.array([], pa.int64())})
+
+    def triple_rows(group: pa.Table) -> pa.Table:
+        t = group.select(["l_orderkey", "l_partkey"]) \
+            .group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[
+            ("l_orderkey", "ascending"), ("l_partkey", "ascending")])
+        t = t.take(idx)
+        ok = t.column("l_orderkey").to_numpy()
+        pk = t.column("l_partkey").to_numpy()
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        outs = []
+        for w in np.unique(sizes[sizes >= 3]):
+            segs = starts[sizes == w]
+            combo = np.array(list(combinations(range(int(w)), 3)),
+                             dtype=np.int64)          # (C(w,3), 3)
+            base = segs[:, None, None] + combo[None, :, :]
+            flat = base.reshape(-1, 3)
+            outs.append(np.stack([pk[flat[:, 0]], pk[flat[:, 1]],
+                                  pk[flat[:, 2]]], axis=1))
+        if not outs:
+            return empty
+        tri = np.concatenate(outs)
+        return pa.table({"part_a": pa.array(tri[:, 0], pa.int64()),
+                         "part_b": pa.array(tri[:, 1], pa.int64()),
+                         "part_c": pa.array(tri[:, 2], pa.int64()),
+                         "pn": pa.array(np.ones(len(tri), np.int64))})
+
+    rows = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(triple_rows, batch_format="pyarrow"))
+    agg = coarse_grouped_aggregate(
+        rows, ["part_a", "part_b", "part_c"],
+        [("pn", "sum", "n_orders")],
+        hash_cols=["part_a", "part_b", "part_c"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_orders"),
+                                             min_count))
+
+    # a typed 0-row block rides along so the schema survives the
+    # no-qualifying-triples case (a groupby over 0 rows emits no blocks
+    # and the dataset would otherwise report schema None)
+    typed = ray.data.from_arrow(pa.table({
+        "part_a": pa.array([], pa.int64()),
+        "part_b": pa.array([], pa.int64()),
+        "part_c": pa.array([], pa.int64()),
+        "n_orders": pa.array([], pa.int64())}))
+    return typed.union(agg.map_batches(keep, batch_format="pyarrow"))

@@ -2902,3 +2902,152 @@ def user_modal_event(sf_dir: str) -> "ray.data.Dataset":
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("__coarse")
               .map_groups(bucket_kernel, batch_format="pyarrow"))
+
+
+def events_debounce_report(sf_dir: str, window_s: int = 3600
+                           ) -> "ray.data.Dataset":
+    """Debounce/throttle audit — per event type, how many events arrive
+    within ``window_s`` seconds of the PREVIOUS event of the same
+    (user, type) stream (duplicate-click / retry noise a stream cleaner
+    would suppress; lag-based, so each event compares to its immediate
+    predecessor).  Ties on ts order by event_id (the inter_event_gaps
+    contract).
+
+    Scale shape: one coarse user-hash shuffle; the bucket kernel sorts
+    (user, type, ts, id) once and marks suppressed events with a
+    numpy segment diff; per-type partials pre-reduce in the bucket so
+    the final rollup moves ≤ |types| rows per bucket."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+    from ray.data.aggregate import Sum
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts",
+                                     "event_id"])
+    win_us = window_s * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.is_valid(batch.column("ts"))))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "pn": pa.array([], pa.int64()),
+                      "ps": pa.array([], pa.int64())})
+
+    def bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending"),
+            ("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(idx)
+        uid = g.column("user_id").to_numpy()
+        typ = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        same = np.r_[False, (uid[1:] == uid[:-1]) & (typ[1:] == typ[:-1])]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        suppressed = same & (gap < win_us)
+        t = (pa.table({"event_type": g.column("event_type"),
+                       "s": pa.array(suppressed.astype(np.int64))})
+             .group_by("event_type")
+             .aggregate([([], "count_all"), ("s", "sum")]))
+        return t.rename_columns(["event_type", "pn", "ps"])
+
+    agg = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("__coarse")
+           .map_groups(bucket, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("pn", alias_name="n_events"),
+                      Sum("ps", alias_name="n_suppressed")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_events"), pa.float64(), safe=False)
+        s = pc.cast(batch.column("n_suppressed"), pa.float64(), safe=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": batch.column("n_events"),
+            "n_suppressed": batch.column("n_suppressed"),
+            "suppressed_frac": round6(pc.divide(s, n)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_benford_deviation(sf_dir: str) -> "ray.data.Dataset":
+    """Benford's-law first-digit audit per event type — the classic
+    fabricated/synthetic-number detector: L1 distance between the
+    observed first-significant-digit distribution of value (in exact
+    cents) and Benford's log10(1 + 1/d).  NULL/non-positive values are
+    dropped (no first digit).
+
+    Bit-parity discipline: the first digit comes from the DECIMAL
+    STRING of the int64 cents (Arrow and DuckDB format integers
+    identically — no float log10 edge cases at powers of ten); observed
+    shares and the Benford expectation both snap to integer micro-units
+    (floor(c·1e6 / n) and floor(p·1e6 + 0.5)), so the L1 sum is exact
+    integer math with one rounded division at the end.
+
+    Scale shape: per-batch (type, digit) count partials — ≤ 9·|types|
+    rows per block — one tiny groupby, digits-domain finish map."""
+    from ..functions.num import round6
+    from ray.data.aggregate import Sum
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.fill_null(pc.greater(batch.column("value"), 0.0), False)))
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        keep = pc.greater(cents, 0)           # value in (0, 0.01) has no cents digit
+        t = pa.table({"event_type":
+                      batch.column("event_type").filter(keep),
+                      "digit": pc.cast(pc.utf8_slice_codeunits(
+                          pc.cast(cents.filter(keep), pa.string()), 0, 1),
+                          pa.int64())})
+        g = t.group_by(["event_type", "digit"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "digit", "pn"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "digit"])
+           .aggregate(Sum("pn", alias_name="n")))
+
+    # Benford micro-int expectation per digit (identical in the twin)
+    p_micro = np.floor(np.log10(1.0 + 1.0 / np.arange(1, 10)) * 1e6
+                       + 0.5).astype(np.int64)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n_values": pa.array([], pa.int64()),
+                          "benford_l1": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("event_type", "ascending"), ("digit", "ascending")])
+        g = batch.take(idx)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        dg = g.column("digit").to_numpy()
+        n = g.column("n").to_numpy()
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        seg = np.cumsum(np.r_[True, et[1:] != et[:-1]]) - 1
+        tot = np.bincount(seg, weights=n).astype(np.int64)
+        # dense 9-digit share table per type (missing digits share 0)
+        share = np.zeros((len(starts), 9), dtype=np.int64)
+        share[seg, dg - 1] = n * 1_000_000 // tot[seg]
+        l1 = np.abs(share - p_micro[None, :]).sum(axis=1)
+        return pa.table({
+            "event_type": g.column("event_type").take(
+                pa.array(starts, pa.int64())),
+            "n_values": pa.array(tot, pa.int64()),
+            "benford_l1": round6(pa.array(l1 / 1e6, pa.float64())),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
