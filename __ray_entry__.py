@@ -861,6 +861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": curation.doc_repetition,
         "ngram_repetition": curation.ngram_repetition,
         "train_val_split": curation.train_val_split,
+        "leakage_safe_split": curation.leakage_safe_split,
+        "span_corruption_pairs": curation.span_corruption_pairs,
         "source_mixture": curation.source_mixture,
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
@@ -928,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": streaming.sessionize,
         "session_stats": streaming.session_stats,
         "event_transitions": streaming.event_transitions,
+        "event_trigrams": streaming.event_trigrams,
         "event_order_audit": streaming.event_order_audit,
         "user_cohort_values": streaming.user_cohort_values,
         "event_funnel": streaming.event_funnel,
@@ -4616,6 +4619,144 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT node AS doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM cc
+        """,
+        # cluster-consistent split: same dup graph as dup_clusters, every
+        # doc assigned by its component-min rep's md5 prefix (singletons
+        # by their own id) — near-dups can never straddle the boundary
+        "leakage_safe_split": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents WHERE doc_id < 300
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM toks WHERE len(w) > 0
+            ), jp AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / CAST(len(a.s) + len(b.s)
+                               - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      >= 0.5
+            ), fps AS (
+                SELECT doc_id, {fp_expr} AS fp FROM documents
+            ), xp AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM fps a JOIN fps b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+            ), ed AS (
+                SELECT a, b FROM jp UNION SELECT a, b FROM xp
+            ), edges AS (
+                SELECT a AS u, b AS v FROM ed
+                UNION SELECT b AS u, a AS v FROM ed
+            ), reach(node, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+            ), cc AS (
+                SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+            ), sz AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+                FROM cc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(cc.cluster_id, d.doc_id) AS rep_id,
+                   CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size,
+                   CASE WHEN substr(md5(CAST(COALESCE(cc.cluster_id,
+                                                      d.doc_id)
+                                          AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents d
+            LEFT JOIN cc ON d.doc_id = cc.node
+            LEFT JOIN sz ON cc.cluster_id = sz.cluster_id
+        """,
+        # T5 span corruption: iid token mask (md5 prefix < '28'), islands
+        # of consecutive masked tokens -> sentinel spans; input/target
+        # rebuilt with string_agg over positions
+        "span_corruption_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), t AS (
+                SELECT doc_id, unnest(w) AS tok,
+                       unnest(range(1, len(w) + 1)) AS i
+                FROM toks
+            ), m AS (
+                SELECT doc_id, i, tok,
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                  CAST(i AS VARCHAR)), 1, 2) < '28' AS msk
+                FROM t
+            ), isl AS (
+                SELECT doc_id, i, tok, msk,
+                       SUM(CASE WHEN msk THEN 0 ELSE 1 END)
+                           OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                FROM m
+            ), mi AS (
+                SELECT doc_id, grp, MIN(i) AS first_i,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY MIN(i)) - 1
+                           AS BIGINT) AS sid,
+                       string_agg(tok, ' ' ORDER BY i) AS span_text,
+                       CAST(count(*) AS BIGINT) AS n_tok
+                FROM isl WHERE msk GROUP BY doc_id, grp
+            ), pieces AS (
+                SELECT doc_id, i AS pos, tok AS piece
+                FROM isl WHERE NOT msk
+                UNION ALL
+                SELECT doc_id, first_i AS pos,
+                       '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+                FROM mi
+            ), inp AS (
+                SELECT doc_id,
+                       string_agg(piece, ' ' ORDER BY pos) AS input_text
+                FROM pieces GROUP BY doc_id
+            ), tgt AS (
+                SELECT doc_id,
+                       string_agg('<extra_id_' || CAST(sid AS VARCHAR)
+                                  || '> ' || span_text, ' ' ORDER BY sid)
+                         || ' <extra_id_' || CAST(count(*) AS VARCHAR)
+                         || '>' AS target_text,
+                       CAST(count(*) AS BIGINT) AS n_spans,
+                       CAST(sum(n_tok) AS BIGINT) AS n_masked
+                FROM mi GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(inp.input_text, '') AS input_text,
+                   COALESCE(tgt.target_text, '<extra_id_0>')
+                       AS target_text,
+                   CAST(COALESCE(tgt.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(tgt.n_masked, 0) AS BIGINT) AS n_masked
+            FROM toks d
+            LEFT JOIN inp ON d.doc_id = inp.doc_id
+            LEFT JOIN tgt ON d.doc_id = tgt.doc_id
+        """,
+        # order-3 Markov input: two stacked lead() windows per user stream
+        "event_trigrams": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                WHERE event_type IS NOT NULL
+            ), w AS (
+                SELECT event_type AS t1,
+                       lead(event_type, 1) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS t2,
+                       lead(event_type, 2) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS t3
+                FROM e
+            )
+            SELECT t1 AS type_1, t2 AS type_2, t3 AS type_3,
+                   count(*) AS n
+            FROM w WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

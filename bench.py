@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "ngram_repetition",
     "train_val_split",
+    "leakage_safe_split",
+    "span_corruption_pairs",
     "source_mixture",
     "props_value_stats",
     "incremental_dedup",
@@ -183,6 +185,7 @@ BENCH_QUERIES = [
     "sessionize",
     "session_stats",
     "event_transitions",
+    "event_trigrams",
     "event_order_audit",
     "user_cohort_values",
     "event_funnel",

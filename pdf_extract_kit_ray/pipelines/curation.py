@@ -1964,3 +1964,166 @@ def weighted_sample_topk(sf_dir: str, k: int = 200) -> "ray.data.Dataset":
         ds.map_batches(score, batch_format="pyarrow")
           .repartition(1)
           .map_batches(finish, batch_format="pyarrow"))
+
+
+def leakage_safe_split(sf_dir: str, threshold: float = 0.5,
+                       max_doc: int = 300, k: int = 3
+                       ) -> "ray.data.Dataset":
+    """Cluster-consistent train/val split — the decontamination-aware
+    version of ``train_val_split``: every document in a near-duplicate
+    component (exact-fingerprint union n-gram-Jaccard edges, the
+    ``dup_clusters`` graph) is assigned by its component REPRESENTATIVE's
+    hash, so near-duplicates can never straddle the split boundary and
+    leak validation content into training (the Lee et al. 2022
+    dedup-before-split finding).  Singleton docs hash their own id.
+
+    Output per doc: (doc_id, rep_id, cluster_size, split) — rep_id is
+    the component-minimum doc_id (or the doc itself), split by the same
+    md5-prefix rule as ``train_val_split``.
+
+    Scale shape: ``dup_clusters``' distributed Hash-to-Min components
+    (its Jaccard tier carries the documented ``max_doc`` demo cap; the
+    exact-fingerprint tier is uncapped), then ONE coarse doc-hash
+    co-shuffle merges docs with the (dup-docs-sized) assignment — a
+    union + per-bucket Arrow group_by rather than ``Dataset.join``
+    because the assignment side is sparse and Ray's hash join drops the
+    key schema on empty partitions; never a broadcast, since at web
+    scale the duplicate set is a constant fraction of the corpus — and
+    the hash split finishes inside the bucket kernel."""
+    import numpy as np
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from .dedup import dup_clusters
+
+    nc = _default_num_coarse()
+    docs = _read_docs(sf_dir, ["doc_id"])
+    clusters = dup_clusters(sf_dir, threshold=threshold,
+                            max_doc=max_doc, k=k)
+
+    def as_doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "cluster_id": pa.nulls(batch.num_rows, pa.int64()),
+            "cluster_size": pa.nulls(batch.num_rows, pa.int64())})
+
+    def as_clu_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "cluster_id": pc.cast(batch.column("cluster_id"), pa.int64()),
+            "cluster_size": pc.cast(batch.column("cluster_size"),
+                                    pa.int64())})
+
+    both = docs.map_batches(as_doc_rows, batch_format="pyarrow").union(
+        clusters.map_batches(as_clu_rows, batch_format="pyarrow"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((did * _GOLDEN) % nc, pa.int64()))
+
+    def bucket(group: pa.Table) -> pa.Table:
+        g = group.select(["doc_id", "cluster_id", "cluster_size"]) \
+            .group_by("doc_id").aggregate([("cluster_id", "max"),
+                                           ("cluster_size", "max")])
+        rep = pc.coalesce(g.column("cluster_id_max"), g.column("doc_id"))
+        size = pc.coalesce(g.column("cluster_size_max"),
+                           pa.scalar(1, pa.int64()))
+        h2 = pa.array(_md5_prefix2(pc.cast(rep, pa.int64())), pa.string())
+        split = pc.if_else(pc.less(h2, VAL_HEX_THRESHOLD), "val", "train")
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "rep_id": pc.cast(rep, pa.int64()),
+                         "cluster_size": pc.cast(size, pa.int64()),
+                         "split": split})
+
+    return (both.map_batches(tag, batch_format="pyarrow")
+                .groupby("__coarse")
+                .map_groups(bucket, batch_format="pyarrow"))
+
+
+
+# mask ~15.6% of tokens (first-2-hex-chars threshold, 40/256) — the
+# T5 corruption-rate knob as a hex string so both engines compare equal
+_CORRUPT_HEX = "28"
+
+
+def span_corruption_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """T5-style span-corruption training pairs (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4): mask a deterministic ~15.6% of whitespace
+    tokens per document, merge CONSECUTIVE masked tokens into spans,
+    replace each span in the input with an ordinal sentinel
+    ``<extra_id_k>``, and emit the target as the masked spans prefixed
+    by their sentinels plus a final ``<extra_id_n>`` terminator — the
+    denoising-objective example generator a pre-training pipeline runs
+    over the whole corpus.
+
+    Determinism is cross-engine-pinned: token i (1-based) of doc d is
+    masked iff ``md5(f"{d}:{i}")[:2] < "28"`` — md5 because it is the
+    one hash both Arrow-side Python and DuckDB share, so the twin
+    reproduces the exact example set (the per-token short-string hash
+    is the documented cost; a production run would swap a vectorized
+    hash and lose only the SQL twin).  NULL-text docs vanish (the
+    unnest-of-NULL contract); token-less docs emit an empty input and
+    the bare ``<extra_id_0>`` terminator.
+
+    Scale shape: PURE MAP — no shuffle; numpy island/segment kernels
+    for mask runs, Python only for per-doc string assembly (bounded by
+    doc length, never corpus size)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    ws = re.compile(r"\s+")
+    md5 = hashlib.md5
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        inputs, targets, n_spans_out, n_masked_out = [], [], [], []
+        for d, text in zip(ids, texts):
+            toks = [t for t in ws.split(text) if t]
+            n = len(toks)
+            if n == 0:
+                inputs.append("")
+                targets.append("<extra_id_0>")
+                n_spans_out.append(0)
+                n_masked_out.append(0)
+                continue
+            pre = f"{d}:".encode()
+            m = np.fromiter(
+                (md5(pre + str(i).encode()).hexdigest()[:2] < _CORRUPT_HEX
+                 for i in range(1, n + 1)), bool, count=n)
+            starts = m & np.r_[True, ~m[:-1]]
+            sid = np.cumsum(starts) - 1          # span id where m
+            n_spans = int(starts.sum())
+            toks_arr = np.array(toks, dtype=object)
+            piece = toks_arr.copy()
+            piece[starts] = [f"<extra_id_{k}>"
+                             for k in sid[starts]]
+            inputs.append(" ".join(piece[~m | starts]))
+            if n_spans == 0:
+                targets.append("<extra_id_0>")
+            else:
+                span_start_idx = np.flatnonzero(starts)
+                parts = []
+                for k, s in enumerate(span_start_idx):
+                    e = s
+                    while e < n and m[e]:   # runs can't abut: a start
+                        e += 1              # needs an unmasked predecessor
+                    parts.append(f"<extra_id_{k}> "
+                                 + " ".join(toks_arr[s:e]))
+                targets.append(" ".join(parts)
+                               + f" <extra_id_{n_spans}>")
+            n_spans_out.append(n_spans)
+            n_masked_out.append(int(m.sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "input_text": pa.array(inputs, pa.string()),
+            "target_text": pa.array(targets, pa.string()),
+            "n_spans": pa.array(n_spans_out, pa.int64()),
+            "n_masked": pa.array(n_masked_out, pa.int64())})
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")

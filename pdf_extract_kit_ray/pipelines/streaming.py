@@ -3051,3 +3051,67 @@ def value_benford_deviation(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def event_trigrams(sf_dir: str) -> "ray.data.Dataset":
+    """Event-type TRIGRAM counts — three consecutive events of the same
+    user's time-ordered stream (the order-3 Markov / next-event-model
+    input that `event_transitions`' bigrams feed at order 2).  NULL-type
+    events are excluded before adjacency (the top_session_paths
+    contract), so a NULL never splits a trigram.
+
+    Scale shape: the event_transitions template — ONE coarse user-hash
+    shuffle (a user never splits across buckets), bucket kernel sorts
+    once on (user, ts, event_id), emits rows where positions i, i+1,
+    i+2 share a user (vectorized slice compare), pre-reduces with an
+    Arrow group_by, tiny (|types|^3-bounded) final rollup."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("event_type")))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"type_1": pa.array([], pa.string()),
+                      "type_2": pa.array([], pa.string()),
+                      "type_3": pa.array([], pa.string()),
+                      "partial_n": pa.array([], pa.int64())})
+
+    def trigrams(group: pa.Table) -> pa.Table:
+        t = group.select(["user_id", "ts", "event_id", "event_type"])
+        if t.num_rows < 3:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t.column("user_id").to_numpy()
+        same3 = (uid[2:] == uid[:-2])          # uid sorted: ends equal
+        if not same3.any():                    # => the middle is equal too
+            return empty
+        types = t.column("event_type").combine_chunks()
+        base = np.flatnonzero(same3)
+        p = pa.table({
+            "type_1": types.take(pa.array(base, pa.int64())),
+            "type_2": types.take(pa.array(base + 1, pa.int64())),
+            "type_3": types.take(pa.array(base + 2, pa.int64()))})
+        g = p.group_by(["type_1", "type_2", "type_3"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["type_1", "type_2", "type_3",
+                                 "partial_n"])
+
+    partials = (ds.map_batches(tag, batch_format="pyarrow")
+                  .groupby("__coarse")
+                  .map_groups(trigrams, batch_format="pyarrow")
+                  .map_batches(lambda b: b if b.num_rows else empty,
+                               batch_format="pyarrow"))
+    return partials.groupby(["type_1", "type_2", "type_3"]).aggregate(
+        Sum("partial_n", alias_name="n"))

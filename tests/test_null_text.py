@@ -9,7 +9,10 @@ Pinned contracts (chosen deliberately, enforced on BOTH sides):
   never candidates);
 - incremental_dedup: null fingerprints match nothing (is_dup FALSE);
 - sequence_pack: null docs pack as 0 tokens;
-- paragraph_dedup: null-text docs vanish (SQL unnest of NULL split).
+- paragraph_dedup: null-text docs vanish (SQL unnest of NULL split);
+- span_corruption_pairs: null-text docs vanish (same unnest contract);
+- leakage_safe_split: null-text docs never cluster (NULL fingerprints
+  match nothing) but still receive a singleton split assignment.
 """
 
 import glob
@@ -39,7 +42,7 @@ ORACLE_QUERIES = [
     "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
     "zipf_slope", "quality_by_source", "doc_novelty",
     "doc_sentence_stats", "term_frequency_spectrum", "url_density",
-    "nb_quality_scores",
+    "nb_quality_scores", "span_corruption_pairs", "leakage_safe_split",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
