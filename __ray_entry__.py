@@ -864,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": curation.leakage_safe_split,
         "span_corruption_pairs": curation.span_corruption_pairs,
         "source_mixture": curation.source_mixture,
+        "temperature_mixture": curation.temperature_mixture,
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
         "bloom_incremental_dedup": curation.bloom_incremental_dedup,  # non-SQL (bloom bitmap)
@@ -915,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
+        "contrastive_pairs": similarity.contrastive_pairs,
         "embedding_neardup": similarity.embedding_neardup,
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
         "ivfpq_topk": similarity.ivfpq_topk,       # non-SQL (approximate, int8 codes)
@@ -4757,6 +4759,73 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) AS n
             FROM w WHERE t3 IS NOT NULL
             GROUP BY 1, 2, 3
+        """,
+        # triplet miner: per anchor the nearest same-label (self excluded)
+        # and nearest different-label vectors; long (anchor, kind) rows
+        "contrastive_pairs": """
+            WITH q AS (SELECT vec_id AS anchor_id, label AS alabel,
+                              embedding AS qe
+                       FROM embeddings
+                       WHERE vec_id < 8 AND label IS NOT NULL),
+            p AS (
+                SELECT q.anchor_id, 'positive' AS pair_kind,
+                       e.vec_id AS pair_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 4) AS score
+                FROM q JOIN embeddings e
+                  ON e.label = q.alabel AND e.vec_id <> q.anchor_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.anchor_id
+                    ORDER BY list_cosine_similarity(
+                        CAST(q.qe AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                             e.vec_id ASC) = 1
+            ), n AS (
+                SELECT q.anchor_id, 'hard_negative' AS pair_kind,
+                       e.vec_id AS pair_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 4) AS score
+                FROM q JOIN embeddings e ON e.label <> q.alabel
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.anchor_id
+                    ORDER BY list_cosine_similarity(
+                        CAST(q.qe AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                             e.vec_id ASC) = 1
+            )
+            SELECT * FROM p UNION ALL SELECT * FROM n
+        """,
+        # temperature-scaled mixture plan: pow on doubles both engines
+        # (decayed_user_value precedent), all ratios snapped round6
+        "temperature_mixture": """
+            WITH d AS (
+                SELECT source,
+                       CASE WHEN text IS NULL
+                                 OR trim(text) = '' THEN 0
+                            ELSE length(string_split_regex(trim(text),
+                                                           '\\s+'))
+                       END AS nt
+                FROM documents
+            ), s AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(nt) AS BIGINT) AS n_tokens
+                FROM d GROUP BY 1
+            ), f AS (
+                SELECT * FROM s WHERE n_tokens > 0
+            ), t AS (
+                SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+                       sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS ptot
+                FROM f
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens / t.tot, 6) AS raw_share,
+                   round(pow(CAST(n_tokens AS DOUBLE), 0.7) / t.ptot, 6)
+                       AS temp_share,
+                   round((pow(CAST(n_tokens AS DOUBLE), 0.7) / t.ptot)
+                         / (n_tokens / t.tot), 6) AS boost
+            FROM f CROSS JOIN t
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

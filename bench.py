@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "span_corruption_pairs",
     "source_mixture",
+    "temperature_mixture",
     "props_value_stats",
     "incremental_dedup",
     "bloom_incremental_dedup",
@@ -120,6 +121,7 @@ BENCH_QUERIES = [
     "doc_novelty",
     "distinct_users_by_type",
     "ann_topk",
+    "contrastive_pairs",
     "knn_classify",
     "embedding_neardup",
     "ivf_topk",

@@ -2127,3 +2127,68 @@ def span_corruption_pairs(sf_dir: str) -> "ray.data.Dataset":
             "n_masked": pa.array(n_masked_out, pa.int64())})
 
     return ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+def temperature_mixture(sf_dir: str, alpha: float = 0.7
+                        ) -> "ray.data.Dataset":
+    """Temperature-scaled sampling plan over sources — the multilingual
+    mixture exponent (p_s ∝ n_s^α, XLM-R / mT5 style, arXiv:1911.02116
+    §3.1): per source its token mass, raw corpus share, α-tempered
+    share, and the boost factor a sampler would apply (upsamples tails,
+    downsamples heads).  NULL text counts 0 tokens (the
+    token_budget_mixture contract); sources whose mass is 0 are dropped
+    (no defined share).
+
+    Float parity with the twin: pow on doubles both engines (the
+    decayed_user_value precedent), all three emitted ratios snapped
+    round6 half-away.
+
+    Scale shape: per-batch (source, docs, tokens) Arrow partials,
+    |sources|-bounded groupby, single-block finish map — no shuffle
+    carries a per-doc row."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.num import round6
+    from .text import _token_count
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nt = pc.fill_null(pc.cast(_token_count(batch.column("text")),
+                                  pa.int64()), 0)
+        t = pa.table({"source": batch.column("source"), "nt": nt})
+        g = t.group_by("source").aggregate([([], "count_all"),
+                                            ("nt", "sum")])
+        return g.rename_columns(["source", "pd_docs", "pt_tokens"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("pd_docs", alias_name="n_docs"),
+                        Sum("pt_tokens", alias_name="n_tokens")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("n_tokens"), 0))
+        empty = pa.table({
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "raw_share": pa.array([], pa.float64()),
+            "temp_share": pa.array([], pa.float64()),
+            "boost": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        n = batch.column("n_tokens").to_numpy().astype(np.float64)
+        raw = n / n.sum()
+        p = n ** alpha
+        temp = p / p.sum()
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": batch.column("n_docs"),
+            "n_tokens": batch.column("n_tokens"),
+            "raw_share": round6(pa.array(raw, pa.float64())),
+            "temp_share": round6(pa.array(temp, pa.float64())),
+            "boost": round6(pa.array(temp / raw, pa.float64()))})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

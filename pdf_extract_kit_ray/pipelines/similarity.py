@@ -1048,3 +1048,89 @@ def embedding_outliers(sf_dir: str) -> "ray.data.Dataset":
             "is_outlier": pa.array(out, pa.int64())})
 
     return d2_ds.map_batches(flag, batch_format="pyarrow")
+
+
+def contrastive_pairs(sf_dir: str, num_anchors: int = 8
+                      ) -> "ray.data.Dataset":
+    """Contrastive training-pair mining over the labeled embedding table:
+    for each anchor (vec_id < ``num_anchors``) emit its POSITIVE (nearest
+    same-label neighbor, self excluded) and its HARD NEGATIVE (nearest
+    different-label neighbor) by cosine — the (anchor, positive, hard
+    negative) triplet miner behind triplet/InfoNCE fine-tuning (hard
+    negatives from the top of the wrong-label ranking are the
+    highest-signal examples).  Long output, one row per pair:
+    (anchor_id, pair_kind, pair_id, score), scores rounded to 4dp with
+    the ann_topk tie-break (score desc, id asc).
+
+    Scale shape: the ann_topk template — anchors (ids, labels, unit
+    matrix) broadcast once via ``ray.put``; each batch emits its local
+    top-1 per (anchor, kind); the final reduce is a
+    (num_anchors x 2)-group top-1.  Anchors or candidates with NULL
+    labels drop (the SQL equality/inequality join does the same)."""
+    import pyarrow.dataset as pads
+
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < num_anchors)
+    qt = qt.filter(pc.is_valid(qt.column("label")))
+    empty = pa.table({"anchor_id": pa.array([], pa.int64()),
+                      "pair_kind": pa.array([], pa.string()),
+                      "pair_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if qt.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    a_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    a_lab = np.asarray(qt.column("label").to_pylist(), dtype=np.int64)
+    a_mat = _normalize(_matrix_from_lists(
+        qt.column("embedding").to_pylist()))
+    ref = ray.put((a_ids, a_lab, a_mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("label")))
+        if batch.num_rows == 0:
+            return empty
+        ids, labs, qm = ray.get(ref)
+        x = _normalize(_embedding_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+        v_lab = np.asarray(batch.column("label").to_pylist(),
+                           dtype=np.int64)
+        sims = x @ qm.T                      # (batch, anchors)
+        out_a, out_k, out_p, out_s = [], [], [], []
+        for qi in range(len(ids)):
+            s = sims[:, qi]
+            same = (v_lab == labs[qi]) & (vec_ids != ids[qi])
+            diff = v_lab != labs[qi]
+            for kind, m in (("positive", same), ("hard_negative", diff)):
+                if not m.any():
+                    continue
+                cand = np.flatnonzero(m)
+                best = cand[np.lexsort((vec_ids[cand], -s[cand]))[0]]
+                out_a.append(ids[qi])
+                out_k.append(kind)
+                out_p.append(int(vec_ids[best]))
+                out_s.append(float(s[best]))
+        return pa.table({"anchor_id": pa.array(out_a, pa.int64()),
+                         "pair_kind": pa.array(out_k, pa.string()),
+                         "pair_id": pa.array(out_p, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    def final(group: pa.Table) -> pa.Table:
+        n = np.asarray(group.column("pair_id").to_pylist(),
+                       dtype=np.int64)
+        s = np.asarray(group.column("score").to_pylist(),
+                       dtype=np.float64)
+        best = np.lexsort((n, -s))[0]
+        return pa.table({
+            "anchor_id": group.column("anchor_id").slice(best, 1),
+            "pair_kind": group.column("pair_kind").slice(best, 1),
+            "pair_id": pa.array([n[best]], pa.int64()),
+            "score": pa.array([float(np.round(s[best], 4))],
+                              pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096)
+              .groupby(["anchor_id", "pair_kind"])
+              .map_groups(final, batch_format="pyarrow"))
