@@ -854,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
         "quality_by_source": text.quality_by_source,
+        "quality_quantile_normalize": text.quality_quantile_normalize,
         "doc_sentence_stats": text.doc_sentence_stats,
         "order_lines_histogram": relational.order_lines_histogram,
         # --- corpus curation ---
@@ -863,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": curation.train_val_split,
         "leakage_safe_split": curation.leakage_safe_split,
         "span_corruption_pairs": curation.span_corruption_pairs,
+        "fim_pairs": curation.fim_pairs,
         "source_mixture": curation.source_mixture,
         "temperature_mixture": curation.temperature_mixture,
         "props_value_stats": curation.props_value_stats,
@@ -898,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_order_ship_coverage": relational.daily_order_ship_coverage,
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
+        "user_value_median": streaming.user_value_median,
         "part_random_walks": relational.part_random_walks,
         "events_debounce_report": streaming.events_debounce_report,
         "part_frequent_triples": relational.part_frequent_triples,
@@ -4739,6 +4742,60 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM toks d
             LEFT JOIN inp ON d.doc_id = inp.doc_id
             LEFT JOIN tgt ON d.doc_id = tgt.doc_id
+        """,
+        # FIM transform: md5-derived cut points (part_random_walks int
+        # idiom), PSM assembly via 1-based inclusive list slices
+        "fim_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), c AS (
+                SELECT doc_id, w, len(w) AS n,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':a'), 1, 8))::BIGINT
+                           % (len(w) + 1) AS i
+                FROM toks
+            ), c2 AS (
+                SELECT doc_id, w, n, i,
+                       i + (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':b'), 1, 8))::BIGINT
+                            % (n - i + 1)) AS j
+                FROM c
+            )
+            SELECT doc_id,
+                   array_to_string(['<fim_prefix>'] || w[1:i]
+                       || ['<fim_suffix>'] || w[j+1:n]
+                       || ['<fim_middle>'] || w[i+1:j], ' ') AS fim_text,
+                   CAST(i AS BIGINT) AS n_prefix,
+                   CAST(j - i AS BIGINT) AS n_middle,
+                   CAST(n - j AS BIGINT) AS n_suffix
+            FROM c2
+        """,
+        # within-source percent_rank of the shared quality score on the
+        # exact micro-int domain (ties share min rank, n-1 denominator)
+        "quality_quantile_normalize": f"""
+            WITH q AS (
+                SELECT doc_id, source,
+                       CAST(round({quality_expr} * 1000000.0) AS BIGINT)
+                           AS qm
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   round(qm / 1000000.0, 6) AS quality,
+                   round(CAST(percent_rank() OVER (
+                       PARTITION BY source ORDER BY qm) AS DOUBLE), 6)
+                       AS pct_rank
+            FROM q
+        """,
+        # exact grouped discrete median, one group per user
+        "user_value_median": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_values,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                       AS median_value
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
         """,
         # order-3 Markov input: two stacked lead() windows per user stream
         "event_trigrams": """

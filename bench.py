@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "train_val_split",
     "leakage_safe_split",
     "span_corruption_pairs",
+    "fim_pairs",
     "source_mixture",
     "temperature_mixture",
     "props_value_stats",
@@ -108,6 +109,7 @@ BENCH_QUERIES = [
     "term_frequency_spectrum",
     "doc_byte_entropy",
     "quality_by_source",
+    "quality_quantile_normalize",
     "doc_sentence_stats",
     "epoch_plan",
     "quality_weighted_sample",
@@ -227,6 +229,7 @@ BENCH_QUERIES = [
     "cross_source_overlap",
     "user_event_entropy",
     "user_modal_event",
+    "user_value_median",
     "user_first_last",
     "user_event_sequences",
     "inter_event_gaps",

@@ -2192,3 +2192,52 @@ def temperature_mixture(sf_dir: str, alpha: float = 0.7
             "boost": round6(pa.array(temp / raw, pa.float64()))})
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def fim_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Fill-in-the-middle training examples (Bavarian et al. 2022,
+    arXiv:2207.14255): split each document's token sequence at two
+    deterministic cut points i <= j and emit the PSM-format string
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M`` — the infilling
+    objective's document transform.  Cut points are md5-keyed so the
+    twin reproduces the exact example set: i = H(d, 'a') % (n+1),
+    j = i + H(d, 'b') % (n-i+1) with H = first 8 md5 hex chars as an
+    int (the part_random_walks idiom).  NULL-text docs vanish;
+    token-less docs emit the bare sentinel frame.
+
+    Scale shape: PURE MAP — per-doc work is two short-string hashes
+    plus list slicing, bounded by doc length."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    import re
+    ws = re.compile(r"\s+")
+    md5 = hashlib.md5
+
+    def fim(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_t, out_p, out_m, out_s = [], [], [], []
+        for d, text in zip(ids, texts):
+            toks = [t for t in ws.split(text) if t]
+            n = len(toks)
+            i = int(md5(f"{d}:a".encode()).hexdigest()[:8], 16) % (n + 1)
+            j = i + int(md5(f"{d}:b".encode()).hexdigest()[:8], 16) \
+                % (n - i + 1)
+            pieces = (["<fim_prefix>"] + toks[:i] + ["<fim_suffix>"]
+                      + toks[j:] + ["<fim_middle>"] + toks[i:j])
+            out_t.append(" ".join(pieces))
+            out_p.append(i)
+            out_m.append(j - i)
+            out_s.append(n - j)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fim_text": pa.array(out_t, pa.string()),
+            "n_prefix": pa.array(out_p, pa.int64()),
+            "n_middle": pa.array(out_m, pa.int64()),
+            "n_suffix": pa.array(out_s, pa.int64())})
+
+    return ds.map_batches(fim, batch_format="pyarrow")

@@ -3115,3 +3115,55 @@ def event_trigrams(sf_dir: str) -> "ray.data.Dataset":
                                batch_format="pyarrow"))
     return partials.groupby(["type_1", "type_2", "type_3"]).aggregate(
         Sum("partial_n", alias_name="n"))
+
+
+def user_value_median(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-user discrete median of event value — the
+    high-cardinality grouped-median shape (``value_percentiles_by_type``
+    covers the |types|-group case; this one has a group per USER, so the
+    selection must happen inside the shuffle buckets, never per-group
+    dispatch).  percentile_disc semantics: the smallest element with
+    cumulative fraction >= 0.5 (0-based index floor((n-1)/2)) — a PICKED
+    element, bit-identical in both engines, no interpolation.  NULL
+    values drop first; all-null users vanish (the SQL GROUP BY does the
+    same).
+
+    Scale shape: ONE coarse user shuffle; the bucket kernel sorts
+    (user, value) once and gathers each segment's median by index —
+    numpy segment math, per-BUCKET dispatch only."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("value")))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_values": pa.array([], pa.int64()),
+                      "median_value": pa.array([], pa.float64())})
+
+    def bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("value", "ascending")])
+        g = group.take(idx)
+        uid = g.column("user_id").to_numpy()
+        val = g.column("value").to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, len(uid)])
+        med_idx = starts + (sizes - 1) // 2
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_values": pa.array(sizes, pa.int64()),
+            "median_value": pa.array(val[med_idx], pa.float64())})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("__coarse")
+              .map_groups(bucket, batch_format="pyarrow"))

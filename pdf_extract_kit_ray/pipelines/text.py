@@ -1548,3 +1548,79 @@ def term_frequency_spectrum(sf_dir: str) -> "ray.data.Dataset":
     return (counts.map_batches(partial, batch_format="pyarrow")
             .groupby("term_freq")
             .aggregate(Sum("partial_n", alias_name="n_terms")))
+
+
+def quality_quantile_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Within-source quantile normalization of the quality score — each
+    doc's PERCENT_RANK among its source's scores (rank semantics: ties
+    share the min rank, denominator n-1, single-doc sources pin 0.0) —
+    the cross-source score calibration step before a global quality cut
+    (raw scores are not comparable across sources with different length
+    / punctuation profiles).
+
+    Scale shape: the quality_percentile_filter histogram trade — scores
+    are exact micro-ints, so the per-(source, qm) histogram is bounded
+    by |sources| x 1e6 distinct values REGARDLESS of corpus size
+    (coarse-shuffled, then one documented bounded driver pull); the
+    assignment pass is a pure map doing a per-source searchsorted
+    against the broadcast CDF.  Text is scanned exactly twice (score
+    histogram + score emission), no per-doc shuffle rows."""
+    from ..functions.agg import coarse_grouped_aggregate
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        qm = pc.cast(pc.round(pc.multiply(
+            quality_score(batch.column("text")), 1e6),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"source": batch.column("source"), "qm": qm})
+        g = t.group_by(["source", "qm"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "qm", "pn"])
+
+    h = coarse_grouped_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["source", "qm"], [("pn", "sum", "n")],
+        hash_cols=["source", "qm"])
+    seed = pa.table({"source": pa.array([], pa.string()),
+                     "qm": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())})
+    htab = pa.concat_tables(
+        [seed] + list(h.iter_batches(batch_format="pyarrow")))
+    cdf: dict = {}
+    if htab.num_rows:
+        idx = pc.sort_indices(htab, sort_keys=[
+            ("source", "ascending"), ("qm", "ascending")])
+        ht = htab.take(idx)
+        src = np.asarray(ht.column("source").to_pylist(), dtype=object)
+        qv = ht.column("qm").to_numpy()
+        cnt = ht.column("n").to_numpy()
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        bounds = np.r_[starts, len(src)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            c = cnt[a:b]
+            below = np.cumsum(np.r_[0, c[:-1]])     # exclusive prefix
+            cdf[src[a]] = (qv[a:b], below, int(c.sum()))
+    cdf_ref = ray.put(cdf)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        table = ray.get(cdf_ref)
+        q = quality_score(batch.column("text"))
+        qm = pc.cast(pc.round(pc.multiply(q, 1e6),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        srcs = np.asarray(batch.column("source").to_pylist(),
+                          dtype=object)
+        pct = np.zeros(len(qm), dtype=np.float64)
+        for s in set(srcs.tolist()):
+            vals, below, n = table[s]
+            m = srcs == s
+            if n > 1:
+                pos = np.searchsorted(vals, qm[m], side="left")
+                pct[m] = below[pos] / (n - 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "quality": q,
+            "pct_rank": round6(pa.array(pct, pa.float64()))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -43,7 +43,7 @@ ORACLE_QUERIES = [
     "zipf_slope", "quality_by_source", "doc_novelty",
     "doc_sentence_stats", "term_frequency_spectrum", "url_density",
     "nb_quality_scores", "span_corruption_pairs", "leakage_safe_split",
-    "temperature_mixture",
+    "temperature_mixture", "fim_pairs", "quality_quantile_normalize",
 ]
 ROWS_ONLY_QUERIES = ["winnow_neardup", "minhash_dedup", "simhash_dedup"]
 
