@@ -104,6 +104,16 @@ def _span_kind_counts(sf_dir: str, layout_backend: str = "mock"):
             .groupby("kind").aggregate(Sum("partial_n", alias_name="n_spans")))
 
 
+def _backend_agreement(sf_dir: str):
+    """Extraction A/B evaluation: span-sequence agreement between the
+    YOLO-analog ("mock") and LayoutLMv3-analog ("mock2") layout heads
+    over the same corpus — one report row (non-SQL; the span streams
+    are the flagship's own output)."""
+    from pdf_extract_kit_ray.pipelines.extract import extraction_agreement
+    return extraction_agreement(_extract(sf_dir, "mock"),
+                                _extract(sf_dir, "mock2"))
+
+
 def _span_kind_counts_lmv3(sf_dir: str):
     """M2 surface: the same kind rollup under the LayoutLMv3-analog head
     (class-wise NMS + score-sorted emission + SCORE_THRESH analog) —
@@ -757,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flagship": _extract,
         "extract_kind_counts": _span_kind_counts,
         "extract_kind_counts_lmv3": _span_kind_counts_lmv3,
+        "backend_agreement_report": _backend_agreement,  # non-SQL (A/B eval)
         "doc_modality_mix": _doc_modality_mix,
         "media_ref_manifest": _media_ref_manifest,
         "extract_outline": _extract_outline,

@@ -43,6 +43,7 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "extract_flagship",
     "extract_kind_counts_lmv3",
+    "backend_agreement_report",
     "doc_modality_mix",
     "interleaved_pack_plan",
     "span_kind_transitions",

@@ -478,3 +478,119 @@ def read_corpus(path: str, num_blocks: Optional[int] = None) -> "ray.data.Datase
         return ray.data.read_lance(path)
     except ImportError:
         return ray.data.read_parquet(path, override_num_blocks=num_blocks)
+
+
+def extraction_agreement(ds_a: "ray.data.Dataset",
+                         ds_b: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Backend A/B evaluation over two flagship outputs: per-document
+    span-SEQUENCE fingerprints (md5 over the ordered (kind, text,
+    media_ref) tuples — exactly the north-rule equality surface) are
+    compared doc-by-doc, and the report rolls up to ONE row:
+    (n_docs, n_both, n_identical, agreement_rate, total_spans_a,
+    total_spans_b).  The harness for "how much does switching the
+    layout backend change the extraction?" — the reference answers this
+    by eyeballing demo outputs; here it is a distributed measurement.
+
+    Scale shape: each side maps to 40-byte (doc_id, fp, n_spans) rows —
+    the spans never leave their extraction tasks — then ONE coarse
+    doc-hash co-shuffle pairs the sides (union + per-bucket segment
+    compare, the leakage_safe_split merge idiom) and ships one partial
+    count row per bucket."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.agg import _default_num_coarse
+
+    nc = _default_num_coarse()
+
+    def fp_fn(side: str):
+        def fp(batch: pa.Table) -> pa.Table:
+            col = batch.column("spans")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy()
+            flat = col.values
+            span_str = pc.binary_join_element_wise(
+                pc.fill_null(flat.field("kind"), ""),
+                pc.fill_null(flat.field("text"), ""),
+                pc.fill_null(flat.field("media_ref"), ""),
+                "\x1f").to_pylist()
+            fps, nsp = [], []
+            for a, b in zip(offsets[:-1], offsets[1:]):
+                h = hashlib.md5()
+                for s in span_str[a:b]:
+                    h.update(s.encode())
+                    h.update(b"\x1e")
+                fps.append(h.hexdigest())
+                nsp.append(int(b - a))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(fps, pa.string()),
+                "n_spans": pa.array(nsp, pa.int64()),
+                "side": pa.array([side] * batch.num_rows, pa.string())})
+        return fp
+
+    rows = ds_a.map_batches(fp_fn("a"), batch_format="pyarrow").union(
+        ds_b.map_batches(fp_fn("b"), batch_format="pyarrow"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..functions.agg import _coarse_of
+        return batch.append_column(
+            "__coarse", pa.array(
+                _coarse_of(batch.column("doc_id"), nc), pa.int64()))
+
+    def bucket(group: pa.Table) -> pa.Table:
+        a = group.filter(pc.equal(group.column("side"), "a"))
+        b = group.filter(pc.equal(group.column("side"), "b"))
+        aid = np.asarray(a.column("doc_id").to_pylist(), dtype=object)
+        bid = np.asarray(b.column("doc_id").to_pylist(), dtype=object)
+        ao = np.argsort(aid)
+        bo = np.argsort(bid)
+        aid, bid = aid[ao], bid[bo]
+        afp = np.asarray(a.column("fp").to_pylist(), dtype=object)[ao]
+        bfp = np.asarray(b.column("fp").to_pylist(), dtype=object)[bo]
+        pos = np.searchsorted(bid, aid)
+        pos_ok = pos < len(bid)
+        both = np.zeros(len(aid), dtype=bool)
+        both[pos_ok] = bid[pos[pos_ok]] == aid[pos_ok]
+        eq = both & (np.asarray(
+            [bfp[p] if ok else "" for p, ok in zip(pos, both)],
+            dtype=object) == afp)
+        n_docs = len(np.union1d(aid, bid))
+        return pa.table({
+            "pn_docs": pa.array([n_docs], pa.int64()),
+            "pn_both": pa.array([int(both.sum())], pa.int64()),
+            "pn_eq": pa.array([int(eq.sum())], pa.int64()),
+            "pn_sa": pa.array([int(pc.sum(a.column("n_spans")).as_py()
+                                   or 0)], pa.int64()),
+            "pn_sb": pa.array([int(pc.sum(b.column("n_spans")).as_py()
+                                   or 0)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (rows.map_batches(tag, batch_format="pyarrow")
+           .groupby("__coarse")
+           .map_groups(bucket, batch_format="pyarrow")
+           .aggregate(Sum("pn_docs", alias_name="n_docs"),
+                      Sum("pn_both", alias_name="n_both"),
+                      Sum("pn_eq", alias_name="n_identical"),
+                      Sum("pn_sa", alias_name="total_spans_a"),
+                      Sum("pn_sb", alias_name="total_spans_b")))
+
+    from ..functions.num import round6
+    nd = agg.get("n_docs") or 0
+    return ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([nd], pa.int64()),
+        "n_both": pa.array([agg.get("n_both") or 0], pa.int64()),
+        "n_identical": pa.array([agg.get("n_identical") or 0], pa.int64()),
+        "agreement_rate": round6(pa.array(
+            [(agg.get("n_identical") or 0) / nd if nd else 0.0],
+            pa.float64())),
+        "total_spans_a": pa.array([agg.get("total_spans_a") or 0],
+                                  pa.int64()),
+        "total_spans_b": pa.array([agg.get("total_spans_b") or 0],
+                                  pa.int64())}))

@@ -24,6 +24,7 @@ EMPTY_DIR = "/tmp/pek_empty_sf"
 _SKIP = {
     "extract_flagship", "extract_kind_counts", "extract_markdown",
     "extract_spans", "table_sources", "reference_json",
+    "backend_agreement_report",
     "doc_modality_mix", "extract_kind_counts_lmv3",
     "interleaved_pack_plan", "span_kind_transitions",
     "corpus_integrity_report",
