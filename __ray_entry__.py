@@ -912,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
         "user_value_median": streaming.user_value_median,
+        "rolling_median_value": streaming.rolling_median_value,
         "part_random_walks": relational.part_random_walks,
         "events_debounce_report": streaming.events_debounce_report,
         "part_frequent_triples": relational.part_frequent_triples,
@@ -4799,6 +4800,25 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        PARTITION BY source ORDER BY qm) AS DOUBLE), 6)
                        AS pct_rank
             FROM q
+        """,
+        # trailing-7-day windowed discrete median per (type, day):
+        # holistic window aggregate, RANGE frame on the integer day
+        "rolling_median_value": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day_no,
+                       value
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            )
+            SELECT DISTINCT event_type, day_no,
+                   quantile_disc(value, 0.5) OVER (
+                       PARTITION BY event_type ORDER BY day_no
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS median_7d
+            FROM e
         """,
         # exact grouped discrete median, one group per user
         "user_value_median": """

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "user_event_entropy",
     "user_modal_event",
     "user_value_median",
+    "rolling_median_value",
     "user_first_last",
     "user_event_sequences",
     "inter_event_gaps",

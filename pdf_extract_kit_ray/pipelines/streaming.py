@@ -3167,3 +3167,75 @@ def user_value_median(sf_dir: str) -> "ray.data.Dataset":
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("__coarse")
               .map_groups(bucket, batch_format="pyarrow"))
+
+
+def rolling_median_value(sf_dir: str, window_days: int = 7
+                         ) -> "ray.data.Dataset":
+    """Trailing-window DISCRETE median of event value per (type, day) —
+    a WINDOWED HOLISTIC aggregate (order statistics over a sliding
+    frame), the one windowed shape `events_sliding_window`'s sums can't
+    express and Ray Data has no native operator for.  percentile_disc
+    semantics (smallest element with cumulative count >= ceil(n/2)),
+    window = the 7 calendar days ending at each observed day; NULL
+    type/ts/value rows drop (sibling contract).
+
+    Scale shape: per-batch (type, day, value) count partials collapse
+    the stream to its VALUE HISTOGRAM rows — bounded by distinct
+    (day, value) pairs per type (a time-grid x price-grid product),
+    never event count — then one |types|-group shuffle; the kernel
+    sorts by day once and answers every day's window from searchsorted
+    slice bounds + a weighted-median gather.  SQL twin: quantile_disc
+    OVER (... RANGE 6 PRECEDING)."""
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.is_valid(batch.column("ts"))),
+            pc.is_valid(batch.column("value"))))
+        day = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                        day_us)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "day_no": day, "value": batch.column("value")})
+        g = t.group_by(["event_type", "day_no", "value"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "day_no", "value", "pn"])
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "day_no": pa.array([], pa.int64()),
+                      "median_7d": pa.array([], pa.float64())})
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.select(["event_type", "day_no", "value", "pn"]) \
+            .group_by(["event_type", "day_no", "value"]) \
+            .aggregate([("pn", "sum")])
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("day_no", "ascending"),
+                                            ("value", "ascending")])
+        g = g.take(idx)
+        day = g.column("day_no").to_numpy()
+        val = g.column("value").to_numpy()
+        cnt = g.column("pn_sum").to_numpy()
+        days_u = np.unique(day)
+        lo = np.searchsorted(day, days_u - (window_days - 1), "left")
+        hi = np.searchsorted(day, days_u, "right")
+        meds = np.empty(len(days_u), dtype=np.float64)
+        for i in range(len(days_u)):
+            v = val[lo[i]:hi[i]]
+            c = cnt[lo[i]:hi[i]]
+            o = np.argsort(v, kind="stable")
+            cum = np.cumsum(c[o])
+            need = (cum[-1] + 1) // 2        # ceil(total/2)
+            meds[i] = v[o][np.searchsorted(cum, need, "left")]
+        et = g.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * len(days_u), pa.string()),
+            "day_no": pa.array(days_u, pa.int64()),
+            "median_7d": pa.array(meds, pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type")
+              .map_groups(kernel, batch_format="pyarrow"))

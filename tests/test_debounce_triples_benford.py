@@ -134,3 +134,26 @@ def test_benford_digit_and_drop_edges(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         res.reset_index(drop=True), orc.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_rolling_median_window_edges(ray_session, tmp_path):
+    """Window is the 7 calendar days ENDING at each observed day: day 6
+    still sees day 0, day 7 does not; even counts pick the LOWER middle
+    (percentile_disc); NULL value rows drop."""
+    d = str(tmp_path)
+    DAY = 86_400_000_000
+    rows = [
+        (1, 0 * DAY, 1, "a", 10.0),
+        (2, 0 * DAY, 1, "a", 20.0),     # day 0: {10, 20} -> med 10
+        (3, 6 * DAY, 1, "a", 30.0),     # day 6: {10,20,30} -> 20
+        (4, 7 * DAY, 1, "a", 40.0),     # day 7: {30,40} (day 0 aged out) -> 30
+        (5, 7 * DAY, 1, "a", None),     # dropped
+    ]
+    _write_events(d, rows)
+    res = E.queries()["rolling_median_value"](d).to_pandas() \
+        .sort_values("day_no").reset_index(drop=True)
+    assert list(res["day_no"]) == [0, 6, 7]
+    assert list(res["median_7d"]) == [10.0, 20.0, 30.0]
+    orc = _oracle(d, "rolling_median_value") \
+        .sort_values("day_no").reset_index(drop=True)
+    pd.testing.assert_frame_equal(res, orc, check_dtype=False)
