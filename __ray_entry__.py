@@ -824,6 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_disjunction_revenue": relational.brand_disjunction_revenue,
         "ship_latency_percentiles": relational.ship_latency_percentiles,
         "supplier_latency_trend": relational.supplier_latency_trend,
+        "customer_order_cadence": relational.customer_order_cadence,
+        "supplier_hhi_by_type": relational.supplier_hhi_by_type,
         "open_orders_timeline": relational.open_orders_timeline,
         "parquet_storage_profile": relational.parquet_storage_profile,
         "customer_value_deciles": relational.customer_value_deciles,
@@ -1431,6 +1433,48 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        AS open_orders,
                    net_change
             FROM agg
+        """,
+        # inter-purchase cadence: lag-window day gaps per customer; gaps
+        # come from the sorted day sequence so ties cannot perturb them
+        "customer_order_cadence": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                           AS day
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            ), w AS (
+                SELECT o_custkey,
+                       day - lag(day) OVER (PARTITION BY o_custkey
+                                            ORDER BY day) AS gap
+                FROM o
+            )
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   round(CAST(sum(gap) AS DOUBLE) / count(gap), 6)
+                       AS mean_gap_days,
+                   min(gap) AS min_gap_days, max(gap) AS max_gap_days
+            FROM w GROUP BY 1 HAVING count(*) >= 2
+        """,
+        # Herfindahl supply concentration per part type from exact integer
+        # quantity sums (sum(q^2)/sum(q)^2, one double division at the end)
+        "supplier_hhi_by_type": """
+            WITH ls AS (
+                SELECT p.p_type, l.l_suppkey,
+                       CAST(sum(CAST(floor(l.l_quantity) AS BIGINT))
+                            AS BIGINT) AS q
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_quantity IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(q) AS BIGINT) AS total_qty,
+                   round(CAST(sum(q*q) AS DOUBLE) /
+                         (CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)),
+                         6) AS hhi,
+                   round(CAST(max(q) AS DOUBLE) / CAST(sum(q) AS DOUBLE), 6)
+                       AS top_share
+            FROM ls GROUP BY 1
         """,
         # per-supplier OLS latency trend from exact integer moments
         # (n, Σx, Σy, Σxy, Σx²); slope = one double division; NULL for

@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "brand_disjunction_revenue",
     "ship_latency_percentiles",
     "supplier_latency_trend",
+    "customer_order_cadence",
+    "supplier_hhi_by_type",
     "open_orders_timeline",
     "daily_order_ship_coverage",
     "parquet_storage_profile",

@@ -5009,3 +5009,176 @@ def part_frequent_triples(sf_dir: str, min_count: int = 2
         "part_c": pa.array([], pa.int64()),
         "n_orders": pa.array([], pa.int64())}))
     return typed.union(agg.map_batches(keep, batch_format="pyarrow"))
+
+
+def customer_order_cadence(sf_dir: str) -> "ray.data.Dataset":
+    """Per-customer ordering cadence: for every customer with >= 2 orders,
+    the number of orders and the count / mean / min / max of the day gaps
+    between consecutive orders (ordered by date) — the inter-purchase
+    interval features behind churn and replenishment models.  The
+    ``lag() OVER (PARTITION BY customer ORDER BY date)`` shape applied to
+    the orders fact table.
+
+    Determinism: gaps come from the SORTED sequence of order days, so
+    same-day ties cannot perturb the gap multiset regardless of tie-break
+    order; mean = round6(exact int day-sum / exact int gap-count) computed
+    identically in both engines.  Contract: rows with NULL o_custkey or
+    NULL o_orderdate are dropped in both engines (lag over a NULL date is
+    order-undefined; a NULL key cannot ride Ray's sort-based group
+    partitioning).
+
+    Scale shape: ONE coarse customer-hash shuffle of pruned
+    (o_custkey, day) pairs; each bucket sorts once, diffs day numbers
+    within customer segments (numpy), and finishes with a per-bucket Arrow
+    group_by — every customer's orders land in exactly one bucket, so the
+    bucket output is final (no second shuffle)."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("o_custkey")),
+            pc.is_valid(batch.column("o_orderdate"))))
+        day = pc.cast(pc.divide(
+            pc.cast(batch.column("o_orderdate"), pa.int64()),
+            86400000000), pa.int64())
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        coarse = (cust.astype(np.int64) * _GOLDEN) % nc
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "day": day,
+            "__coarse": pa.array(coarse, pa.int64()),
+        })
+
+    empty_out = pa.table({
+        "o_custkey": pa.array([], pa.int64()),
+        "n_orders": pa.array([], pa.int64()),
+        "n_gaps": pa.array([], pa.int64()),
+        "mean_gap_days": pa.array([], pa.float64()),
+        "min_gap_days": pa.array([], pa.int64()),
+        "max_gap_days": pa.array([], pa.int64()),
+    })
+
+    def cadence(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        idx = pc.sort_indices(group, sort_keys=[
+            ("o_custkey", "ascending"), ("day", "ascending")])
+        g = group.take(idx)
+        cust = g.column("o_custkey").to_numpy()
+        day = g.column("day").to_numpy()
+        gap = np.diff(day, prepend=np.int64(0))
+        has_gap = np.r_[False, cust[1:] == cust[:-1]]  # first order: no gap
+        t = pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "gap": pa.array(np.where(has_gap, gap, 0), pa.int64(),
+                            mask=~has_gap),
+        })
+        agg = (t.group_by("o_custkey")
+                .aggregate([([], "count_all"), ("gap", "count"),
+                            ("gap", "sum"), ("gap", "min"),
+                            ("gap", "max")]))
+        agg = agg.rename_columns(
+            ["o_custkey", "n_orders", "n_gaps", "sum_gap",
+             "min_gap_days", "max_gap_days"])
+        agg = agg.filter(pc.greater_equal(agg.column("n_orders"), 2))
+        mean = round6(pc.divide(
+            pc.cast(agg.column("sum_gap"), pa.float64()),
+            pc.cast(agg.column("n_gaps"), pa.float64())))
+        return pa.table({
+            "o_custkey": agg.column("o_custkey"),
+            "n_orders": agg.column("n_orders"),
+            "n_gaps": agg.column("n_gaps"),
+            "mean_gap_days": mean,
+            "min_gap_days": agg.column("min_gap_days"),
+            "max_gap_days": agg.column("max_gap_days"),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(cadence, batch_format="pyarrow"))
+
+
+def supplier_hhi_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Supply-concentration report: per part type, the Herfindahl-
+    Hirschman index of supplier concentration over shipped quantity —
+    HHI = sum over suppliers of (supplier share)^2 — plus the top
+    supplier's share, supplier count, and total quantity.  The
+    market-concentration screen run over a supply-chain fact table.
+
+    Exactness: quantities are floor-cast to exact int64 units; HHI is
+    computed as round6(sum(q^2) / sum(q)^2) where both sums are exact
+    integers converted to double ONCE, so float summation order cannot
+    perturb it (a naive sum of per-supplier share^2 doubles would be
+    order-dependent).  int64 q^2 overflows at q > ~3e9 units per
+    (type, supplier) cell — asserted loudly; the 100 TB path swaps the
+    finish partial to python-int / HUGEINT accumulation.
+
+    Scale shape: part's (p_partkey -> p_type) is a broadcast lookup (no
+    shuffle); per-batch partials reduce to (p_type, l_suppkey, q) cells;
+    ONE coarse shuffle keyed on the combined (type, supplier) hash; the
+    per-type finish re-aggregates #types x #suppliers pre-reduced rows
+    through a second #types-sized coarse aggregate of (sum q, sum q^2,
+    max q, count) partials.  Contract: NULL l_quantity rows drop in both
+    engines; parts absent from the part table drop (inner join)."""
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.joins import broadcast_join, read_small_table
+    from ..functions.num import round6
+
+    part = read_small_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+    ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey", "l_quantity"])
+    joined = broadcast_join(ds, part, on="l_partkey", right_on="p_partkey",
+                            select=["p_type", "l_suppkey", "l_quantity"])
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("l_quantity")))
+        q = pc.cast(pc.floor(batch.column("l_quantity")), pa.int64())
+        t = pa.table({"p_type": batch.column("p_type"),
+                      "l_suppkey": batch.column("l_suppkey"), "q": q})
+        g = t.group_by(["p_type", "l_suppkey"]).aggregate([("q", "sum")])
+        return g.rename_columns(["p_type", "l_suppkey", "q"])
+
+    cells = coarse_grouped_aggregate(
+        joined.map_batches(cell_partial, batch_format="pyarrow"),
+        ["p_type", "l_suppkey"], [("q", "sum", "q")],
+        hash_cols=["p_type", "l_suppkey"])
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        q = batch.column("q").to_numpy()
+        assert q.size == 0 or q.max() < 3_000_000_000, \
+            "q^2 would overflow int64; switch the finish to python-int"
+        t = pa.table({"p_type": batch.column("p_type"), "q": batch.column("q"),
+                      "q2": pa.array(q * q, pa.int64())})
+        g = t.group_by("p_type").aggregate([
+            ([], "count_all"), ("q", "sum"), ("q2", "sum"), ("q", "max")])
+        return g.rename_columns(
+            ["p_type", "n_suppliers", "sum_q", "sum_q2", "max_q"])
+
+    agg = coarse_grouped_aggregate(
+        cells.map_batches(type_partial, batch_format="pyarrow"),
+        "p_type", [("n_suppliers", "sum", "n_suppliers"),
+                   ("sum_q", "sum", "sum_q"), ("sum_q2", "sum", "sum_q2"),
+                   ("max_q", "max", "max_q")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sq = pc.cast(batch.column("sum_q"), pa.float64())
+        hhi = round6(pc.divide(
+            pc.cast(batch.column("sum_q2"), pa.float64()),
+            pc.multiply(sq, sq)))
+        top = round6(pc.divide(
+            pc.cast(batch.column("max_q"), pa.float64()), sq))
+        return pa.table({
+            "p_type": batch.column("p_type"),
+            "n_suppliers": batch.column("n_suppliers"),
+            "total_qty": batch.column("sum_q"),
+            "hhi": hhi,
+            "top_share": top,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
