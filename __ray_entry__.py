@@ -968,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
         "events_locf_grid": streaming.events_locf_grid,
+        "events_interpolate_grid": streaming.events_interpolate_grid,
         "user_growth_curve": streaming.user_growth_curve,
         "user_activity_cv": streaming.user_activity_cv,
         "first_purchase_latency": streaming.first_purchase_latency,
@@ -4418,6 +4419,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    d.value AS last_value
             FROM grid ASOF LEFT JOIN d
               ON grid.event_type = d.event_type AND d.ts <= grid.ts
+        """,
+        # linear-interpolation grid resample: double ASOF (<= prev, >= next)
+        # with the identical blend expression tree, round6-snapped
+        "events_interpolate_grid": """
+            WITH e AS (
+                SELECT event_type, ts, value,
+                       row_number() OVER (PARTITION BY event_type, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            ), d AS (
+                SELECT event_type, ts, value FROM e WHERE rn = 1
+            ), grid AS (
+                SELECT t.event_type, g.ts
+                FROM (SELECT DISTINCT event_type FROM d) t
+                CROSS JOIN (SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                    INTERVAL 6 HOUR)) AS ts) g
+            )
+            SELECT grid.event_type AS event_type, grid.ts AS grid_ts,
+                   round(CASE
+                       WHEN p.ts IS NULL OR n.ts IS NULL THEN NULL
+                       WHEN n.ts = p.ts THEN p.value
+                       ELSE p.value + (n.value - p.value) *
+                            (CAST(epoch_us(grid.ts) - epoch_us(p.ts)
+                                  AS DOUBLE) /
+                             CAST(epoch_us(n.ts) - epoch_us(p.ts)
+                                  AS DOUBLE))
+                   END, 6) AS interp_value
+            FROM grid
+            ASOF LEFT JOIN d p
+              ON grid.event_type = p.event_type AND p.ts <= grid.ts
+            ASOF LEFT JOIN d n
+              ON grid.event_type = n.event_type AND n.ts >= grid.ts
         """,
         "events_sliding_window": """
             WITH e AS (

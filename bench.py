@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "decayed_user_value",
     "users_only_first_half",
     "events_locf_grid",
+    "events_interpolate_grid",
     "user_growth_curve",
     "user_activity_cv",
     "first_purchase_latency",

@@ -3239,3 +3239,116 @@ def rolling_median_value(sf_dir: str, window_days: int = 7
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("event_type")
               .map_groups(kernel, batch_format="pyarrow"))
+
+
+def events_interpolate_grid(sf_dir: str, start: str = "2024-01-01",
+                            end: str = "2024-01-31",
+                            step_hours: int = 6) -> "ray.data.Dataset":
+    """Time-series gap-fill by LINEAR INTERPOLATION: resample each event
+    type onto a regular grid, each grid point getting the straight-line
+    blend of the surrounding two events — the smooth-feature complement
+    of ``events_locf_grid`` (LOCF holds the last value; this one slopes
+    between neighbors).  NULL outside a type's observed range (pure
+    interpolation, no extrapolation) and NULL when the winning event's
+    value is NULL.
+
+    Determinism: (type, ts) duplicates reduce to the max event_id's value
+    BEFORE the neighbor lookups (pinned by a row_number dedup in the SQL
+    twin); the blend ``prev + (next - prev) * (dt_prev / dt_span)`` is
+    evaluated with the identical double expression tree in both engines
+    and round6-snapped, so operation order cannot perturb the hash.
+
+    Scale shape: the events_locf_grid shape exactly — per-batch
+    (type, ts) -> (max event_id, value) partials, ONE type-keyed shuffle,
+    per-type kernel = two searchsorteds over the type's sorted distinct
+    timestamps (the grid is parameter-sized).  A whale type would salt by
+    time range with an O(grid) boundary stitch."""
+    from ..functions.num import round6
+
+    grid = pd.date_range(start, end, freq=f"{step_hours}h")
+    grid_us = grid.values.astype("datetime64[us]").astype(np.int64)
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "event_id",
+                                     "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.is_valid(batch.column("ts"))))
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "event_id": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("event_type", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = batch.take(idx)
+        et = g.column("event_type").combine_chunks()
+        ts = g.column("ts").to_numpy()
+        last = np.r_[
+            (ts[1:] != ts[:-1]) | pc.not_equal(
+                et.slice(1), et.slice(0, len(et) - 1)).to_numpy(
+                zero_copy_only=False),
+            True]
+        return g.filter(pa.array(last)).select(
+            ["event_type", "ts", "event_id", "value"])
+
+    empty_out = pa.table({"event_type": pa.array([], pa.string()),
+                          "grid_ts": pa.array([], pa.timestamp("us")),
+                          "interp_value": pa.array([], pa.float64())})
+
+    def interp(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        idx = pc.sort_indices(group, sort_keys=[
+            ("event_type", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(idx)
+        et = g.column("event_type").combine_chunks()
+        ts = g.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        # cross-batch dedup of (type, ts): keep the last (max event_id)
+        neq = np.r_[(ts[1:] != ts[:-1]) | pc.not_equal(
+            et.slice(1), et.slice(0, len(et) - 1)).to_numpy(
+            zero_copy_only=False), True]
+        keep = np.flatnonzero(neq)
+        ts, val = ts[keep], val[keep]
+        et = et.take(pa.array(keep, pa.int64()))
+        starts = np.flatnonzero(np.r_[True, pc.not_equal(
+            et.slice(1), et.slice(0, len(et) - 1)).to_numpy(
+            zero_copy_only=False)])
+        bounds = np.r_[starts, len(ts)]
+        types, gts, vals = [], [], []
+        # per-type loop over the handful of types in a bucket; row-level
+        # work inside is numpy
+        for si, ei in zip(bounds[:-1], bounds[1:]):
+            t, v = ts[si:ei], val[si:ei]
+            pos_p = np.searchsorted(t, grid_us, side="right") - 1
+            pos_n = np.searchsorted(t, grid_us, side="left")
+            ok = (pos_p >= 0) & (pos_n < len(t))
+            pts = t[np.maximum(pos_p, 0)]
+            nts = t[np.minimum(pos_n, len(t) - 1)]
+            pv = v[np.maximum(pos_p, 0)]
+            nv = v[np.minimum(pos_n, len(t) - 1)]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                frac = (grid_us - pts).astype(np.float64) \
+                    / (nts - pts).astype(np.float64)
+                blend = pv + (nv - pv) * frac
+            out = np.where(nts == pts, pv, blend)
+            types.append(pa.repeat(et[int(si)], len(grid_us)))
+            gts.append(grid_us)
+            vals.append(np.where(ok, out, np.nan))
+        return pa.table({
+            "event_type": pa.concat_arrays(types),
+            "grid_ts": pa.array(np.concatenate(gts).astype(
+                "datetime64[us]")),
+            "interp_value": round6(pa.array(np.concatenate(vals),
+                                            from_pandas=True)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(interp, batch_format="pyarrow"))
