@@ -77,6 +77,39 @@ def _extract(sf_dir: str, layout_backend: str = "mock"):
         cpus, layout_backend=layout_backend))
 
 
+def _extract_lineage_report(sf_dir: str):
+    """North-rule lineage surface: run the flagship, write the RESUMABLE
+    partitioned output (atomic rename, manifest-last commit), and return
+    the per-partition lineage rows — (partition_id, n_docs, n_spans,
+    order-independent checksum).  path/elapsed_ms are dropped (host-
+    dependent); everything else is deterministic across runs and workers,
+    so repeated calls return the identical table.  Rows-only driver check;
+    pytest pins re-run determinism and the disk<->report agreement."""
+    import shutil
+
+    import pyarrow as pa
+
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_documents,
+                                                       read_corpus)
+    from pdf_extract_kit_ray.state.manifests import write_partitioned
+
+    import ray
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pek_lineage/{name}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_corpus(_corpus_path(sf_dir))
+    docs = extract_documents(ds, ExtractConfig.for_cpus(cpus))
+    manifests = write_partitioned(docs, out_dir, num_partitions=16)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["partition_id", "n_docs", "n_spans",
+                             "checksum"])
+    return manifests.map_batches(strip, batch_format="pyarrow") \
+                    .sort("partition_id")
+
+
 def entry() -> Any:
     """Flagship extraction pipeline on the sf0.001-scale corpus."""
     return _extract(SF0001)
@@ -777,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_pack_plan": _interleaved_pack_plan,
         "span_kind_transitions": _span_kind_transitions,
         "corpus_integrity_report": _corpus_integrity_report,
+        "extract_lineage_report": _extract_lineage_report,  # non-SQL (lineage)
         "extract_markdown": _extract_markdown,
         "extract_spans": _extract_spans_flat,
         "table_sources": _table_sources,

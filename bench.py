@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "span_length_profile",
     "page_span_stats",
     "corpus_integrity_report",
+    "extract_lineage_report",
     "table_sources",
     "reference_json",
     "q1_pricing_summary",

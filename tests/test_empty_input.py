@@ -27,7 +27,7 @@ _SKIP = {
     "backend_agreement_report",
     "doc_modality_mix", "extract_kind_counts_lmv3",
     "interleaved_pack_plan", "span_kind_transitions",
-    "corpus_integrity_report",
+    "corpus_integrity_report", "extract_lineage_report",
     "media_decode_summary", "image_thumbnails", "video_frame_sample",
     "media_features", "media_feature_neardup", "ocr_preprocess_summary",
     "resize_longest_side",
