@@ -964,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_overlap": dedup.cross_source_overlap,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
+        "minhash_estimation_error": dedup.minhash_estimation_error,  # non-SQL (estimator eval)
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,

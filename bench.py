@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "line_dedup_intra",
     "curated_docs",
     "minhash_dedup",
+    "minhash_estimation_error",
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "prefix_jaccard_pairs",

@@ -1960,3 +1960,57 @@ def prefix_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         ds, cand, id_col="doc_id", payload_col="text",
         payload_type=pa.string(), num_coarse=num_coarse, verify=verify,
         a_col="doc_a", b_col="doc_b")
+
+
+def minhash_estimation_error(sf_dir: str, num_perm: int = 64,
+                             bands: int = 16, shingle_k: int = 3,
+                             table: str = "documents") -> "ray.data.Dataset":
+    """Estimator-quality evaluation for the MinHash tier: for every LSH
+    candidate pair, the MinHash-ESTIMATED Jaccard (matching signature
+    components / num_perm) next to the EXACT word-shingle Jaccard and the
+    absolute error — the report that tells you whether num_perm/bands are
+    sized right for the corpus before you trust the dedup tier at 100 TB
+    (E[est] = true Jaccard; sd ~ sqrt(J(1-J)/num_perm)).
+
+    One row per distinct candidate pair (keep_id < dup_id; band-duplicate
+    candidates dedupe inside the shared verification primitive).
+
+    Scale shape: identical to minhash_dedup — ONE corpus-payload hash
+    shuffle + candidate-sized coarse groupbys via
+    ``functions.pairs.verify_candidate_pairs``; nothing reaches the
+    driver.  The signatures are recomputed from the pair payloads inside
+    the verify kernel (deterministic — same hash family as the banding
+    pass); the 100 TB variant ships struct(text, signature) payloads
+    through the same primitive to avoid the recompute."""
+    from ..functions.pairs import verify_candidate_pairs
+
+    path = f"{sf_dir}/{table}.parquet"
+    ds = sized_read_parquet(path, columns=["doc_id", "text"])
+    cand = _candidate_pairs_ds(ds, "text", "doc_id", num_perm, bands,
+                               shingle_k)
+    num_coarse = _num_coarse(ds.count())
+    a_p, b_p = _perm_params(num_perm)
+
+    def verify(keep_ids, dup_ids, texts_a, texts_b) -> pa.Table:
+        ta, tb = texts_a.to_pylist(), texts_b.to_pylist()
+        est = np.empty(len(keep_ids), np.float64)
+        exact = np.empty(len(keep_ids), np.float64)
+        for i in range(len(keep_ids)):
+            sa = minhash_signature(ta[i], a_p, b_p, shingle_k)
+            sb = minhash_signature(tb[i], a_p, b_p, shingle_k)
+            est[i] = (sa == sb).mean()
+            exact[i] = jaccard(ta[i], tb[i], shingle_k)
+        est, exact = est.round(6), exact.round(6)
+        return pa.table({
+            "keep_id": pa.array(keep_ids, pa.int64()),
+            "dup_id": pa.array(dup_ids, pa.int64()),
+            "est_jaccard": pa.array(est, pa.float64()),
+            "exact_jaccard": pa.array(exact, pa.float64()),
+            "abs_err": pa.array(np.abs(est - exact).round(6),
+                                pa.float64()),
+        })
+
+    return verify_candidate_pairs(
+        ds, cand, id_col="doc_id", payload_col="text",
+        payload_type=pa.string(), num_coarse=num_coarse, verify=verify,
+        a_col="keep_id", b_col="dup_id")

@@ -774,3 +774,32 @@ def test_prefix_jaccard_short_and_null_docs(ray_session, tmp_path):
                                      threshold=0.5).to_pandas()
     assert set(zip(res["doc_a"], res["doc_b"])) == {(0, 1)}
     assert res["jaccard"].tolist() == [1.0]
+
+
+def test_minhash_estimation_error_planted(ray_session, tmp_path):
+    """Exact dup pins (est=1, exact=1, err=0); the near-dup pair's exact
+    Jaccard is the known shingle ratio and the 64-perm estimate stays
+    within 5 binomial sds of it; pair rows are distinct."""
+    sf_dir = _make_docs_table(str(tmp_path))
+    res = dedup.minhash_estimation_error(sf_dir).to_pandas()
+    assert not res.duplicated(["keep_id", "dup_id"]).any()
+    assert ((0.0 <= res["est_jaccard"]) & (res["est_jaccard"] <= 1.0)).all()
+    exact_pair = res[(res["keep_id"] == 0) & (res["dup_id"] == 100)]
+    assert len(exact_pair) == 1
+    assert (exact_pair.iloc[0][["est_jaccard", "exact_jaccard",
+                                "abs_err"]] == [1.0, 1.0, 0.0]).all()
+    near = res[(res["keep_id"] == 1) & (res["dup_id"] == 101)]
+    assert len(near) == 1
+    j = near.iloc[0]["exact_jaccard"]
+    # 3 changed words of 60, k=3 shingles: exact overlap from the texts
+    from pdf_extract_kit_ray.pipelines.dedup import jaccard, word_shingles
+    ta = pq.read_table(os.path.join(str(tmp_path), "documents.parquet"))
+    texts = dict(zip(ta.column("doc_id").to_pylist(),
+                     ta.column("text").to_pylist()))
+    assert j == round(jaccard(texts[1], texts[101], 3), 6)
+    sd = (j * (1 - j) / 64) ** 0.5
+    assert near.iloc[0]["abs_err"] <= 5 * sd
+    # abs_err is consistent by construction everywhere
+    assert np.allclose(res["abs_err"],
+                       (res["est_jaccard"] - res["exact_jaccard"]).abs()
+                       .round(6))
