@@ -1004,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": streaming.events_sliding_window,
         "events_locf_grid": streaming.events_locf_grid,
         "events_interpolate_grid": streaming.events_interpolate_grid,
+        "event_cooccurrence_pairs": streaming.event_cooccurrence_pairs,
         "user_growth_curve": streaming.user_growth_curve,
         "user_activity_cv": streaming.user_activity_cv,
         "first_purchase_latency": streaming.first_purchase_latency,
@@ -4454,6 +4455,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    d.value AS last_value
             FROM grid ASOF LEFT JOIN d
               ON grid.event_type = d.event_type AND d.ts <= grid.ts
+        """,
+        # bounded-interval temporal self-join, counted not materialized:
+        # equal timestamps never pair (strict >), so ties cannot perturb it
+        "event_cooccurrence_pairs": """
+            WITH e AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+            )
+            SELECT a.event_type AS type_earlier,
+                   b.event_type AS type_later,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM e a JOIN e b ON a.user_id = b.user_id
+                 AND b.ts > a.ts
+                 AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+            GROUP BY 1, 2
         """,
         # linear-interpolation grid resample: double ASOF (<= prev, >= next)
         # with the identical blend expression tree, round6-snapped

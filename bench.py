@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "users_only_first_half",
     "events_locf_grid",
     "events_interpolate_grid",
+    "event_cooccurrence_pairs",
     "user_growth_curve",
     "user_activity_cv",
     "first_purchase_latency",

@@ -3352,3 +3352,92 @@ def events_interpolate_grid(sf_dir: str, start: str = "2024-01-01",
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type")
             .map_groups(interp, batch_format="pyarrow"))
+
+
+def event_cooccurrence_pairs(sf_dir: str,
+                             window_minutes: int = 30) -> "ray.data.Dataset":
+    """Temporal co-occurrence matrix: for every ordered pair of events by
+    the SAME user where the later event falls within ``window_minutes``
+    strictly after the earlier one, count pairs per (earlier type, later
+    type) — the bounded-interval self-join behind "what happens within 30
+    minutes of a click" market-basket / causal-precursor features.  Ray
+    Data has no interval join; a naive self-join explodes quadratically.
+
+    Determinism: the pair count depends only on the (user, ts, type)
+    multiset — equal-timestamp events never pair (strict >), so tie order
+    cannot perturb counts.  Contract: NULL user_id/ts/event_type rows drop
+    in both engines.
+
+    Scale shape: ONE coarse user-hash shuffle; each bucket sorts once by
+    (user, ts) and counts pairs WITHOUT materializing them — per-type
+    cumulative counts + two segment-clamped searchsorteds give each row
+    its in-window later-type counts, reduced to a T x T partial matrix per
+    bucket (T = #types); a #types^2-sized groupby finishes.  Memory is
+    O(T x bucket_rows), never O(pairs)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    window_us = np.int64(window_minutes) * 60 * 1_000_000
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.and_(
+            pc.is_valid(batch.column("user_id")),
+            pc.is_valid(batch.column("ts"))),
+            pc.is_valid(batch.column("event_type"))))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        coarse = (uid.astype(np.int64) * _GOLDEN) % nc
+        return batch.append_column("__coarse",
+                                   pa.array(coarse, pa.int64()))
+
+    empty_p = pa.table({"type_earlier": pa.array([], pa.string()),
+                        "type_later": pa.array([], pa.string()),
+                        "n_pairs": pa.array([], pa.int64())})
+
+    def bucket_matrix(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_p
+        idx = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        g = group.take(idx)
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        denc = pc.dictionary_encode(
+            g.column("event_type").combine_chunks())
+        vocab = denc.dictionary.to_pylist()              # tiny (T types)
+        codes = denc.indices.to_numpy().astype(np.int64)
+        n, T = len(ts), len(vocab)
+        # segment-clamped searchsorted: shift each user's timestamps into
+        # a disjoint numeric band so a global searchsorted cannot cross a
+        # user boundary (band width > time range + window)
+        seg_id = np.cumsum(np.r_[0, uid[1:] != uid[:-1]])
+        t0 = ts.min()
+        span = np.int64(ts.max() - t0) + window_us + 2
+        assert int(seg_id[-1] + 1) * int(span) < 2**62, \
+            "banded searchsorted would overflow; shrink the bucket"
+        t_band = (ts - t0) + seg_id * span
+        lo = np.searchsorted(t_band, t_band, side="right")
+        hi = np.searchsorted(t_band, t_band + window_us, side="right")
+        # per-type cumulative counts over the sorted bucket
+        out_e, out_l, out_n = [], [], []
+        for c in range(T):
+            cum = np.r_[0, np.cumsum(codes == c)]
+            cnt = cum[hi] - cum[lo]
+            per_earlier = np.bincount(codes, weights=cnt, minlength=T)
+            for e in range(T):
+                if per_earlier[e]:
+                    out_e.append(vocab[e])
+                    out_l.append(vocab[c])
+                    out_n.append(int(per_earlier[e]))
+        return pa.table({"type_earlier": pa.array(out_e, pa.string()),
+                         "type_later": pa.array(out_l, pa.string()),
+                         "n_pairs": pa.array(out_n, pa.int64())})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(bucket_matrix, batch_format="pyarrow")
+            .groupby(["type_earlier", "type_later"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
