@@ -992,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore_outliers": streaming.value_zscore_outliers,
         "value_mad_outliers": relational.value_mad_outliers,
         "ks_value_drift": streaming.ks_value_drift,
+        "value_psi_by_type": streaming.value_psi_by_type,
         "value_cusum_changepoint": streaming.value_cusum_changepoint,
         "late_event_report": streaming.late_event_report,
         "user_churn_labels": streaming.user_churn_labels,
@@ -2168,6 +2169,72 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                  - CAST(cb AS DOUBLE) / tb)), 6) AS ks_stat
             FROM c GROUP BY 1
             HAVING max(ta) > 0 AND max(tb) > 0
+        """,
+        # PSI drift: first-half quintile edges at exact integer ranks
+        # (row_number, not percentile_disc), per-bucket rows (no float
+        # 5-term sum), Laplace-smoothed shares, identical ln expression
+        "value_psi_by_type": """
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(floor(value * 100.0) AS BIGINT) AS vc,
+                       epoch_us(ts) AS tus
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  AND value IS NOT NULL
+            ), mid AS (
+                SELECT (min(tus) + max(tus)) // 2 AS m FROM ev
+            ), h AS (
+                SELECT event_type, vc,
+                       sum(CASE WHEN tus <= m THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN tus > m THEN 1 ELSE 0 END) AS nb
+                FROM ev, mid GROUP BY 1, 2
+            ), tot AS (
+                SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
+                       CAST(sum(nb) AS BIGINT) AS tb
+                FROM h GROUP BY 1
+            ), ranked AS (
+                SELECT ev.event_type, ev.vc,
+                       row_number() OVER (PARTITION BY ev.event_type
+                                          ORDER BY ev.vc) AS rn,
+                       count(*) OVER (PARTITION BY ev.event_type) AS n
+                FROM ev, mid WHERE ev.tus <= m
+            ), ed AS (
+                SELECT event_type,
+                       max(CASE WHEN rn = (1*n+4)//5 THEN vc END) AS e1,
+                       max(CASE WHEN rn = (2*n+4)//5 THEN vc END) AS e2,
+                       max(CASE WHEN rn = (3*n+4)//5 THEN vc END) AS e3,
+                       max(CASE WHEN rn = (4*n+4)//5 THEN vc END) AS e4
+                FROM ranked GROUP BY 1
+            ), g AS (
+                SELECT h.event_type,
+                       CASE WHEN h.vc > ed.e4 THEN 4
+                            WHEN h.vc > ed.e3 THEN 3
+                            WHEN h.vc > ed.e2 THEN 2
+                            WHEN h.vc > ed.e1 THEN 1 ELSE 0 END AS bucket,
+                       sum(h.na) AS n_first, sum(h.nb) AS n_second
+                FROM h JOIN ed USING (event_type)
+                GROUP BY 1, 2
+            ), filled AS (
+                SELECT t.event_type, r.bucket,
+                       CAST(coalesce(g.n_first, 0) AS BIGINT) AS n_first,
+                       CAST(coalesce(g.n_second, 0) AS BIGINT) AS n_second,
+                       t.ta, t.tb
+                FROM tot t
+                CROSS JOIN (SELECT unnest(range(5)) AS bucket) r
+                LEFT JOIN g ON g.event_type = t.event_type
+                           AND g.bucket = r.bucket
+                WHERE t.ta > 0 AND t.tb > 0
+            )
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   n_first, n_second,
+                   round((n_first + 1.0) / (ta + 5.0), 6) AS share_first,
+                   round((n_second + 1.0) / (tb + 5.0), 6) AS share_second,
+                   round(((n_second + 1.0) / (tb + 5.0)
+                          - (n_first + 1.0) / (ta + 5.0))
+                         * ln(((n_second + 1.0) / (tb + 5.0))
+                              / ((n_first + 1.0) / (ta + 5.0))), 6)
+                       AS psi_term
+            FROM filled
         """,
         "value_mad_outliers": """
             WITH v AS (

@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "events_locf_grid",
     "events_interpolate_grid",
     "event_cooccurrence_pairs",
+    "value_psi_by_type",
     "user_growth_curve",
     "user_activity_cv",
     "first_purchase_latency",

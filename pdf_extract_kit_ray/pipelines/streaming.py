@@ -3441,3 +3441,116 @@ def event_cooccurrence_pairs(sf_dir: str,
             .map_groups(bucket_matrix, batch_format="pyarrow")
             .groupby(["type_earlier", "type_later"])
             .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+
+
+def value_psi_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Population Stability Index drift per event type: split the stream
+    at the midpoint of its time range (the ks_value_drift convention),
+    derive QUINTILE bucket edges from the FIRST half, and report, per
+    (type, bucket), both halves' counts, Laplace-smoothed shares and the
+    PSI term (p2-p1)*ln(p2/p1) — the binned-share drift monitor model
+    risk teams run alongside KS (KS catches shape moves; PSI quantifies
+    mass migration per bucket; rule of thumb: total PSI > 0.2 = action).
+
+    Determinism: edge k is the value at exact integer rank
+    ceil(k*n/5) = (k*n+4)//5 of the sorted first-half multiset (pinned
+    with a row_number twin, NOT percentile_disc, so no float-rank
+    ambiguity); per-BUCKET rows avoid the order-dependent 5-term float
+    sum (total PSI = trivial client sum); shares and the ln expression
+    use the identical double tree in both engines, round6-snapped.
+    Contract: NULL ts/type/value rows drop; a type present in only one
+    half is omitted (no defined comparison).
+
+    Scale shape: identical to ks_value_drift — a 2-int span rollup, then
+    per-batch (type, cent, n_first, n_second) partials, ONE
+    #types x #distinct-cents bounded shuffle, per-type kernel =
+    cumulative walk + searchsorted bucketing, 5 rows out per type."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.num import round6
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(pc.and_(
+            pc.is_valid(batch.column("ts")),
+            pc.is_valid(batch.column("event_type"))),
+            pc.is_valid(batch.column("value"))))
+
+    def span_partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        if batch.num_rows == 0:
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        tus = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({"mn": pa.array([pc.min(tus).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(tus).as_py()], pa.int64())})
+
+    span = ds.map_batches(span_partial, batch_format="pyarrow") \
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx")) \
+        or {}
+    empty_out = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "bucket": pa.array([], pa.int64()),
+        "n_first": pa.array([], pa.int64()),
+        "n_second": pa.array([], pa.int64()),
+        "share_first": pa.array([], pa.float64()),
+        "share_second": pa.array([], pa.float64()),
+        "psi_term": pa.array([], pa.float64()),
+    })
+    if span.get("mn") is None:
+        return ray.data.from_arrow(empty_out)
+    mid = (int(span["mn"]) + int(span["mx"])) // 2   # tiny; closure-broadcast
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch)
+        tus = pc.cast(batch.column("ts"), pa.int64())
+        na = pc.cast(pc.less_equal(tus, mid), pa.int64())
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "vc": pc.cast(pc.floor(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64()),
+            "na": na,
+            "nb": pc.subtract(1, na),
+        })
+        g = t.group_by(["event_type", "vc"]).aggregate(
+            [("na", "sum"), ("nb", "sum")])
+        return g.rename_columns(["event_type", "vc", "pna", "pnb"])
+
+    def psi_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        h = group.group_by("vc").aggregate([("pna", "sum"),
+                                            ("pnb", "sum")])
+        h = h.take(pc.sort_indices(h.column("vc")))
+        vc = h.column("vc").to_numpy()
+        na = h.column("pna_sum").to_numpy().astype(np.int64)
+        nb = h.column("pnb_sum").to_numpy().astype(np.int64)
+        ta, tb = int(na.sum()), int(nb.sum())
+        if ta == 0 or tb == 0:
+            return empty_out
+        cum = np.cumsum(na)
+        ranks = np.array([(k * ta + 4) // 5 for k in (1, 2, 3, 4)],
+                         np.int64)
+        edges = vc[np.searchsorted(cum, ranks, side="left")]
+        bucket = np.searchsorted(edges, vc, side="left")  # #edges < vc
+        n1 = np.bincount(bucket, weights=na, minlength=5).astype(np.int64)
+        n2 = np.bincount(bucket, weights=nb, minlength=5).astype(np.int64)
+        p1 = (n1 + 1.0) / (ta + 5.0)
+        p2 = (n2 + 1.0) / (tb + 5.0)
+        term = (p2 - p1) * np.log(p2 / p1)
+        et = group.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * 5, pa.string()),
+            "bucket": pa.array(np.arange(5), pa.int64()),
+            "n_first": pa.array(n1, pa.int64()),
+            "n_second": pa.array(n2, pa.int64()),
+            "share_first": round6(pa.array(p1, pa.float64())),
+            "share_second": round6(pa.array(p2, pa.float64())),
+            "psi_term": round6(pa.array(term, pa.float64())),
+        })
+
+    return (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(psi_kernel, batch_format="pyarrow"))
