@@ -993,6 +993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_outliers": relational.value_mad_outliers,
         "ks_value_drift": streaming.ks_value_drift,
         "value_psi_by_type": streaming.value_psi_by_type,
+        "value_trimmed_stats": streaming.value_trimmed_stats,
+        "user_bursts": streaming.user_bursts,
         "value_cusum_changepoint": streaming.value_cusum_changepoint,
         "late_event_report": streaming.late_event_report,
         "user_churn_labels": streaming.user_churn_labels,
@@ -2169,6 +2171,67 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                  - CAST(cb AS DOUBLE) / tb)), 6) AS ks_stat
             FROM c GROUP BY 1
             HAVING max(ta) > 0 AND max(tb) > 0
+        """,
+        # max events in any [t, t+1h] window per user (anchor = an event,
+        # both ends inclusive); ties break to the earliest anchor
+        "user_bursts": """
+            WITH e AS (
+                SELECT user_id, ts FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), s AS (
+                SELECT DISTINCT user_id, ts FROM e
+            ), c AS (
+                SELECT s.user_id, s.ts, CAST(count(*) AS BIGINT) AS n
+                FROM s JOIN e ON e.user_id = s.user_id
+                     AND e.ts >= s.ts
+                     AND epoch_us(e.ts) - epoch_us(s.ts) <= 3600000000
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT user_id, ts, n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, ts ASC) AS rk
+                FROM c
+            )
+            SELECT user_id, n AS burst_events, ts AS burst_start
+            FROM r WHERE rk = 1
+        """,
+        # decile-trimmed + winsorized means from exact cents at integer
+        # ranks; one double division chain per mean, round6-snapped
+        "value_trimmed_stats": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(floor(value * 100.0) AS BIGINT) AS c
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), ranked AS (
+                SELECT event_type, c,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY c) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM v
+            ), ed AS (
+                SELECT event_type,
+                       max(CASE WHEN rn = (n+9)//10 THEN c END) AS lo,
+                       max(CASE WHEN rn = (9*n+9)//10 THEN c END) AS hi
+                FROM ranked GROUP BY 1
+            )
+            SELECT v.event_type,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(ed.lo AS DOUBLE) / 100.0 AS lo_value,
+                   CAST(ed.hi AS DOUBLE) / 100.0 AS hi_value,
+                   CAST(count(CASE WHEN v.c BETWEEN ed.lo AND ed.hi
+                                   THEN 1 END) AS BIGINT) AS n_trimmed,
+                   round(CAST(sum(CASE WHEN v.c BETWEEN ed.lo AND ed.hi
+                                       THEN v.c END) AS DOUBLE)
+                         / count(CASE WHEN v.c BETWEEN ed.lo AND ed.hi
+                                      THEN 1 END) / 100.0, 6)
+                       AS mean_trimmed,
+                   round(CAST(sum(CASE WHEN v.c < ed.lo THEN ed.lo
+                                       WHEN v.c > ed.hi THEN ed.hi
+                                       ELSE v.c END) AS DOUBLE)
+                         / count(*) / 100.0, 6) AS mean_winsorized
+            FROM v JOIN ed USING (event_type)
+            GROUP BY v.event_type, ed.lo, ed.hi
         """,
         # PSI drift: first-half quintile edges at exact integer ranks
         # (row_number, not percentile_disc), per-bucket rows (no float

@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "events_interpolate_grid",
     "event_cooccurrence_pairs",
     "value_psi_by_type",
+    "value_trimmed_stats",
+    "user_bursts",
     "user_growth_curve",
     "user_activity_cv",
     "first_purchase_latency",

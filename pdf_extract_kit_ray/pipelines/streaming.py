@@ -3554,3 +3554,160 @@ def value_psi_by_type(sf_dir: str) -> "ray.data.Dataset":
     return (ds.map_batches(hist_partial, batch_format="pyarrow")
             .groupby("event_type")
             .map_groups(psi_kernel, batch_format="pyarrow"))
+
+
+def value_trimmed_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Robust location stats per event type: decile-trimmed mean (drop
+    values outside [P10, P90]) and winsorized mean (clamp them to the
+    bounds) — the outlier-resistant aggregates feature pipelines use when
+    MAD flags heavy tails.  Bounds are DISCRETE percentiles at exact
+    integer ranks ceil(0.1*n) / ceil(0.9*n) of the sorted multiset (the
+    value_psi_by_type rank convention — no float-rank ambiguity).
+
+    Exactness: values snap to int cents; trimmed/winsorized sums are
+    exact int64 (asserted headroom); each mean is ONE double division
+    chain ((sum/n)/100) in the twin's operation order, round6-snapped.
+    Contract: NULL event_type/value rows drop in both engines.
+
+    Scale shape: per-batch (type, cent, count) histogram partials, ONE
+    #types x #distinct-cents bounded shuffle, per-type kernel = one
+    sorted cumulative walk (range mask for the trim, two clamp terms for
+    winsorizing)."""
+    from ..functions.num import round6
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.is_valid(batch.column("value"))))
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "vc": pc.cast(pc.floor(pc.multiply(
+                batch.column("value"), 100.0)), pa.int64()),
+        })
+        g = t.group_by(["event_type", "vc"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "vc", "pn"])
+
+    empty_out = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "n_values": pa.array([], pa.int64()),
+        "lo_value": pa.array([], pa.float64()),
+        "hi_value": pa.array([], pa.float64()),
+        "n_trimmed": pa.array([], pa.int64()),
+        "mean_trimmed": pa.array([], pa.float64()),
+        "mean_winsorized": pa.array([], pa.float64()),
+    })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        h = group.group_by("vc").aggregate([("pn", "sum")])
+        h = h.take(pc.sort_indices(h.column("vc")))
+        vc = h.column("vc").to_numpy()
+        cnt = h.column("pn_sum").to_numpy().astype(np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        lo = int(vc[np.searchsorted(cum, (n + 9) // 10, side="left")])
+        hi = int(vc[np.searchsorted(cum, (9 * n + 9) // 10, side="left")])
+        assert np.abs(vc).max() < 2**40 and n < 2**22, \
+            "cents*count sum would overflow int64; widen the kernel"
+        inside = (vc >= lo) & (vc <= hi)
+        n_trim = int(cnt[inside].sum())
+        sum_trim = int((vc[inside] * cnt[inside]).sum())
+        below = int(cnt[vc < lo].sum())
+        above = int(cnt[vc > hi].sum())
+        sum_wins = sum_trim + lo * below + hi * above
+        et = group.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et], pa.string()),
+            "n_values": pa.array([n], pa.int64()),
+            "lo_value": pa.array([lo / 100.0], pa.float64()),
+            "hi_value": pa.array([hi / 100.0], pa.float64()),
+            "n_trimmed": pa.array([n_trim], pa.int64()),
+            # float(sum) FIRST, then the two divisions — the twin's
+            # CAST(sum AS DOUBLE) / n / 100.0 operation order exactly
+            "mean_trimmed": round6(pa.array(
+                [float(sum_trim) / n_trim / 100.0], pa.float64())),
+            "mean_winsorized": round6(pa.array(
+                [float(sum_wins) / n / 100.0], pa.float64())),
+        })
+
+    return (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(kernel, batch_format="pyarrow"))
+
+
+def user_bursts(sf_dir: str, window_minutes: int = 60) -> "ray.data.Dataset":
+    """Burst detection per user: the maximum number of events falling in
+    ANY ``window_minutes`` window anchored at an event ([t, t+W], both
+    ends inclusive), plus the earliest anchor timestamp achieving it —
+    the rate-spike feature behind abuse/bot screens and hot-user
+    throttling.
+
+    Determinism: the count at an anchor depends only on the user's
+    timestamp multiset (equal-ts anchors share a count); ties on the max
+    break to the EARLIEST anchor, so the (count, ts) argmax is unique.
+    Contract: NULL user_id/ts rows drop in both engines.
+
+    Scale shape: ONE coarse user-hash shuffle; each bucket sorts once by
+    (user, ts), the event_cooccurrence_pairs banded searchsorted gives
+    every anchor its in-window count without materializing windows, and a
+    packed-int (count, -ts) argmax per user finishes inside the bucket
+    (every user's events land in one bucket — no second shuffle)."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    window_us = np.int64(window_minutes) * 60 * 1_000_000
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("user_id")),
+            pc.is_valid(batch.column("ts"))))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        coarse = (uid.astype(np.int64) * _GOLDEN) % nc
+        return batch.append_column("__coarse",
+                                   pa.array(coarse, pa.int64()))
+
+    empty_out = pa.table({"user_id": pa.array([], pa.int64()),
+                          "burst_events": pa.array([], pa.int64()),
+                          "burst_start": pa.array([], pa.timestamp("us"))})
+
+    def bursts(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        idx = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        g = group.take(idx)
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        seg_id = np.cumsum(np.r_[0, uid[1:] != uid[:-1]])
+        t0 = ts.min()
+        trel = ts - t0
+        span = np.int64(trel.max()) + window_us + 2
+        assert int(seg_id[-1] + 1) * int(span) < 2**62, \
+            "banded searchsorted would overflow; shrink the bucket"
+        t_band = trel + seg_id * span
+        cnt = (np.searchsorted(t_band, t_band + window_us, side="right")
+               - np.searchsorted(t_band, t_band, side="left"))
+        # packed (count, earliest-ts) argmax: count major, -trel minor
+        assert int(cnt.max()) * int(span) < 2**62, \
+            "burst count x band span would overflow the packed argmax"
+        pack = cnt * span + (span - 1 - trel)
+        t = pa.table({"user_id": g.column("user_id"),
+                      "pack": pa.array(pack, pa.int64())})
+        agg = t.group_by("user_id").aggregate([("pack", "max")])
+        best = agg.column("pack_max").to_numpy()
+        return pa.table({
+            "user_id": agg.column("user_id"),
+            "burst_events": pa.array(best // span, pa.int64()),
+            "burst_start": pa.array(
+                ((span - 1 - best % span) + t0).astype("datetime64[us]")),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(bursts, batch_format="pyarrow"))
