@@ -766,6 +766,31 @@ def _extract_spans_flat(sf_dir: str):
     return _extract(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
+def _span_term_search(sf_dir: str, term: str = "formula"):
+    """Search over the EXTRACTION OUTPUT: every span whose text contains
+    ``term``, with the non-overlapping occurrence count — grep over the
+    corpus after extraction (the content-audit query a curation team runs
+    against extracted spans, exercised end-to-end through the flagship
+    pipeline rather than against stored text).
+
+    Ray side: the flagship span explode, then vectorized
+    ``pc.count_substring`` + filter; the oracle runs the identical
+    replace-arithmetic count over the materialized golden spans, so a
+    hash match pins BOTH the extraction equality and the search."""
+    def search(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        hits = pc.count_substring(batch.column("text"), term)
+        out = batch.append_column("n_hits", pc.cast(hits, pa.int64()))
+        return out.filter(pc.greater(hits, 0))
+
+    return (_extract_spans_flat(sf_dir)
+            .map_batches(search, batch_format="pyarrow")
+            .select_columns(["doc_id", "offset", "kind", "n_hits"]))
+
+
+
+
 def _reference_json(sf_dir: str):
     """S7 parity surface: the reference's per-document JSON page-result
     list, produced by the same model-stage chain as the flagship."""
@@ -813,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lineage_report": _extract_lineage_report,  # non-SQL (lineage)
         "extract_markdown": _extract_markdown,
         "extract_spans": _extract_spans_flat,
+        "span_term_search": _span_term_search,
         "table_sources": _table_sources,
         "reference_json": _reference_json,   # non-SQL (nested JSON strings)
         # --- relational operators (SQL twins below) ---
@@ -827,6 +853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_star": relational.orders_star,
         "supplier_scorecard": relational.supplier_scorecard,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
+        "seasonal_decompose": relational.seasonal_decompose,
+        "fd_violations": relational.fd_violations,
         "peak_window_revenue": relational.peak_window_revenue,
         "key_skew_report": relational.key_skew_report,
         "monthly_revenue_growth": relational.monthly_revenue_growth,
@@ -879,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
+        "unicode_script_profile": text.unicode_script_profile,
         "doc_fingerprints": text.doc_fingerprints,
         "doc_token_counts": text.doc_token_counts,
         "top_terms": text.top_terms,
@@ -1019,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_session_paths": streaming.top_session_paths,
         "rolling_active_users": streaming.rolling_active_users,
         "events_seasonality": streaming.events_seasonality,
+        "events_autocorrelation": streaming.events_autocorrelation,
         "event_type_drift": streaming.event_type_drift,
         "customer_repeat_rate": relational.customer_repeat_rate,
         "customer_rfm": relational.customer_rfm,
@@ -5253,6 +5283,197 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2
         """,
     }
+    # content search over the GOLDEN span stream: non-overlapping
+    # occurrence count via replace-arithmetic in codepoints ('formula'
+    # has no proper border, so overlap cannot differ from Arrow's scan)
+    sql["span_term_search"] = f"""
+        WITH ex AS (SELECT doc_id, unnest(spans) AS s
+                    FROM read_parquet('{golden_glob}'))
+        SELECT doc_id, s."offset" AS "offset", s.kind AS kind,
+               (length(s.text) - length(replace(s.text, 'formula', '')))
+                   // 7 AS n_hits
+        FROM ex
+        WHERE s.text IS NOT NULL
+          AND (length(s.text)
+               - length(replace(s.text, 'formula', ''))) // 7 > 0
+    """
+    # additive decomposition: row-centered 7-day cents window (full
+    # windows only), integer detrended series det7 = 7*rev_c - sum7
+    # (units cents*7, exact), per-weekday integer sums divided once;
+    # every double is the same division chain as the numpy kernel
+    sql["seasonal_decompose"] = """
+        WITH d AS (
+            SELECT date_trunc('day', l_shipdate) AS day,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                            AS BIGINT)) AS rev_c
+            FROM lineitem GROUP BY 1
+        ), w AS (
+            SELECT day, rev_c,
+                   CAST(isodow(day) - 1 AS BIGINT) AS weekday,
+                   CAST(sum(rev_c) OVER cw AS BIGINT) AS sum7,
+                   count(*) OVER cw AS w7
+            FROM d
+            WINDOW cw AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING)
+        ), f AS (
+            SELECT *, (w7 = 7) AS isfull,
+                   7*rev_c - sum7 AS det7
+            FROM w
+        ), s AS (
+            SELECT weekday,
+                   CAST(coalesce(sum(det7) FILTER (WHERE isfull), 0)
+                        AS BIGINT) AS s_sum,
+                   count(*) FILTER (WHERE isfull) AS s_cnt
+            FROM f GROUP BY 1
+        )
+        SELECT f.day, f.weekday,
+               CAST(f.rev_c AS DOUBLE)/100.0 AS revenue,
+               CASE WHEN f.isfull
+                    THEN round(CAST(f.sum7 AS DOUBLE)/700.0, 6)
+               END AS trend,
+               CASE WHEN s.s_cnt > 0
+                    THEN round((CAST(s.s_sum AS DOUBLE)/s.s_cnt)/700.0, 6)
+               END AS seasonal,
+               CASE WHEN f.isfull AND s.s_cnt > 0
+                    THEN round((CAST(f.det7 AS DOUBLE)
+                                - CAST(s.s_sum AS DOUBLE)/s.s_cnt)/700.0, 6)
+               END AS residual
+        FROM f JOIN s USING (weekday)
+    """
+    # functional-dependency profiling: distinct (lhs, rhs) string pairs
+    # per candidate, distinct-rhs fan-out per lhs, holds = max fan-out 1
+    sql["fd_violations"] = """
+        WITH cand AS (
+            SELECT 'orders.o_orderkey->o_orderstatus' AS fd,
+                   CAST(o_orderkey AS VARCHAR) AS lhs,
+                   CAST(o_orderstatus AS VARCHAR) AS rhs
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+            UNION ALL
+            SELECT 'orders.o_custkey->o_orderpriority',
+                   CAST(o_custkey AS VARCHAR),
+                   CAST(o_orderpriority AS VARCHAR)
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->l_returnflag',
+                   CAST(l_orderkey AS VARCHAR),
+                   CAST(l_returnflag AS VARCHAR)
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+            UNION ALL
+            SELECT 'lineitem.l_partkey->l_suppkey',
+                   CAST(l_partkey AS VARCHAR),
+                   CAST(l_suppkey AS VARCHAR)
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+            UNION ALL
+            SELECT 'part.p_brand->p_type',
+                   CAST(p_brand AS VARCHAR), CAST(p_type AS VARCHAR)
+            FROM part
+            WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+            UNION ALL
+            SELECT 'documents.source->lang',
+                   CAST(source AS VARCHAR), CAST(lang AS VARCHAR)
+            FROM documents
+            WHERE source IS NOT NULL AND lang IS NOT NULL
+        ), dp AS (
+            SELECT DISTINCT fd, lhs, rhs FROM cand
+        ), per AS (
+            SELECT fd, lhs, count(*) AS k FROM dp GROUP BY 1, 2
+        )
+        SELECT fd, count(*) AS n_lhs,
+               CAST(count(*) FILTER (WHERE k > 1) AS BIGINT)
+                   AS n_violating_lhs,
+               max(k) AS max_rhs_per_lhs,
+               CAST(sum(k) AS BIGINT) AS n_distinct_pairs,
+               (max(k) = 1) AS holds
+        FROM per GROUP BY 1
+    """
+    # lag-k autocorrelation of per-type daily counts: calendar-aligned
+    # pairs, Pearson r from exact integer sufficient stats in the same
+    # num / sqrt(dx) / sqrt(dy) division chain as the numpy kernel
+    sql["events_autocorrelation"] = """
+        WITH d AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ), lags(lag) AS (VALUES (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT))),
+        types AS (SELECT DISTINCT event_type FROM d),
+        p AS (
+            SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+            FROM d a CROSS JOIN lags l
+            JOIN d b ON b.event_type = a.event_type
+                    AND b.day = a.day + l.lag * INTERVAL 1 DAY
+        ), st AS (
+            SELECT event_type, lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x*x) AS BIGINT) AS sxx,
+                   CAST(sum(y*y) AS BIGINT) AS syy,
+                   CAST(sum(x*y) AS BIGINT) AS sxy
+            FROM p GROUP BY 1, 2
+        )
+        SELECT t.event_type, l.lag,
+               CAST(coalesce(st.n, 0) AS BIGINT) AS n_pairs,
+               CASE WHEN st.n >= 2 AND (st.n*st.sxx - st.sx*st.sx) > 0
+                         AND (st.n*st.syy - st.sy*st.sy) > 0
+                    THEN round(CAST(st.n*st.sxy - st.sx*st.sy AS DOUBLE)
+                               / sqrt(CAST(st.n*st.sxx - st.sx*st.sx
+                                           AS DOUBLE))
+                               / sqrt(CAST(st.n*st.syy - st.sy*st.sy
+                                           AS DOUBLE)), 6)
+               END AS autocorr
+        FROM types t CROSS JOIN lags l
+        LEFT JOIN st ON st.event_type = t.event_type AND st.lag = l.lag
+    """
+    # character-class mix per source; length() counts codepoints, which
+    # equals the engine's non-continuation-byte count on valid UTF-8
+    sql["unicode_script_profile"] = """
+        WITH d AS (
+            SELECT source,
+                   length(text) AS chars,
+                   length(text) - length(regexp_replace(
+                       text, '[A-Za-z]', '', 'g')) AS letters,
+                   length(text) - length(regexp_replace(
+                       text, '[0-9]', '', 'g')) AS digits,
+                   length(text) - length(regexp_replace(
+                       text, '[ \\t\\n\\r]', '', 'g')) AS spaces,
+                   length(text) - length(regexp_replace(
+                       text, '[\\x00-\\x7f]', '', 'g')) AS asciis
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+        ), g AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(chars) AS BIGINT) AS n_chars,
+                   CAST(sum(letters) AS BIGINT) AS s_letters,
+                   CAST(sum(digits) AS BIGINT) AS s_digits,
+                   CAST(sum(spaces) AS BIGINT) AS s_spaces,
+                   CAST(sum(asciis) AS BIGINT) AS s_asciis
+            FROM d GROUP BY 1
+        )
+        SELECT source, n_docs, n_chars,
+               CASE WHEN n_chars > 0 THEN
+                   round(CAST(s_letters AS DOUBLE)/n_chars, 6)
+               END AS frac_letter,
+               CASE WHEN n_chars > 0 THEN
+                   round(CAST(s_digits AS DOUBLE)/n_chars, 6)
+               END AS frac_digit,
+               CASE WHEN n_chars > 0 THEN
+                   round(CAST(s_spaces AS DOUBLE)/n_chars, 6)
+               END AS frac_space,
+               CASE WHEN n_chars > 0 THEN
+                   round(CAST(s_asciis - s_letters - s_digits - s_spaces
+                              AS DOUBLE)/n_chars, 6)
+               END AS frac_punct,
+               CASE WHEN n_chars > 0 THEN
+                   round(CAST(n_chars - s_asciis AS DOUBLE)/n_chars, 6)
+               END AS frac_non_ascii
+        FROM g
+    """
     # hybrid RRF composes the two constituent twins as CTEs so the three
     # rankings can never drift apart; ranks assign over each CTE's OUTPUT
     # ordering (score desc, id asc — the same keys the Ray op sorts on)

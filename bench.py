@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "corpus_integrity_report",
     "extract_lineage_report",
     "table_sources",
+    "span_term_search",
     "reference_json",
     "q1_pricing_summary",
     "orders_per_nation",
@@ -64,6 +65,7 @@ BENCH_QUERIES = [
     "html_boilerplate_rate",
     "doc_stats",
     "lang_profile",
+    "unicode_script_profile",
     "doc_fingerprints",
     "exact_dedup",
     "paragraph_dedup",
@@ -106,6 +108,7 @@ BENCH_QUERIES = [
     "quality_calibration",
     "numeric_correlations",
     "integrity_report",
+    "fd_violations",
     "source_divergence",
     "inverted_index",
     "zipf_slope",
@@ -143,6 +146,7 @@ BENCH_QUERIES = [
     "order_lines_histogram",
     "key_skew_report",
     "daily_revenue_ma7",
+    "seasonal_decompose",
     "peak_window_revenue",
     "monthly_revenue_growth",
     "late_shipment_priority",
@@ -232,6 +236,7 @@ BENCH_QUERIES = [
     "top_session_paths",
     "rolling_active_users",
     "events_seasonality",
+    "events_autocorrelation",
     "event_type_drift",
     "events_anomalous_hours",
     "dedup_rate_report",

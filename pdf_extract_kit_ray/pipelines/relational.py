@@ -5182,3 +5182,203 @@ def supplier_hhi_by_type(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def seasonal_decompose(sf_dir: str) -> "ray.data.Dataset":
+    """Classical additive decomposition of daily lineitem revenue into
+    trend + weekday seasonality + residual — the STL-lite monitor a
+    revenue dashboard runs before alerting on the residual.
+
+    Exact arithmetic: daily revenue in int cents; trend is the CENTERED
+    7-day cents sum (full windows only — edge days get NULL trend);
+    the detrended series is kept as the INTEGER ``7*rev_c - sum7``
+    (units cents*7, exact), weekday effects are integer sums divided
+    once, and every emitted double is a single division chain off
+    integers, round6-snapped — bit-identical to the SQL twin.
+    Weekday is ISO Monday=0 in both engines.
+
+    Scale shape: the corpus-sized scan pre-reduces to per-day cents
+    partials inside map_batches (the daily_revenue_ma7 shape); the day
+    rollup is bounded by the date domain, so the window + weekday-mean
+    finish runs in one map over a repartition(1) of the tiny rollup."""
+    from ..functions.num import round6
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_shipdate", "l_extendedprice",
+                                       "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("l_shipdate"), unit="day")
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0,
+                                               batch.column("l_discount"))))
+        g = pa.table({"day": day, "rev_c": rev_c}).group_by("day") \
+            .aggregate([("rev_c", "sum")])
+        return g.rename_columns(["day", "rev_c"])
+
+    agg = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("rev_c", alias_name="rev_c")))
+
+    empty = pa.table({
+        "day": pa.array([], pa.timestamp("us")),
+        "weekday": pa.array([], pa.int64()),
+        "revenue": pa.array([], pa.float64()),
+        "trend": pa.array([], pa.float64()),
+        "seasonal": pa.array([], pa.float64()),
+        "residual": pa.array([], pa.float64()),
+    })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        g = batch.take(pc.sort_indices(batch,
+                                       sort_keys=[("day", "ascending")]))
+        c = g.column("rev_c").to_numpy().astype(np.int64)
+        n = len(c)
+        days = g.column("day").to_numpy()
+        epoch_day = days.astype("datetime64[D]").astype(np.int64)
+        weekday = (epoch_day + 3) % 7          # 1970-01-01 = Thursday = 3
+        # centered 7-day window sum; full windows only
+        cum = np.r_[0, np.cumsum(c)]
+        full = np.zeros(n, bool)
+        sum7 = np.zeros(n, np.int64)
+        if n >= 7:
+            full[3:n - 3] = True
+            i = np.arange(3, n - 3)
+            sum7[i] = cum[i + 4] - cum[i - 3]
+        det7 = 7 * c - sum7                    # exact, cents*7, full only
+        s_sum = np.zeros(7, np.int64)
+        s_cnt = np.zeros(7, np.int64)
+        np.add.at(s_sum, weekday[full], det7[full])
+        np.add.at(s_cnt, weekday[full], 1)
+        has_season = s_cnt[weekday] > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            trend = sum7.astype(np.float64) / 700.0
+            smean = s_sum.astype(np.float64) / s_cnt   # per-weekday double
+            seasonal = smean[weekday] / 700.0
+            residual = (det7.astype(np.float64) - smean[weekday]) / 700.0
+        return pa.table({
+            "day": g.column("day"),
+            "weekday": pa.array(weekday, pa.int64()),
+            "revenue": pc.divide(pc.cast(g.column("rev_c"), pa.float64(),
+                                         safe=False), 100.0),
+            "trend": round6(pa.array(trend, pa.float64(), mask=~full)),
+            "seasonal": round6(pa.array(seasonal, pa.float64(),
+                                        mask=~has_season)),
+            "residual": round6(pa.array(residual, pa.float64(),
+                                        mask=~(full & has_season))),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+# candidate functional dependencies profiled by fd_violations: each row is
+# (name, table, lhs column, rhs column).  Mixed holds/violates on purpose —
+# the report is the discovery artifact, not an assertion.
+_FD_CANDIDATES = [
+    ("orders.o_orderkey->o_orderstatus", "orders", "o_orderkey",
+     "o_orderstatus"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey",
+     "l_returnflag"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("documents.source->lang", "documents", "source", "lang"),
+]
+
+
+def fd_violations(sf_dir: str) -> "ray.data.Dataset":
+    """Functional-dependency discovery report (Deequ/Metanome-style
+    profiling): for each candidate FD ``A -> B`` in ``_FD_CANDIDATES``,
+    the number of distinct LHS values, how many of them map to MORE than
+    one distinct RHS (violating determinism), the worst fan-out, and
+    whether the dependency holds exactly.  Contract: NULL LHS/RHS rows
+    drop in both engines; LHS/RHS compare as strings.
+
+    Scale shape: each candidate's two columns pre-reduce to distinct
+    (fd, lhs, rhs) string pairs per batch, the tagged union moves
+    through ONE coarse shuffle on hash(fd, lhs) (every lhs's pairs
+    co-locate, so distinct-rhs counts finish in-bucket), and per-bucket
+    per-fd partials reduce in a #candidates-sized final groupby."""
+    from ..functions.agg import _GOLDEN, _coarse_of, _default_num_coarse
+    from ray.data.aggregate import Max, Sum
+
+    nc = _default_num_coarse()
+
+    def make_partial(fd: str, lhs: str, rhs: str):
+        import hashlib
+        # process-stable fd salt (Python's str hash is per-process seeded)
+        fd_salt = np.int64(int(hashlib.md5(fd.encode()).hexdigest()[:8],
+                               16) & 0x7FFFFFFF)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.and_(pc.is_valid(batch.column(lhs)),
+                                         pc.is_valid(batch.column(rhs))))
+            empty = pa.table({"fd": pa.array([], pa.string()),
+                              "lhs": pa.array([], pa.string()),
+                              "rhs": pa.array([], pa.string()),
+                              "__coarse": pa.array([], pa.int64())})
+            if batch.num_rows == 0:
+                return empty
+            t = pa.table({
+                "lhs": pc.cast(batch.column(lhs), pa.string()),
+                "rhs": pc.cast(batch.column(rhs), pa.string()),
+            })
+            g = t.group_by(["lhs", "rhs"]).aggregate([])
+            fd_col = pa.array(np.full(g.num_rows, fd, dtype=object),
+                              pa.string())
+            coarse = (_coarse_of(g.column("lhs"), 1 << 62)
+                      * _GOLDEN + fd_salt) % nc
+            return pa.table({
+                "fd": fd_col,
+                "lhs": g.column("lhs"),
+                "rhs": g.column("rhs"),
+                "__coarse": pa.array(coarse, pa.int64()),
+            })
+        return partial
+
+    parts = []
+    for fd, table, lhs, rhs in _FD_CANDIDATES:
+        ds = sized_read_parquet(f"{sf_dir}/{table}.parquet",
+                                columns=[lhs, rhs])
+        parts.append(ds.map_batches(make_partial(fd, lhs, rhs),
+                                    batch_format="pyarrow"))
+    union = parts[0].union(*parts[1:])
+
+    empty = pa.table({"fd": pa.array([], pa.string()),
+                      "lhs_n": pa.array([], pa.int64()),
+                      "viol": pa.array([], pa.int64()),
+                      "maxk": pa.array([], pa.int64()),
+                      "pairs": pa.array([], pa.int64())})
+
+    def bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        dp = group.select(["fd", "lhs", "rhs"]) \
+            .group_by(["fd", "lhs", "rhs"]).aggregate([])
+        per = dp.group_by(["fd", "lhs"]).aggregate([([], "count_all")])
+        k = per.column("count_all")
+        t = pa.table({
+            "fd": per.column("fd"),
+            "one": pa.array(np.ones(per.num_rows, np.int64)),
+            "v": pc.cast(pc.greater(k, 1), pa.int64()),
+            "k": pc.cast(k, pa.int64()),
+        })
+        g = t.group_by("fd").aggregate([("one", "sum"), ("v", "sum"),
+                                        ("k", "max"), ("k", "sum")])
+        return g.rename_columns(["fd", "lhs_n", "viol", "maxk", "pairs"])
+
+    agg = (union.groupby("__coarse")
+           .map_groups(bucket, batch_format="pyarrow")
+           .groupby("fd")
+           .aggregate(Sum("lhs_n", alias_name="n_lhs"),
+                      Sum("viol", alias_name="n_violating_lhs"),
+                      Max("maxk", alias_name="max_rhs_per_lhs"),
+                      Sum("pairs", alias_name="n_distinct_pairs")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "holds", pc.equal(batch.column("max_rhs_per_lhs"), 1))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -3711,3 +3711,105 @@ def user_bursts(sf_dir: str, window_minutes: int = 60) -> "ray.data.Dataset":
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__coarse")
             .map_groups(bursts, batch_format="pyarrow"))
+
+
+def events_autocorrelation(sf_dir: str,
+                           lags=(1, 7)) -> "ray.data.Dataset":
+    """Lag-k autocorrelation of the DAILY event-count series per event
+    type, at lag 1 (day-over-day persistence) and lag 7 (weekly
+    seasonality) — the stationarity probe a forecasting pipeline runs
+    before picking model order.
+
+    Pairs are calendar-aligned: a day pairs with the day exactly ``k``
+    days later when BOTH exist in the type's series (gap days pair with
+    nothing).  Pearson r is computed from exact int64 sufficient stats
+    (n, Sx, Sy, Sxx, Syy, Sxy) in one fixed double expression —
+    ``(n*Sxy - Sx*Sy) / sqrt(n*Sxx - Sx^2) / sqrt(n*Syy - Sy^2)`` —
+    round6-snapped, NULL when either variance term is 0 or n < 2.
+    Contract: NULL event_type/ts rows drop in both engines.
+
+    Scale shape: the corpus-sized scan pre-reduces to per-(type, day)
+    count partials inside map_batches; the rollup is bounded by
+    #types x date domain, so lag alignment (searchsorted on a packed
+    type/day key) finishes in one map over a repartition(1)."""
+    from ray.data.aggregate import Sum
+    from ..functions.num import round6
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.is_valid(batch.column("ts"))))
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        g = pa.table({"event_type": batch.column("event_type"),
+                      "day": day}).group_by(["event_type", "day"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("c", alias_name="c")))
+
+    empty = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "lag": pa.array([], pa.int64()),
+        "n_pairs": pa.array([], pa.int64()),
+        "autocorr": pa.array([], pa.float64()),
+    })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        g = batch.take(pc.sort_indices(batch, sort_keys=[
+            ("event_type", "ascending"), ("day", "ascending")]))
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        eday = g.column("day").to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        c = g.column("c").to_numpy().astype(np.int64)
+        # dense per-type codes in sorted order
+        new_t = np.r_[True, types[1:] != types[:-1]]
+        tcode = np.cumsum(new_t) - 1
+        span = np.int64(eday.max() - eday.min() + 366)
+        key = tcode * span + (eday - eday.min())
+        uniq_types = types[new_t]
+        out_t, out_lag, out_n, out_r = [], [], [], []
+        for k in lags:
+            pos = np.searchsorted(key, key + k)
+            ok = (pos < len(key)) & (key[np.minimum(pos, len(key) - 1)]
+                                     == key + k)
+            x = c[ok]
+            y = c[np.minimum(pos, len(key) - 1)[ok]]
+            tc = tcode[ok]
+            nt = len(uniq_types)
+            n = np.bincount(tc, minlength=nt).astype(np.int64)
+
+            def isum(v):
+                s = np.zeros(nt, np.int64)
+                np.add.at(s, tc, v)
+                return s
+
+            sx, sy = isum(x), isum(y)
+            sxx, syy, sxy = isum(x * x), isum(y * y), isum(x * y)
+            num = (n * sxy - sx * sy).astype(np.float64)
+            dx = (n * sxx - sx * sx).astype(np.float64)
+            dy = (n * syy - sy * sy).astype(np.float64)
+            valid = (n >= 2) & (dx > 0) & (dy > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = num / np.sqrt(dx) / np.sqrt(dy)
+            out_t.append(uniq_types)
+            out_lag.append(np.full(nt, k, np.int64))
+            out_n.append(n)
+            out_r.append(round6(pa.array(np.where(valid, r, np.nan),
+                                         pa.float64(), mask=~valid)))
+        return pa.table({
+            "event_type": pa.array(np.concatenate(out_t), pa.string()),
+            "lag": pa.array(np.concatenate(out_lag), pa.int64()),
+            "n_pairs": pa.array(np.concatenate(out_n), pa.int64()),
+            "autocorr": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in out_r]),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

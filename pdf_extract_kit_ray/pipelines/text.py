@@ -1624,3 +1624,116 @@ def quality_quantile_normalize(sf_dir: str) -> "ray.data.Dataset":
             "pct_rank": round6(pa.array(pct, pa.float64()))})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def unicode_script_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Character-class mix per source: fractions of ASCII letters, digits,
+    whitespace, ASCII punctuation/other, and non-ASCII codepoints — the
+    CCNet-style script signal that separates prose from code/markup and
+    flags mojibake or wrong-language contamination per ingest source.
+
+    The kernel never decodes: it classifies the raw UTF-8 buffer with
+    numpy byte masks (a codepoint = one non-continuation byte; a
+    non-ASCII codepoint = one lead byte >= 0xC0), so the per-batch cost
+    is a handful of vectorized passes over the bytes.  Char counts equal
+    DuckDB ``length()`` / regexp-class counts on valid UTF-8.
+    Contract: NULL source/text rows drop in both engines; a source with
+    zero total chars reports NULL fractions.
+
+    Scale shape: per-batch byte-mask partials reduce per source inside
+    the map, then ONE #sources-sized groupby; fractions are single
+    double divisions in the finish map (round6)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column("source")),
+                                     pc.is_valid(batch.column("text"))))
+        empty = pa.table({
+            "source": pa.array([], pa.string()),
+            "docs": pa.array([], pa.int64()),
+            "chars": pa.array([], pa.int64()),
+            "letters": pa.array([], pa.int64()),
+            "digits": pa.array([], pa.int64()),
+            "spaces": pa.array([], pa.int64()),
+            "asciis": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        off_dtype = (np.int64 if pa.types.is_large_string(txt.type)
+                     else np.int32)
+        n = len(txt)
+        off = np.frombuffer(txt.buffers()[1], dtype=off_dtype,
+                            count=n + 1,
+                            offset=txt.offset * off_dtype().itemsize
+                            ).astype(np.int64)
+        # the data buffer can be absent when every kept string is empty
+        data_buf = txt.buffers()[2]
+        b = (np.frombuffer(data_buf, np.uint8) if data_buf is not None
+             else np.zeros(0, np.uint8))
+
+        def rowsum(ind: np.ndarray) -> np.ndarray:
+            cs = np.r_[0, np.cumsum(ind, dtype=np.int64)]
+            return cs[off[1:]] - cs[off[:-1]]
+
+        is_char = (b & 0xC0) != 0x80          # one per codepoint
+        is_ascii = b < 0x80
+        letter = ((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122))
+        digit = (b >= 48) & (b <= 57)
+        space = (b == 32) | (b == 9) | (b == 10) | (b == 13)
+        t = pa.table({
+            "source": batch.column("source"),
+            "docs": pa.array(np.ones(n, np.int64)),
+            "chars": pa.array(rowsum(is_char)),
+            "letters": pa.array(rowsum(letter)),
+            "digits": pa.array(rowsum(digit)),
+            "spaces": pa.array(rowsum(space)),
+            "asciis": pa.array(rowsum(is_ascii)),
+        })
+        g = t.group_by("source").aggregate(
+            [(c, "sum") for c in ("docs", "chars", "letters", "digits",
+                                  "spaces", "asciis")])
+        return g.rename_columns(["source", "docs", "chars", "letters",
+                                 "digits", "spaces", "asciis"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("docs", alias_name="n_docs"),
+                      Sum("chars", alias_name="n_chars"),
+                      Sum("letters", alias_name="s_letters"),
+                      Sum("digits", alias_name="s_digits"),
+                      Sum("spaces", alias_name="s_spaces"),
+                      Sum("asciis", alias_name="s_asciis")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        chars = batch.column("n_chars").to_numpy().astype(np.int64)
+        letters = batch.column("s_letters").to_numpy().astype(np.int64)
+        digits = batch.column("s_digits").to_numpy().astype(np.int64)
+        spaces = batch.column("s_spaces").to_numpy().astype(np.int64)
+        asciis = batch.column("s_asciis").to_numpy().astype(np.int64)
+        punct = asciis - letters - digits - spaces
+        non_ascii = chars - asciis
+        ok = chars > 0
+
+        def frac(num: np.ndarray) -> pa.Array:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = num.astype(np.float64) / chars
+            return round6(pa.array(np.where(ok, v, np.nan), pa.float64(),
+                                   mask=~ok))
+
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": batch.column("n_docs"),
+            "n_chars": pa.array(chars, pa.int64()),
+            "frac_letter": frac(letters),
+            "frac_digit": frac(digits),
+            "frac_space": frac(spaces),
+            "frac_punct": frac(punct),
+            "frac_non_ascii": frac(non_ascii),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
