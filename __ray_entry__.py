@@ -854,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_scorecard": relational.supplier_scorecard,
         "daily_revenue_ma7": relational.daily_revenue_ma7,
         "seasonal_decompose": relational.seasonal_decompose,
+        "seasonal_anomalies": relational.seasonal_anomalies,
+        "holt_linear_forecast": relational.holt_linear_forecast,
         "fd_violations": relational.fd_violations,
         "peak_window_revenue": relational.peak_window_revenue,
         "key_skew_report": relational.key_skew_report,
@@ -908,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": text.doc_stats,
         "lang_profile": text.lang_profile,
         "unicode_script_profile": text.unicode_script_profile,
+        "tokenizer_fertility": text.tokenizer_fertility,
         "doc_fingerprints": text.doc_fingerprints,
         "doc_token_counts": text.doc_token_counts,
         "top_terms": text.top_terms,
@@ -1009,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": similarity.embedding_quantize,  # non-SQL (binary codes)
         "ann_recall_report": similarity.ann_recall_report,  # non-SQL (self-eval of IVF vs exact)
         "embedding_outliers": similarity.embedding_outliers,
+        "embedding_dim_stats": similarity.embedding_dim_stats,
         # --- event-stream ops ---
         "sessionize": streaming.sessionize,
         "session_stats": streaming.session_stats,
@@ -5472,6 +5476,125 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                CASE WHEN n_chars > 0 THEN
                    round(CAST(n_chars - s_asciis AS DOUBLE)/n_chars, 6)
                END AS frac_non_ascii
+        FROM g
+    """
+    # Holt double-exponential smoothing: the recursive CTE evaluates the
+    # IDENTICAL recurrence expressions as the numpy loop (alpha=beta=0.5
+    # halvings over exact cents-as-double), so doubles agree bitwise
+    sql["holt_linear_forecast"] = """
+        WITH RECURSIVE m0 AS (
+            SELECT date_trunc('month', l_shipdate) AS month,
+                   sum(CAST(floor((l_extendedprice*(1.0-l_discount))*100.0)
+                            AS BIGINT)) AS rev_c
+            FROM lineitem GROUP BY 1
+        ), m AS (
+            SELECT month, CAST(rev_c AS DOUBLE) AS y,
+                   row_number() OVER (ORDER BY month) AS rn
+            FROM m0
+        ), hw AS (
+            SELECT rn, month, y,
+                   y AS l,
+                   coalesce((SELECT y FROM m WHERE rn = 2), y) - y AS b,
+                   CAST(NULL AS DOUBLE) AS fitted
+            FROM m WHERE rn = 1
+            UNION ALL
+            SELECT q.rn, q.month, q.y, q.lnew,
+                   0.5*(q.lnew - q.l) + 0.5*q.b,
+                   q.l + q.b
+            FROM (SELECT m.rn, m.month, m.y, hw.l, hw.b,
+                         0.5*m.y + 0.5*(hw.l + hw.b) AS lnew
+                  FROM hw JOIN m ON m.rn = hw.rn + 1) q
+        ), last AS (
+            SELECT month, l, b FROM hw ORDER BY rn DESC LIMIT 1
+        )
+        SELECT month,
+               round(y/100.0, 6) AS revenue,
+               round(l/100.0, 6) AS level,
+               round(b/100.0, 6) AS trend,
+               round(fitted/100.0, 6) AS fitted,
+               FALSE AS is_forecast
+        FROM hw
+        UNION ALL
+        SELECT last.month + h.h * INTERVAL 1 MONTH,
+               NULL, NULL, NULL,
+               round((last.l + h.h * last.b)/100.0, 6),
+               TRUE
+        FROM last CROSS JOIN (SELECT unnest(range(1, 4)) AS h) h
+    """
+    # anomaly flag over the decompose residuals: both engines snap the
+    # (bit-identical) residual doubles to micro-ints once and evaluate
+    # the pure integer inequality (n*r - S)^2 > 4*(n*SS - S^2)
+    sql["seasonal_anomalies"] = f"""
+        WITH sd AS ({sql['seasonal_decompose']}),
+        r AS (
+            SELECT day, revenue, residual,
+                   CAST(round(residual*1000000.0, 0) AS BIGINT) AS rm
+            FROM sd WHERE residual IS NOT NULL
+        ), s AS (
+            SELECT count(*) AS n, CAST(sum(rm) AS BIGINT) AS s1,
+                   sum(CAST(rm AS HUGEINT)*rm) AS s2
+            FROM r
+        )
+        SELECT day, revenue, residual,
+               (CAST(n*rm - s1 AS HUGEINT)*(n*rm - s1))
+                   > 4*(CAST(n AS HUGEINT)*s2
+                        - CAST(s1 AS HUGEINT)*s1) AS is_anomaly
+        FROM r, s
+    """
+    # per-dimension embedding profile from exact micro-int moments; the
+    # n*SS - S^2 product runs in HUGEINT (Python bigints on the Ray side)
+    sql["embedding_dim_stats"] = """
+        WITH e AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000.0, 0) AS BIGINT) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), g AS (
+            SELECT dim, count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS s1,
+                   sum(CAST(v AS HUGEINT)*v) AS s2,
+                   min(v) AS mn, max(v) AS mx
+            FROM e GROUP BY 1
+        )
+        SELECT dim, n,
+               round(CAST(s1 AS DOUBLE)/(n*1000000.0), 6) AS mean_v,
+               round(CAST(CAST(n AS HUGEINT)*s2
+                          - CAST(s1 AS HUGEINT)*s1 AS DOUBLE)
+                     /n/n/1000000000000.0, 6) AS var_v,
+               round(CAST(mn AS DOUBLE)/1000000.0, 6) AS min_v,
+               round(CAST(mx AS DOUBLE)/1000000.0, 6) AS max_v
+        FROM g
+    """
+    # tokenizer fertility per source: the shared ws-token and BPE
+    # pre-tokenizer contracts, exact int sums, one division per ratio
+    sql["tokenizer_fertility"] = f"""
+        WITH d AS (
+            SELECT source,
+                   {tokens_expr} AS words,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS subwords,
+                   length(text) AS chars,
+                   strlen(text) AS bytes
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+        ), g AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(words) AS BIGINT) AS n_words,
+                   CAST(sum(subwords) AS BIGINT) AS n_subwords,
+                   CAST(sum(chars) AS BIGINT) AS n_chars,
+                   CAST(sum(bytes) AS BIGINT) AS n_bytes
+            FROM d GROUP BY 1
+        )
+        SELECT source, n_docs, n_words, n_subwords, n_chars, n_bytes,
+               CASE WHEN n_words > 0 THEN
+                   round(CAST(n_subwords AS DOUBLE)/n_words, 6)
+               END AS subwords_per_word,
+               CASE WHEN n_subwords > 0 THEN
+                   round(CAST(n_bytes AS DOUBLE)/n_subwords, 6)
+               END AS bytes_per_subword,
+               CASE WHEN n_words > 0 THEN
+                   round(CAST(n_chars AS DOUBLE)/n_words, 6)
+               END AS chars_per_word
         FROM g
     """
     # hybrid RRF composes the two constituent twins as CTEs so the three

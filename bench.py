@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "doc_stats",
     "lang_profile",
     "unicode_script_profile",
+    "tokenizer_fertility",
     "doc_fingerprints",
     "exact_dedup",
     "paragraph_dedup",
@@ -136,6 +137,7 @@ BENCH_QUERIES = [
     "ivfpq_topk",
     "ann_recall_report",
     "embedding_outliers",
+    "embedding_dim_stats",
     "embedding_quantize",
     "media_exact_dedup",
     "media_kind_bytes",
@@ -147,6 +149,8 @@ BENCH_QUERIES = [
     "key_skew_report",
     "daily_revenue_ma7",
     "seasonal_decompose",
+    "seasonal_anomalies",
+    "holt_linear_forecast",
     "peak_window_revenue",
     "monthly_revenue_growth",
     "late_shipment_priority",

@@ -5382,3 +5382,144 @@ def fd_violations(sf_dir: str) -> "ray.data.Dataset":
             "holds", pc.equal(batch.column("max_rhs_per_lhs"), 1))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def holt_linear_forecast(sf_dir: str, horizon: int = 3) -> "ray.data.Dataset":
+    """Holt double-exponential smoothing of MONTHLY revenue (level +
+    trend, alpha = beta = 0.5) with a ``horizon``-month forecast — the
+    classical short-horizon revenue projection a planning dashboard
+    runs off the sales rollup.
+
+    Recurrence (init l1 = y1, b1 = y2 - y1, or 0 for a 1-point series):
+    ``l_t = 0.5*y_t + 0.5*(l_{t-1} + b_{t-1})``;
+    ``b_t = 0.5*(l_t - l_{t-1}) + 0.5*b_{t-1}``; one-step-ahead
+    ``fitted_t = l_{t-1} + b_{t-1}`` (NULL at t=1); forecast rows carry
+    ``fitted = l_T + h*b_T`` and NULL revenue/level/trend.  y is the
+    month's EXACT cents total cast to double, and both engines evaluate
+    the IDENTICAL expression tree (0.5 multiplies are exact halvings),
+    so the doubles agree bit-for-bit with the recursive-CTE twin;
+    outputs are /100-to-dollars, round6.
+
+    Scale shape: the corpus scan pre-reduces to per-month cents
+    partials inside map_batches; the recurrence is inherently
+    sequential but runs over the date-domain-bounded month table
+    (<= ~84 rows) in one finish map over a repartition(1)."""
+    from ..functions.num import round6
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_shipdate", "l_extendedprice",
+                                       "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("l_shipdate"), unit="month")
+        rev_c = _cents(pc.multiply(batch.column("l_extendedprice"),
+                                   pc.subtract(1.0,
+                                               batch.column("l_discount"))))
+        g = pa.table({"month": month, "rev_c": rev_c}).group_by("month") \
+            .aggregate([("rev_c", "sum")])
+        return g.rename_columns(["month", "rev_c"])
+
+    agg = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("month").aggregate(Sum("rev_c", alias_name="rev_c")))
+
+    empty = pa.table({
+        "month": pa.array([], pa.timestamp("us")),
+        "revenue": pa.array([], pa.float64()),
+        "level": pa.array([], pa.float64()),
+        "trend": pa.array([], pa.float64()),
+        "fitted": pa.array([], pa.float64()),
+        "is_forecast": pa.array([], pa.bool_()),
+    })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        g = batch.take(pc.sort_indices(batch,
+                                       sort_keys=[("month", "ascending")]))
+        months = g.column("month").to_numpy().astype("datetime64[M]")
+        y = g.column("rev_c").to_numpy().astype(np.float64)
+        n = len(y)
+        lev = np.empty(n)
+        tr = np.empty(n)
+        fit = np.full(n, np.nan)
+        lev[0] = y[0]
+        tr[0] = (y[1] - y[0]) if n >= 2 else 0.0
+        # bounded sequential recurrence (month-domain-sized, documented)
+        for t in range(1, n):
+            fit[t] = lev[t - 1] + tr[t - 1]
+            l_new = 0.5 * y[t] + 0.5 * (lev[t - 1] + tr[t - 1])
+            tr[t] = 0.5 * (l_new - lev[t - 1]) + 0.5 * tr[t - 1]
+            lev[t] = l_new
+        h = np.arange(1, horizon + 1, dtype=np.int64)
+        f_months = months[-1] + h
+        f_fit = lev[-1] + h.astype(np.float64) * tr[-1]
+        out_month = pa.array(
+            np.concatenate([months, f_months]).astype("datetime64[us]"),
+            pa.timestamp("us"))
+        nan = np.full(horizon, np.nan)
+        mask_obs = np.r_[np.zeros(n, bool), np.ones(horizon, bool)]
+        return pa.table({
+            "month": out_month,
+            "revenue": round6(pa.array(np.r_[y / 100.0, nan],
+                                       pa.float64(), mask=mask_obs)),
+            "level": round6(pa.array(np.r_[lev / 100.0, nan],
+                                     pa.float64(), mask=mask_obs)),
+            "trend": round6(pa.array(np.r_[tr / 100.0, nan],
+                                     pa.float64(), mask=mask_obs)),
+            "fitted": round6(pa.array(
+                np.r_[fit, f_fit] / 100.0, pa.float64(),
+                mask=np.r_[np.isnan(fit), np.zeros(horizon, bool)])),
+            "is_forecast": pa.array(mask_obs),
+        })
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def seasonal_anomalies(sf_dir: str) -> "ray.data.Dataset":
+    """Anomalous revenue days: the seasonal_decompose residual compared
+    against 2x its population standard deviation — the alerting step an
+    STL-style monitor runs after decomposition.
+
+    Exactness: the residual doubles are bit-identical across engines
+    (pinned by seasonal_decompose's own hash equality), so both sides
+    snap them to MICRO-INTS once (half-away, the shared convention) and
+    evaluate the flag as a pure integer inequality
+    ``(n*r - S)^2 > 4*(n*SS - S^2)`` (|r - mean| > 2*sd without any
+    float sqrt/mean), with Python bigints here and HUGEINT in DuckDB —
+    no accumulation-order drift can flip a boundary flag.
+
+    Scale shape: composes the decompose pipeline (per-day partials +
+    one date-domain-bounded rollup); the flag pass is a single map over
+    the same bounded table."""
+
+    ds = seasonal_decompose(sf_dir)
+
+    empty = pa.table({
+        "day": pa.array([], pa.timestamp("us")),
+        "revenue": pa.array([], pa.float64()),
+        "residual": pa.array([], pa.float64()),
+        "is_anomaly": pa.array([], pa.bool_()),
+    })
+
+    def flag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("residual")))
+        if batch.num_rows == 0:
+            return empty
+        r = pc.cast(pc.round(pc.multiply(batch.column("residual"), 1e6),
+                             ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        n = int(len(r))
+        s1 = int(r.sum())
+        ss = sum(int(v) * int(v) for v in r)      # bounded (date domain)
+        rhs = 4 * (n * ss - s1 * s1)
+        d = (n * r.astype(object) - s1)
+        anom = np.array([int(x) * int(x) > rhs for x in d], bool)
+        return pa.table({
+            "day": batch.column("day"),
+            "revenue": batch.column("revenue"),
+            "residual": batch.column("residual"),
+            "is_anomaly": pa.array(anom),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

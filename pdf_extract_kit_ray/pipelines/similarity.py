@@ -1134,3 +1134,92 @@ def contrastive_pairs(sf_dir: str, num_anchors: int = 8
                            batch_size=4096)
               .groupby(["anchor_id", "pair_kind"])
               .map_groups(final, batch_format="pyarrow"))
+
+
+def embedding_dim_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-DIMENSION profile of the embedding column (n, mean, population
+    variance, min, max) — the feature-health report that catches dead
+    dimensions, scale drift between encoder versions, and saturated
+    components before vectors hit an index.
+
+    Exact-integer construction: every component snaps once to micro-units
+    (round6 micro convention, half-away), per-dim (sum, sumsq, min, max)
+    accumulate as int64 per batch and in the #dims-sized groupby, and the
+    only doubles are the final division chains — mean = S/(n*1e6),
+    var = (n*SS - S^2)/n/n/1e12 (the n*SS product needs 128-bit at this
+    magnitude: Python bigints here, HUGEINT in the twin) — round6.
+
+    Scale shape: pure map over the vector stream (the flat list values
+    buffer is touched once, zero-copy, with vectorized position algebra
+    that tolerates ragged lists), then ONE #dims-sized shuffle; the
+    finish loop is dims-bounded on the driver-side map."""
+    from ray.data.aggregate import Max, Min, Sum
+    from ..functions.num import round6
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    empty = pa.table({
+        "dim": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "s1": pa.array([], pa.int64()),
+        "s2": pa.array([], pa.int64()),
+        "mn": pa.array([], pa.int64()),
+        "mx": pa.array([], pa.int64()),
+    })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if len(col) == 0:
+            return empty
+        flat = col.flatten()
+        micro = pc.cast(pc.round(pc.multiply(pc.cast(flat, pa.float64()),
+                                             1e6),
+                                 ndigits=0,
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy()
+        # per-value dim index from the list offsets (ragged-safe)
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        starts = np.repeat(np.r_[0, np.cumsum(lens)[:-1]], lens)
+        dim = np.arange(len(micro), dtype=np.int64) - starts
+        sq = micro * micro           # |v| <= ~2^31 micro -> square fits
+        t = pa.table({"dim": pa.array(dim), "v": pa.array(micro),
+                      "sq": pa.array(sq)})
+        g = t.group_by("dim").aggregate([
+            ("v", "count"), ("v", "sum"), ("sq", "sum"),
+            ("v", "min"), ("v", "max")])
+        return g.rename_columns(["dim", "n", "s1", "s2", "mn", "mx"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("dim")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        s1 = batch.column("s1").to_numpy().astype(np.int64)
+        s2 = batch.column("s2").to_numpy().astype(np.int64)
+        mean = np.array([float(s) / (int(c) * 1e6)
+                         for s, c in zip(s1, n)])
+        # n*SS - S^2 exceeds int64 — exact Python bigints (dims-bounded)
+        var = np.array([float(int(c) * int(ss) - int(s) * int(s))
+                        / int(c) / int(c) / 1e12
+                        for c, ss, s in zip(n, s2, s1)])
+        return pa.table({
+            "dim": batch.column("dim"),
+            "n": batch.column("n"),
+            "mean_v": round6(pa.array(mean)),
+            "var_v": round6(pa.array(var)),
+            "min_v": round6(pc.divide(
+                pc.cast(batch.column("mn"), pa.float64()), 1e6)),
+            "max_v": round6(pc.divide(
+                pc.cast(batch.column("mx"), pa.float64()), 1e6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

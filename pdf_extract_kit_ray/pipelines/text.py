@@ -1737,3 +1737,87 @@ def unicode_script_profile(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def tokenizer_fertility(sf_dir: str) -> "ray.data.Dataset":
+    """Tokenizer-budget fertility per source: how many BPE-style subword
+    units, whitespace words, characters and bytes a source spends — and
+    the ratios (subwords per word, bytes per subword, chars per word) a
+    token-budget planner uses to convert corpus bytes into training
+    tokens per mixture component.
+
+    Token definitions are the shared contracts: whitespace words via
+    ``_token_count`` (str.split semantics) and subword units via the
+    BPE pre-tokenizer regex (letter runs | digit runs | single
+    non-alnum), both vectorized RE2 kernels.  Counts are exact int64
+    sums; each ratio is ONE double division (NULL denominator-zero),
+    round6.  Contract: NULL source/text rows drop in both engines.
+
+    Scale shape: per-batch per-source int partials inside the map, ONE
+    #sources-sized groupby, divisions in the finish map."""
+    from ray.data.aggregate import Sum
+    from ..functions.num import round6
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    empty = pa.table({
+        "source": pa.array([], pa.string()),
+        "docs": pa.array([], pa.int64()),
+        "words": pa.array([], pa.int64()),
+        "subwords": pa.array([], pa.int64()),
+        "chars": pa.array([], pa.int64()),
+        "bytes": pa.array([], pa.int64()),
+    })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column("source")),
+                                     pc.is_valid(batch.column("text"))))
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text")
+        t = pa.table({
+            "source": batch.column("source"),
+            "docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            "words": pc.cast(_token_count(text), pa.int64()),
+            "subwords": pc.cast(pc.count_substring_regex(
+                text, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "bytes": pc.cast(pc.binary_length(text), pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [(c, "sum") for c in ("docs", "words", "subwords", "chars",
+                                  "bytes")])
+        return g.rename_columns(["source", "docs", "words", "subwords",
+                                 "chars", "bytes"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("docs", alias_name="n_docs"),
+                      Sum("words", alias_name="n_words"),
+                      Sum("subwords", alias_name="n_subwords"),
+                      Sum("chars", alias_name="n_chars"),
+                      Sum("bytes", alias_name="n_bytes")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        def ratio(num_col: str, den_col: str) -> pa.Array:
+            num = batch.column(num_col).to_numpy().astype(np.int64)
+            den = batch.column(den_col).to_numpy().astype(np.int64)
+            ok = den > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = num.astype(np.float64) / den
+            return round6(pa.array(np.where(ok, v, np.nan), pa.float64(),
+                                   mask=~ok))
+
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": batch.column("n_docs"),
+            "n_words": batch.column("n_words"),
+            "n_subwords": batch.column("n_subwords"),
+            "n_chars": batch.column("n_chars"),
+            "n_bytes": batch.column("n_bytes"),
+            "subwords_per_word": ratio("n_subwords", "n_words"),
+            "bytes_per_subword": ratio("n_bytes", "n_subwords"),
+            "chars_per_word": ratio("n_chars", "n_words"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
