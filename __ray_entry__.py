@@ -975,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "prefix_jaccard_pairs": dedup.prefix_jaccard_pairs,
+        "sorted_neighborhood_pairs": dedup.sorted_neighborhood_pairs,
         "part_adamic_adar": relational.part_adamic_adar,
         "daily_order_ship_coverage": relational.daily_order_ship_coverage,
         "weighted_sample_topk": curation.weighted_sample_topk,
@@ -4828,6 +4829,36 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # bound): the twin avoids the O(n^2) cross join by exploding
         # shingles and counting co-occurrences (only co-occurring pairs
         # materialize), mirroring the engine's index-row shape
+        # Sorted-neighborhood blocking: window-3 sliding pairs over the
+        # (block, key, doc_id) sort order, never crossing a 4-char block
+        # prefix — the window join is two leads over the block partition.
+        "sorted_neighborhood_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       substring(trim(regexp_replace(lower(text),
+                                 '\\s+', ' ', 'g')), 1, 12) AS key,
+                       substring(trim(regexp_replace(lower(text),
+                                 '\\s+', ' ', 'g')), 1, 4) AS block
+                FROM documents WHERE text IS NOT NULL
+            ), w AS (
+                SELECT block, key, doc_id,
+                       lead(key, 1) OVER win AS k1,
+                       lead(doc_id, 1) OVER win AS i1,
+                       lead(key, 2) OVER win AS k2,
+                       lead(doc_id, 2) OVER win AS i2
+                FROM norm
+                WINDOW win AS (PARTITION BY block ORDER BY key, doc_id)
+            )
+            SELECT block, doc_a, doc_b, same_key FROM (
+                SELECT block, doc_id AS doc_a, i1 AS doc_b,
+                       key = k1 AS same_key
+                FROM w WHERE i1 IS NOT NULL
+                UNION ALL
+                SELECT block, doc_id AS doc_a, i2 AS doc_b,
+                       key = k2 AS same_key
+                FROM w WHERE i2 IS NOT NULL
+            )
+        """,
         "prefix_jaccard_pairs": """
             WITH toks AS (
                 SELECT doc_id,

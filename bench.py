@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "prefix_jaccard_pairs",
+    "sorted_neighborhood_pairs",
     "dup_clusters",
     "dup_spans",
     "cdc_chunk_stats",

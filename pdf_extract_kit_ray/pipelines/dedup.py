@@ -2014,3 +2014,86 @@ def minhash_estimation_error(sf_dir: str, num_perm: int = 64,
         ds, cand, id_col="doc_id", payload_col="text",
         payload_type=pa.string(), num_coarse=num_coarse, verify=verify,
         a_col="keep_id", b_col="dup_id")
+
+
+def sorted_neighborhood_pairs(sf_dir: str, key_len: int = 12,
+                              block_len: int = 4,
+                              window: int = 3) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (the merge/purge candidate generator):
+    documents sort by a normalized-prefix key and every doc pairs with
+    the next ``window - 1`` docs in that order — the classic cheap
+    candidate stage an entity-resolution / near-dup pipeline runs before
+    expensive pairwise verification.
+
+    Key = first ``key_len`` chars of lower(trim(ws-collapsed text)) (the
+    fingerprint normalization); pairs never cross a ``block_len``-char
+    blocking prefix (standard SNM blocking — that contract is what makes
+    the op shuffle-bounded).  Emits (block, doc_a, doc_b, same_key) with
+    doc_a < doc_b order within the sorted run; NULL text drops.
+
+    Scale shape: normalization + prefix slicing are vectorized kernels in
+    the map; ONE coarse shuffle on hash(block) co-locates each block
+    (pairs need only block-local order), and the in-bucket pass is a
+    single lexsort + shifted-comparison — no per-block dispatch, no pair
+    explosion beyond the window."""
+    from ..functions.agg import _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    empty = pa.table({
+        "block": pa.array([], pa.string()),
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "same_key": pa.array([], pa.bool_()),
+    })
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
+        if batch.num_rows == 0:
+            return pa.table({"block": pa.array([], pa.string()),
+                             "key": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "__coarse": pa.array([], pa.int64())})
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(batch.column("text")), r"\s+", " "))
+        key = pc.utf8_slice_codeunits(norm, 0, key_len)
+        block = pc.utf8_slice_codeunits(norm, 0, block_len)
+        coarse = _string_coarse_hash(
+            block.combine_chunks() if isinstance(block, pa.ChunkedArray)
+            else block, nc)
+        return pa.table({"block": block, "key": key,
+                         "doc_id": batch.column("doc_id"),
+                         "__coarse": pa.array(coarse, pa.int64())})
+
+    def bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=[
+            ("block", "ascending"), ("key", "ascending"),
+            ("doc_id", "ascending")]))
+        blocks = g.column("block").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy()
+        outs = []
+        for off in range(1, window):
+            if len(ids) <= off:
+                break
+            same_block = blocks[:-off] == blocks[off:]
+            if not same_block.any():
+                continue
+            outs.append(pa.table({
+                "block": pa.array(blocks[:-off][same_block], pa.string()),
+                "doc_a": pa.array(ids[:-off][same_block]),
+                "doc_b": pa.array(ids[off:][same_block]),
+                "same_key": pa.array(keys[:-off][same_block]
+                                     == keys[off:][same_block]),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(bucket, batch_format="pyarrow")
+            .map_batches(lambda b: b if b.num_rows else empty,
+                         batch_format="pyarrow"))

@@ -803,3 +803,31 @@ def test_minhash_estimation_error_planted(ray_session, tmp_path):
     assert np.allclose(res["abs_err"],
                        (res["est_jaccard"] - res["exact_jaccard"]).abs()
                        .round(6))
+
+
+def test_sorted_neighborhood_pairs_edges(ray_session, tmp_path):
+    """SNM discriminating edges: pairs slide within the 4-char block only
+    (no cross-block pair even for adjacent sort positions), the window-3
+    run pairs offsets 1 AND 2, same_key compares the 12-char key, and
+    whitespace normalization (lower + collapse + trim) shapes the key."""
+    rows = [
+        # block 'aaaa': three docs -> 3 pairs (1-2, 2-3, 1-3)
+        {"doc_id": 1, "text": "AAAA  bbbb cccc one"},     # norm: aaaa bbbb...
+        {"doc_id": 2, "text": "aaaa bbbb cccc two"},      # same 12-key as 1
+        {"doc_id": 3, "text": "aaaa zzzz different"},     # same block, diff key
+        # block 'bbbb': single doc -> no pairs
+        {"doc_id": 4, "text": "bbbb lonely"},
+        # NULL text drops
+        {"doc_id": 5, "text": None},
+    ]
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "documents.parquet"))
+    res = dedup.sorted_neighborhood_pairs(str(tmp_path)).to_pandas()
+    got = set(map(tuple, res[["doc_a", "doc_b"]].values.tolist()))
+    assert got == {(1, 2), (2, 3), (1, 3)}
+    assert set(res["block"]) == {"aaaa"}
+    by_pair = {(a, b): s for a, b, s in
+               res[["doc_a", "doc_b", "same_key"]].values.tolist()}
+    # docs 1/2 share the full 12-char key ('aaaa bbbb cc'); 3 does not
+    assert by_pair[(1, 2)] and not by_pair[(2, 3)] and not by_pair[(1, 3)]
