@@ -935,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_source": text.quality_by_source,
         "quality_quantile_normalize": text.quality_quantile_normalize,
         "doc_sentence_stats": text.doc_sentence_stats,
+        "readability_scores": text.readability_scores,
+        "mojibake_report": text.mojibake_report,
         "order_lines_histogram": relational.order_lines_histogram,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
@@ -977,9 +979,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_jaccard_pairs": dedup.prefix_jaccard_pairs,
         "sorted_neighborhood_pairs": dedup.sorted_neighborhood_pairs,
         "part_adamic_adar": relational.part_adamic_adar,
+        "part_name_typo_pairs": relational.part_name_typo_pairs,
+        "expectation_report": relational.expectation_report,
         "daily_order_ship_coverage": relational.daily_order_ship_coverage,
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
+        "events_scd2_intervals": streaming.events_scd2_intervals,
+        "user_value_twap": streaming.user_value_twap,
         "user_value_median": streaming.user_value_median,
         "rolling_median_value": streaming.rolling_median_value,
         "part_random_walks": relational.part_random_walks,
@@ -1851,6 +1857,58 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # MODE per group: grouped argmax with (count desc, type asc)
         # tie-break; NULL event types dropped (sibling-op contract)
+        # SCD2 compaction: gaps-and-islands (lag change flag -> running
+        # run_id), run rollup, lead(valid_from) over run order per user
+        "events_scd2_intervals": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       coalesce(event_type, '(null)') AS et
+                FROM events WHERE ts IS NOT NULL
+            ), m AS (
+                SELECT user_id, ts, event_id, et,
+                       CASE WHEN lag(et) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                                 IS DISTINCT FROM et THEN 1 ELSE 0 END AS chg
+                FROM e
+            ), r AS (
+                SELECT user_id, ts, et,
+                       sum(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM m
+            ), runs AS (
+                SELECT user_id, et, run_id, min(ts) AS valid_from,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM r GROUP BY user_id, et, run_id
+            )
+            SELECT user_id, nullif(et, '(null)') AS event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY run_id) AS valid_to,
+                   n_events
+            FROM runs
+        """,
+        # TWAP: LOCF holding durations via lead(ts); exact-cents integer
+        # weighted sums; single-event and zero-duration users drop
+        "user_value_twap": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(value * 100) AS BIGINT) AS vc
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), g AS (
+                SELECT user_id, vc,
+                       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                       - epoch_us(ts) AS dur
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   round(CAST(sum(dur) AS DOUBLE) / 1e6, 6) AS total_dur_s,
+                   round(CAST(sum(vc * dur) AS DOUBLE)
+                         / (100.0 * CAST(sum(dur) AS DOUBLE)), 6) AS twap
+            FROM g WHERE dur IS NOT NULL
+            GROUP BY user_id HAVING sum(dur) > 0
+        """,
         "user_modal_event": """
             WITH c AS (
                 SELECT user_id, event_type, count(*) AS n
@@ -1929,6 +1987,91 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # above the 256-degree cap excluded BY CONTRACT (their wedge set
         # is quadratic, their 1/ln weight negligible), adjacent pairs
         # dropped, deterministic (score desc, pair) top-k
+        # data-quality expectation suite: FK semantics are standard SQL
+        # (NULL child keys pass), uniqueness counts NULL keys as
+        # violations, range/order checks count NULLs as violations
+        "expectation_report": """
+            WITH checks AS (
+              SELECT 'orders' AS table_name,
+                     'o_custkey_fk_customer' AS expectation,
+                     (SELECT count(*) FROM orders) AS n_rows,
+                     (SELECT count(*) FROM orders o
+                       WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                             (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+                         AS n_violations
+              UNION ALL
+              SELECT 'lineitem', 'l_orderkey_fk_orders',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                       WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                             (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+              UNION ALL
+              SELECT 'customer', 'c_custkey_unique',
+                     (SELECT count(*) FROM customer),
+                     (SELECT count(*) - count(DISTINCT c_custkey)
+                        FROM customer)
+              UNION ALL
+              SELECT 'orders', 'o_orderkey_unique',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) - count(DISTINCT o_orderkey)
+                        FROM orders)
+              UNION ALL
+              SELECT 'orders', 'o_totalprice_positive',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders
+                       WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+              UNION ALL
+              SELECT 'orders', 'o_orderdate_not_null',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+              UNION ALL
+              SELECT 'lineitem', 'l_quantity_range_1_50',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem
+                       WHERE l_quantity IS NULL
+                          OR l_quantity < 1 OR l_quantity > 50)
+              UNION ALL
+              SELECT 'lineitem', 'l_discount_range_0_1',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem
+                       WHERE l_discount IS NULL
+                          OR l_discount < 0 OR l_discount > 1)
+              UNION ALL
+              SELECT 'events', 'user_id_not_null',
+                     (SELECT count(*) FROM events),
+                     (SELECT count(*) FROM events WHERE user_id IS NULL)
+              UNION ALL
+              SELECT 'events', 'ts_not_null',
+                     (SELECT count(*) FROM events),
+                     (SELECT count(*) FROM events WHERE ts IS NULL)
+              UNION ALL
+              SELECT 'documents', 'text_not_null',
+                     (SELECT count(*) FROM documents),
+                     (SELECT count(*) FROM documents WHERE text IS NULL)
+            )
+            SELECT table_name, expectation,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   n_violations = 0 AS passed
+            FROM checks
+        """,
+        # blocked fuzzy self-join over the distinct-name vocabulary;
+        # blocking key (last token) is part of the operator contract
+        "part_name_typo_pairs": """
+            WITH n AS (
+                SELECT p_name, CAST(count(*) AS BIGINT) AS n_uses,
+                       regexp_replace(p_name, '^.*\\s', '') AS block
+                FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                   a.n_uses AS n_uses_a, b.n_uses AS n_uses_b
+            FROM n a JOIN n b
+              ON a.block = b.block AND a.p_name < b.p_name
+             AND levenshtein(a.p_name, b.p_name) <= 3
+        """,
         "part_adamic_adar": """
             WITH op AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -3356,6 +3499,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # sentence-format signals; terminator-less docs with tokens count
         # one sentence, token-less docs go NULL (pinned in both engines)
+        # Flesch Reading Ease over the shared token/sentence conventions;
+        # syllables = vowel runs (the standard cheap proxy)
+        "readability_scores": f"""
+            WITH m AS (
+                SELECT doc_id, {tokens_expr} AS w,
+                       len(regexp_extract_all(text, '[.!?]+')) AS runs,
+                       len(regexp_extract_all(text,
+                           '[aeiouyAEIOUY]+')) AS syll
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(CASE WHEN runs = 0 AND w > 0 THEN 1 ELSE runs END
+                        AS BIGINT) AS n_sentences,
+                   CAST(syll AS BIGINT) AS n_syllables,
+                   CASE WHEN w > 0 THEN round(206.835
+                        - 1.015 * (CAST(w AS DOUBLE)
+                            / CAST(CASE WHEN runs = 0 THEN 1 ELSE runs END
+                                   AS DOUBLE))
+                        - 84.6 * (CAST(syll AS DOUBLE) / CAST(w AS DOUBLE)),
+                        6)
+                   ELSE NULL END AS flesch
+            FROM m
+        """,
+        # encoding-damage audit: both engines run the SAME RE2 pattern
+        "mojibake_report": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE len(regexp_extract_all(
+                        text, '(Ã.|Â.|â€|�)')) > 0) AS BIGINT) AS n_flagged,
+                   CAST(coalesce(sum(len(regexp_extract_all(
+                        text, '(Ã.|Â.|â€|�)'))), 0) AS BIGINT) AS n_artifacts
+            FROM documents GROUP BY source
+        """,
         "doc_sentence_stats": f"""
             SELECT doc_id,
                    CAST({tokens_expr} AS BIGINT) AS n_tokens,

@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "quality_by_source",
     "quality_quantile_normalize",
     "doc_sentence_stats",
+    "readability_scores",
+    "mojibake_report",
     "epoch_plan",
     "quality_weighted_sample",
     "weighted_sample_topk",
@@ -192,6 +194,8 @@ BENCH_QUERIES = [
     "part_communities",
     "part_triangles",
     "part_adamic_adar",
+    "part_name_typo_pairs",
+    "expectation_report",
     "part_random_walks",
     "part_frequent_triples",
     "part_coreness",
@@ -249,6 +253,8 @@ BENCH_QUERIES = [
     "cross_source_overlap",
     "user_event_entropy",
     "user_modal_event",
+    "events_scd2_intervals",
+    "user_value_twap",
     "user_value_median",
     "rolling_median_value",
     "user_first_last",

@@ -5523,3 +5523,279 @@ def seasonal_anomalies(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    """Banded unit-cost Levenshtein with early abandon at ``cap`` + 1
+    (Ukkonen cutoff): rows whose running minimum exceeds the cap abort.
+    Matches DuckDB's ``levenshtein()`` (no transpositions) exactly for
+    distances <= cap; returns cap + 1 otherwise."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = i                       # row head seeds the band minimum
+                                     # (len(b) == 0 must not early-abandon)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def part_name_typo_pairs(sf_dir: str, max_dist: int = 3) -> "ray.data.Dataset":
+    """Catalog-canonicalization candidates: pairs of DISTINCT part names
+    within Levenshtein distance ``max_dist``, restricted to the same
+    blocking key (the name's last whitespace token — the product-family
+    noun), each name carrying its catalog usage count — the fuzzy
+    self-join every entity-resolution pipeline runs before merging
+    near-identical SKU names.
+
+    Contract (pinned in the twin): blocking is PART OF THE OPERATOR —
+    cross-block pairs are out of scope by definition (standard blocked
+    string-similarity-join semantics); pairs order name_a < name_b.
+
+    Scale shape: the corpus-sized work is ONE coarse name-hash shuffle
+    that reduces rows to (distinct name, count) — vocabulary-sized by
+    construction; the pairwise DP then runs per block over the tiny
+    name vocabulary (guarded: a >5k-name block raises rather than going
+    quadratic — at that size use minhash_dedup's banding instead)."""
+    from ..functions.agg import _default_num_coarse
+    from .dedup import _string_coarse_hash
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name"])
+
+    def name_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("p_name")))
+        g = pa.table({"p_name": batch.column("p_name")}) \
+            .group_by("p_name").aggregate([([], "count_all")]) \
+            .rename_columns(["p_name", "partial_n"])
+        names = g.column("p_name").combine_chunks() \
+            if isinstance(g.column("p_name"), pa.ChunkedArray) \
+            else g.column("p_name")
+        return g.append_column("__coarse", pa.array(
+            _string_coarse_hash(names, nc), pa.int64()))
+
+    def name_counts(group: pa.Table) -> pa.Table:
+        g = group.group_by("p_name").aggregate([("partial_n", "sum")]) \
+            .rename_columns(["p_name", "n_uses"])
+        names = g.column("p_name").combine_chunks() \
+            if isinstance(g.column("p_name"), pa.ChunkedArray) \
+            else g.column("p_name")
+        block = pc.replace_substring_regex(names, r"^.*\s", "")
+        return g.append_column("block", block)
+
+    empty = pa.table({
+        "name_a": pa.array([], pa.string()),
+        "name_b": pa.array([], pa.string()),
+        "dist": pa.array([], pa.int64()),
+        "n_uses_a": pa.array([], pa.int64()),
+        "n_uses_b": pa.array([], pa.int64()),
+    })
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return empty
+        if group.num_rows > 5000:
+            raise ValueError(
+                f"part_name_typo_pairs: block of {group.num_rows} distinct "
+                "names exceeds the quadratic-scan guard (5000); use a "
+                "banded similarity join (minhash_dedup) for this corpus")
+        g = group.take(pc.sort_indices(group, sort_keys=[
+            ("p_name", "ascending")]))
+        names = g.column("p_name").to_pylist()
+        uses = g.column("n_uses").to_numpy()
+        out_a, out_b, out_d, out_na, out_nb = [], [], [], [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                d = _levenshtein(names[i], names[j], max_dist)
+                if d <= max_dist:
+                    out_a.append(names[i]); out_b.append(names[j])
+                    out_d.append(d)
+                    out_na.append(int(uses[i])); out_nb.append(int(uses[j]))
+        if not out_a:
+            return empty
+        return pa.table({
+            "name_a": pa.array(out_a, pa.string()),
+            "name_b": pa.array(out_b, pa.string()),
+            "dist": pa.array(out_d, pa.int64()),
+            "n_uses_a": pa.array(out_na, pa.int64()),
+            "n_uses_b": pa.array(out_nb, pa.int64()),
+        })
+
+    return (ds.map_batches(name_partial, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(name_counts, batch_format="pyarrow")
+            .groupby("block")
+            .map_groups(block_pairs, batch_format="pyarrow")
+            .map_batches(lambda b: b if b.num_rows else empty,
+                         batch_format="pyarrow"))
+
+
+def expectation_report(sf_dir: str) -> "ray.data.Dataset":
+    """Great-Expectations-style data-quality suite over the warehouse
+    tables: referential integrity (FK orphans), key uniqueness, non-null
+    and range/ordering expectations — one row per check with the checked
+    row count, violation count, and pass flag.  This is the contract
+    gate a 100 TB ingest runs before a corpus is admitted.
+
+    Semantics (pinned in the twin): FK checks use standard SQL
+    semantics — NULL child keys are NOT violations, a non-null child key
+    with no parent is; uniqueness violations = count(*) -
+    count(DISTINCT key) (NULL keys therefore count as violations);
+    range/order checks count NULLs as violations (the field is expected
+    present AND valid).
+
+    Scale shape: every check reduces to streaming aggregates — scan
+    checks are per-batch counter partials; each FK pair shares ONE
+    coarse key-hash union shuffle that yields BOTH the orphan count and
+    the parent's exact distinct-key count (uniqueness) from the same
+    pass; only O(#checks) scalars ever reach the driver.  Table row
+    counts come from parquet metadata (no scan)."""
+    import pyarrow.dataset as pads
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+
+    def table_rows(name: str) -> int:
+        return pads.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+
+    def fk_and_unique(child: str, child_key: str,
+                      parent: str, parent_key: str) -> "tuple[int, int]":
+        """(orphan child rows, parent distinct non-null keys) in one
+        coarse union shuffle."""
+        par = sized_read_parquet(f"{sf_dir}/{parent}.parquet",
+                                 columns=[parent_key])
+        chi = sized_read_parquet(f"{sf_dir}/{child}.parquet",
+                                 columns=[child_key])
+
+        def par_partial(batch: pa.Table) -> pa.Table:
+            k = pc.unique(pc.drop_null(batch.column(parent_key)))
+            kn = k.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "k": pa.array(kn, pa.int64()),
+                "cnt": pa.array(np.zeros(len(kn), np.int64)),
+                "is_parent": pa.array(np.ones(len(kn), np.int64)),
+                "__coarse": pa.array((kn * _GOLDEN) % nc, pa.int64()),
+            })
+
+        def chi_partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({"k": pc.drop_null(batch.column(child_key))})
+            g = t.group_by("k").aggregate([([], "count_all")]) \
+                 .rename_columns(["k", "cnt"])
+            kn = g.column("k").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "k": pa.array(kn, pa.int64()),
+                "cnt": g.column("cnt").cast(pa.int64()),
+                "is_parent": pa.array(np.zeros(len(kn), np.int64)),
+                "__coarse": pa.array((kn * _GOLDEN) % nc, pa.int64()),
+            })
+
+        def bucket(group: pa.Table) -> pa.Table:
+            k = group.column("k").to_numpy()
+            is_par = group.column("is_parent").to_numpy().astype(bool)
+            cnt = group.column("cnt").to_numpy()
+            pk = np.unique(k[is_par])
+            orphans = int(cnt[~is_par][~np.isin(k[~is_par], pk)].sum())
+            return pa.table({"orphans": pa.array([orphans], pa.int64()),
+                             "n_distinct": pa.array([len(pk)], pa.int64())})
+
+        row = (par.map_batches(par_partial, batch_format="pyarrow")
+               .union(chi.map_batches(chi_partial,
+                                      batch_format="pyarrow"))
+               .groupby("__coarse")
+               .map_groups(bucket, batch_format="pyarrow")
+               .aggregate(Sum("orphans"),      # bounded: one rollup row
+                          Sum("n_distinct")))
+        return int(row["sum(orphans)"] or 0), int(row["sum(n_distinct)"] or 0)
+
+    def scan_counters(table: str, columns: list, fns: dict) -> dict:
+        """Sum named per-batch violation counters in one pruned scan."""
+        ds = sized_read_parquet(f"{sf_dir}/{table}.parquet",
+                                columns=columns)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            return pa.table({name: pa.array([int(fn(batch))], pa.int64())
+                             for name, fn in fns.items()})
+
+        aggs = [Sum(name, alias_name=name) for name in fns]
+        row = ds.map_batches(partial, batch_format="pyarrow") \
+                .aggregate(*aggs)                 # bounded: one rollup row
+        return {k: int(v or 0) for k, v in row.items()}
+
+    def n_invalid(col) -> "pa.ChunkedArray":
+        return pc.sum(pc.cast(pc.is_null(col), pa.int64())).as_py() or 0
+
+    orders_rows = table_rows("orders")
+    lineitem_rows = table_rows("lineitem")
+    customer_rows = table_rows("customer")
+    events_rows = table_rows("events")
+    documents_rows = table_rows("documents")
+
+    cust_orphans, cust_distinct = fk_and_unique(
+        "orders", "o_custkey", "customer", "c_custkey")
+    ord_orphans, ord_distinct = fk_and_unique(
+        "lineitem", "l_orderkey", "orders", "o_orderkey")
+
+    o_scan = scan_counters("orders", ["o_totalprice", "o_orderdate"], {
+        "price_bad": lambda b: pc.sum(pc.cast(pc.fill_null(
+            pc.less_equal(b.column("o_totalprice"), 0.0), True),
+            pa.int64())).as_py() or 0,
+        "date_null": lambda b: n_invalid(b.column("o_orderdate")),
+    })
+    l_scan = scan_counters(
+        "lineitem", ["l_quantity", "l_discount"], {
+            "qty_bad": lambda b: pc.sum(pc.cast(pc.fill_null(pc.or_(
+                pc.less(b.column("l_quantity"), 1.0),
+                pc.greater(b.column("l_quantity"), 50.0)), True),
+                pa.int64())).as_py() or 0,
+            "disc_bad": lambda b: pc.sum(pc.cast(pc.fill_null(pc.or_(
+                pc.less(b.column("l_discount"), 0.0),
+                pc.greater(b.column("l_discount"), 1.0)), True),
+                pa.int64())).as_py() or 0,
+        })
+    e_scan = scan_counters("events", ["user_id", "ts"], {
+        "uid_null": lambda b: n_invalid(b.column("user_id")),
+        "ts_null": lambda b: n_invalid(b.column("ts")),
+    })
+    d_scan = scan_counters("documents", ["text"], {
+        "text_null": lambda b: n_invalid(b.column("text")),
+    })
+
+    checks = [
+        ("orders", "o_custkey_fk_customer", orders_rows, cust_orphans),
+        ("lineitem", "l_orderkey_fk_orders", lineitem_rows, ord_orphans),
+        ("customer", "c_custkey_unique", customer_rows,
+         customer_rows - cust_distinct),
+        ("orders", "o_orderkey_unique", orders_rows,
+         orders_rows - ord_distinct),
+        ("orders", "o_totalprice_positive", orders_rows,
+         o_scan["price_bad"]),
+        ("orders", "o_orderdate_not_null", orders_rows,
+         o_scan["date_null"]),
+        ("lineitem", "l_quantity_range_1_50", lineitem_rows,
+         l_scan["qty_bad"]),
+        ("lineitem", "l_discount_range_0_1", lineitem_rows,
+         l_scan["disc_bad"]),
+        ("events", "user_id_not_null", events_rows, e_scan["uid_null"]),
+        ("events", "ts_not_null", events_rows, e_scan["ts_null"]),
+        ("documents", "text_not_null", documents_rows,
+         d_scan["text_null"]),
+    ]
+    return ray.data.from_arrow(pa.table({
+        "table_name": pa.array([c[0] for c in checks], pa.string()),
+        "expectation": pa.array([c[1] for c in checks], pa.string()),
+        "n_rows": pa.array([c[2] for c in checks], pa.int64()),
+        "n_violations": pa.array([c[3] for c in checks], pa.int64()),
+        "passed": pa.array([c[3] == 0 for c in checks], pa.bool_()),
+    }))

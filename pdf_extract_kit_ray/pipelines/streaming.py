@@ -3813,3 +3813,158 @@ def events_autocorrelation(sf_dir: str,
         })
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def events_scd2_intervals(sf_dir: str) -> "ray.data.Dataset":
+    """SCD-Type-2 compaction of the event stream: per user, consecutive
+    runs of the SAME event_type collapse to one validity interval
+    (valid_from = run's first ts, valid_to = next run's first ts, NULL
+    for the open current run) with the run's event count — the
+    change-data-capture → dimension-table shape every warehouse ETL
+    needs and Ray Data has no native operator for.
+
+    Contracts: NULL ts rows drop in both engines (interval endpoints are
+    order-defined); NULL event_type is a legitimate run value (compared
+    via the '(null)' sentinel, emitted back as NULL); ties on ts break
+    by event_id.
+
+    Scale shape: ONE coarse user-hash shuffle of the pruned rows; each
+    bucket sorts once and detects run boundaries with a vectorized
+    dictionary-code diff; intervals never materialize on the driver."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "valid_from": pa.array([], pa.timestamp("us")),
+        "valid_to": pa.array([], pa.timestamp("us")),
+        "n_events": pa.array([], pa.int64()),
+    })
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__coarse", pa.array((uid.astype(np.int64) * _GOLDEN) % nc,
+                                 pa.int64()))
+
+    def bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        et = g.column("event_type").combine_chunks() \
+            if isinstance(g.column("event_type"), pa.ChunkedArray) \
+            else g.column("event_type")
+        codes = pc.fill_null(et, "(null)").dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        new_run = np.r_[True, (uid[1:] != uid[:-1])
+                        | (codes[1:] != codes[:-1])]
+        starts = np.flatnonzero(new_run)
+        n_ev = np.diff(np.r_[starts, len(uid)]).astype(np.int64)
+        run_uid = uid[starts]
+        vfrom = ts[starts]
+        # valid_to = next run's valid_from when it belongs to the same user
+        vto = np.r_[vfrom[1:], np.int64(0)]
+        open_run = np.r_[run_uid[1:] != run_uid[:-1], True]
+        return pa.table({
+            "user_id": pa.array(run_uid, pa.int64()),
+            "event_type": et.take(pa.array(starts, pa.int64())),
+            "valid_from": pa.array(vfrom, pa.int64()).cast(
+                pa.timestamp("us")),
+            "valid_to": pa.array(vto, pa.int64(), mask=open_run).cast(
+                pa.timestamp("us")),
+            "n_events": pa.array(n_ev, pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(bucket, batch_format="pyarrow")
+            .map_batches(lambda b: b if b.num_rows else empty,
+                         batch_format="pyarrow"))
+
+
+def user_value_twap(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user time-weighted average value (TWAP): each event's value
+    holds (LOCF) until the user's next event; the average weights every
+    held value by its holding duration — the metric that de-biases
+    burst-heavy users whose plain mean is dominated by rapid-fire
+    events.
+
+    Contracts (pinned in the SQL twin): NULL ts / NULL value rows drop;
+    single-event users emit nothing (no holding interval); users whose
+    events all share one timestamp drop too (zero total duration).
+    Values snap to exact cents (floor(value*100), the repo's money
+    convention) BEFORE the weighted sum, so both engines sum identical
+    integers in any order.
+
+    Scale shape: ONE coarse user-hash shuffle; per-bucket sort + numpy
+    segment diffs; int64 cent-microsecond products reduce per user
+    (bounded by ~1e13 per gap — overflow needs a single user holding a
+    $90M value for 3 years)."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id", "value"])
+
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "n_gaps": pa.array([], pa.int64()),
+        "total_dur_s": pa.array([], pa.float64()),
+        "twap": pa.array([], pa.float64()),
+    })
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column("ts")),
+                                     pc.is_valid(batch.column("value"))))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__coarse", pa.array((uid.astype(np.int64) * _GOLDEN) % nc,
+                                 pa.int64()))
+
+    def bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        vc = np.floor(g.column("value").to_numpy() * 100.0).astype(np.int64)
+        # gap i belongs to row i (value holds until the next event)
+        same = uid[1:] == uid[:-1]
+        dur = (ts[1:] - ts[:-1])[same]
+        w = (vc[:-1] * (ts[1:] - ts[:-1]))[same]
+        gap_uid = uid[:-1][same]
+        starts = np.flatnonzero(np.r_[True, gap_uid[1:] != gap_uid[:-1]]) \
+            if len(gap_uid) else np.array([], np.int64)
+        if not len(starts):
+            return empty
+        users = gap_uid[starts]
+        dsum = np.add.reduceat(dur, starts)
+        wsum = np.add.reduceat(w, starts)
+        n = np.diff(np.r_[starts, len(gap_uid)]).astype(np.int64)
+        keep = dsum > 0
+        return pa.table({
+            "user_id": pa.array(users[keep], pa.int64()),
+            "n_gaps": pa.array(n[keep], pa.int64()),
+            "total_dur_s": round6(pa.array(dsum[keep] / 1e6, pa.float64())),
+            "twap": round6(pa.array(
+                wsum[keep] / (100.0 * dsum[keep]), pa.float64())),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(bucket, batch_format="pyarrow")
+            .map_batches(lambda b: b if b.num_rows else empty,
+                         batch_format="pyarrow"))

@@ -1821,3 +1821,91 @@ def tokenizer_fertility(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def readability_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc Flesch Reading Ease — the classic readability filter a
+    curation pipeline runs alongside the Gopher heuristics (very low or
+    very high scores flag machine-generated lists / legalese / gibberish).
+
+    Contract (identical in the SQL twin): words = str.split() tokens;
+    sentences = runs of [.!?], clamped to 1 when the doc has tokens but
+    no terminator (doc_sentence_stats' convention); syllables = vowel
+    RUNS ([aeiouyAEIOUY]+ — the standard cheap syllable proxy, counted
+    over raw text since separators are non-vowels); flesch = round6(
+    206.835 - 1.015*words/sentences - 84.6*syllables/words), NULL when
+    the doc has no words.  NULL text propagates NULL through every
+    column.
+
+    Scale shape: a pure vectorized map (three RE2/split kernels + float
+    arithmetic), no shuffle — embarrassingly parallel at any corpus
+    size."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        words = pc.cast(_token_count(text), pa.int64())
+        runs = pc.count_substring_regex(text, r"[.!?]+")
+        sents = pc.cast(pc.if_else(
+            pc.and_(pc.equal(runs, 0), pc.greater(words, 0)),
+            1, runs), pa.int64())
+        syll = pc.cast(
+            pc.count_substring_regex(text, "[aeiouyAEIOUY]+"), pa.int64())
+        # if_else evaluates both branches: divide by CLAMPED denominators,
+        # then null out the words == 0 rows (doc_sentence_stats idiom)
+        w_f = pc.cast(words, pa.float64())
+        safe_s = pc.cast(pc.max_element_wise(sents, 1), pa.float64())
+        safe_w = pc.max_element_wise(w_f, 1.0)
+        raw = pc.subtract(
+            pc.subtract(206.835, pc.multiply(1.015, pc.divide(w_f, safe_s))),
+            pc.multiply(84.6, pc.divide(pc.cast(syll, pa.float64()), safe_w)))
+        flesch = pc.if_else(pc.greater(words, 0), round6(raw),
+                            pa.scalar(None, pa.float64()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": words,
+            "n_sentences": sents,
+            "n_syllables": syll,
+            "flesch": flesch,
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def mojibake_report(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source encoding-damage audit (the ftfy-style QA pass): how many
+    docs carry UTF-8-decoded-as-CP1252 artifacts ('Ã'/'Â' lead bytes,
+    'â€¦'-family punctuation wrecks) or U+FFFD replacement characters,
+    and the total artifact count — the table that catches a bad upstream
+    transcode before it trains.
+
+    Both engines run the SAME RE2 pattern (pyarrow and DuckDB both embed
+    RE2), so parity is by construction.  NULL text counts as clean (0
+    matches) but is still a row in n_docs.
+
+    Scale shape: one vectorized regex count per batch, per-batch
+    (source, partials) combine, ONE #sources-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    pat = "(Ã.|Â.|â€|�)"
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hits = pc.fill_null(pc.cast(pc.count_substring_regex(
+            batch.column("text"), pat), pa.int64()), 0)
+        t = pa.table({
+            "source": batch.column("source"),
+            "hits": hits,
+            "flagged": pc.cast(pc.greater(hits, 0), pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [([], "count_all"), ("hits", "sum"), ("flagged", "sum")])
+        return g.rename_columns(
+            ["source", "partial_n", "partial_h", "partial_f"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("partial_n", alias_name="n_docs"),
+                      Sum("partial_f", alias_name="n_flagged"),
+                      Sum("partial_h", alias_name="n_artifacts")))
+    return agg
