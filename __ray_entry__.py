@@ -1012,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": similarity.ivf_topk,           # non-SQL (approximate)
         "ivfpq_topk": similarity.ivfpq_topk,       # non-SQL (approximate, int8 codes)
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
+        "kmeans_silhouette": similarity.kmeans_silhouette,  # non-SQL (iterative)
         "embedding_pca": similarity.embedding_pca,  # non-SQL (eigendecomp)
         "label_centroids": similarity.label_centroids,
         "knn_classify": similarity.knn_classify,

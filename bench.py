@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "purchase_prev_click_asof",
     "embedding_kmeans",
+    "kmeans_silhouette",
     "embedding_pca",
     "label_centroids",
     "semantic_dedup",

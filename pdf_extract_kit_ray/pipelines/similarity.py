@@ -1223,3 +1223,142 @@ def embedding_dim_stats(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_silhouette(sf_dir: str, k: int = 8,
+                      iters: int = 5) -> "ray.data.Dataset":
+    """Cluster-quality evaluation for the k-means path: the simplified
+    (centroid-based) silhouette — per point, a = distance to its own
+    centroid, b = distance to the nearest OTHER centroid, s = (b-a) /
+    max(a,b) — rolled up per cluster as (n, mean silhouette).  The
+    medoid-free variant is the standard large-scale silhouette (pairwise
+    distances are quadratic; centroid distances stream), and the number
+    every embedding-clustering report needs next to inertia.
+
+    Runs the SAME deterministic Lloyd loop as ``embedding_kmeans``
+    (identical init, identical block-key-ordered partial merge), then ONE
+    extra scoring pass.  Per-point scores snap to 6dp micro-ints before
+    the per-cluster integer sum, so the rollup is order-independent and
+    the result deterministic end-to-end.
+
+    Non-SQL (iterative); correctness is pinned by planted-cluster
+    tolerance tests and the determinism of the shared loop."""
+    import pyarrow.dataset as pads
+
+    from ..functions.num import round6
+
+    empty = pa.table({"cluster": pa.array([], pa.int32()),
+                      "n": pa.array([], pa.int64()),
+                      "mean_silhouette": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]).materialize()
+    init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < k).sort_by("vec_id")
+    centroids = np.array(init.column("embedding").to_pylist(),
+                         dtype=np.float64)
+    if centroids.size == 0:
+        return ray.data.from_arrow(empty)
+    dim = centroids.shape[1]
+
+    # --- the embedding_kmeans Lloyd loop, verbatim semantics ---
+    def make_partial(cref):
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"block_key": pa.array([], pa.int64()),
+                                 "sums": pa.array([], pa.list_(pa.float64())),
+                                 "counts": pa.array([], pa.list_(pa.int64())),
+                                 "inertia": pa.array([], pa.float64())})
+            cents = ray.get(cref)
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            x = pc.list_flatten(emb).to_numpy() \
+                .reshape(batch.num_rows, -1).astype(np.float64)
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=len(cents))
+            inertia = d2[np.arange(len(x)), assign].sum()
+            return pa.table({
+                "block_key": pa.array(
+                    [int(batch.column("vec_id")[0].as_py())], pa.int64()),
+                "sums": pa.array([sums.ravel().tolist()],
+                                 pa.list_(pa.float64())),
+                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+                "inertia": pa.array([float(inertia)], pa.float64()),
+            })
+        return partial
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        partials = []
+        for b in ds.map_batches(make_partial(cref),
+                                batch_format="pyarrow").iter_batches(
+                                    batch_format="pyarrow"):
+            for kb, s, c, _i in zip(b.column("block_key").to_pylist(),
+                                    b.column("sums").to_pylist(),
+                                    b.column("counts").to_pylist(),
+                                    b.column("inertia").to_pylist()):
+                partials.append((kb, s, c))
+        partials.sort(key=lambda p: p[0])
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for _kb, s, c in partials:
+            sums += np.array(s).reshape(k, dim)
+            counts += np.array(c, dtype=np.int64)
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    # --- scoring pass: micro-int silhouette partials per cluster ---
+    final_ref = ray.put(centroids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int32()),
+                             "s_micro": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        cents = ray.get(final_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = pc.list_flatten(emb).to_numpy() \
+            .reshape(batch.num_rows, -1).astype(np.float64)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")
+        own = order[:, 0]
+        a = np.sqrt(d2[np.arange(len(x)), own])
+        bdist = np.sqrt(d2[np.arange(len(x)), order[:, 1]]) \
+            if d2.shape[1] > 1 else np.full(len(x), np.nan)
+        denom = np.maximum(a, bdist)
+        s = np.where(denom > 0, (bdist - a) / np.where(denom > 0, denom, 1),
+                     0.0)                       # coincident point: s = 0
+        s_micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        t = pa.table({"cluster": pa.array(own.astype(np.int32), pa.int32()),
+                      "s_micro": pa.array(s_micro, pa.int64())})
+        g = t.group_by("cluster").aggregate(
+            [("s_micro", "sum"), ([], "count_all")])
+        return g.rename_columns(["cluster", "s_micro", "n_p"])
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(score, batch_format="pyarrow")
+           .groupby("cluster")
+           .aggregate(Sum("s_micro", alias_name="s_sum"),
+                      Sum("n_p", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        s = batch.column("s_sum").to_numpy().astype(np.float64)
+        return pa.table({
+            "cluster": batch.column("cluster").cast(pa.int32()),
+            "n": batch.column("n").cast(pa.int64()),
+            "mean_silhouette": round6(pa.array(
+                np.where(n > 0, s / (1e6 * np.maximum(n, 1)), np.nan),
+                pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+              .map_batches(lambda b: b if b.num_rows else empty,
+                           batch_format="pyarrow")

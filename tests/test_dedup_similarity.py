@@ -831,3 +831,37 @@ def test_sorted_neighborhood_pairs_edges(ray_session, tmp_path):
                res[["doc_a", "doc_b", "same_key"]].values.tolist()}
     # docs 1/2 share the full 12-char key ('aaaa bbbb cc'); 3 does not
     assert by_pair[(1, 2)] and not by_pair[(2, 3)] and not by_pair[(1, 3)]
+
+
+def test_kmeans_silhouette_planted_clusters(ray_session, tmp_path):
+    """Two tight, well-separated planted clusters -> mean silhouette near
+    1 in both; smeared single blob -> near 0.  Also pins the simplified
+    (centroid-based) definition: s = (b - a)/max(a, b)."""
+    rng = np.random.default_rng(3)
+    dim = 8
+    c0, c1 = np.zeros(dim), np.full(dim, 10.0)
+    pts = np.vstack([c0 + 0.01 * rng.standard_normal((100, dim)),
+                     c1 + 0.01 * rng.standard_normal((100, dim))])
+    # vec_id 0 lands in cluster 0, vec_id 1 in cluster 1 -> k=2 init picks
+    # one seed from each planted blob
+    pts[0], pts[1] = c0, c1
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(pts)), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in pts],
+                              pa.list_(pa.float64())),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    df = similarity.kmeans_silhouette(str(tmp_path), k=2).to_pandas()
+    assert len(df) == 2
+    assert int(df.n.sum()) == 200
+    assert (df.mean_silhouette > 0.99).all()
+
+    # single diffuse blob split into 2 clusters -> silhouette much lower
+    blob = rng.standard_normal((200, dim))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(blob)), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in blob],
+                              pa.list_(pa.float64())),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    df2 = similarity.kmeans_silhouette(str(tmp_path), k=2).to_pandas()
+    assert (df2.mean_silhouette < 0.6).all()
