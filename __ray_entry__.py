@@ -981,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_adamic_adar": relational.part_adamic_adar,
         "part_name_typo_pairs": relational.part_name_typo_pairs,
         "expectation_report": relational.expectation_report,
+        "value_hour_mahalanobis": relational.value_hour_mahalanobis,
         "daily_order_ship_coverage": relational.daily_order_ship_coverage,
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
@@ -1988,6 +1989,42 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # above the 256-degree cap excluded BY CONTRACT (their wedge set
         # is quadratic, their 1/ln weight negligible), adjacent pairs
         # dropped, deterministic (score desc, pair) top-k
+        # bivariate Mahalanobis outliers: integer sufficient stats, the
+        # same double expression tree in both engines, 6dp snap before
+        # the chi^2 threshold compare; det = 0 => NULL md^2 => not counted
+        "value_hour_mahalanobis": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS x,
+                       CAST(hour(ts) AS BIGINT) AS y
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                  AND ts IS NOT NULL
+            ), s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx,
+                       CAST(sum(y * y) AS DOUBLE) AS syy,
+                       CAST(sum(x * y) AS DOUBLE) AS sxy
+                FROM e GROUP BY event_type
+            ), p AS (
+                SELECT e.event_type, s.n,
+                       (e.x - s.sx / s.n) AS dx,
+                       (e.y - s.sy / s.n) AS dy,
+                       (s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS vxx,
+                       (s.syy / s.n - (s.sy / s.n) * (s.sy / s.n)) AS vyy,
+                       (s.sxy / s.n - (s.sx / s.n) * (s.sy / s.n)) AS vxy
+                FROM e JOIN s USING (event_type)
+            )
+            SELECT event_type, n,
+                   CAST(count(*) FILTER (WHERE round(
+                        ((dx * dx) * vyy - ((2.0 * dx) * dy) * vxy
+                         + (dy * dy) * vxx)
+                        / nullif(vxx * vyy - vxy * vxy, 0), 6)
+                        > 9.21034) AS BIGINT) AS n_outliers
+            FROM p GROUP BY event_type, n
+        """,
         # data-quality expectation suite: FK semantics are standard SQL
         # (NULL child keys pass), uniqueness counts NULL keys as
         # violations, range/order checks count NULLs as violations

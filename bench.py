@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "part_adamic_adar",
     "part_name_typo_pairs",
     "expectation_report",
+    "value_hour_mahalanobis",
     "part_random_walks",
     "part_frequent_triples",
     "part_coreness",

@@ -5799,3 +5799,130 @@ def expectation_report(sf_dir: str) -> "ray.data.Dataset":
         "n_violations": pa.array([c[3] for c in checks], pa.int64()),
         "passed": pa.array([c[3] == 0 for c in checks], pa.bool_()),
     }))
+
+
+def value_hour_mahalanobis(sf_dir: str,
+                           threshold: float = 9.21034) -> "ray.data.Dataset":
+    """Bivariate outlier detection per event type: Mahalanobis distance of
+    (value, hour-of-day) against the type's own 2D mean/covariance, with
+    outliers = md² > ``threshold`` (chi²₂ at 0.99) — the multivariate
+    data-quality monitor that catches (value, time) combinations a
+    univariate z-score misses (a normal value at an abnormal hour).
+
+    Exact parity with the twin: x = floor(value·100) cents, y = hour —
+    both INTEGER, so the sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy)
+    are exact int64 sums and order-independent; md² then evaluates the
+    SAME double expression tree in both engines, rounded to 6dp before
+    the threshold compare.  Degenerate covariance (det = 0) ⇒ 0 outliers
+    (NULL md² in the twin).  NULL type/ts/value rows drop.
+
+    Scale shape: pass 1 reduces batches to per-type integer partials
+    (#types-sized shuffle); the tiny stats table broadcasts via
+    ``ray.put`` (bounded driver pull — #types rows); pass 2 is a pure
+    map counting outliers per batch plus a #types-sized rollup."""
+    from ..functions.joins import lookup_np, make_lookup
+    from ..functions.num import round6
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.and_(pc.is_valid(batch.column("event_type")),
+                    pc.is_valid(batch.column("value"))),
+            pc.is_valid(batch.column("ts"))))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": _cents(batch.column("value")),
+            "y": pc.cast(pc.hour(batch.column("ts")), pa.int64()),
+        })
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "n_p": pa.array(np.ones(len(x), np.int64)),
+            "sx": batch.column("x"),
+            "sy": batch.column("y"),
+            "sxx": pa.array(x * x, pa.int64()),
+            "syy": pa.array(y * y, pa.int64()),
+            "sxy": pa.array(x * y, pa.int64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("n_p", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(
+            ["event_type", "n_p", "sx", "sy", "sxx", "syy", "sxy"])
+
+    stats = (ds.map_batches(stat_partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n_p", alias_name="n"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxx", alias_name="sxx"),
+                        Sum("syy", alias_name="syy"),
+                        Sum("sxy", alias_name="sxy"))
+             .take_all())                 # bounded: one row per event type
+    if not stats:
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "n_outliers": pa.array([], pa.int64())}))
+
+    types = [r["event_type"] for r in stats]
+    arr = np.array([[float(r["n"]), float(r["sx"]), float(r["sy"]),
+                     float(r["sxx"]), float(r["syy"]), float(r["sxy"])]
+                    for r in stats])
+    tab = make_lookup(types, np.arange(len(types), dtype=np.int64))
+    sref = ray.put((tab, arr))
+
+    def count_outliers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "out_p": pa.array([], pa.int64())})
+        tab_, arr_ = ray.get(sref)
+        idx = lookup_np(batch.column("event_type"), tab_)
+        n, sx, sy = arr_[idx, 0], arr_[idx, 1], arr_[idx, 2]
+        sxx, syy, sxy = arr_[idx, 3], arr_[idx, 4], arr_[idx, 5]
+        x = batch.column("x").to_numpy().astype(np.float64)
+        y = batch.column("y").to_numpy().astype(np.float64)
+        # the EXACT expression tree of the SQL twin (left-to-right)
+        dx = x - sx / n
+        dy = y - sy / n
+        vxx = sxx / n - (sx / n) * (sx / n)
+        vyy = syy / n - (sy / n) * (sy / n)
+        vxy = sxy / n - (sx / n) * (sy / n)
+        det = vxx * vyy - vxy * vxy
+        num = ((dx * dx) * vyy - ((2.0 * dx) * dy) * vxy) \
+            + (dy * dy) * vxx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            md2 = np.where(det != 0, num / np.where(det != 0, det, 1),
+                           np.nan)
+        nan_mask = np.isnan(md2)
+        md2r = np.asarray(round6(pa.array(
+            np.where(nan_mask, 0.0, md2), pa.float64()))
+            .to_numpy(zero_copy_only=False))   # round6 int-snap rejects NaN
+        is_out = (~nan_mask) & (md2r > threshold)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "out_p": pa.array(is_out.astype(np.int64))})
+        g = t.group_by("event_type").aggregate([("out_p", "sum")])
+        return g.rename_columns(["event_type", "out_p"])
+
+    counts = (ds.map_batches(count_outliers, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("out_p", alias_name="n_outliers")))
+
+    nref = ray.put((tab, arr[:, 0].astype(np.int64)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tab_, nvals = ray.get(nref)
+        idx = lookup_np(batch.column("event_type"), tab_)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(nvals[idx], pa.int64()),
+            "n_outliers": batch.column("n_outliers").cast(pa.int64()),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow")

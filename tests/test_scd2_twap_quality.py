@@ -240,3 +240,26 @@ def test_part_name_typo_pairs_blocking(ray_session, tmp_path):
     assert got == {("red gear", "ted gear")}
     row = df.iloc[0]
     assert row.dist == 1 and row.n_uses_a == 3 and row.n_uses_b == 1
+
+
+def test_mahalanobis_planted_outlier_and_degenerate(ray_session, tmp_path):
+    """A tight (value, hour) cloud with one far point -> exactly that
+    point flags; a type with zero covariance (all identical) has det = 0
+    -> 0 outliers by contract."""
+    rows = []
+    rng = np.random.default_rng(11)
+    for i in range(200):
+        rows.append({"event_id": i, "ts": _ts(3600 * 10 + i % 60),
+                     "user_id": 1, "event_type": "A",
+                     "value": float(np.round(10 + rng.normal(0, 0.5), 2))})
+    rows.append({"event_id": 999, "ts": _ts(3600 * 23),  # hour 23, far value
+                 "user_id": 1, "event_type": "A", "value": 500.0})
+    for i in range(20):                       # degenerate: all identical
+        rows.append({"event_id": 2000 + i, "ts": _ts(3600 * 5),
+                     "user_id": 2, "event_type": "B", "value": 7.0})
+    sf = _write_events(tmp_path, rows)
+    df = relational.value_hour_mahalanobis(sf).to_pandas() \
+        .set_index("event_type")
+    assert df.loc["A"].n == 201 and df.loc["A"].n_outliers >= 1
+    assert df.loc["A"].n_outliers <= 5        # the bulk stays inside
+    assert df.loc["B"].n == 20 and df.loc["B"].n_outliers == 0
