@@ -982,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_typo_pairs": relational.part_name_typo_pairs,
         "expectation_report": relational.expectation_report,
         "value_hour_mahalanobis": relational.value_hour_mahalanobis,
+        "k_anonymity_report": relational.k_anonymity_report,
         "daily_order_ship_coverage": relational.daily_order_ship_coverage,
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
@@ -1989,6 +1990,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # above the 256-degree cap excluded BY CONTRACT (their wedge set
         # is quadratic, their 1/ln weight negligible), adjacent pairs
         # dropped, deterministic (score desc, pair) top-k
+        # k-anonymity over the bounded quasi-identifier domain; NULLs
+        # form their own class (GROUP BY semantics)
+        "k_anonymity_report": """
+            WITH cl AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(count(*) AS BIGINT) AS class_n
+                FROM customer GROUP BY c_nationkey, c_mktsegment
+            )
+            SELECT CAST(5 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(count(*) FILTER (WHERE class_n < 5) AS BIGINT)
+                       AS n_small_classes,
+                   CAST(coalesce(sum(class_n) FILTER (WHERE class_n < 5),
+                                 0) AS BIGINT) AS n_rows_at_risk,
+                   CAST(coalesce(min(class_n), 0) AS BIGINT)
+                       AS min_class_size
+            FROM cl
+        """,
         # bivariate Mahalanobis outliers: integer sufficient stats, the
         # same double expression tree in both engines, 6dp snap before
         # the chi^2 threshold compare; det = 0 => NULL md^2 => not counted

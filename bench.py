@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "part_name_typo_pairs",
     "expectation_report",
     "value_hour_mahalanobis",
+    "k_anonymity_report",
     "part_random_walks",
     "part_frequent_triples",
     "part_coreness",

@@ -5926,3 +5926,64 @@ def value_hour_mahalanobis(sf_dir: str,
         })
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def k_anonymity_report(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (c_nationkey, c_mktsegment): how many equivalence classes exist, how
+    many are smaller than ``k``, and how many ROWS sit in those
+    re-identifiable classes — the privacy gate a curation pipeline runs
+    before releasing joined demographic slices.  NULL quasi-identifier
+    values form their own class (SQL GROUP BY semantics, pinned in the
+    twin).
+
+    Scale shape: per-batch (qi-tuple, count) partials, ONE shuffle over
+    the bounded qi domain (#nations x #segments), and a single-row
+    rollup — class counts never leave the aggregation tree."""
+    ds = sized_read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["c_nationkey", "c_mktsegment"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["c_nationkey", "c_mktsegment",
+                                 "partial_n"])
+
+    # Ray's sort-based groupby cannot order NULL keys: sentinel-shuffle
+    # (-1 / '(null)' are outside both domains), classes stay distinct.
+    def sentinel(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nk": pc.fill_null(batch.column("c_nationkey"), -1),
+            "seg": pc.fill_null(batch.column("c_mktsegment"), "(null)"),
+            "partial_n": batch.column("partial_n"),
+        })
+
+    classes = (ds.map_batches(partial, batch_format="pyarrow")
+               .map_batches(sentinel, batch_format="pyarrow")
+               .groupby(["nk", "seg"])
+               .aggregate(Sum("partial_n", alias_name="class_n")))
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        n = batch.column("class_n").to_numpy()
+        small = n < k
+        return pa.table({
+            "n_classes": pa.array([len(n)], pa.int64()),
+            "n_small_classes": pa.array([int(small.sum())], pa.int64()),
+            "n_rows_at_risk": pa.array([int(n[small].sum())], pa.int64()),
+            "min_class_size": pa.array(
+                [int(n.min()) if len(n) else 0], pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min
+    out = (classes.map_batches(rollup, batch_format="pyarrow")
+           .aggregate(Sum("n_classes", alias_name="c"),
+                      Sum("n_small_classes", alias_name="s"),
+                      Sum("n_rows_at_risk", alias_name="r"),
+                      Min("min_class_size", alias_name="m")))
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_classes": pa.array([int(out["c"] or 0)], pa.int64()),
+        "n_small_classes": pa.array([int(out["s"] or 0)], pa.int64()),
+        "n_rows_at_risk": pa.array([int(out["r"] or 0)], pa.int64()),
+        "min_class_size": pa.array([int(out["m"] or 0)], pa.int64()),
+    }))

@@ -62,7 +62,7 @@ _SF001_QUERIES = {"extract_kind_counts", "table_sources",
                   "extract_outline", "figure_caption_pairs",
                   "span_kind_transitions", "corpus_integrity_report",
                   "media_ref_manifest", "span_length_profile",
-                  "page_span_stats",
+                  "page_span_stats", "span_term_search",
                   # footer profile: the no-arg twin pins the sf0.01
                   # lineitem file path
                   "parquet_storage_profile"}
