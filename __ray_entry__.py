@@ -987,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
         "events_scd2_intervals": streaming.events_scd2_intervals,
+        "event_markov_stationary": streaming.event_markov_stationary,  # non-SQL (fixpoint)
         "user_value_twap": streaming.user_value_twap,
         "user_value_median": streaming.user_value_median,
         "rolling_median_value": streaming.rolling_median_value,

@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "user_event_entropy",
     "user_modal_event",
     "events_scd2_intervals",
+    "event_markov_stationary",
     "user_value_twap",
     "user_value_median",
     "rolling_median_value",

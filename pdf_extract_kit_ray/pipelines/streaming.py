@@ -3968,3 +3968,53 @@ def user_value_twap(sf_dir: str) -> "ray.data.Dataset":
             .map_groups(bucket, batch_format="pyarrow")
             .map_batches(lambda b: b if b.num_rows else empty,
                          batch_format="pyarrow"))
+
+
+def event_markov_stationary(sf_dir: str, iters: int = 100) -> "ray.data.Dataset":
+    """Stationary distribution of the per-user event-type Markov chain:
+    the row-normalized transition matrix from ``event_transitions``,
+    power-iterated to its fixpoint — "where does a user's session settle
+    long-run", the summary number next-event models and funnel designers
+    read off the transition matrix.
+
+    Types with no outgoing transitions (absorbing by data, not by
+    design) get a uniform outgoing row — the standard dangling-node fix
+    (same as PageRank's), pinned here as the operator contract.  Init is
+    uniform; 100 iterations on a #types x #types matrix is driver-side
+    float math on a vocabulary-bounded object.
+
+    Scale shape: all corpus-sized work is event_transitions' ONE coarse
+    user shuffle; the matrix itself is #types^2 (bounded) and the power
+    iteration never touches row-level data.  Non-SQL (iterative
+    fixpoint); pinned by a hand-computed two-state-chain test and a
+    row-sum invariant."""
+    trans = event_transitions(sf_dir).take_all()   # bounded: #types^2 rows
+    # NULL-typed transitions carry no chain semantics — drop them (the
+    # event_transitions output itself preserves them for auditing)
+    trans = [r for r in trans
+             if r["from_type"] is not None and r["to_type"] is not None]
+    if not trans:
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "stationary_prob": pa.array([], pa.float64())}))
+    from ..functions.num import round6
+
+    types = sorted({r["from_type"] for r in trans}
+                   | {r["to_type"] for r in trans})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    m = np.zeros((k, k), dtype=np.float64)
+    for r in trans:
+        m[idx[r["from_type"]], idx[r["to_type"]]] += float(r["n"])
+    row_sums = m.sum(axis=1)
+    dangling = row_sums == 0
+    m[dangling] = 1.0 / k                          # uniform dangling rows
+    m[~dangling] /= row_sums[~dangling, None]
+    pi = np.full(k, 1.0 / k)
+    for _ in range(iters):
+        pi = pi @ m
+        pi /= pi.sum()                             # renormalize drift
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stationary_prob": round6(pa.array(pi, pa.float64())),
+    }))

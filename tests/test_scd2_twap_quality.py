@@ -263,3 +263,23 @@ def test_mahalanobis_planted_outlier_and_degenerate(ray_session, tmp_path):
     assert df.loc["A"].n == 201 and df.loc["A"].n_outliers >= 1
     assert df.loc["A"].n_outliers <= 5        # the bulk stays inside
     assert df.loc["B"].n == 20 and df.loc["B"].n_outliers == 0
+
+
+def test_markov_stationary_two_state_chain(ray_session, tmp_path):
+    """Hand-computed 2-state chain: P(A->B)=1, P(B->A)=1/2, P(B->B)=1/2
+    -> stationary pi = (1/3, 2/3).  Also pins the row-sum invariant."""
+    rows = []
+    # one user emitting A B B A B B ... gives exactly those transition
+    # frequencies: A->B n, B->B n, B->A n (cycle A B B)
+    seq = ["A", "B", "B"] * 40
+    for i, t in enumerate(seq):
+        rows.append({"event_id": i, "ts": _ts(i), "user_id": 1,
+                     "event_type": t, "value": 1.0})
+    sf = _write_events(tmp_path, rows)
+    df = streaming.event_markov_stationary(sf).to_pandas() \
+        .set_index("event_type")
+    assert df.stationary_prob.sum() == pytest.approx(1.0, abs=1e-5)
+    # finite stream: 40 A->B, 40 B->B, 39 B->A (the final B has no
+    # successor), so P(B->A) = 39/79 and pi = (39/118, 79/118)
+    assert df.loc["A"].stationary_prob == pytest.approx(39 / 118, abs=1e-5)
+    assert df.loc["B"].stationary_prob == pytest.approx(79 / 118, abs=1e-5)
