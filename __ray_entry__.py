@@ -983,11 +983,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectation_report": relational.expectation_report,
         "value_hour_mahalanobis": relational.value_hour_mahalanobis,
         "k_anonymity_report": relational.k_anonymity_report,
+        "chi2_independence": relational.chi2_independence,
+        "woe_priority_returns": relational.woe_priority_returns,
         "daily_order_ship_coverage": relational.daily_order_ship_coverage,
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
         "events_scd2_intervals": streaming.events_scd2_intervals,
         "event_markov_stationary": streaming.event_markov_stationary,  # non-SQL (fixpoint)
+        "events_burstiness": streaming.events_burstiness,
         "user_value_twap": streaming.user_value_twap,
         "user_value_median": streaming.user_value_median,
         "rolling_median_value": streaming.rolling_median_value,
@@ -1991,6 +1994,100 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # above the 256-degree cap excluded BY CONTRACT (their wedge set
         # is quadratic, their 1/ln weight negligible), adjacent pairs
         # dropped, deterministic (score desc, pair) top-k
+        # weight-of-evidence encoder: EXISTS-labeled orders, 0.5-smoothed
+        # odds, ln of the same expression tree; no-lineitem orders count
+        # as not-returned
+        "woe_priority_returns": """
+            WITH lab AS (
+                SELECT o.o_orderkey,
+                       coalesce(o.o_orderpriority, '(null)') AS prio,
+                       CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                                          WHERE l.l_orderkey = o.o_orderkey
+                                            AND l.l_returnflag = 'R')
+                            THEN 1 ELSE 0 END AS ret
+                FROM orders o
+            ), cat AS (
+                SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(ret) AS BIGINT) AS n_returned
+                FROM lab GROUP BY prio
+            ), tot AS (
+                SELECT CAST(sum(n_orders - n_returned) AS DOUBLE) AS g_tot,
+                       CAST(sum(n_returned) AS DOUBLE) AS b_tot,
+                       CAST(count(*) AS DOUBLE) AS kcat
+                FROM cat
+            )
+            SELECT prio AS o_orderpriority, n_orders, n_returned,
+                   round(ln(((CAST(n_orders - n_returned AS DOUBLE) + 0.5)
+                             / (g_tot + 0.5 * kcat))
+                            / ((CAST(n_returned AS DOUBLE) + 0.5)
+                               / (b_tot + 0.5 * kcat))), 6) AS woe
+            FROM cat, tot
+        """,
+        # chi-square independence: per-cell terms snap to 6dp micro-ints
+        # before an exact integer sum (order-independent in both engines)
+        "chi2_independence": """
+            WITH c AS (
+                SELECT coalesce(l_returnflag, '(null)') AS flag,
+                       coalesce(l_linestatus, '(null)') AS status,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1, 2
+            ), m AS (
+                SELECT flag, status, CAST(n AS DOUBLE) AS n,
+                       CAST(sum(n) OVER (PARTITION BY flag) AS DOUBLE)
+                           AS rowm,
+                       CAST(sum(n) OVER (PARTITION BY status) AS DOUBLE)
+                           AS colm,
+                       CAST(sum(n) OVER () AS DOUBLE) AS total
+                FROM c
+            ), t AS (
+                SELECT CAST(floor(
+                         (((n - (rowm * colm) / total)
+                           * (n - (rowm * colm) / total))
+                          / ((rowm * colm) / total)) * 1000000.0 + 0.5)
+                       AS BIGINT) AS term_micro
+                FROM m WHERE (rowm * colm) / total > 0
+            )
+            SELECT (SELECT CAST(count(DISTINCT flag) AS BIGINT) FROM c)
+                       AS n_flags,
+                   (SELECT CAST(count(DISTINCT status) AS BIGINT) FROM c)
+                       AS n_statuses,
+                   (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM c)
+                       AS n_rows,
+                   (SELECT CAST(greatest(count(DISTINCT flag) - 1, 0)
+                           * greatest(count(DISTINCT status) - 1, 0)
+                           AS BIGINT) FROM c) AS dof,
+                   CAST(coalesce(sum(term_micro), 0) AS DOUBLE)
+                       / 1000000.0 AS chi2
+            FROM t
+        """,
+        # Fano factor of hourly arrivals per type: exact int moments over
+        # observed hour buckets, same double tree, one 6dp round
+        "events_burstiness": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                           AS bucket
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            ), h AS (
+                SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                         6) AS mean_per_hour,
+                   round((CAST(sum(c * c) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)
+                          - (CAST(sum(c) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE))
+                            * (CAST(sum(c) AS DOUBLE)
+                               / CAST(count(*) AS DOUBLE)))
+                         / (CAST(sum(c) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE)), 6) AS fano
+            FROM h GROUP BY event_type
+        """,
         # k-anonymity over the bounded quasi-identifier domain; NULLs
         # form their own class (GROUP BY semantics)
         "k_anonymity_report": """

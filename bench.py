@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "expectation_report",
     "value_hour_mahalanobis",
     "k_anonymity_report",
+    "chi2_independence",
+    "woe_priority_returns",
     "part_random_walks",
     "part_frequent_triples",
     "part_coreness",
@@ -257,6 +259,7 @@ BENCH_QUERIES = [
     "user_modal_event",
     "events_scd2_intervals",
     "event_markov_stationary",
+    "events_burstiness",
     "user_value_twap",
     "user_value_median",
     "rolling_median_value",

@@ -5987,3 +5987,203 @@ def k_anonymity_report(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         "n_rows_at_risk": pa.array([int(out["r"] or 0)], pa.int64()),
         "min_class_size": pa.array([int(out["m"] or 0)], pa.int64()),
     }))
+
+
+def chi2_independence(sf_dir: str) -> "ray.data.Dataset":
+    """Chi-square test of independence between l_returnflag and
+    l_linestatus — the categorical-association check a feature-selection
+    pass runs before one-hot-encoding correlated columns.  Emits the
+    contingency dimensions, N, the chi² statistic and degrees of
+    freedom.
+
+    Exact parity: observed counts are integers; expected counts and the
+    chi² sum evaluate the same double expression tree in both engines
+    over the SORTED (flag, status) cell order, rounded once at the end.
+    NULL categories form their own row/column (GROUP BY semantics).
+
+    Scale shape: per-batch cell-count partials over the bounded
+    #flags x #statuses domain, one tiny shuffle, driver-side closed form
+    on the vocabulary-sized contingency table (bounded pull)."""
+    ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["flag", "status", "partial_n"])
+
+    def sentinel(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": pc.fill_null(batch.column("flag"), "(null)"),
+            "status": pc.fill_null(batch.column("status"), "(null)"),
+            "partial_n": batch.column("partial_n")})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .map_batches(sentinel, batch_format="pyarrow")
+             .groupby(["flag", "status"])
+             .aggregate(Sum("partial_n", alias_name="n"))
+             .take_all())              # bounded: #flags x #statuses cells
+    if not cells:
+        return ray.data.from_arrow(pa.table({
+            "n_flags": pa.array([0], pa.int64()),
+            "n_statuses": pa.array([0], pa.int64()),
+            "n_rows": pa.array([0], pa.int64()),
+            "dof": pa.array([0], pa.int64()),
+            "chi2": pa.array([0.0], pa.float64())}))
+
+    cells.sort(key=lambda r: (r["flag"], r["status"]))
+    flags = sorted({r["flag"] for r in cells})
+    stats = sorted({r["status"] for r in cells})
+    fi = {f: i for i, f in enumerate(flags)}
+    si = {s: i for i, s in enumerate(stats)}
+    obs = np.zeros((len(flags), len(stats)), dtype=np.float64)
+    for r in cells:
+        obs[fi[r["flag"]], si[r["status"]]] = float(r["n"])
+    total = obs.sum()
+    rowm = obs.sum(axis=1)
+    colm = obs.sum(axis=0)
+    # per-cell terms snap to 6dp micro-ints BEFORE the sum (half away
+    # from zero; terms are >= 0 so floor(x*1e6 + 0.5)), making the chi2
+    # reduction an exact integer sum — order-independent in both engines
+    chi2_micro = 0
+    for i in range(len(flags)):
+        for j in range(len(stats)):
+            exp = (rowm[i] * colm[j]) / total
+            if exp > 0:
+                d = obs[i, j] - exp
+                term = (d * d) / exp
+                chi2_micro += int(np.floor(term * 1000000.0 + 0.5))
+    return ray.data.from_arrow(pa.table({
+        "n_flags": pa.array([len(flags)], pa.int64()),
+        "n_statuses": pa.array([len(stats)], pa.int64()),
+        "n_rows": pa.array([int(total)], pa.int64()),
+        "dof": pa.array([(len(flags) - 1) * (len(stats) - 1)], pa.int64()),
+        "chi2": pa.array([float(chi2_micro) / 1000000.0], pa.float64()),
+    }))
+
+
+def woe_priority_returns(sf_dir: str) -> "ray.data.Dataset":
+    """Weight-of-evidence encoding of order priority against the binary
+    label "order had a returned line item" (l_returnflag = 'R') — the
+    scorecard-style categorical encoder (credit-risk lineage) that,
+    unlike mean target encoding (``target_encode_priority``), is
+    symmetric in the odds and robust to rare categories via 0.5
+    smoothing:
+
+        woe_i = ln( ((good_i + 0.5) / (G + 0.5K))
+                    / ((bad_i + 0.5) / (B + 0.5K)) )
+
+    with good = not-returned, bad = returned, K = #categories; orders
+    with no line items count as not-returned (pinned in the twin).
+    NULL priority is the '(null)' category.
+
+    Scale shape: lineitem reduces per batch to (orderkey, any-R)
+    partials; ONE coarse orderkey-hash union shuffle co-locates each
+    order's flag with its priority row (per-bucket numpy lookup, no
+    hash-join machinery); per-priority counts roll up through the
+    bounded category domain and the WOE closed form runs on the
+    #categories-sized table (bounded pull)."""
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_returnflag"])
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "prio": pc.fill_null(batch.column("o_orderpriority"),
+                                 "(null)"),
+            "r": pa.array(np.zeros(len(k), np.int64)),
+            "is_order": pa.array(np.ones(len(k), np.int64)),
+            "__coarse": pa.array((k * _GOLDEN) % nc, pa.int64()),
+        })
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "k": batch.column("l_orderkey"),
+            "r": pc.cast(pc.equal(pc.fill_null(
+                batch.column("l_returnflag"), ""), "R"), pa.int64()),
+        })
+        g = t.group_by("k").aggregate([("r", "max")]) \
+             .rename_columns(["k", "r"])
+        k = g.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "prio": pa.array([""] * len(k), pa.string()),
+            "r": g.column("r").cast(pa.int64()),
+            "is_order": pa.array(np.zeros(len(k), np.int64)),
+            "__coarse": pa.array((k * _GOLDEN) % nc, pa.int64()),
+        })
+
+    empty_p = pa.table({"prio": pa.array([], pa.string()),
+                        "n_p": pa.array([], pa.int64()),
+                        "ret_p": pa.array([], pa.int64())})
+
+    def bucket(group: pa.Table) -> pa.Table:
+        is_ord = group.column("is_order").to_numpy().astype(bool)
+        if not is_ord.any():
+            return empty_p
+        k = group.column("k").to_numpy()
+        r = group.column("r").to_numpy()
+        # flag lookup: order of lineitem partials is irrelevant (max of
+        # 0/1 flags); np.maximum.reduceat over the sorted flag rows
+        fk = k[~is_ord]
+        fr = r[~is_ord]
+        order_k = k[is_ord]
+        if len(fk):
+            s = np.argsort(fk, kind="stable")
+            fk, fr = fk[s], fr[s]
+            starts = np.flatnonzero(np.r_[True, fk[1:] != fk[:-1]])
+            uk = fk[starts]
+            uv = np.maximum.reduceat(fr, starts)
+            pos = np.searchsorted(uk, order_k)
+            pos_c = np.clip(pos, 0, len(uk) - 1)
+            hit = uk[pos_c] == order_k
+            ret = np.where(hit, uv[pos_c], 0).astype(np.int64)
+        else:
+            ret = np.zeros(len(order_k), np.int64)
+        t = pa.table({
+            "prio": group.column("prio").filter(pa.array(is_ord)),
+            "n_p": pa.array(np.ones(len(order_k), np.int64)),
+            "ret_p": pa.array(ret, pa.int64()),
+        })
+        g = t.group_by("prio").aggregate([("n_p", "sum"), ("ret_p", "sum")])
+        return g.rename_columns(["prio", "n_p", "ret_p"])
+
+    rows = (orders.map_batches(order_partial, batch_format="pyarrow")
+            .union(line.map_batches(line_partial, batch_format="pyarrow"))
+            .groupby("__coarse")
+            .map_groups(bucket, batch_format="pyarrow")
+            .map_batches(lambda b: b if b.num_rows else empty_p,
+                         batch_format="pyarrow")
+            .groupby("prio")
+            .aggregate(Sum("n_p", alias_name="n_orders"),
+                       Sum("ret_p", alias_name="n_returned"))
+            .take_all())            # bounded: one row per priority class
+    if not rows:
+        return ray.data.from_arrow(pa.table({
+            "o_orderpriority": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "n_returned": pa.array([], pa.int64()),
+            "woe": pa.array([], pa.float64())}))
+
+    rows.sort(key=lambda x: x["prio"])
+    n = np.array([float(x["n_orders"]) for x in rows])
+    bad = np.array([float(x["n_returned"]) for x in rows])
+    good = n - bad
+    kcat = float(len(rows))
+    g_tot, b_tot = good.sum(), bad.sum()
+    woe = np.log(((good + 0.5) / (g_tot + 0.5 * kcat))
+                 / ((bad + 0.5) / (b_tot + 0.5 * kcat)))
+    return ray.data.from_arrow(pa.table({
+        "o_orderpriority": pa.array([x["prio"] for x in rows], pa.string()),
+        "n_orders": pa.array(n.astype(np.int64), pa.int64()),
+        "n_returned": pa.array(bad.astype(np.int64), pa.int64()),
+        "woe": round6(pa.array(woe, pa.float64())),
+    }))

@@ -4018,3 +4018,81 @@ def event_markov_stationary(sf_dir: str, iters: int = 100) -> "ray.data.Dataset"
         "event_type": pa.array(types, pa.string()),
         "stationary_prob": round6(pa.array(pi, pa.float64())),
     }))
+
+
+def events_burstiness(sf_dir: str) -> "ray.data.Dataset":
+    """Per-type burstiness via the Fano factor of hourly arrival counts:
+    variance / mean of events-per-hour over the type's OBSERVED hour
+    buckets — ~1 for Poisson arrivals, >>1 for bursty types (the
+    dispersion diagnostic behind rate-limiter and capacity sizing).
+
+    Exact parity: hourly counts are integers, so (n_buckets, Σc, Σc²)
+    are exact int64 sums; mean, ML variance (/n) and fano evaluate the
+    same double expression tree in both engines, rounded to 6dp once.
+    NULL ts / NULL type rows drop (hour buckets are order-defined).
+
+    Scale shape: per-batch (type, hour, count) partials over the bounded
+    type x hour-bucket domain, ONE shuffle, then a #types-sized moment
+    rollup — row-level data never moves."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.num import round6
+
+    ds = sized_read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column("event_type")),
+            pc.is_valid(batch.column("ts"))))
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "bucket": pc.cast(pc.floor(pc.divide(
+                pc.cast(batch.column("ts"), pa.int64()), 3600000000.0)),
+                pa.int64()),
+        })
+        g = t.group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "bucket", "partial_n"])
+
+    hourly = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "bucket"])
+              .aggregate(Sum("partial_n", alias_name="c")))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "b_p": pa.array(np.ones(len(c), np.int64)),
+            "s_p": pa.array(c.astype(np.int64), pa.int64()),
+            "ss_p": pa.array((c * c).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("b_p", "sum"), ("s_p", "sum"), ("ss_p", "sum")])
+        return g.rename_columns(["event_type", "b_p", "s_p", "ss_p"])
+
+    agg = (hourly.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("b_p", alias_name="n_buckets"),
+                      Sum("s_p", alias_name="s"),
+                      Sum("ss_p", alias_name="ss")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("n_buckets").to_numpy().astype(np.float64)
+        s = batch.column("s").to_numpy().astype(np.float64)
+        ss = batch.column("ss").to_numpy().astype(np.float64)
+        mean = s / b
+        var = ss / b - mean * mean
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fano = np.where(mean > 0, var / np.where(mean > 0, mean, 1),
+                            np.nan)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_buckets": batch.column("n_buckets").cast(pa.int64()),
+            "n_events": batch.column("s").cast(pa.int64()),
+            "mean_per_hour": round6(pa.array(mean, pa.float64())),
+            "fano": round6(pa.array(np.where(np.isnan(fano), 0.0, fano),
+                                    pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -283,3 +283,62 @@ def test_markov_stationary_two_state_chain(ray_session, tmp_path):
     # successor), so P(B->A) = 39/79 and pi = (39/118, 79/118)
     assert df.loc["A"].stationary_prob == pytest.approx(39 / 118, abs=1e-5)
     assert df.loc["B"].stationary_prob == pytest.approx(79 / 118, abs=1e-5)
+
+
+def test_woe_planted_odds(ray_session, tmp_path):
+    """Category H: 3 returned of 4; category L: 0 returned of 4 (one with
+    no line items at all -> counts as not-returned).  WOE signs must
+    separate, and the 0.5 smoothing keeps the zero-bad category finite."""
+    base = str(tmp_path)
+    os.makedirs(base, exist_ok=True)
+    orders = [{"o_orderkey": i, "o_orderpriority": "H" if i < 4 else "L",
+               "o_totalprice": 1.0,
+               "o_orderdate": datetime.date(2024, 1, 1)}
+              for i in range(8)]
+    pq.write_table(pa.Table.from_pylist(orders),
+                   os.path.join(base, "orders.parquet"))
+    lines = []
+    for i in range(3):                       # H orders 0-2 returned
+        lines.append({"l_orderkey": i, "l_returnflag": "R",
+                      "l_quantity": 1.0, "l_discount": 0.0})
+    lines.append({"l_orderkey": 3, "l_returnflag": "N",
+                  "l_quantity": 1.0, "l_discount": 0.0})
+    for i in range(4, 7):                    # L orders 4-6 not returned
+        lines.append({"l_orderkey": i, "l_returnflag": "N",
+                      "l_quantity": 1.0, "l_discount": 0.0})
+    # order 7 (L) has NO line items -> label 0 by contract
+    pq.write_table(pa.Table.from_pylist(lines),
+                   os.path.join(base, "lineitem.parquet"))
+    df = relational.woe_priority_returns(base).to_pandas() \
+        .set_index("o_orderpriority")
+    assert df.loc["H"].n_orders == 4 and df.loc["H"].n_returned == 3
+    assert df.loc["L"].n_orders == 4 and df.loc["L"].n_returned == 0
+    assert df.loc["H"].woe < 0 < df.loc["L"].woe
+    assert np.isfinite(df.loc["L"].woe)
+    # closed form: good=(1,4), bad=(3,0), G=5, B=3, K=2
+    exp_h = np.log(((1 + 0.5) / (5 + 1.0)) / ((3 + 0.5) / (3 + 1.0)))
+    assert df.loc["H"].woe == pytest.approx(exp_h, abs=1e-6)
+
+
+def test_burstiness_poisson_vs_bursty(ray_session, tmp_path):
+    """A uniform 1-per-hour type has Fano 0 (deterministic counts); a
+    type concentrating 100 events in one hour out of ten observed
+    buckets has Fano >> 1."""
+    rows = []
+    for h in range(50):                       # exactly 1 event per hour
+        rows.append({"event_id": h, "ts": _ts(3600 * h), "user_id": 1,
+                     "event_type": "steady", "value": 1.0})
+    eid = 1000
+    for h in range(10):                       # 10 observed buckets
+        burst = 100 if h == 0 else 1
+        for j in range(burst):
+            rows.append({"event_id": eid, "ts": _ts(3600 * h + j),
+                         "user_id": 2, "event_type": "bursty",
+                         "value": 1.0})
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    df = streaming.events_burstiness(sf).to_pandas().set_index("event_type")
+    assert df.loc["steady"].fano == 0.0
+    assert df.loc["steady"].n_buckets == 50
+    assert df.loc["bursty"].fano > 10
+    assert df.loc["bursty"].n_events == 109
