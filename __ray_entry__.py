@@ -991,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2_intervals": streaming.events_scd2_intervals,
         "event_markov_stationary": streaming.event_markov_stationary,  # non-SQL (fixpoint)
         "events_burstiness": streaming.events_burstiness,
+        "session_survival_curve": streaming.session_survival_curve,
         "user_value_twap": streaming.user_value_twap,
         "user_value_median": streaming.user_value_median,
         "rolling_median_value": streaming.rolling_median_value,
@@ -1019,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_topk": similarity.ivfpq_topk,       # non-SQL (approximate, int8 codes)
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
         "kmeans_silhouette": similarity.kmeans_silhouette,  # non-SQL (iterative)
+        "cluster_purity": similarity.cluster_purity,  # non-SQL (iterative)
         "embedding_pca": similarity.embedding_pca,  # non-SQL (eigendecomp)
         "label_centroids": similarity.label_centroids,
         "knn_classify": similarity.knn_classify,
@@ -2022,6 +2024,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                             / ((CAST(n_returned AS DOUBLE) + 0.5)
                                / (b_tot + 0.5 * kcat))), 6) AS woe
             FROM cat, tot
+        """,
+        # discrete survival of session durations over the minute grid:
+        # session islands (the session_stats CTE), floor-minute clamp,
+        # count FILTER per grid point
+        "session_survival_curve": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ), sess AS (
+                SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+                FROM s GROUP BY user_id, sid
+            ), grid AS (SELECT unnest(range(0, 31)) AS minute)
+            SELECT CAST(g.minute AS BIGINT) AS minute,
+                   CAST(count(*) FILTER (WHERE sess.dur_us // 60000000
+                                               >= g.minute) AS BIGINT)
+                       AS n_sessions_ge,
+                   round(CAST(count(*) FILTER (WHERE
+                             sess.dur_us // 60000000 >= g.minute)
+                             AS DOUBLE)
+                         / CAST((SELECT count(*) FROM sess) AS DOUBLE), 6)
+                       AS frac
+            FROM grid g CROSS JOIN sess
+            GROUP BY g.minute
         """,
         # chi-square independence: per-cell terms snap to 6dp micro-ints
         # before an exact integer sum (order-independent in both engines)

@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "events_scd2_intervals",
     "event_markov_stationary",
     "events_burstiness",
+    "session_survival_curve",
     "user_value_twap",
     "user_value_median",
     "rolling_median_value",
@@ -280,6 +281,7 @@ BENCH_QUERIES = [
     "purchase_prev_click_asof",
     "embedding_kmeans",
     "kmeans_silhouette",
+    "cluster_purity",
     "embedding_pca",
     "label_centroids",
     "semantic_dedup",

@@ -1362,3 +1362,131 @@ def kmeans_silhouette(sf_dir: str, k: int = 8,
     return agg.map_batches(finish, batch_format="pyarrow") \
               .map_batches(lambda b: b if b.num_rows else empty,
                            batch_format="pyarrow")
+
+
+def cluster_purity(sf_dir: str, k: int = 8,
+                   iters: int = 5) -> "ray.data.Dataset":
+    """External cluster validation: after the deterministic Lloyd loop,
+    each cluster's PURITY (majority-label share) against the embedding
+    table's ``label`` column — the supervised complement to
+    ``kmeans_silhouette`` (internal geometry) that tells you whether the
+    unsupervised clusters recover the known classes.
+
+    Scale shape: the Lloyd loop is the embedding_kmeans shape (broadcast
+    centroids, KB partials); the validation pass reduces batches to
+    (cluster, label, count) partials over the bounded k x #labels
+    domain; the purity closed form runs on that bounded table.  Ties on
+    the majority label break toward the smaller label id
+    (deterministic).  Non-SQL (iterative); pinned by planted-label
+    tests."""
+    import pyarrow.dataset as pads
+
+    from ..functions.num import round6
+
+    empty = pa.table({"cluster": pa.array([], pa.int32()),
+                      "n": pa.array([], pa.int64()),
+                      "majority_label": pa.array([], pa.int32()),
+                      "purity": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding",
+                                        "label"]).materialize()
+    init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < k).sort_by("vec_id")
+    centroids = np.array(init.column("embedding").to_pylist(),
+                         dtype=np.float64)
+    if centroids.size == 0:
+        return ray.data.from_arrow(empty)
+    dim = centroids.shape[1]
+
+    def make_partial(cref):
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"block_key": pa.array([], pa.int64()),
+                                 "sums": pa.array([], pa.list_(pa.float64())),
+                                 "counts": pa.array([], pa.list_(pa.int64()))})
+            cents = ray.get(cref)
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            x = pc.list_flatten(emb).to_numpy() \
+                .reshape(batch.num_rows, -1).astype(np.float64)
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=len(cents))
+            return pa.table({
+                "block_key": pa.array(
+                    [int(batch.column("vec_id")[0].as_py())], pa.int64()),
+                "sums": pa.array([sums.ravel().tolist()],
+                                 pa.list_(pa.float64())),
+                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+            })
+        return partial
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        partials = []
+        for b in ds.map_batches(make_partial(cref),
+                                batch_format="pyarrow").iter_batches(
+                                    batch_format="pyarrow"):
+            for kb, s, c in zip(b.column("block_key").to_pylist(),
+                                b.column("sums").to_pylist(),
+                                b.column("counts").to_pylist()):
+                partials.append((kb, s, c))
+        partials.sort(key=lambda p: p[0])
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for _kb, s, c in partials:
+            sums += np.array(s).reshape(k, dim)
+            counts += np.array(c, dtype=np.int64)
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    final_ref = ray.put(centroids)
+
+    def label_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int32()),
+                             "label": pa.array([], pa.int32()),
+                             "n_p": pa.array([], pa.int64())})
+        cents = ray.get(final_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = pc.list_flatten(emb).to_numpy() \
+            .reshape(batch.num_rows, -1).astype(np.float64)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1).astype(np.int32)
+        t = pa.table({"cluster": pa.array(assign, pa.int32()),
+                      "label": batch.column("label").cast(pa.int32())})
+        g = t.group_by(["cluster", "label"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cluster", "label", "n_p"])
+
+    from ray.data.aggregate import Sum
+    rows = (ds.map_batches(label_counts, batch_format="pyarrow")
+            .groupby(["cluster", "label"])
+            .aggregate(Sum("n_p", alias_name="n"))
+            .take_all())              # bounded: k x #labels cells
+    if not rows:
+        return ray.data.from_arrow(empty)
+    from collections import defaultdict
+    per = defaultdict(dict)
+    for r in rows:
+        per[int(r["cluster"])][int(r["label"])] = int(r["n"])
+    out_c, out_n, out_m, out_p = [], [], [], []
+    for c in sorted(per):
+        lab = per[c]
+        n = sum(lab.values())
+        # majority: max count, ties toward the smaller label id
+        m = sorted(lab.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out_c.append(c); out_n.append(n)
+        out_m.append(m[0]); out_p.append(m[1] / n)
+    return ray.data.from_arrow(pa.table({
+        "cluster": pa.array(out_c, pa.int32()),
+        "n": pa.array(out_n, pa.int64()),
+        "majority_label": pa.array(out_m, pa.int32()),
+        "purity": round6(pa.array(out_p, pa.float64())),
+    }))

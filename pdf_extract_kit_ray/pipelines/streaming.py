@@ -4096,3 +4096,54 @@ def events_burstiness(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def session_survival_curve(sf_dir: str, gap_minutes: int = 30,
+                           max_minute: int = 30) -> "ray.data.Dataset":
+    """Session-duration survival function S(m) = share of sessions lasting
+    at least m whole minutes, for m = 0..``max_minute`` — the engagement
+    curve (discrete Kaplan-Meier with no censoring) product teams read
+    off the sessionization output.
+
+    Builds ON the ``session_stats`` pipeline (one coarse user shuffle);
+    durations floor to whole minutes, clamp into a ``max_minute + 1``
+    overflow bucket, and reduce to a bounded histogram whose reverse
+    cumulative IS the curve — a #minutes-sized pull, never session rows.
+    Empty corpus emits an empty curve (matching the twin's empty cross
+    join)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.num import round6
+
+    sess = session_stats(sf_dir, gap_minutes)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"fl": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        dur = batch.column("duration_us").to_numpy()
+        fl = np.minimum(dur // 60000000, max_minute + 1).astype(np.int64)
+        t = pa.table({"fl": pa.array(fl, pa.int64())})
+        g = t.group_by("fl").aggregate([([], "count_all")])
+        return g.rename_columns(["fl", "n_p"])
+
+    rows = (sess.map_batches(hist, batch_format="pyarrow")
+            .groupby("fl").aggregate(Sum("n_p", alias_name="n"))
+            .take_all())              # bounded: <= max_minute + 2 buckets
+    empty = pa.table({"minute": pa.array([], pa.int64()),
+                      "n_sessions_ge": pa.array([], pa.int64()),
+                      "frac": pa.array([], pa.float64())})
+    if not rows:
+        return ray.data.from_arrow(empty)
+    counts = np.zeros(max_minute + 2, np.int64)
+    for r in rows:
+        counts[int(r["fl"])] = int(r["n"])
+    total = int(counts.sum())
+    ge = np.cumsum(counts[::-1])[::-1]     # ge[m] = sessions with fl >= m
+    minutes = np.arange(max_minute + 1, dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "minute": pa.array(minutes, pa.int64()),
+        "n_sessions_ge": pa.array(ge[:max_minute + 1], pa.int64()),
+        "frac": round6(pa.array(ge[:max_minute + 1] / float(total),
+                                pa.float64())),
+    }))

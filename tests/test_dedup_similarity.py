@@ -865,3 +865,27 @@ def test_kmeans_silhouette_planted_clusters(ray_session, tmp_path):
     }), os.path.join(str(tmp_path), "embeddings.parquet"))
     df2 = similarity.kmeans_silhouette(str(tmp_path), k=2).to_pandas()
     assert (df2.mean_silhouette < 0.6).all()
+
+
+def test_cluster_purity_planted_labels(ray_session, tmp_path):
+    """Two separated blobs with consistent labels -> purity 1.0 per
+    cluster and the majority labels are the planted ones."""
+    rng = np.random.default_rng(5)
+    dim = 8
+    pts = np.vstack([0.01 * rng.standard_normal((80, dim)),
+                     10.0 + 0.01 * rng.standard_normal((80, dim))])
+    pts[0] = 0.0
+    pts[1] = 10.0
+    labels = np.r_[np.full(80, 3, np.int32), np.full(80, 7, np.int32)]
+    labels[1] = 7        # point 1 was moved into blob B as the k=2 seed
+    os.makedirs(str(tmp_path), exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(pts)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in pts],
+                              pa.list_(pa.float64())),
+        "label": pa.array(labels, pa.int32()),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    df = similarity.cluster_purity(str(tmp_path), k=2).to_pandas()
+    assert len(df) == 2 and int(df.n.sum()) == 160
+    assert (df.purity == 1.0).all()
+    assert set(df.majority_label) == {3, 7}
