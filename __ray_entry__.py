@@ -992,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov_stationary": streaming.event_markov_stationary,  # non-SQL (fixpoint)
         "events_burstiness": streaming.events_burstiness,
         "session_survival_curve": streaming.session_survival_curve,
+        "events_entropy_rate": streaming.events_entropy_rate,
         "user_value_twap": streaming.user_value_twap,
         "user_value_median": streaming.user_value_median,
         "rolling_median_value": streaming.rolling_median_value,
@@ -2058,6 +2059,49 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        AS frac
             FROM grid g CROSS JOIN sess
             GROUP BY g.minute
+        """,
+        # chain entropy rate: micro-int term snap before exact integer
+        # sums (the chi2_independence convention); log base 2
+        "events_entropy_rate": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS next_type
+                FROM events
+            ), c AS (
+                SELECT event_type AS ft, next_type AS tt,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM s WHERE event_type IS NOT NULL
+                  AND next_type IS NOT NULL
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS total FROM c
+            ), row_m AS (
+                SELECT ft, CAST(sum(n) AS DOUBLE) AS rn FROM c GROUP BY ft
+            ), col_m AS (
+                SELECT tt, CAST(sum(n) AS DOUBLE) AS cn FROM c GROUP BY tt
+            ), cond AS (
+                SELECT coalesce(sum(CAST(floor(
+                    (CAST(c.n AS DOUBLE) / tot.total)
+                    * log2(row_m.rn / CAST(c.n AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT)), 0) AS micro
+                FROM c JOIN row_m USING (ft), tot
+            ), marg AS (
+                SELECT coalesce(sum(CAST(floor(
+                    (cn / tot.total) * log2(tot.total / cn)
+                    * 1000000.0 + 0.5) AS BIGINT)), 0) AS micro
+                FROM col_m, tot
+            )
+            SELECT (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM c)
+                       AS n_transitions,
+                   (SELECT CAST(count(*) AS BIGINT) FROM
+                       (SELECT ft AS t FROM c UNION SELECT tt FROM c))
+                       AS n_types,
+                   CAST((SELECT micro FROM cond) AS DOUBLE) / 1000000.0
+                       AS cond_entropy_bits,
+                   CAST((SELECT micro FROM marg) AS DOUBLE) / 1000000.0
+                       AS marginal_entropy_bits
         """,
         # chi-square independence: per-cell terms snap to 6dp micro-ints
         # before an exact integer sum (order-independent in both engines)

@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "event_markov_stationary",
     "events_burstiness",
     "session_survival_curve",
+    "events_entropy_rate",
     "user_value_twap",
     "user_value_median",
     "rolling_median_value",

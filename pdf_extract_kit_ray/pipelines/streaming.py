@@ -4147,3 +4147,55 @@ def session_survival_curve(sf_dir: str, gap_minutes: int = 30,
         "frac": round6(pa.array(ge[:max_minute + 1] / float(total),
                                 pa.float64())),
     }))
+
+
+def events_entropy_rate(sf_dir: str) -> "ray.data.Dataset":
+    """Entropy rate of the event-type chain: conditional entropy
+    H(next | current) over the transition counts, next to the marginal
+    next-type entropy H(next) — the pair that quantifies how much the
+    current event type actually predicts the next one (H(next) -
+    H(next|current) = the chain's mutual information).  Log base 2.
+
+    Exact parity: counts are integers; each cell's term (n/N) ·
+    log2(row_n / n) snaps to a 6dp micro-int before an exact integer
+    sum (the chi2_independence convention), so the reduction is
+    order-independent in both engines.  NULL-typed transitions drop.
+
+    Scale shape: all corpus-sized work is event_transitions' ONE coarse
+    user shuffle; entropy runs on the bounded #types² count table
+    (bounded pull)."""
+    trans = event_transitions(sf_dir).take_all()   # bounded: #types^2
+    trans = [r for r in trans
+             if r["from_type"] is not None and r["to_type"] is not None]
+    empty = pa.table({"n_transitions": pa.array([0], pa.int64()),
+                      "n_types": pa.array([0], pa.int64()),
+                      "cond_entropy_bits": pa.array([0.0], pa.float64()),
+                      "marginal_entropy_bits": pa.array([0.0],
+                                                        pa.float64())})
+    if not trans:
+        return ray.data.from_arrow(empty)
+    total = float(sum(r["n"] for r in trans))
+    row_n = {}
+    col_n = {}
+    for r in trans:
+        row_n[r["from_type"]] = row_n.get(r["from_type"], 0) + r["n"]
+        col_n[r["to_type"]] = col_n.get(r["to_type"], 0) + r["n"]
+    cond_micro = 0
+    for r in trans:
+        n = float(r["n"])
+        term = (n / total) * np.log2(float(row_n[r["from_type"]]) / n)
+        cond_micro += int(np.floor(term * 1000000.0 + 0.5))
+    marg_micro = 0
+    for t in col_n:
+        n = float(col_n[t])
+        term = (n / total) * np.log2(total / n)
+        marg_micro += int(np.floor(term * 1000000.0 + 0.5))
+    types = sorted(set(row_n) | set(col_n))
+    return ray.data.from_arrow(pa.table({
+        "n_transitions": pa.array([int(total)], pa.int64()),
+        "n_types": pa.array([len(types)], pa.int64()),
+        "cond_entropy_bits": pa.array([cond_micro / 1000000.0],
+                                      pa.float64()),
+        "marginal_entropy_bits": pa.array([marg_micro / 1000000.0],
+                                          pa.float64()),
+    }))
