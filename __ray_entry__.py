@@ -985,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_report": relational.k_anonymity_report,
         "chi2_independence": relational.chi2_independence,
         "woe_priority_returns": relational.woe_priority_returns,
+        "part_abc_classes": relational.part_abc_classes,
         "daily_order_ship_coverage": relational.daily_order_ship_coverage,
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
@@ -1997,6 +1998,34 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # above the 256-degree cap excluded BY CONTRACT (their wedge set
         # is quadratic, their 1/ln weight negligible), adjacent pairs
         # dropped, deterministic (score desc, pair) top-k
+        # ABC classification: exclusive-prefix window over revenue
+        # descending; class predicates are exact integer inequalities
+        "part_abc_classes": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(floor((l_extendedprice
+                            * (1.0 - l_discount)) * 100.0) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM lineitem GROUP BY 1
+            ), w AS (
+                SELECT l_partkey, rev_c,
+                       coalesce(CAST(sum(rev_c) OVER (
+                            ORDER BY rev_c DESC, l_partkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS BIGINT), 0)
+                           AS prefix_c,
+                       CAST(sum(rev_c) OVER () AS BIGINT) AS total_c
+                FROM pr
+            )
+            SELECT l_partkey,
+                   round(CAST(rev_c AS DOUBLE) / 100.0, 6) AS revenue,
+                   round(CAST(prefix_c + rev_c AS DOUBLE)
+                         / CAST(total_c AS DOUBLE), 6) AS cum_share,
+                   CASE WHEN prefix_c * 5 < total_c * 4 THEN 'A'
+                        WHEN prefix_c * 20 < total_c * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM w
+        """,
         # weight-of-evidence encoder: EXISTS-labeled orders, 0.5-smoothed
         # odds, ln of the same expression tree; no-lineitem orders count
         # as not-returned

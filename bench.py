@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "k_anonymity_report",
     "chi2_independence",
     "woe_priority_returns",
+    "part_abc_classes",
     "part_random_walks",
     "part_frequent_triples",
     "part_coreness",

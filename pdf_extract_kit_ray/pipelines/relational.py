@@ -6187,3 +6187,79 @@ def woe_priority_returns(sf_dir: str) -> "ray.data.Dataset":
         "n_returned": pa.array(bad.astype(np.int64), pa.int64()),
         "woe": round6(pa.array(woe, pa.float64())),
     }))
+
+
+def part_abc_classes(sf_dir: str) -> "ray.data.Dataset":
+    """ABC (Pareto) inventory classification of parts by revenue: parts
+    sort by revenue descending and classify by the EXCLUSIVE running
+    revenue share — A while the prefix share is < 80%, B while < 95%,
+    else C (the boundary item that crosses a threshold stays in the
+    better class; pinned as the contract).  Emits one row per part with
+    its revenue, inclusive cumulative share, and class.
+
+    Exact parity: revenues are exact cents; the class predicates are
+    pure integer inequalities (prefix·5 < total·4, prefix·20 < total·19)
+    so no float boundary exists; shares round once at the end.
+
+    Scale shape: ONE partkey shuffle reduces lineitem to per-part cents;
+    the global descending scan is the two-phase distributed prefix scan
+    (``ordered_prefix_scan`` — O(buckets) driver state, no global sort);
+    the classifier is a pure map."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.num import round6
+    from ..functions.scan import int_range_buckets, ordered_prefix_scan
+
+    line = sized_read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_extendedprice",
+                                       "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount"))), 100.0)),
+            pa.int64())
+        t = pa.table({"l_partkey": batch.column("l_partkey"), "rev_c": rev})
+        g = t.group_by("l_partkey").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["l_partkey", "rev_c"])
+
+    per_part = (line.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("rev_c", alias_name="rev_c")))
+
+    def add_neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg", pc.negate_checked(batch.column("rev_c").cast(pa.int64())))
+
+    tbl = per_part.map_batches(add_neg, batch_format="pyarrow").materialize()
+    empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64()),
+                      "cum_share": pa.array([], pa.float64()),
+                      "abc_class": pa.array([], pa.string())})
+    bounds = tbl.aggregate(Min("neg"), Max("neg"))
+    if not bounds or bounds.get("min(neg)") is None:
+        return ray.data.from_arrow(empty)
+    lo, hi = int(bounds["min(neg)"]), int(bounds["max(neg)"])
+    total = int(tbl.sum("rev_c"))
+
+    scanned = ordered_prefix_scan(
+        tbl, ["neg", "l_partkey"], int_range_buckets("neg", lo, hi),
+        value_col="rev_c", out_col="prefix_c")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        rev = batch.column("rev_c").to_numpy().astype(np.int64)
+        pre = batch.column("prefix_c").to_numpy().astype(np.int64)
+        cls = np.where(pre * 5 < total * 4, "A",
+                       np.where(pre * 20 < total * 19, "B", "C"))
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "revenue": round6(pa.array(rev / 100.0, pa.float64())),
+            "cum_share": round6(pa.array(
+                (pre + rev).astype(np.float64) / float(total),
+                pa.float64())),
+            "abc_class": pa.array(cls.tolist(), pa.string()),
+        })
+
+    return scanned.map_batches(classify, batch_format="pyarrow")
