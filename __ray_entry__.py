@@ -937,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentence_stats": text.doc_sentence_stats,
         "readability_scores": text.readability_scores,
         "mojibake_report": text.mojibake_report,
+        "source_simpson_diversity": text.source_simpson_diversity,
         "order_lines_histogram": relational.order_lines_histogram,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
@@ -3786,6 +3787,30 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         6)
                    ELSE NULL END AS flesch
             FROM m
+        """,
+        # Simpson diversity from integer sufficient statistics (HUGEINT
+        # n^2 sums); one division + round at the end
+        "source_simpson_diversity": """
+            WITH toks AS (
+                SELECT source, unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ), c AS (
+                SELECT source, term, CAST(count(*) AS BIGINT) AS n
+                FROM toks GROUP BY 1, 2
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE)
+                         / (CAST(sum(n) AS DOUBLE)
+                            * CAST(sum(n) AS DOUBLE)), 6) AS simpson,
+                   round((CAST(sum(n) AS DOUBLE)
+                          * CAST(sum(n) AS DOUBLE))
+                         / CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE), 6)
+                       AS inv_simpson
+            FROM c GROUP BY source
         """,
         # encoding-damage audit: both engines run the SAME RE2 pattern
         "mojibake_report": """

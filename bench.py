@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "doc_sentence_stats",
     "readability_scores",
     "mojibake_report",
+    "source_simpson_diversity",
     "epoch_plan",
     "quality_weighted_sample",
     "weighted_sample_topk",

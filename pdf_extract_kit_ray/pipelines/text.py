@@ -1909,3 +1909,74 @@ def mojibake_report(sf_dir: str) -> "ray.data.Dataset":
                       Sum("partial_f", alias_name="n_flagged"),
                       Sum("partial_h", alias_name="n_artifacts")))
     return agg
+
+
+def source_simpson_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source lexical diversity via Simpson's index: Σ(n_t/N)² over
+    the source's term distribution (the probability two random tokens
+    coincide) and its inverse (the "effective vocabulary" size) — the
+    diversity pair that catches template-flooded or boilerplate-heavy
+    sources which length/entropy stats miss.
+
+    Exact parity: Simpson reduces to integer sufficient statistics —
+    Σn_t², Σn_t, #terms — so both engines sum exact integers (HUGEINT in
+    the twin; the Ray side's int64 Σn² bounds a single term at ~3·10⁹
+    occurrences, documented headroom) and divide once.
+
+    Scale shape: per-batch (source, term, count) combiners, ONE coarse
+    hash(source, term) shuffle for exact counts, then a #sources-sized
+    moment rollup — the shared wordcount shape."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import coarse_grouped_aggregate
+    from ..functions.num import round6
+
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(batch.column("text"))
+        toklists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        lens = pc.fill_null(pc.list_value_length(toklists), 0) \
+            .to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(toklists)
+        src = batch.column("source").take(pa.array(
+            np.repeat(np.arange(batch.num_rows), lens), pa.int64()))
+        t = pa.table({"source": src, "term": toks})
+        t = t.filter(pc.not_equal(t.column("term"), ""))
+        g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "term", "partial_n"])
+
+    counts = coarse_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "term"], [("partial_n", "sum", "n")])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        t = pa.table({
+            "source": batch.column("source"),
+            "t_p": pa.array(np.ones(len(n), np.int64)),
+            "s_p": pa.array(n, pa.int64()),
+            "ss_p": pa.array(n * n, pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [("t_p", "sum"), ("s_p", "sum"), ("ss_p", "sum")])
+        return g.rename_columns(["source", "t_p", "s_p", "ss_p"])
+
+    agg = (counts.map_batches(moments, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("t_p", alias_name="n_terms"),
+                      Sum("s_p", alias_name="n_tokens"),
+                      Sum("ss_p", alias_name="ss")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nf = batch.column("n_tokens").to_numpy().astype(np.float64)
+        ss = batch.column("ss").to_numpy().astype(np.float64)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_terms": batch.column("n_terms").cast(pa.int64()),
+            "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+            "simpson": round6(pa.array(ss / (nf * nf), pa.float64())),
+            "inv_simpson": round6(pa.array((nf * nf) / ss, pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
