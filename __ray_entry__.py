@@ -1100,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_neardup": multimodal.media_feature_neardup,
         "media_exact_dedup": multimodal.media_exact_dedup,  # non-SQL (payload md5)
         "media_kind_bytes": multimodal.media_kind_bytes,  # non-SQL (synthesized table)
+        "media_integrity_check": multimodal.media_integrity_check,  # non-SQL (blob parse)
         "ocr_preprocess_summary": multimodal.ocr_preprocess_summary,
     }
 

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "media_exact_dedup",
     "media_kind_bytes",
+    "media_integrity_check",
     "order_priority_revenue",
     "forecast_revenue",
     "orders_star",

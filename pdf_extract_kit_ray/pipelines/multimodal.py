@@ -415,3 +415,125 @@ def media_kind_bytes(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def media_integrity_check(sf_dir: str) -> "ray.data.Dataset":
+    """Binary-payload integrity audit over the media table: per kind, how
+    many payloads (a) are NULL, (b) carry the wrong container magic for
+    their declared kind, (c) have header fields that contradict the
+    table's metadata columns, or (d) have a byte length inconsistent
+    with their own header — the corrupt-blob gate a multimodal ingest
+    runs before handing payloads to decode actors.
+
+    Container format is the synthetic FIMG/FAUD/FVID framing
+    (sources/media.py:52-85); a real deployment swaps the magic/header
+    parsers for PNG/WAV/MP4 ones — the Ray-side shape (vectorized
+    ``binary_slice`` + numpy header parse per batch, #kinds-sized
+    rollup) is identical.  Non-SQL (DuckDB v1.0.0 cannot slice BLOBs);
+    pinned by planted-corruption tests."""
+    from ray.data.aggregate import Sum
+
+    MAGICS = {"image": b"FIMG", "audio": b"FAUD", "video": b"FVID"}
+    HDR_LEN = {"image": 5, "audio": 8, "video": 6}
+
+    ds = ray.data.read_parquet(
+        media_table_path(sf_dir),
+        columns=["kind", "payload", "width", "height", "n_frames",
+                 "sample_rate", "n_samples"])
+
+    empty = pa.table({"kind": pa.array([], pa.string()),
+                      "n_items": pa.array([], pa.int64()),
+                      "n_null": pa.array([], pa.int64()),
+                      "n_bad_magic": pa.array([], pa.int64()),
+                      "n_meta_mismatch": pa.array([], pa.int64()),
+                      "n_size_mismatch": pa.array([], pa.int64())})
+
+    def check(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty.rename_columns(
+                ["kind", "n_p", "null_p", "magic_p", "meta_p", "size_p"])
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        payload = batch.column("payload")
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        is_null = pc.is_null(payload).to_numpy(zero_copy_only=False)
+        plen = pc.fill_null(pc.binary_length(payload), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        magic = pc.binary_slice(pc.fill_null(payload, b""), 0, 4) \
+            .to_numpy(zero_copy_only=False)
+        meta = {c: batch.column(c).to_numpy(zero_copy_only=False)
+                     .astype(np.int64)
+                for c in ("width", "height", "n_frames",
+                          "sample_rate", "n_samples")}
+        bad_magic = np.zeros(len(kind), bool)
+        meta_bad = np.zeros(len(kind), bool)
+        size_bad = np.zeros(len(kind), bool)
+        hdr_raw = pc.binary_slice(pc.fill_null(payload, b""), 4, 12) \
+            .to_numpy(zero_copy_only=False)
+        for k, mg in MAGICS.items():
+            m = (kind == k) & ~is_null
+            if not m.any():
+                continue
+            bad_magic[m] = np.array([b != mg for b in magic[m]])
+            ok = m & ~bad_magic
+            idx = np.flatnonzero(ok)
+            if not len(idx):
+                continue
+            hl = HDR_LEN[k]
+            # rows long enough to carry the header parse it; shorter rows
+            # are size mismatches outright
+            short = plen[idx] < 4 + hl
+            size_bad[idx[short]] = True
+            good = idx[~short]
+            if not len(good):
+                continue
+            hdr = np.frombuffer(
+                b"".join(h[:hl] for h in hdr_raw[good]), np.uint8) \
+                .reshape(len(good), hl)
+            if k == "image":
+                w = hdr[:, 0].astype(np.int64) | (hdr[:, 1].astype(np.int64) << 8)
+                h = hdr[:, 2].astype(np.int64) | (hdr[:, 3].astype(np.int64) << 8)
+                c = hdr[:, 4].astype(np.int64)
+                meta_bad[good] = ((w != meta["width"][good])
+                                  | (h != meta["height"][good]))
+                size_bad[good] = plen[good] != 9 + w * h * c
+            elif k == "audio":
+                le = lambda a, o: (a[:, o].astype(np.int64)
+                                   | (a[:, o + 1].astype(np.int64) << 8)
+                                   | (a[:, o + 2].astype(np.int64) << 16)
+                                   | (a[:, o + 3].astype(np.int64) << 24))
+                sr, ns = le(hdr, 0), le(hdr, 4)
+                meta_bad[good] = ((sr != meta["sample_rate"][good])
+                                  | (ns != meta["n_samples"][good]))
+                size_bad[good] = plen[good] != 12 + ns * 2
+            else:                                   # video
+                w = hdr[:, 0].astype(np.int64) | (hdr[:, 1].astype(np.int64) << 8)
+                h = hdr[:, 2].astype(np.int64) | (hdr[:, 3].astype(np.int64) << 8)
+                nf = hdr[:, 4].astype(np.int64) | (hdr[:, 5].astype(np.int64) << 8)
+                meta_bad[good] = ((w != meta["width"][good])
+                                  | (h != meta["height"][good])
+                                  | (nf != meta["n_frames"][good]))
+                size_bad[good] = plen[good] != 10 + w * h * nf
+        unknown = ~np.isin(kind, list(MAGICS)) & ~is_null
+        bad_magic |= unknown                    # unclassifiable container
+        t = pa.table({
+            "kind": batch.column("kind"),
+            "n_p": pa.array(np.ones(len(kind), np.int64)),
+            "null_p": pa.array(is_null.astype(np.int64)),
+            "magic_p": pa.array(bad_magic.astype(np.int64)),
+            "meta_p": pa.array(meta_bad.astype(np.int64)),
+            "size_p": pa.array(size_bad.astype(np.int64)),
+        })
+        g = t.group_by("kind").aggregate(
+            [("n_p", "sum"), ("null_p", "sum"), ("magic_p", "sum"),
+             ("meta_p", "sum"), ("size_p", "sum")])
+        return g.rename_columns(
+            ["kind", "n_p", "null_p", "magic_p", "meta_p", "size_p"])
+
+    return (ds.map_batches(check, batch_size=64, batch_format="pyarrow")
+            .groupby("kind")
+            .aggregate(Sum("n_p", alias_name="n_items"),
+                       Sum("null_p", alias_name="n_null"),
+                       Sum("magic_p", alias_name="n_bad_magic"),
+                       Sum("meta_p", alias_name="n_meta_mismatch"),
+                       Sum("size_p", alias_name="n_size_mismatch")))

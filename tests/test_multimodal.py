@@ -269,3 +269,53 @@ def test_media_exact_dedup_planted(ray_session):
     assert set(dups["keep_id"]) == {i - 3 for i in range(19, 120, 20)}
     assert (dups["n"] == 2).all()
     assert res["n"].sum() == 120          # every payload accounted for
+
+
+def test_media_integrity_check_planted_corruption(ray_session, tmp_path):
+    """Planted corruption classes land in the right counters: wrong
+    magic, header/metadata contradiction, truncated payload, NULL
+    payload, and an unknown kind."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extract_kit_ray.pipelines.multimodal import \
+        media_integrity_check
+    from pdf_extract_kit_ray.sources import media as m
+
+    rows = []
+    for i in range(4):
+        rows.append(m.media_row(i, f"media://t/{i}", "image"))
+    rows[1]["payload"] = b"XXXX" + rows[1]["payload"][4:]     # bad magic
+    rows[2]["width"] = 640                                    # meta lie
+    rows[3]["payload"] = rows[3]["payload"][:-7]              # truncated
+    r4 = m.media_row(4, "media://t/4", "audio")
+    r4["payload"] = None                                      # null
+    rows.append(r4)
+    r5 = m.media_row(5, "media://t/5", "video")
+    r5["kind"] = "hologram"                                   # unknown kind
+    rows.append(r5)
+
+    media_dir = os.path.join(str(tmp_path), "media")
+    os.makedirs(media_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows, schema=m.MEDIA_SCHEMA),
+                   os.path.join(media_dir, "media.parquet"))
+    # media_table_path synthesizes by sf-dir NAME; point the op at the
+    # planted table instead
+    import pdf_extract_kit_ray.pipelines.multimodal as mm
+    orig = mm.media_table_path
+    mm.media_table_path = lambda sf: media_dir
+    try:
+        df = media_integrity_check(str(tmp_path)).to_pandas() \
+            .set_index("kind")
+    finally:
+        mm.media_table_path = orig
+    img = df.loc["image"]
+    assert img.n_items == 4
+    assert img.n_bad_magic == 1
+    assert img.n_meta_mismatch == 1
+    assert img.n_size_mismatch == 1
+    assert df.loc["audio"].n_null == 1
+    assert df.loc["hologram"].n_bad_magic == 1
