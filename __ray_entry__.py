@@ -994,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov_stationary": streaming.event_markov_stationary,  # non-SQL (fixpoint)
         "events_burstiness": streaming.events_burstiness,
         "session_survival_curve": streaming.session_survival_curve,
+        "user_intersession_gaps": streaming.user_intersession_gaps,
         "events_entropy_rate": streaming.events_entropy_rate,
         "user_value_twap": streaming.user_value_twap,
         "user_value_median": streaming.user_value_median,
@@ -2056,6 +2057,42 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                             / ((CAST(n_returned AS DOUBLE) + 0.5)
                                / (b_tot + 0.5 * kcat))), 6) AS woe
             FROM cat, tot
+        """,
+        # session-cadence gaps: islands CTE + lag(session_end) per user;
+        # exact microsecond integers, means round once
+        "user_intersession_gaps": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ), sess AS (
+                SELECT user_id, sid, min(ts) AS session_start,
+                       max(ts) AS session_end
+                FROM s GROUP BY user_id, sid
+            ), g AS (
+                SELECT user_id,
+                       epoch_us(session_start)
+                       - epoch_us(lag(session_end) OVER (
+                             PARTITION BY user_id ORDER BY sid)) AS gap
+                FROM sess
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   round(CAST(sum(gap) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+                       AS mean_gap_s,
+                   round(CAST(max(gap) AS DOUBLE) / 1000000.0, 6)
+                       AS max_gap_s
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
         """,
         # discrete survival of session durations over the minute grid:
         # session islands (the session_stats CTE), floor-minute clamp,

@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "event_markov_stationary",
     "events_burstiness",
     "session_survival_curve",
+    "user_intersession_gaps",
     "events_entropy_rate",
     "user_value_twap",
     "user_value_median",

@@ -4199,3 +4199,71 @@ def events_entropy_rate(sf_dir: str) -> "ray.data.Dataset":
         "marginal_entropy_bits": pa.array([marg_micro / 1000000.0],
                                           pa.float64()),
     }))
+
+
+def user_intersession_gaps(sf_dir: str,
+                           gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Per-user session cadence: gaps between consecutive SESSIONS (this
+    session's end → next session's start), as exact integer aggregates —
+    the return-frequency feature behind churn models that per-event
+    gaps (``inter_event_gaps``) and within-session stats miss.
+
+    Builds on the ``session_stats`` pipeline (one coarse user shuffle);
+    consecutive-session pairing is a per-batch numpy shift AFTER a
+    per-user re-sort of the session rows — sessions of one user always
+    land in one bucket, so the pairing is bucket-local.  Users with a
+    single session emit nothing.  Exact microsecond integer sums; means
+    round once.
+
+    SQL twin: the session islands CTE + lag(session_end) over the
+    per-user session order."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import _GOLDEN, _default_num_coarse
+    from ..functions.num import round6
+
+    nc = _default_num_coarse()
+    sess = session_stats(sf_dir, gap_minutes)
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_gaps": pa.array([], pa.int64()),
+                      "mean_gap_s": pa.array([], pa.float64()),
+                      "max_gap_s": pa.array([], pa.float64())})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "__coarse", pa.array((uid * _GOLDEN) % nc, pa.int64()))
+
+    def bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = group.take(pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("session_idx", "ascending")]))
+        uid = g.column("user_id").to_numpy()
+        start = g.column("session_start").cast(pa.int64()).to_numpy()
+        end = g.column("session_end").cast(pa.int64()).to_numpy()
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        gap = (start[1:] - end[:-1])[same]
+        gu = uid[1:][same]
+        starts = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1]])
+        users = gu[starts]
+        n = np.diff(np.r_[starts, len(gu)]).astype(np.int64)
+        gsum = np.add.reduceat(gap, starts)
+        gmax = np.maximum.reduceat(gap, starts)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "n_gaps": pa.array(n, pa.int64()),
+            "mean_gap_s": round6(pa.array(
+                gsum.astype(np.float64) / (n * 1e6), pa.float64())),
+            "max_gap_s": round6(pa.array(gmax / 1e6, pa.float64())),
+        })
+
+    return (sess.map_batches(tag, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(bucket, batch_format="pyarrow")
+            .map_batches(lambda b: b if b.num_rows else empty,
+                         batch_format="pyarrow"))
