@@ -185,6 +185,57 @@ def main() -> None:
     res["events_locf_grid_sec"] = round(time.time() - t0, 1)
     res["locf_rows"] = len(lg)
 
+    # --- session-12 operators over the same 2M-event table ---
+    t0 = time.time()
+    scd = streaming.events_scd2_intervals(OUT).to_pandas()
+    res["scd2_sec"] = round(time.time() - t0, 1)
+    res["scd2_events_total_ok"] = bool(
+        int(scd.n_events.sum()) == N_EVENTS)
+    # user 0's types alternate every event -> 20 one-event runs, and the
+    # last run per user is the only open one
+    s0 = scd[scd.user_id == 0]
+    res["scd2_u0_ok"] = bool(len(s0) == 20 and (s0.n_events == 1).all()
+                             and int(s0.valid_to.isna().sum()) == 1)
+
+    t0 = time.time()
+    tw = streaming.user_value_twap(OUT).to_pandas()
+    res["twap_sec"] = round(time.time() - t0, 1)
+    # user 0's values are all 1.0 -> LOCF average is exactly 1.0
+    res["twap_u0_ok"] = bool(
+        abs(float(tw[tw.user_id == 0].iloc[0].twap) - 1.0) < 1e-9)
+
+    t0 = time.time()
+    ig = streaming.user_intersession_gaps(OUT).to_pandas()
+    res["intersession_sec"] = round(time.time() - t0, 1)
+    # user 0: sessions start 2 h apart and span 3 min -> 4 gaps of 7020 s
+    g0 = ig[ig.user_id == 0].iloc[0]
+    res["intersession_u0_ok"] = bool(g0.n_gaps == 4
+                                     and abs(g0.mean_gap_s - 7020.0) < 1e-6
+                                     and abs(g0.max_gap_s - 7020.0) < 1e-6)
+
+    t0 = time.time()
+    bu = streaming.events_burstiness(OUT).to_pandas()
+    res["burstiness_sec"] = round(time.time() - t0, 1)
+    res["burstiness_ok"] = bool(len(bu) == len(TYPES)
+                                and int(bu.n_events.sum()) == N_EVENTS
+                                and (bu.fano >= 0).all())
+
+    t0 = time.time()
+    er = streaming.events_entropy_rate(OUT).to_pandas().iloc[0]
+    res["entropy_rate_sec"] = round(time.time() - t0, 1)
+    import numpy as _np
+    res["entropy_rate_ok"] = bool(
+        0.0 <= er.cond_entropy_bits <= er.marginal_entropy_bits
+        <= _np.log2(len(TYPES)) + 1e-9)
+
+    t0 = time.time()
+    sv = streaming.session_survival_curve(OUT).to_pandas()
+    res["survival_sec"] = round(time.time() - t0, 1)
+    res["survival_ok"] = bool(
+        abs(float(sv.frac.iloc[0]) - 1.0) < 1e-9
+        and sv.n_sessions_ge.is_monotonic_decreasing
+        and int(sv.n_sessions_ge.iloc[0]) == len(ss))
+
     res["driver_peak_rss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)
     print(json.dumps(res))
