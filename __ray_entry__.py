@@ -938,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_scores": text.readability_scores,
         "mojibake_report": text.mojibake_report,
         "source_simpson_diversity": text.source_simpson_diversity,
+        "doc_length_outliers": text.doc_length_outliers,
         "order_lines_histogram": relational.order_lines_histogram,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
@@ -1025,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": similarity.embedding_kmeans,  # non-SQL (iterative)
         "kmeans_silhouette": similarity.kmeans_silhouette,  # non-SQL (iterative)
         "cluster_purity": similarity.cluster_purity,  # non-SQL (iterative)
+        "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,  # non-SQL (2-NN MLE)
         "embedding_pca": similarity.embedding_pca,  # non-SQL (eigendecomp)
         "label_centroids": similarity.label_centroids,
         "knn_classify": similarity.knn_classify,
@@ -3825,6 +3827,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         6)
                    ELSE NULL END AS flesch
             FROM m
+        """,
+        # Tukey length fences per source: percentile_disc quartiles over
+        # integer lengths (NULL text = length 0), exact fence doubles
+        "doc_length_outliers": """
+            WITH l AS (
+                SELECT source,
+                       CAST(coalesce(length(text), 0) AS BIGINT) AS len
+                FROM documents
+            ), q AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(percentile_disc(0.25) WITHIN GROUP
+                            (ORDER BY len) AS DOUBLE) AS q1,
+                       CAST(percentile_disc(0.75) WITHIN GROUP
+                            (ORDER BY len) AS DOUBLE) AS q3
+                FROM l GROUP BY source
+            )
+            SELECT q.source, q.n_docs, q.q1, q.q3,
+                   CAST(count(*) FILTER (WHERE l.len
+                        < q.q1 - 1.5 * (q.q3 - q.q1)) AS BIGINT)
+                       AS n_below,
+                   CAST(count(*) FILTER (WHERE l.len
+                        > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+                       AS n_above
+            FROM q JOIN l ON l.source = q.source
+            GROUP BY q.source, q.n_docs, q.q1, q.q3
         """,
         # Simpson diversity from integer sufficient statistics (HUGEINT
         # n^2 sums); one division + round at the end

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "readability_scores",
     "mojibake_report",
     "source_simpson_diversity",
+    "doc_length_outliers",
     "epoch_plan",
     "quality_weighted_sample",
     "weighted_sample_topk",
@@ -287,6 +288,7 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "kmeans_silhouette",
     "cluster_purity",
+    "embedding_intrinsic_dim",
     "embedding_pca",
     "label_centroids",
     "semantic_dedup",

@@ -1490,3 +1490,108 @@ def cluster_purity(sf_dir: str, k: int = 8,
         "majority_label": pa.array(out_m, pa.int32()),
         "purity": round6(pa.array(out_p, pa.float64())),
     }))
+
+
+def embedding_intrinsic_dim(sf_dir: str,
+                            n_sample: int = 512) -> "ray.data.Dataset":
+    """TWO-NN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al. 2017, "Estimating the intrinsic dimension of datasets
+    by a minimal neighborhood information"): for each sampled point, the
+    ratio mu = r2/r1 of its two nearest EUCLIDEAN neighbors follows
+    P(mu) = d * mu^(-d-1); the MLE is d_hat = n / sum(ln mu).  The
+    diagnostic that says whether a 128-dim embedding really spans 128
+    dims or collapsed onto a low-dim cone (a training failure ANN-recall
+    numbers alone don't explain).
+
+    Scale shape: the sample (vec_id < ``n_sample``, the ann_topk bounded
+    contract) broadcasts once via ``ray.put``; every corpus batch emits
+    its LOCAL two best distances per query (2 rows/query/batch — never
+    vectors); a #sample-sized groupby merge keeps the global two, and
+    the MLE closed form runs on the bounded ratio table.  Points with
+    r1 = 0 (exact duplicates) drop, per the paper.  Non-SQL (argmin
+    chains); pinned by a planted-dimension tolerance test."""
+    import pyarrow.dataset as pads
+
+    from ..functions.num import round6_scalar
+
+    empty = pa.table({"n_used": pa.array([], pa.int64()),
+                      "n_dropped_dup": pa.array([], pa.int64()),
+                      "intrinsic_dim": pa.array([], pa.float64()),
+                      "ambient_dim": pa.array([], pa.int64())})
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n_sample)
+    if qt.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    q_ids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    q_mat = _matrix_from_lists(qt.column("embedding").to_pylist())
+    ambient = q_mat.shape[1]
+    q_ref = ray.put((q_ids, q_mat))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def partial_two_nn(batch: pa.Table) -> pa.Table:
+        out_empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "dist": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return out_empty
+        ids, qm = ray.get(q_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = pc.list_flatten(emb).to_numpy() \
+            .reshape(batch.num_rows, -1).astype(np.float64)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        # squared euclidean (monotone in distance; ratios take a sqrt at
+        # the end): ||q||^2 - 2 q.x + ||x||^2
+        d2 = (qm * qm).sum(1)[:, None] - 2.0 * (qm @ x.T) \
+            + (x * x).sum(1)[None, :]
+        d2[np.maximum(d2, 0) != d2] = 0.0          # clamp fp negatives
+        d2[np.equal.outer(ids, bids)] = np.inf     # exclude self
+        k = min(2, d2.shape[1])
+        part = np.partition(d2, k - 1, axis=1)[:, :k]
+        rows = np.repeat(ids, k)
+        return pa.table({"query_id": pa.array(rows, pa.int64()),
+                         "dist": pa.array(part.ravel(), pa.float64())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        d = np.sort(group.column("dist").to_numpy())
+        d = d[np.isfinite(d)]
+        if len(d) < 2:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "r1": pa.array([], pa.float64()),
+                             "r2": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(
+                [group.column("query_id")[0].as_py()], pa.int64()),
+            "r1": pa.array([float(np.sqrt(d[0]))], pa.float64()),
+            "r2": pa.array([float(np.sqrt(d[1]))], pa.float64()),
+        })
+
+    rows = (ds.map_batches(partial_two_nn, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pyarrow")
+            .take_all())               # bounded: <= n_sample ratio rows
+    if not rows:
+        return ray.data.from_arrow(empty)
+    r1 = np.array([r["r1"] for r in rows])
+    r2 = np.array([r["r2"] for r in rows])
+    ok = r1 > 0
+    n_used = int(ok.sum())
+    if n_used == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_used": pa.array([0], pa.int64()),
+            "n_dropped_dup": pa.array([len(rows)], pa.int64()),
+            "intrinsic_dim": pa.array([float("nan")], pa.float64()),
+            "ambient_dim": pa.array([ambient], pa.int64())}))
+    lnmu = np.log(r2[ok] / r1[ok])
+    d_hat = n_used / float(lnmu.sum()) if lnmu.sum() > 0 else float("nan")
+    return ray.data.from_arrow(pa.table({
+        "n_used": pa.array([n_used], pa.int64()),
+        "n_dropped_dup": pa.array([len(rows) - n_used], pa.int64()),
+        "intrinsic_dim": pa.array(
+            [round6_scalar(d_hat) if np.isfinite(d_hat) else float("nan")],
+            pa.float64()),
+        "ambient_dim": pa.array([ambient], pa.int64()),
+    }))

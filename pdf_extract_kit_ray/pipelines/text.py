@@ -1980,3 +1980,64 @@ def source_simpson_diversity(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_length_outliers(sf_dir: str, k: float = 1.5) -> "ray.data.Dataset":
+    """Per-source Tukey-fence length audit: quartiles of the character
+    length distribution (percentile_disc over the bounded int domain),
+    the IQR fences lo = q1 - 1.5·IQR / hi = q3 + 1.5·IQR, and how many
+    docs fall outside — the robust length-outlier gate (truncated pages,
+    concatenation blowups) that a mean/std rule misses on skewed
+    corpora.  NULL text counts length 0 (a doc that exists but carries
+    nothing is exactly what the fence should see).
+
+    Exact parity: lengths are integers; quartiles use the
+    percentile_disc rank convention (ceil(q·n), the repo standard);
+    fences evaluate in exact double arithmetic from integer quartiles;
+    outlier comparisons are against the same fence doubles.
+
+    Scale shape: per-batch (source, len, count) histogram partials, ONE
+    shuffle over the bounded (source x distinct-length) domain, per
+    source a cumulative walk + a second pass over its own histogram
+    rows — doc rows never move."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ln = pc.fill_null(pc.cast(pc.utf8_length(batch.column("text")),
+                                  pa.int64()), 0)
+        t = pa.table({"source": batch.column("source"), "len": ln})
+        g = t.group_by(["source", "len"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "len", "partial_n"])
+
+    agg = (ds.map_batches(hist, batch_format="pyarrow")
+           .groupby(["source", "len"])
+           .aggregate(Sum("partial_n", alias_name="n")))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("len"))
+        vals = group.column("len").take(order).to_numpy()
+        counts = group.column("n").take(order).to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        q1 = float(vals[int(np.searchsorted(
+            cum, int(np.ceil(0.25 * total))))])
+        q3 = float(vals[int(np.searchsorted(
+            cum, int(np.ceil(0.75 * total))))])
+        lo = q1 - k * (q3 - q1)
+        hi = q3 + k * (q3 - q1)
+        below = int(counts[vals < lo].sum())
+        above = int(counts[vals > hi].sum())
+        return pa.table({
+            "source": pa.array([group.column("source")[0].as_py()],
+                               pa.string()),
+            "n_docs": pa.array([total], pa.int64()),
+            "q1": pa.array([q1], pa.float64()),
+            "q3": pa.array([q3], pa.float64()),
+            "n_below": pa.array([below], pa.int64()),
+            "n_above": pa.array([above], pa.int64()),
+        })
+
+    return agg.groupby("source").map_groups(kernel,
+                                            batch_format="pyarrow")

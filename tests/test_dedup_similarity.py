@@ -889,3 +889,32 @@ def test_cluster_purity_planted_labels(ray_session, tmp_path):
     assert len(df) == 2 and int(df.n.sum()) == 160
     assert (df.purity == 1.0).all()
     assert set(df.majority_label) == {3, 7}
+
+
+def test_intrinsic_dim_planted_manifold(ray_session, tmp_path):
+    """Points on a 4-dim Gaussian embedded in 16 ambient dims estimate
+    d_hat near 4; full-rank 16-dim Gaussian estimates well above it.
+    (TWO-NN is biased slightly low at finite n — accept a band.)"""
+    rng = np.random.default_rng(9)
+    n, amb, d = 1500, 16, 4
+
+    def write(pts):
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(len(pts)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in pts],
+                                  pa.list_(pa.float64())),
+        }), os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    low = np.zeros((n, amb))
+    low[:, :d] = rng.standard_normal((n, d))
+    os.makedirs(str(tmp_path), exist_ok=True)
+    write(low)
+    r = similarity.embedding_intrinsic_dim(str(tmp_path)).to_pandas().iloc[0]
+    assert r.ambient_dim == amb and r.n_used > 400
+    assert 2.5 < r.intrinsic_dim < 6.0
+
+    full = rng.standard_normal((n, amb))
+    write(full)
+    r2 = similarity.embedding_intrinsic_dim(str(tmp_path)).to_pandas().iloc[0]
+    assert r2.intrinsic_dim > 9.0
+    assert r2.intrinsic_dim > r.intrinsic_dim + 3
