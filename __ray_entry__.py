@@ -939,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_report": text.mojibake_report,
         "source_simpson_diversity": text.source_simpson_diversity,
         "doc_length_outliers": text.doc_length_outliers,
+        "source_char_class_profile": text.source_char_class_profile,
         "order_lines_histogram": relational.order_lines_histogram,
         # --- corpus curation ---
         "pii_redact": curation.pii_redact,
@@ -3827,6 +3828,43 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         6)
                    ELSE NULL END AS flesch
             FROM m
+        """,
+        # char-class mix: the same RE2 classes in both engines; "other"
+        # is the exact remainder so shares sum to 1
+        "source_char_class_profile": """
+            WITH m AS (
+                SELECT source,
+                       CAST(coalesce(length(text), 0) AS BIGINT) AS c,
+                       CAST(coalesce(len(regexp_extract_all(
+                            text, '[a-zA-Z]')), 0) AS BIGINT) AS a,
+                       CAST(coalesce(len(regexp_extract_all(
+                            text, '[0-9]')), 0) AS BIGINT) AS d,
+                       CAST(coalesce(len(regexp_extract_all(
+                            text, '\\s')), 0) AS BIGINT) AS s,
+                       CAST(coalesce(len(regexp_extract_all(
+                            text, '[!-/:-@\\[-`{-~]')), 0) AS BIGINT) AS p
+                FROM documents
+            )
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   CASE WHEN sum(c) > 0 THEN round(CAST(sum(a) AS DOUBLE)
+                        / CAST(greatest(sum(c), 1) AS DOUBLE), 6)
+                        ELSE 0.0 END AS alpha_share,
+                   CASE WHEN sum(c) > 0 THEN round(CAST(sum(d) AS DOUBLE)
+                        / CAST(greatest(sum(c), 1) AS DOUBLE), 6)
+                        ELSE 0.0 END AS digit_share,
+                   CASE WHEN sum(c) > 0 THEN round(CAST(sum(s) AS DOUBLE)
+                        / CAST(greatest(sum(c), 1) AS DOUBLE), 6)
+                        ELSE 0.0 END AS space_share,
+                   CASE WHEN sum(c) > 0 THEN round(CAST(sum(p) AS DOUBLE)
+                        / CAST(greatest(sum(c), 1) AS DOUBLE), 6)
+                        ELSE 0.0 END AS punct_share,
+                   CASE WHEN sum(c) > 0 THEN round(
+                        CAST(sum(c) - sum(a) - sum(d) - sum(s) - sum(p)
+                             AS DOUBLE)
+                        / CAST(greatest(sum(c), 1) AS DOUBLE), 6)
+                        ELSE 0.0 END AS other_share
+            FROM m GROUP BY source
         """,
         # Tukey length fences per source: percentile_disc quartiles over
         # integer lengths (NULL text = length 0), exact fence doubles

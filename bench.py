@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "mojibake_report",
     "source_simpson_diversity",
     "doc_length_outliers",
+    "source_char_class_profile",
     "epoch_plan",
     "quality_weighted_sample",
     "weighted_sample_topk",

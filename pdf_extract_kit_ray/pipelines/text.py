@@ -2041,3 +2041,76 @@ def doc_length_outliers(sf_dir: str, k: float = 1.5) -> "ray.data.Dataset":
 
     return agg.groupby("source").map_groups(kernel,
                                             batch_format="pyarrow")
+
+
+def source_char_class_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source character-class mix: shares of alphabetic, digit,
+    whitespace, punctuation-ish, and other codepoints — the one-glance
+    fingerprint that separates prose, tables, code and binary-leak
+    sources before any model-based scoring.  Classes are RE2 classes
+    evaluated identically in both engines; "other" is the remainder, so
+    the five shares sum to 1 by construction.
+
+    Scale shape: four vectorized regex counts per batch, per-batch
+    integer partials, ONE #sources-sized groupby; shares divide exact
+    integer sums once."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+
+        def cnt(pat):
+            return pc.fill_null(pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()), 0)
+
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_chars": pc.fill_null(pc.cast(
+                pc.utf8_length(text), pa.int64()), 0),
+            "n_alpha": cnt("[a-zA-Z]"),
+            "n_digit": cnt("[0-9]"),
+            "n_space": cnt(r"\s"),
+            "n_punct": cnt(r"[!-/:-@\[-`{-~]"),
+        })
+        g = t.group_by("source").aggregate(
+            [("n_chars", "sum"), ("n_alpha", "sum"), ("n_digit", "sum"),
+             ("n_space", "sum"), ("n_punct", "sum")])
+        return g.rename_columns(
+            ["source", "c_p", "a_p", "d_p", "s_p", "p_p"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("c_p", alias_name="n_chars"),
+                      Sum("a_p", alias_name="a"),
+                      Sum("d_p", alias_name="d"),
+                      Sum("s_p", alias_name="s"),
+                      Sum("p_p", alias_name="p")))
+
+    from ..functions.num import round6
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_chars").to_numpy().astype(np.float64)
+        safe = np.maximum(c, 1.0)
+        a = batch.column("a").to_numpy().astype(np.float64)
+        d = batch.column("d").to_numpy().astype(np.float64)
+        s = batch.column("s").to_numpy().astype(np.float64)
+        p = batch.column("p").to_numpy().astype(np.float64)
+        other = c - a - d - s - p
+
+        def share(x):
+            return round6(pa.array(
+                np.where(c > 0, x / safe, 0.0), pa.float64()))
+
+        return pa.table({
+            "source": batch.column("source"),
+            "n_chars": batch.column("n_chars").cast(pa.int64()),
+            "alpha_share": share(a),
+            "digit_share": share(d),
+            "space_share": share(s),
+            "punct_share": share(p),
+            "other_share": share(other),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
