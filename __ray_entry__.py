@@ -2182,14 +2182,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        coalesce(l_linestatus, '(null)') AS status,
                        CAST(count(*) AS BIGINT) AS n
                 FROM lineitem GROUP BY 1, 2
+            ), g AS (
+                -- full-grid expansion: structural zeros contribute E
+                SELECT f.flag, s.status,
+                       CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+                FROM (SELECT DISTINCT flag FROM c) f
+                CROSS JOIN (SELECT DISTINCT status FROM c) s
+                LEFT JOIN c ON c.flag = f.flag AND c.status = s.status
             ), m AS (
-                SELECT flag, status, CAST(n AS DOUBLE) AS n,
+                SELECT flag, status, n,
                        CAST(sum(n) OVER (PARTITION BY flag) AS DOUBLE)
                            AS rowm,
                        CAST(sum(n) OVER (PARTITION BY status) AS DOUBLE)
                            AS colm,
                        CAST(sum(n) OVER () AS DOUBLE) AS total
-                FROM c
+                FROM g
             ), t AS (
                 SELECT CAST(floor(
                          (((n - (rowm * colm) / total)

@@ -5928,6 +5928,31 @@ def value_hour_mahalanobis(sf_dir: str,
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
+def _k_anon_rollup(batch: "pa.Table", k: int) -> "pa.Table":
+    """Per-block rollup for ``k_anonymity_report``.  An EMPTY block must
+    yield a ZERO-ROW table (not a sentinel row): a min_class_size=0
+    sentinel would win the downstream global Min whenever Ray's layout
+    hands any stage an empty block (real class sizes are always >= 1) —
+    a CPU-count-dependent wrong answer.  The all-empty case is coalesced
+    by the final ``or 0`` in the caller."""
+    n = batch.column("class_n").to_numpy() if batch.num_rows else \
+        np.array([], dtype=np.int64)
+    if not len(n):
+        return pa.table({
+            "n_classes": pa.array([], pa.int64()),
+            "n_small_classes": pa.array([], pa.int64()),
+            "n_rows_at_risk": pa.array([], pa.int64()),
+            "min_class_size": pa.array([], pa.int64()),
+        })
+    small = n < k
+    return pa.table({
+        "n_classes": pa.array([len(n)], pa.int64()),
+        "n_small_classes": pa.array([int(small.sum())], pa.int64()),
+        "n_rows_at_risk": pa.array([int(n[small].sum())], pa.int64()),
+        "min_class_size": pa.array([int(n.min())], pa.int64()),
+    })
+
+
 def k_anonymity_report(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
     """k-anonymity audit over the customer quasi-identifier tuple
     (c_nationkey, c_mktsegment): how many equivalence classes exist, how
@@ -5964,28 +5989,20 @@ def k_anonymity_report(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
                .aggregate(Sum("partial_n", alias_name="class_n")))
 
     def rollup(batch: pa.Table) -> pa.Table:
-        n = batch.column("class_n").to_numpy()
-        small = n < k
-        return pa.table({
-            "n_classes": pa.array([len(n)], pa.int64()),
-            "n_small_classes": pa.array([int(small.sum())], pa.int64()),
-            "n_rows_at_risk": pa.array([int(n[small].sum())], pa.int64()),
-            "min_class_size": pa.array(
-                [int(n.min()) if len(n) else 0], pa.int64()),
-        })
+        return _k_anon_rollup(batch, k)
 
     from ray.data.aggregate import Max, Min
     out = (classes.map_batches(rollup, batch_format="pyarrow")
            .aggregate(Sum("n_classes", alias_name="c"),
                       Sum("n_small_classes", alias_name="s"),
                       Sum("n_rows_at_risk", alias_name="r"),
-                      Min("min_class_size", alias_name="m")))
+                      Min("min_class_size", alias_name="m"))) or {}
     return ray.data.from_arrow(pa.table({
         "k": pa.array([k], pa.int64()),
-        "n_classes": pa.array([int(out["c"] or 0)], pa.int64()),
-        "n_small_classes": pa.array([int(out["s"] or 0)], pa.int64()),
-        "n_rows_at_risk": pa.array([int(out["r"] or 0)], pa.int64()),
-        "min_class_size": pa.array([int(out["m"] or 0)], pa.int64()),
+        "n_classes": pa.array([int(out.get("c") or 0)], pa.int64()),
+        "n_small_classes": pa.array([int(out.get("s") or 0)], pa.int64()),
+        "n_rows_at_risk": pa.array([int(out.get("r") or 0)], pa.int64()),
+        "min_class_size": pa.array([int(out.get("m") or 0)], pa.int64()),
     }))
 
 
@@ -6000,6 +6017,12 @@ def chi2_independence(sf_dir: str) -> "ray.data.Dataset":
     chi² sum evaluate the same double expression tree in both engines
     over the SORTED (flag, status) cell order, rounded once at the end.
     NULL categories form their own row/column (GROUP BY semantics).
+    The statistic is the FULL-GRID Pearson chi²: a structurally-absent
+    cell (observed 0 for a flag×status combination both marginals
+    support) contributes its full expected count E to the sum — the twin
+    expands the observed table over the flag×status cross join so both
+    engines agree on structural zeros (classic TPC-H lineitem has empty
+    A/O and R/O cells).
 
     Scale shape: per-batch cell-count partials over the bounded
     #flags x #statuses domain, one tiny shuffle, driver-side closed form

@@ -3908,8 +3908,11 @@ def user_value_twap(sf_dir: str) -> "ray.data.Dataset":
 
     Scale shape: ONE coarse user-hash shuffle; per-bucket sort + numpy
     segment diffs; int64 cent-microsecond products reduce per user
-    (bounded by ~1e13 per gap — overflow needs a single user holding a
-    $90M value for 3 years)."""
+    (~1e13 per gap typical).  Near the int64 budget the engines stay in
+    lockstep rather than silently diverging: a per-gap product that
+    exceeds BIGINT raises OverflowError (DuckDB's multiply does the
+    same), and per-user sums approaching int64 re-reduce with exact
+    Python bigints (DuckDB's SUM widens to HUGEINT)."""
     from ..functions.agg import _GOLDEN, _default_num_coarse
     from ..functions.num import round6
 
@@ -3943,8 +3946,26 @@ def user_value_twap(sf_dir: str) -> "ray.data.Dataset":
         vc = np.floor(g.column("value").to_numpy() * 100.0).astype(np.int64)
         # gap i belongs to row i (value holds until the next event)
         same = uid[1:] == uid[:-1]
-        dur = (ts[1:] - ts[:-1])[same]
-        w = (vc[:-1] * (ts[1:] - ts[:-1]))[same]
+        diffs = ts[1:] - ts[:-1]
+        # overflow guard: the per-gap cent-microsecond product must fit
+        # BIGINT, matching the SQL twin (DuckDB raises on BIGINT multiply
+        # overflow; numpy would wrap silently).  Float bound first (53-bit
+        # mantissa, 2**62 leaves 2x margin), exact Python-int re-check on
+        # the flagged gaps only.
+        prod_f = np.abs(vc[:-1].astype(np.float64)) * \
+            diffs.astype(np.float64)
+        risky = (prod_f > float(2 ** 62)) & same
+        if risky.any():
+            for v, d in zip(vc[:-1][risky].tolist(),
+                            diffs[risky].tolist()):
+                if abs(v * d) > 2 ** 63 - 1:
+                    raise OverflowError(
+                        "user_value_twap: value_cents*duration_us = "
+                        f"{v}*{d} exceeds BIGINT — same overflow the SQL "
+                        "twin raises; split the holding interval or "
+                        "clamp the value upstream")
+        dur = diffs[same]
+        w = (vc[:-1] * diffs)[same]
         gap_uid = uid[:-1][same]
         starts = np.flatnonzero(np.r_[True, gap_uid[1:] != gap_uid[:-1]]) \
             if len(gap_uid) else np.array([], np.int64)
@@ -3954,13 +3975,25 @@ def user_value_twap(sf_dir: str) -> "ray.data.Dataset":
         dsum = np.add.reduceat(dur, starts)
         wsum = np.add.reduceat(w, starts)
         n = np.diff(np.r_[starts, len(gap_uid)]).astype(np.int64)
+        # per-user ACCUMULATION parity: DuckDB's SUM(BIGINT) widens to
+        # HUGEINT, numpy's reduceat wraps.  Segments whose |w| float-sum
+        # nears int64 re-sum with exact Python bigints (each element is
+        # already proven to fit int64 above, so .tolist() is exact).
+        twap_f = np.zeros(len(starts), np.float64)
+        np.divide(wsum, 100.0 * dsum, out=twap_f, where=dsum > 0)
+        abs_sum_f = np.add.reduceat(np.abs(w).astype(np.float64), starts)
+        big = np.flatnonzero(abs_sum_f > float(2 ** 62))
+        if len(big):
+            bounds = np.r_[starts, len(gap_uid)]
+            for si in big.tolist():
+                exact = sum(w[bounds[si]:bounds[si + 1]].tolist())
+                twap_f[si] = float(exact) / (100.0 * float(dsum[si]))
         keep = dsum > 0
         return pa.table({
             "user_id": pa.array(users[keep], pa.int64()),
             "n_gaps": pa.array(n[keep], pa.int64()),
             "total_dur_s": round6(pa.array(dsum[keep] / 1e6, pa.float64())),
-            "twap": round6(pa.array(
-                wsum[keep] / (100.0 * dsum[keep]), pa.float64())),
+            "twap": round6(pa.array(twap_f[keep], pa.float64())),
         })
 
     return (ds.map_batches(tag, batch_format="pyarrow")
