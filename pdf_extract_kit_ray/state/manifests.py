@@ -58,6 +58,32 @@ def _doc_checksum(doc_id: str, spans: List[dict]) -> int:
     return h
 
 
+def _chaos_exit_after(out_dir: str) -> None:
+    """Fault-injection drill hook — inert unless the env var
+    ``PEK_FAULT_EXIT_AFTER_PARTS=K`` is set (workers of a local cluster
+    inherit the submitting process's environment).  Once >= K partitions
+    have a committed manifest, the next ``PEK_FAULT_MAX`` (default 3)
+    writing workers hard-exit (``os._exit``, no Python cleanup) — the
+    closest single-node stand-in for losing nodes mid-sink.  Each crash
+    claims one ``.fault.N`` marker file with O_EXCL so exactly MAX
+    workers die cluster-wide; Ray's task retry then reruns the lost
+    partitions on fresh workers and the job must COMPLETE with output
+    byte-identical to an unfaulted run (tests/test_fault_drill.py) —
+    the manifest-last + tmp-rename protocol is what makes the retry
+    idempotent."""
+    k = os.environ.get("PEK_FAULT_EXIT_AFTER_PARTS")
+    if k is None or len(completed_partitions(out_dir)) < int(k):
+        return
+    for i in range(int(os.environ.get("PEK_FAULT_MAX", "3"))):
+        try:
+            fd = os.open(os.path.join(out_dir, ".fault.%d" % i),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        os.close(fd)
+        os._exit(9)
+
+
 def completed_partitions(out_dir: str) -> Set[int]:
     done = set()
     if not os.path.isdir(out_dir):
@@ -102,6 +128,7 @@ def write_partitioned(docs: "ray.data.Dataset", out_dir: str,
 
     def write_group(group: pa.Table) -> pa.Table:
         import time
+        _chaos_exit_after(out_dir)
         t0 = time.monotonic()
         pid = group.column("partition_id")[0].as_py()
         group = group.sort_by("doc_id").drop_columns(["partition_id"])
@@ -220,6 +247,7 @@ def write_partitioned_table(ds: "ray.data.Dataset", out_dir: str,
 
     def write_group(group: pa.Table) -> pa.Table:
         import time
+        _chaos_exit_after(out_dir)
         t0 = time.monotonic()
         pid = group.column("partition_id")[0].as_py()
         group = group.sort_by(key_col).drop_columns(["partition_id"])
