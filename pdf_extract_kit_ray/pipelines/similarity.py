@@ -529,76 +529,74 @@ def label_centroids(sf_dir: str) -> "ray.data.Dataset":
               .map_groups(merge, batch_format="pyarrow"))
 
 
-def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
-    """Distributed k-means over the embedding column (Lloyd's algorithm):
-    centroids are broadcast per iteration (``ray.put``), each batch reduces
-    to (k x dim sums, k counts) — one small row per block — and the driver
-    merges the kilobyte-sized partials.  Deterministic init (vec_id < k).
-    Returns per-cluster (cluster, n, inertia) after ``iters`` passes.
-
-    Iterative algorithms don't fit a single Dataset DAG; the loop lives on
-    the driver but every pass streams the full dataset through map_batches.
-    The pruned (vec_id, embedding) input is materialized ONCE into the
-    object store — the standard shape for iterative workloads (it saves
-    iters-1 re-reads; blocks spill under pressure, nothing touches the
-    driver)."""
+def _kmeans_seed(sf_dir: str, k: int) -> "np.ndarray":
+    """Deterministic k-means init shared by embedding_kmeans /
+    kmeans_silhouette / cluster_purity: the vectors with vec_id < k, in
+    vec_id order, via a pushed-down parquet metadata filter (never a
+    full-scan Python row filter).  Empty array when the table is empty."""
     import numpy as np
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"]).materialize()
-
-    # deterministic init (vec_id < k) via a pushed-down metadata filter on
-    # the parquet — not a full-scan Python-lambda row filter
     import pyarrow.dataset as pads
     init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"],
         filter=pads.field("vec_id") < k).sort_by("vec_id")
-    centroids = np.array(init.column("embedding").to_pylist(),
-                         dtype=np.float64)
-    if centroids.size == 0:                  # empty embeddings table
-        return pa.table({"cluster": pa.array([], pa.int32()),
-                         "n": pa.array([], pa.int64()),
-                         "inertia_total": pa.array([], pa.float64())})
-    dim = centroids.shape[1]
+    return np.array(init.column("embedding").to_pylist(), dtype=np.float64)
 
-    def make_partial(cref):
-        def partial(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({"block_key": pa.array([], pa.int64()),
-                                 "sums": pa.array([], pa.list_(pa.float64())),
-                                 "counts": pa.array([], pa.list_(pa.int64())),
-                                 "inertia": pa.array([], pa.float64())})
-            cents = ray.get(cref)
-            emb = batch.column("embedding")
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            x = pc.list_flatten(emb).to_numpy() \
-                .reshape(batch.num_rows, -1).astype(np.float64)
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            sums = np.zeros_like(cents)
-            np.add.at(sums, assign, x)
-            counts = np.bincount(assign, minlength=len(cents))
-            inertia = d2[np.arange(len(x)), assign].sum()
-            return pa.table({
-                "block_key": pa.array(
-                    [int(batch.column("vec_id")[0].as_py())], pa.int64()),
-                "sums": pa.array([sums.ravel().tolist()],
-                                 pa.list_(pa.float64())),
-                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
-                "inertia": pa.array([float(inertia)], pa.float64()),
-            })
-        return partial
 
+def _lloyd_assign_partial(cref):
+    """Per-batch Lloyd partial: assign rows to the broadcast centroids,
+    emit ONE row of (k x dim sums, k counts, inertia) keyed by the
+    block's first vec_id — kilobyte-sized regardless of batch size."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"block_key": pa.array([], pa.int64()),
+                             "sums": pa.array([], pa.list_(pa.float64())),
+                             "counts": pa.array([], pa.list_(pa.int64())),
+                             "inertia": pa.array([], pa.float64())})
+        cents = ray.get(cref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = pc.list_flatten(emb).to_numpy() \
+            .reshape(batch.num_rows, -1).astype(np.float64)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=len(cents))
+        inertia = d2[np.arange(len(x)), assign].sum()
+        return pa.table({
+            "block_key": pa.array(
+                [int(batch.column("vec_id")[0].as_py())], pa.int64()),
+            "sums": pa.array([sums.ravel().tolist()],
+                             pa.list_(pa.float64())),
+            "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+            "inertia": pa.array([float(inertia)], pa.float64()),
+        })
+    return partial
+
+
+def _lloyd_iterations(ds, centroids, iters: int):
+    """THE deterministic Lloyd loop — the single implementation behind
+    embedding_kmeans, kmeans_silhouette and cluster_purity (the import
+    graph enforces the "identical loop" contract those queries claim).
+
+    Centroids broadcast per iteration (``ray.put``); each pass streams
+    the full dataset through ``_lloyd_assign_partial``; the KB-sized
+    partials merge on the driver in block_key order because float sums
+    are order-sensitive at the ulp level — enough to flip boundary
+    points between clusters across otherwise-identical runs.  Mutates
+    and returns ``centroids``; also returns the last pass's cluster
+    counts and total inertia."""
+    import numpy as np
+    k, dim = centroids.shape
+    counts = np.zeros(k, dtype=np.int64)
     inertia = float("nan")
     for _ in range(iters):
         cref = ray.put(centroids)
-        # collect the KB-sized partials, then merge in block_key order:
-        # iter_batches yields blocks in nondeterministic arrival order, and
-        # float sums are order-sensitive at the ulp level — enough to flip
-        # boundary points between clusters across otherwise-identical runs
         partials = []
-        for b in ds.map_batches(make_partial(cref),
+        for b in ds.map_batches(_lloyd_assign_partial(cref),
                                 batch_format="pyarrow").iter_batches(
                                     batch_format="pyarrow"):
             for kb, s, c, i in zip(b.column("block_key").to_pylist(),
@@ -616,6 +614,30 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
             inertia += i
         nonzero = counts > 0
         centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids, counts, inertia
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
+    """Distributed k-means over the embedding column (Lloyd's algorithm):
+    centroids are broadcast per iteration (``ray.put``), each batch reduces
+    to (k x dim sums, k counts) — one small row per block — and the driver
+    merges the kilobyte-sized partials.  Deterministic init (vec_id < k).
+    Returns per-cluster (cluster, n, inertia) after ``iters`` passes.
+
+    Iterative algorithms don't fit a single Dataset DAG; the loop lives on
+    the driver but every pass streams the full dataset through map_batches.
+    The pruned (vec_id, embedding) input is materialized ONCE into the
+    object store — the standard shape for iterative workloads (it saves
+    iters-1 re-reads; blocks spill under pressure, nothing touches the
+    driver)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]).materialize()
+    centroids = _kmeans_seed(sf_dir, k)
+    if centroids.size == 0:                  # empty embeddings table
+        return pa.table({"cluster": pa.array([], pa.int32()),
+                         "n": pa.array([], pa.int64()),
+                         "inertia_total": pa.array([], pa.float64())})
+    _, counts, inertia = _lloyd_iterations(ds, centroids, iters)
 
     return pa.table({
         "cluster": pa.array(range(k), pa.int32()),
@@ -1243,8 +1265,6 @@ def kmeans_silhouette(sf_dir: str, k: int = 8,
 
     Non-SQL (iterative); correctness is pinned by planted-cluster
     tolerance tests and the determinism of the shared loop."""
-    import pyarrow.dataset as pads
-
     from ..functions.num import round6
 
     empty = pa.table({"cluster": pa.array([], pa.int32()),
@@ -1253,64 +1273,10 @@ def kmeans_silhouette(sf_dir: str, k: int = 8,
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"]).materialize()
-    init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"],
-        filter=pads.field("vec_id") < k).sort_by("vec_id")
-    centroids = np.array(init.column("embedding").to_pylist(),
-                         dtype=np.float64)
+    centroids = _kmeans_seed(sf_dir, k)
     if centroids.size == 0:
         return ray.data.from_arrow(empty)
-    dim = centroids.shape[1]
-
-    # --- the embedding_kmeans Lloyd loop, verbatim semantics ---
-    def make_partial(cref):
-        def partial(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({"block_key": pa.array([], pa.int64()),
-                                 "sums": pa.array([], pa.list_(pa.float64())),
-                                 "counts": pa.array([], pa.list_(pa.int64())),
-                                 "inertia": pa.array([], pa.float64())})
-            cents = ray.get(cref)
-            emb = batch.column("embedding")
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            x = pc.list_flatten(emb).to_numpy() \
-                .reshape(batch.num_rows, -1).astype(np.float64)
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            sums = np.zeros_like(cents)
-            np.add.at(sums, assign, x)
-            counts = np.bincount(assign, minlength=len(cents))
-            inertia = d2[np.arange(len(x)), assign].sum()
-            return pa.table({
-                "block_key": pa.array(
-                    [int(batch.column("vec_id")[0].as_py())], pa.int64()),
-                "sums": pa.array([sums.ravel().tolist()],
-                                 pa.list_(pa.float64())),
-                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
-                "inertia": pa.array([float(inertia)], pa.float64()),
-            })
-        return partial
-
-    for _ in range(iters):
-        cref = ray.put(centroids)
-        partials = []
-        for b in ds.map_batches(make_partial(cref),
-                                batch_format="pyarrow").iter_batches(
-                                    batch_format="pyarrow"):
-            for kb, s, c, _i in zip(b.column("block_key").to_pylist(),
-                                    b.column("sums").to_pylist(),
-                                    b.column("counts").to_pylist(),
-                                    b.column("inertia").to_pylist()):
-                partials.append((kb, s, c))
-        partials.sort(key=lambda p: p[0])
-        sums = np.zeros((k, dim))
-        counts = np.zeros(k, dtype=np.int64)
-        for _kb, s, c in partials:
-            sums += np.array(s).reshape(k, dim)
-            counts += np.array(c, dtype=np.int64)
-        nonzero = counts > 0
-        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    centroids, _, _ = _lloyd_iterations(ds, centroids, iters)
 
     # --- scoring pass: micro-int silhouette partials per cluster ---
     final_ref = ray.put(centroids)
@@ -1379,8 +1345,6 @@ def cluster_purity(sf_dir: str, k: int = 8,
     the majority label break toward the smaller label id
     (deterministic).  Non-SQL (iterative); pinned by planted-label
     tests."""
-    import pyarrow.dataset as pads
-
     from ..functions.num import round6
 
     empty = pa.table({"cluster": pa.array([], pa.int32()),
@@ -1391,59 +1355,10 @@ def cluster_purity(sf_dir: str, k: int = 8,
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding",
                                         "label"]).materialize()
-    init = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"],
-        filter=pads.field("vec_id") < k).sort_by("vec_id")
-    centroids = np.array(init.column("embedding").to_pylist(),
-                         dtype=np.float64)
+    centroids = _kmeans_seed(sf_dir, k)
     if centroids.size == 0:
         return ray.data.from_arrow(empty)
-    dim = centroids.shape[1]
-
-    def make_partial(cref):
-        def partial(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({"block_key": pa.array([], pa.int64()),
-                                 "sums": pa.array([], pa.list_(pa.float64())),
-                                 "counts": pa.array([], pa.list_(pa.int64()))})
-            cents = ray.get(cref)
-            emb = batch.column("embedding")
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            x = pc.list_flatten(emb).to_numpy() \
-                .reshape(batch.num_rows, -1).astype(np.float64)
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            sums = np.zeros_like(cents)
-            np.add.at(sums, assign, x)
-            counts = np.bincount(assign, minlength=len(cents))
-            return pa.table({
-                "block_key": pa.array(
-                    [int(batch.column("vec_id")[0].as_py())], pa.int64()),
-                "sums": pa.array([sums.ravel().tolist()],
-                                 pa.list_(pa.float64())),
-                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
-            })
-        return partial
-
-    for _ in range(iters):
-        cref = ray.put(centroids)
-        partials = []
-        for b in ds.map_batches(make_partial(cref),
-                                batch_format="pyarrow").iter_batches(
-                                    batch_format="pyarrow"):
-            for kb, s, c in zip(b.column("block_key").to_pylist(),
-                                b.column("sums").to_pylist(),
-                                b.column("counts").to_pylist()):
-                partials.append((kb, s, c))
-        partials.sort(key=lambda p: p[0])
-        sums = np.zeros((k, dim))
-        counts = np.zeros(k, dtype=np.int64)
-        for _kb, s, c in partials:
-            sums += np.array(s).reshape(k, dim)
-            counts += np.array(c, dtype=np.int64)
-        nonzero = counts > 0
-        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    centroids, _, _ = _lloyd_iterations(ds, centroids, iters)
 
     final_ref = ray.put(centroids)
 
