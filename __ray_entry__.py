@@ -929,7 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": text.inverted_index,
         "zipf_slope": text.zipf_slope,
         "term_frequency_spectrum": text.term_frequency_spectrum,
-        "doc_byte_entropy": text.doc_byte_entropy,  # non-SQL (byte histogram)
+        "doc_byte_entropy": text.doc_byte_entropy,
         "top_terms_per_source": text.top_terms_per_source,
         "doc_length_histogram": text.doc_length_histogram,
         "quality_by_source": text.quality_by_source,
@@ -993,7 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_topk": curation.weighted_sample_topk,
         "user_modal_event": streaming.user_modal_event,
         "events_scd2_intervals": streaming.events_scd2_intervals,
-        "event_markov_stationary": streaming.event_markov_stationary,  # non-SQL (fixpoint)
+        "event_markov_stationary": streaming.event_markov_stationary,
         "events_burstiness": streaming.events_burstiness,
         "session_survival_curve": streaming.session_survival_curve,
         "user_intersession_gaps": streaming.user_intersession_gaps,
@@ -1016,7 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_overlap": dedup.cross_source_overlap,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
-        "minhash_estimation_error": dedup.minhash_estimation_error,  # non-SQL (estimator eval)
+        "minhash_estimation_error": dedup.minhash_estimation_error,  # non-SQL (crc32 signature family; DuckDB has no crc32)
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
@@ -1102,7 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "resize_longest_side": multimodal.resize_longest_side,
         "media_feature_neardup": multimodal.media_feature_neardup,
-        "media_exact_dedup": multimodal.media_exact_dedup,  # non-SQL (payload md5)
+        "media_exact_dedup": multimodal.media_exact_dedup,
         "media_kind_bytes": multimodal.media_kind_bytes,  # non-SQL (synthesized table)
         "media_integrity_check": multimodal.media_integrity_check,  # non-SQL (blob parse)
         "ocr_preprocess_summary": multimodal.ocr_preprocess_summary,
@@ -1139,7 +1139,100 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                ELSE 0.0 END) * 0.6
                          + (CAST(least({tokens_expr}, 100) AS DOUBLE)/100.0) * 0.4,
                          6) END"""
+    from pdf_extract_kit_ray.pipelines.multimodal import media_table_path
+    media_glob = os.path.join(media_table_path(sf_dir), "*.parquet")
+    # event_markov_stationary: exact integer pico-unit power iteration
+    # replayed as a generated chained CTE (the part_pagerank pattern) —
+    # 100 iterations of p'[j] = sum_i (p_i * n_ij) // rs_i plus the
+    # dangling rows' uniform p_i // k, all BIGINT-exact in both engines
+    markov_iters = "".join(f""", r{i + 1} AS MATERIALIZED (
+                SELECT ty.type AS type,
+                       CAST(coalesce(agg.s, 0) + d.dsum AS BIGINT) AS p
+                FROM types ty
+                CROSS JOIN (SELECT coalesce(sum(p.p // kk.k), 0) AS dsum
+                            FROM r{i} p, kk
+                            WHERE p.type IN (SELECT type FROM dangling)) d
+                LEFT JOIN (SELECT e.dst AS type,
+                                  sum((CAST(p.p AS HUGEINT) * e.n) // e.rs)
+                                      AS s
+                           FROM e JOIN r{i} p ON p.type = e.src
+                           GROUP BY 1) agg ON agg.type = ty.type
+            )""" for i in range(100))
     sql = {
+        # byte-level Shannon entropy: hex()-substr byte unnest + the same
+        # -p*log2(p) micro-int term tree as the Ray kernel
+        "doc_byte_entropy": """
+            WITH d AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS nb
+                FROM documents
+                WHERE text IS NOT NULL
+                  AND octet_length(encode(text)) > 0
+            ), bytes AS (
+                SELECT doc_id, nb,
+                       ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS byte
+                FROM (SELECT doc_id, hx, nb,
+                             unnest(range(1, nb + 1)) AS i FROM d)
+            ), c AS (
+                SELECT doc_id, nb, byte, count(*) AS cnt
+                FROM bytes GROUP BY 1, 2, 3
+            ), t AS (
+                SELECT doc_id, nb,
+                       CAST(floor((-((cnt / CAST(nb AS DOUBLE))
+                                     * log2(cnt / CAST(nb AS DOUBLE))))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS tm
+                FROM c
+            )
+            SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+                   CAST(sum(tm) AS DOUBLE) / 1000000.0 AS entropy_bits
+            FROM t GROUP BY doc_id, nb
+        """,
+        # stationary distribution: transition counts (the
+        # event_transitions tree + NULL-from drop) -> 100 generated
+        # integer-exact CTE iterations -> normalize + 6dp round once
+        "event_markov_stationary": f"""
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts ASC,
+                                                       event_id ASC)
+                           AS next_type
+                FROM events
+            ), tr AS MATERIALIZED (
+                SELECT event_type AS src, next_type AS dst,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM s WHERE next_type IS NOT NULL
+                        AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), types AS MATERIALIZED (
+                SELECT DISTINCT src AS type FROM tr
+                UNION SELECT DISTINCT dst FROM tr
+            ), kk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+            rsum AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS rs
+                     FROM tr GROUP BY 1),
+            e AS MATERIALIZED (SELECT tr.src, tr.dst, tr.n, rsum.rs
+                  FROM tr JOIN rsum ON tr.src = rsum.src),
+            dangling AS MATERIALIZED (SELECT type FROM types
+                         WHERE type NOT IN (SELECT src FROM tr)),
+            r0 AS MATERIALIZED (SELECT type, CAST(1000000000000 AS BIGINT) AS p
+                   FROM types)
+            {markov_iters}
+            SELECT type AS event_type,
+                   round(CAST(p AS DOUBLE) /
+                         (SELECT CAST(sum(p) AS DOUBLE) FROM r100), 6)
+                       AS stationary_prob
+            FROM r100
+        """,
+        # exact payload dedup: md5 of the uppercase-hex payload encoding
+        # (the engine's fingerprint definition — DuckDB md5 is
+        # VARCHAR-only, hex() is the byte-faithful bridge)
+        "media_exact_dedup": f"""
+            SELECT md5(hex(payload)) AS fp,
+                   CAST(min(media_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{media_glob}')
+            GROUP BY 1
+        """,
         # Flagship extraction vs the MATERIALIZED GOLDEN TABLE (the
         # straight-line oracle's output, written at corpus generation):
         # unnest golden spans, count per kind — hash-equality here pins the

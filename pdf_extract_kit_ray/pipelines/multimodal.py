@@ -334,9 +334,11 @@ def media_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Exact payload dedup over the media table — the byte-identical
     image/video dedup every multimodal ingest runs before the expensive
     near-dup pass (re-crawled assets are usually bit-identical).  Groups
-    by md5 of the raw payload bytes; keeps the minimum media_id per
-    group.  Returns (fp, keep_id, n) — the exact_dedup contract on the
-    binary column.
+    by md5 of the payload's uppercase-hex encoding — a bijection of the
+    raw bytes, chosen over md5-of-bytes so the DuckDB twin
+    (``md5(hex(payload))``; DuckDB's md5 only takes VARCHAR) replays the
+    fingerprint exactly.  Keeps the minimum media_id per group.  Returns
+    (fp, keep_id, n) — the exact_dedup contract on the binary column.
 
     Scale shape: the payload never leaves the read stage (fingerprint
     per batch, payload column dropped immediately), then one coarse
@@ -350,7 +352,8 @@ def media_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
         if isinstance(pay, pa.ChunkedArray):
             pay = pay.combine_chunks()
         md5 = hashlib.md5
-        fps = pa.array([md5(p).hexdigest() if p is not None else None
+        fps = pa.array([md5(p.hex().upper().encode()).hexdigest()
+                        if p is not None else None
                         for p in pay.to_pylist()], pa.string())
         t = pa.table({"fp": fps, "media_id": batch.column("media_id")})
         g = t.group_by("fp").aggregate([("media_id", "min"),

@@ -4014,13 +4014,20 @@ def event_markov_stationary(sf_dir: str, iters: int = 100) -> "ray.data.Dataset"
     design) get a uniform outgoing row — the standard dangling-node fix
     (same as PageRank's), pinned here as the operator contract.  Init is
     uniform; 100 iterations on a #types x #types matrix is driver-side
-    float math on a vocabulary-bounded object.
+    math on a vocabulary-bounded object.
+
+    The iteration runs in EXACT integer pico-units (pi starts at 1e12
+    per type; each step is sum((pi_i * n_ij) // rowsum_i), dangling rows
+    contribute pi_i // k to every type; no per-step renormalization —
+    power iteration is scale-invariant and the floor loss is ~1e-10
+    relative), so the DuckDB twin replays it verbatim as a chained CTE
+    (the part_pagerank pattern) and the final probabilities
+    pi_j / sum(pi) round to identical 6dp doubles in both engines.
 
     Scale shape: all corpus-sized work is event_transitions' ONE coarse
     user shuffle; the matrix itself is #types^2 (bounded) and the power
-    iteration never touches row-level data.  Non-SQL (iterative
-    fixpoint); pinned by a hand-computed two-state-chain test and a
-    row-sum invariant."""
+    iteration never touches row-level data.  Pinned by a hand-computed
+    two-state-chain test, a row-sum invariant, and the SQL twin."""
     trans = event_transitions(sf_dir).take_all()   # bounded: #types^2 rows
     # NULL-typed transitions carry no chain semantics — drop them (the
     # event_transitions output itself preserves them for auditing)
@@ -4036,20 +4043,23 @@ def event_markov_stationary(sf_dir: str, iters: int = 100) -> "ray.data.Dataset"
                    | {r["to_type"] for r in trans})
     idx = {t: i for i, t in enumerate(types)}
     k = len(types)
-    m = np.zeros((k, k), dtype=np.float64)
+    n = [[0] * k for _ in range(k)]
     for r in trans:
-        m[idx[r["from_type"]], idx[r["to_type"]]] += float(r["n"])
-    row_sums = m.sum(axis=1)
-    dangling = row_sums == 0
-    m[dangling] = 1.0 / k                          # uniform dangling rows
-    m[~dangling] /= row_sums[~dangling, None]
-    pi = np.full(k, 1.0 / k)
+        n[idx[r["from_type"]]][idx[r["to_type"]]] += int(r["n"])
+    rs = [sum(row) for row in n]
+    # exact integer pico-unit power iteration (Python bigints; the SQL
+    # twin replays the identical floor-division tree)
+    pi = [10 ** 12] * k
     for _ in range(iters):
-        pi = pi @ m
-        pi /= pi.sum()                             # renormalize drift
+        dsum = sum(pi[i] // k for i in range(k) if rs[i] == 0)
+        pi = [dsum + sum((pi[i] * n[i][j]) // rs[i]
+                         for i in range(k) if rs[i] > 0 and n[i][j] > 0)
+              for j in range(k)]
+    total = float(sum(pi))
     return ray.data.from_arrow(pa.table({
         "event_type": pa.array(types, pa.string()),
-        "stationary_prob": round6(pa.array(pi, pa.float64())),
+        "stationary_prob": round6(pa.array(
+            [p / total for p in pi], pa.float64())),
     }))
 
 

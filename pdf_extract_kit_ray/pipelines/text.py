@@ -1401,9 +1401,11 @@ def doc_byte_entropy(sf_dir: str) -> "ray.data.Dataset":
     Pure vectorized map, no shuffle: the batch's utf8 buffer flattens
     ONCE into a (doc, byte) histogram via a single ``np.bincount`` over
     ``doc_index*256 + byte`` (no per-row loop); entropy is a segmented
-    numpy reduction over each doc's 256-bin slice.  Non-SQL (DuckDB has
-    no byte-histogram kernel); pinned by a straight-line numpy twin in
-    tests.  NULL/empty docs yield no row."""
+    numpy reduction over each doc's 256-bin slice.  Each bin's
+    ``-p*log2(p)`` term snaps to a 6dp micro-int BEFORE the per-doc sum
+    (the chi2_independence convention), so the reduction is an exact
+    integer sum and the DuckDB twin (hex()-substr byte unnest + the same
+    term tree) matches hash-exactly.  NULL/empty docs yield no row."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -1437,12 +1439,15 @@ def doc_byte_entropy(sf_dir: str) -> "ray.data.Dataset":
         n = hist.sum(axis=1, keepdims=True).astype(np.float64)
         p = hist / n
         with np.errstate(divide="ignore", invalid="ignore"):
-            ent_bits = -np.where(p > 0, p * np.log2(p), 0.0).sum(axis=1)
+            terms = -np.where(p > 0, p * np.log2(p), 0.0)
+        # 6dp micro-int term snap -> exact integer per-doc sum (order-
+        # independent, and replayable by the SQL twin's BIGINT sum)
+        ent_micro = np.floor(terms * 1e6 + 0.5).astype(np.int64).sum(axis=1)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[keep]
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_bytes": pa.array(n.ravel().astype(np.int64), pa.int64()),
-            "entropy_bits": pa.array(np.round(ent_bits, 6)),
+            "entropy_bits": pa.array(ent_micro / 1e6, pa.float64()),
         })
 
     return ds.map_batches(ent, batch_format="pyarrow")

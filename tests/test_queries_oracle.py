@@ -65,7 +65,10 @@ _SF001_QUERIES = {"extract_kind_counts", "table_sources",
                   "page_span_stats", "span_term_search",
                   # footer profile: the no-arg twin pins the sf0.01
                   # lineitem file path
-                  "parquet_storage_profile"}
+                  "parquet_storage_profile",
+                  # media fingerprint dedup: the no-arg twin pins the
+                  # sf0.01 media table path
+                  "media_exact_dedup"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))

@@ -183,9 +183,11 @@ def test_doc_byte_entropy_known_values(ray_session, tmp_path):
     assert list(res.index) == [0, 1, 2]
     assert res.loc[0, "entropy_bits"] == 0.0
     assert res.loc[1, "entropy_bits"] == 1.0
-    # numpy twin for the prose doc
+    # numpy twin for the prose doc — per-bin micro-int term snap before
+    # the sum (the operator's SQL-replayable reduction contract)
     b = np.frombuffer(rows[2]["text"].encode(), np.uint8)
-    p = np.bincount(b, minlength=256) / len(b)
-    ref = -np.where(p > 0, p * np.log2(p), 0).sum()
-    assert res.loc[2, "entropy_bits"] == round(float(ref), 6)
+    p = np.bincount(b, minlength=256) / float(len(b))
+    terms = -np.where(p > 0, p * np.log2(p), 0.0)
+    ref = np.floor(terms * 1e6 + 0.5).astype(np.int64).sum() / 1e6
+    assert res.loc[2, "entropy_bits"] == ref
     assert res.loc[2, "n_bytes"] == len(b)
