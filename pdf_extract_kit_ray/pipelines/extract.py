@@ -75,6 +75,31 @@ class ExtractConfig:
     # this many ms per page (see mocks.burn_compute) so scale measurements
     # reflect model-bound stages; never changes outputs.  Tests use 0.
     emulate_inference_ms: float = 0.0
+    # GPU plumbing for real model backends on a CUDA cluster (the
+    # reference runs every model stage on `device: cuda`,
+    # configs/layout_detection.yaml:12): per-actor GPU reservation per
+    # model stage (fractions co-locate stages on one GPU) and an optional
+    # accelerator type constraint — both forwarded verbatim into the
+    # stage's map_batches ray_remote_args.  0 / None = CPU mode (the
+    # sandbox default; mock backends never touch CUDA).
+    layout_num_gpus: float = 0.0
+    mfd_num_gpus: float = 0.0
+    mfr_num_gpus: float = 0.0
+    ocr_num_gpus: float = 0.0
+    fused_num_gpus: float = 0.0
+    accelerator_type: Optional[str] = None
+
+    def gpu_kwargs(self, stage: str) -> dict:
+        """map_batches resource kwargs for a model stage ('layout',
+        'mfd', 'mfr', 'ocr', 'fused'); empty in CPU mode so the sandbox
+        plans are byte-identical to pre-GPU builds."""
+        kw: dict = {}
+        g = getattr(self, f"{stage}_num_gpus")
+        if g:
+            kw["num_gpus"] = g
+        if self.accelerator_type is not None:
+            kw["accelerator_type"] = self.accelerator_type
+        return kw
 
     @classmethod
     def for_cpus(cls, n: int, **overrides) -> "ExtractConfig":
@@ -104,7 +129,8 @@ def extract_page_spans(ds: "ray.data.Dataset",
             fn_kwargs={"backend": cfg.layout_backend,
                        "emulate_inference_ms": emulate,
                        "reading_order": cfg.reading_order},
-            batch_size=cfg.page_batch_size, batch_format="pyarrow")
+            batch_size=cfg.page_batch_size, batch_format="pyarrow",
+            **cfg.gpu_kwargs("fused"))
     if cfg.stage_mode == "fused_actors":
         return pages.map_batches(
             FusedExtractStage, concurrency=cfg.fused_concurrency,
@@ -112,7 +138,7 @@ def extract_page_spans(ds: "ray.data.Dataset",
                                    "emulate_inference_ms": emulate,
                                    "reading_order": cfg.reading_order},
             batch_size=cfg.page_batch_size, num_cpus=cpus,
-            batch_format="pyarrow")
+            batch_format="pyarrow", **cfg.gpu_kwargs("fused"))
     if cfg.stage_mode != "split_actors":
         raise ValueError(f"unknown stage_mode {cfg.stage_mode!r}")
     kw = {"fn_constructor_kwargs": {"emulate_inference_ms": emulate},
@@ -122,13 +148,17 @@ def extract_page_spans(ds: "ray.data.Dataset",
         batch_size=cfg.page_batch_size, num_cpus=cpus,
         batch_format="pyarrow",
         fn_constructor_kwargs={"backend": cfg.layout_backend,
-                               "emulate_inference_ms": emulate})
+                               "emulate_inference_ms": emulate},
+        **cfg.gpu_kwargs("layout"))
     pages = pages.map_batches(MFDStage, concurrency=cfg.mfd_concurrency,
-                              batch_size=cfg.page_batch_size, **kw)
+                              batch_size=cfg.page_batch_size,
+                              **cfg.gpu_kwargs("mfd"), **kw)
     pages = pages.map_batches(MFRStage, concurrency=cfg.mfr_concurrency,
-                              batch_size=cfg.mfr_batch_size, **kw)
+                              batch_size=cfg.mfr_batch_size,
+                              **cfg.gpu_kwargs("mfr"), **kw)
     pages = pages.map_batches(OCRStage, concurrency=cfg.ocr_concurrency,
-                              batch_size=cfg.page_batch_size, **kw)
+                              batch_size=cfg.page_batch_size,
+                              **cfg.gpu_kwargs("ocr"), **kw)
     return pages.map_batches(
         assemble_page_spans,
         fn_kwargs={"reading_order": cfg.reading_order},

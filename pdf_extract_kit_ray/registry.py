@@ -50,11 +50,17 @@ STAGE_REGISTRY = Registry("stage")
 
 @dataclass
 class StageSpec:
-    """One pipeline step: a registered stage plus its execution sizing."""
+    """One pipeline step: a registered stage plus its execution sizing.
+    ``num_gpus`` / ``accelerator_type`` mirror the reference's per-task
+    device configs (configs/layout_detection.yaml:12 `device: cuda`) and
+    are forwarded into the stage's map_batches ray_remote_args; Ray
+    requires an explicit ``batch_size`` on GPU stages."""
     name: str
     batch_size: Optional[int] = None
     concurrency: Optional[int] = None   # actor-pool size for class stages
     num_cpus: Optional[float] = None
+    num_gpus: Optional[float] = None    # per-actor/task GPU reservation
+    accelerator_type: Optional[str] = None   # e.g. "A100" (Ray constraint)
     options: Dict[str, Any] = field(default_factory=dict)  # ctor/partial kwargs
 
 
@@ -71,6 +77,10 @@ def build_pipeline(ds, specs: List[StageSpec]):
             kwargs["batch_size"] = spec.batch_size
         if spec.num_cpus is not None:
             kwargs["num_cpus"] = spec.num_cpus
+        if spec.num_gpus is not None:
+            kwargs["num_gpus"] = spec.num_gpus
+        if spec.accelerator_type is not None:
+            kwargs["accelerator_type"] = spec.accelerator_type
         if inspect.isclass(stage):
             kwargs["concurrency"] = spec.concurrency or 2
             if spec.options:

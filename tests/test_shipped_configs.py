@@ -26,6 +26,9 @@ def test_configs_shipped():
 @pytest.mark.parametrize("spec_path", SPECS, ids=os.path.basename)
 def test_shipped_spec_runs(ray_session, spec_path):
     name = os.path.basename(spec_path)
+    if name.endswith("_gpu.yaml"):
+        pytest.skip("GPU spec: plans everywhere, executes only on CUDA "
+                    "clusters (plan asserted in test_gpu_spec_plan)")
     if name.startswith("curate_"):
         ds = ray.data.read_parquet(
             "/root/testdata/sf0.001/documents.parquet")
@@ -64,3 +67,69 @@ def test_backend_variant_differs(ray_session):
                 for r in rows]
 
     assert run("extract_spans.yaml") != run("extract_spans_layoutlmv3.yaml")
+
+
+def _walk_plan(ds):
+    """All logical operators of a (lazy) Dataset, sink-to-source."""
+    ops, stack = [], [ds._logical_plan.dag]
+    while stack:
+        op = stack.pop()
+        ops.append(op)
+        stack.extend(op.input_dependencies)
+    return ops
+
+
+def test_gpu_spec_plan(ray_session):
+    """The GPU deployment spec must land num_gpus / accelerator_type in
+    the map_batches ray_remote_args WITHOUT needing a GPU to plan (lazy
+    Datasets defer resource acquisition to execution)."""
+    raw = entrymod._corpus_path("/root/testdata/sf0.001")
+    spec = load_pipeline_yaml(os.path.join(CONFIG_DIR,
+                                           "extract_spans_gpu.yaml"))
+    ds = build_pipeline(read_corpus(raw), spec)
+    gpu_args = [op._ray_remote_args.get("num_gpus")
+                for op in _walk_plan(ds)
+                if getattr(op, "_ray_remote_args", None)
+                and "num_gpus" in op._ray_remote_args]
+    # layout/mfd/mfr at 1 GPU, ocr/table at 0.5 (order is sink-first)
+    assert sorted(gpu_args) == [0.5, 0.5, 1, 1, 1]
+
+
+def test_extract_config_gpu_passthrough(ray_session):
+    """ExtractConfig's per-stage num_gpus/accelerator_type knobs must
+    reach every model stage's ray_remote_args in split mode, and the
+    fused knob in fused_actors mode; CPU-mode plans carry none."""
+    import ray.data
+    from pdf_extract_kit_ray.pipelines.extract import (ExtractConfig,
+                                                       extract_page_spans)
+    from pdf_extract_kit_ray.sources.corpus import generate_corpus
+    raw, _ = generate_corpus(4, seed=1)
+    base = ray.data.from_arrow(raw)
+
+    cfg = ExtractConfig.for_cpus(4, stage_mode="split_actors")
+    cfg.layout_num_gpus = 1.0
+    cfg.mfd_num_gpus = 0.5
+    cfg.mfr_num_gpus = 1.0
+    cfg.ocr_num_gpus = 0.25
+    cfg.accelerator_type = "A100"
+    args = [op._ray_remote_args for op in _walk_plan(
+        extract_page_spans(base, cfg))
+        if getattr(op, "_ray_remote_args", None)
+        and "num_gpus" in op._ray_remote_args]
+    assert sorted(a["num_gpus"] for a in args) == [0.25, 0.5, 1.0, 1.0]
+    assert all(a["accelerator_type"] == "A100" for a in args)
+
+    fused = ExtractConfig.for_cpus(4, stage_mode="fused_actors")
+    fused.fused_num_gpus = 2.0
+    fargs = [op._ray_remote_args for op in _walk_plan(
+        extract_page_spans(base, fused))
+        if getattr(op, "_ray_remote_args", None)
+        and "num_gpus" in op._ray_remote_args]
+    assert [a["num_gpus"] for a in fargs] == [2.0]
+    assert "accelerator_type" not in fargs[0]
+
+    cpu = ExtractConfig.for_cpus(4, stage_mode="split_actors")
+    cargs = [op for op in _walk_plan(extract_page_spans(base, cpu))
+             if getattr(op, "_ray_remote_args", None)
+             and "num_gpus" in op._ray_remote_args]
+    assert cargs == []          # CPU plans identical to pre-GPU builds
