@@ -86,14 +86,23 @@ def page_image_from_raw_dets(raw_dets: Sequence[dict]) -> np.ndarray:
 
 
 def crop_image(img: np.ndarray, det: dict, pad: int = 25) -> np.ndarray:
-    """Padded, page-clipped pixel crop of a detection box — the pixel twin
-    of the geometry ``crop_frame`` (P2 pad-25, pdf2markdown.py:217)."""
+    """P2 ``crop_img`` pad-25 on pixels (pdf2markdown.py:41-54): paste
+    the int-truncated region onto a WHITE canvas of (w+2*pad, h+2*pad)
+    at (pad, pad) — the padding is white background, never surrounding
+    page pixels, so downstream quad restoration can subtract a constant
+    (pad) offset.  Out-of-page extents clip at the source (the canvas
+    stays full-size, extra area stays white)."""
     h, w = img.shape[:2]
-    x0 = max(0, int(det["x0"]) - pad)
-    y0 = max(0, int(det["y0"]) - pad)
-    x1 = min(w, int(det["x1"]) + pad)
-    y1 = min(h, int(det["y1"]) + pad)
-    return img[y0:y1, x0:x1]
+    x0, y0 = int(det["x0"]), int(det["y0"])
+    x1, y1 = int(det["x1"]), int(det["y1"])
+    canvas = np.full((y1 - y0 + 2 * pad, x1 - x0 + 2 * pad)
+                     + img.shape[2:], 255, img.dtype)
+    sy0, sy1 = max(0, y0), max(0, min(h, y1))
+    sx0, sx1 = max(0, x0), max(0, min(w, x1))
+    if sy1 > sy0 and sx1 > sx0:
+        canvas[pad + sy0 - y0: pad + sy1 - y0,
+               pad + sx0 - x0: pad + sx1 - x0] = img[sy0:sy1, sx0:sx1]
+    return canvas
 
 
 def _det_from_box(kind: str, box, score: float) -> dict:
@@ -255,8 +264,10 @@ class PaddleOCRAdapter:
             if region["kind"] not in OCR_CLASSES:
                 continue
             frame = make_ocr_region_frame(region)
-            crop = img[int(frame["y0"]):int(frame["y1"]),
-                       int(frame["x0"]):int(frame["x1"])]
+            # the engine sees the reference's padded WHITE canvas (same
+            # geometry as `frame`), so its quads restore with the
+            # constant pad offset in quad_crop_to_page
+            crop = crop_image(img, region)
             mfd_res = adjusted_formula_bboxes(formula_dets, frame)
             res = self.engine.ocr(crop, cls=True, mfd_res=mfd_res or None)
             for line in (res[0] or []):

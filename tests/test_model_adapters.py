@@ -107,15 +107,21 @@ def test_page_image_round_trip_and_geometry_rejection():
         ma.page_image_from_raw_dets([geom])
 
 
-def test_crop_image_pad25_and_clip():
+def test_crop_image_pad25_white_canvas():
+    """P2 crop_img (pdf2markdown.py:41-54): region pasted at (25,25) on a
+    WHITE canvas — padding is background, not surrounding page pixels."""
     img = _gradient_img(200, 300)
     det = {"x0": 50, "y0": 60, "x1": 100, "y1": 90}
     crop = ma.crop_image(img, det)
     assert crop.shape == (90 - 60 + 50, 100 - 50 + 50, 3)  # +25 each side
-    assert np.array_equal(crop, img[35:115, 25:125])
-    # clipped at the page edge, like the geometry crop_frame (P2)
+    assert np.array_equal(crop[25:55, 25:75], img[60:90, 50:100])
+    assert (crop[:25] == 255).all() and (crop[:, :25] == 255).all()
+    assert (crop[55:] == 255).all() and (crop[:, 75:] == 255).all()
+    # page-edge region: canvas stays full-size, out-of-page area white
     edge = ma.crop_image(img, {"x0": 5, "y0": 0, "x1": 295, "y1": 198})
-    assert edge.shape == (200, 300, 3)
+    assert edge.shape == (198 + 50, 290 + 50, 3)
+    assert np.array_equal(edge[25:223, 25:315], img[0:198, 5:295])
+    assert (edge[:25] == 255).all()
 
 
 def test_det_from_box_int_trunc_2dp():
