@@ -7,7 +7,10 @@ the driver's way: columns sorted by NAME, rows sorted, float values rounded.
 Entries without an oracle get the driver's weaker rows-only check.
 
 Usage:  python scripts/correctness_sweep.py [--sf-dir /root/testdata/sf0.01]
-        [--only name1,name2]
+        [--only name1,name2] [--sample N --seed S]
+
+``--sample N`` verifies a reproducible random slice of the registry (the
+cheap re-audit mode for judges: same N+seed -> same slice).
 """
 
 from __future__ import annotations
@@ -73,6 +76,12 @@ def main() -> int:
     ap.add_argument("--out", default="",
                     help="write the full per-query report as JSON (the "
                          "SWEEP_r{N}.json artifact the judge audits)")
+    ap.add_argument("--sample", type=int, default=0,
+                    help="verify only a random sample of N registry "
+                         "entries (0 = all); reproducible via --seed")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="RNG seed for --sample (same N+seed -> same "
+                         "slice)")
     args = ap.parse_args()
 
     import ray
@@ -96,6 +105,14 @@ def main() -> int:
     # materialized goldens (the driver's no-arg call stays sf0.01)
     oracles = E.oracle_sql(args.sf_dir)
     only = {s for s in args.only.split(",") if s}
+    if args.sample:
+        import random
+        names = sorted(queries)
+        picked = random.Random(args.seed).sample(
+            names, min(args.sample, len(names)))
+        only = (only & set(picked)) if only else set(picked)
+        print(f"sampling {len(only)} of {len(names)} queries "
+              f"(seed={args.seed})")
 
     report = {}
     failures = 0
