@@ -20,6 +20,7 @@ _NONLETTER = r"[\W_^\d]"
 _NN = re.compile(r"(?!\\ )(%s)\s+?(%s)" % (_NONLETTER, _NONLETTER))
 _NL = re.compile(r"(?!\\ )(%s)\s+?(%s)" % (_NONLETTER, _LETTER))
 _LN = re.compile(r"(%s)\s+?(%s)" % (_LETTER, _NONLETTER))
+_WS_RE = re.compile(r"\s")
 
 
 import functools
@@ -35,6 +36,8 @@ def latex_compact(s: str) -> str:
     Pure function of the string, so results are memoized per worker
     (bounded LRU): recognized formulas repeat heavily across a corpus and
     the fixed-point regex iteration is ~65us a call."""
+    if " " not in s and not _WS_RE.search(s):
+        return s                 # whitespace-free strings are fixed points
     protected = [m[0].replace(" ", "") for m in _PROTECT_RE.findall(s)]
     it = iter(protected)
     s = _PROTECT_RE.sub(lambda _m: next(it), s)
@@ -45,6 +48,8 @@ def latex_compact(s: str) -> str:
         if collapsed == s:
             return s
         s = collapsed
+        if not _WS_RE.search(s):
+            return s             # fully collapsed: skip the confirm pass
 
 
 _MD_SPECIALS = ("*", "`", "~", "$")

@@ -361,7 +361,7 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
     for quad in quads:
         page_bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
         qx0, qy0, qx1, qy1 = page_bbox
-        picked: List[tuple] = []              # (cx, li, char)
+        segs = []                             # (x0l, cell, li, i0, i1, text)
         raw_score = None
         for li, x0l, cell, text, c0, c2, cy, score in line_cache:
             if not (qy0 <= cy <= qy1):
@@ -389,18 +389,28 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
                 i1 -= 1
             if i1 < i0:
                 continue
-            for i in range(i0, i1 + 1):
-                picked.append((x0l + (i + 0.5) * cell, li, text[i]))
+            segs.append((x0l, cell, li, i0, i1, text))
             raw_score = score if raw_score is None else min(raw_score, score)
-        if not picked:
+        if not segs:
             continue
-        # plain tuple sort == sort by (cx, li): the pairs are unique (a
-        # line's grid is strictly increasing), so the char element is
-        # never compared
-        picked.sort()
-        text_out = "".join(p[2] for p in picked)
         if raw_score < drop_score:  # drop BEFORE rounding (paddle_ocr.py:442-447)
             continue
+        if len(segs) == 1:
+            # dominant case: one line in the quad — the (cx, li) sort is
+            # the identity on a single strictly-increasing grid, so the
+            # capture is a plain slice (no per-char tuples)
+            x0l, cell, _li, i0, i1, text = segs[0]
+            text_out = text[i0:i1 + 1]
+        else:
+            # multi-line quad: interleave chars by (cx, li) — pairs are
+            # unique (each line's grid is strictly increasing), so the
+            # char element is never compared
+            picked: List[tuple] = []
+            for x0l, cell, li, i0, i1, text in segs:
+                for i in range(i0, i1 + 1):
+                    picked.append((x0l + (i + 0.5) * cell, li, text[i]))
+            picked.sort()
+            text_out = "".join(p[2] for p in picked)
         results.append((quad, (text_out, round(raw_score, 2))))
     return results
 

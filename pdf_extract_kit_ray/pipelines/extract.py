@@ -66,6 +66,12 @@ class ExtractConfig:
     # "pdf2image" = the poppler variant's uniform 200-dpi render
     # (pdf_extract_kit/utils/pdf_utils.py:3-5, no size cap)
     render_backend: str = "fitz"
+    # reassembly bucket count (0 = auto: functions/agg._default_num_coarse,
+    # ~4x cluster CPUs).  Docs co-bucket by hash(doc_id) and each bucket
+    # reassembles VECTORIZED (one lexsort + one ListArray build) — never
+    # a per-doc Python dispatch; size it so corpus_spans/buckets fits a
+    # worker heap at scale.
+    reassembly_buckets: int = 0
     # >0 salts the reassembly shuffle key into page ranges of this many
     # pages (two-phase reassembly): enable when the corpus has page-count
     # outliers whose span rows would exceed one group's heap (SURVEY §7
@@ -204,7 +210,8 @@ def extract_documents(ds: "ray.data.Dataset",
     page-count outlier never lands all its span rows in one group."""
     import functools
 
-    from ..stages.extract_stages import (add_salt, merge_doc_chunks,
+    from ..stages.extract_stages import (add_reassembly_bucket, add_salt,
+                                         merge_doc_chunks, reassemble_bucket,
                                          reassemble_chunk)
 
     cfg = config or ExtractConfig()
@@ -217,8 +224,19 @@ def extract_documents(ds: "ray.data.Dataset",
             reassemble_chunk, batch_format="pyarrow")
         return chunks.groupby("doc_id").map_groups(merge_doc_chunks,
                                                    batch_format="pyarrow")
-    return page_spans.groupby("doc_id").map_groups(reassemble_document,
-                                                   batch_format="pyarrow")
+    # bucketed reassembly: shuffle on a small int key, then reassemble
+    # every doc of a bucket in one vectorized pass — per-BUCKET dispatch,
+    # never per-doc (the coarse_grouped_aggregate shape applied to the
+    # pipeline's one all-to-all)
+    nb = cfg.reassembly_buckets
+    if nb <= 0:
+        from ..functions.agg import _default_num_coarse
+        nb = _default_num_coarse()
+    tagged = page_spans.map_batches(
+        functools.partial(add_reassembly_bucket, num_buckets=nb),
+        batch_format="pyarrow")
+    return tagged.groupby("__bucket").map_groups(reassemble_bucket,
+                                                 batch_format="pyarrow")
 
 
 def extract_markdown(ds: "ray.data.Dataset",

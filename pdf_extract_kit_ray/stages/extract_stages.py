@@ -741,3 +741,58 @@ def reassemble_document(group: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(
         [pa.array([doc_id], pa.string()), _spans_list_column(group)],
         schema=DOC_SCHEMA)
+
+
+def add_reassembly_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Coarse reassembly key: hash(doc_id) % num_buckets, vectorized off
+    the Arrow string buffers.  Equal doc_ids always co-bucket (the only
+    requirement); the in-bucket lexsort separates bucketmates."""
+    from ..pipelines.dedup import _string_coarse_hash
+    ids = batch.column("doc_id")
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    b = _string_coarse_hash(ids, num_buckets)
+    return batch.append_column("__bucket", pa.array(b, pa.int64()))
+
+
+def reassemble_bucket(group: pa.Table) -> pa.Table:
+    """All docs of one coarse bucket, reassembled VECTORIZED: one lexsort
+    by (doc_id, page_no, block_idx), run-length doc boundaries, dense
+    per-doc offsets via numpy, a single ListArray build — the per-doc
+    ``map_groups`` dispatch of ``reassemble_document`` (a per-key Python
+    call per document — the CLAUDE.md anti-pattern, and ~40% of the
+    unpadded flagship's critical path at 8k docs) amortized over the
+    bucket.  Per-doc bytes are IDENTICAL: within a doc the
+    (page_no, block_idx) key is unique, so the lexsort induces the same
+    total order ``reassemble_document``'s per-group sort does."""
+    import numpy as np
+    if group.num_rows == 0:
+        return DOC_SCHEMA.empty_table()
+    g = group.sort_by([("doc_id", "ascending"), ("page_no", "ascending"),
+                       ("block_idx", "ascending")])
+    ids = g.column("doc_id").combine_chunks()
+    n = len(ids)
+    if n > 1:
+        neq = pc.not_equal(ids.slice(1, n - 1), ids.slice(0, n - 1))
+        starts = np.r_[0, np.flatnonzero(
+            neq.to_numpy(zero_copy_only=False)) + 1]
+    else:
+        starts = np.array([0], dtype=np.int64)
+    bounds = np.r_[starts, n]
+    keep = g.column("block_idx").to_numpy() >= 0
+    kept_prefix = np.r_[0, np.cumsum(keep)]
+    offsets = kept_prefix[bounds]               # kept rows per doc, cumulative
+    kept = g.filter(pa.array(keep))
+    total_kept = int(offsets[-1])
+    within = np.arange(total_kept, dtype=np.int64) - \
+        np.repeat(offsets[:-1], np.diff(offsets))
+    st = pa.StructArray.from_arrays(
+        [kept.column("kind").combine_chunks(),
+         kept.column("text").combine_chunks(),
+         kept.column("media_ref").combine_chunks(),
+         pa.array(within.astype(np.int32), pa.int32())],
+        names=["kind", "text", "media_ref", "offset"])
+    spans = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()), st)
+    return pa.Table.from_arrays([ids.take(starts), spans],
+                                schema=DOC_SCHEMA)
