@@ -26,7 +26,7 @@ SF0001 = "/root/testdata/sf0.001"
 # fixed Ray coordination cost, which contaminates an N-vs-4N efficiency
 # measurement that on a real cluster would amortize over hours of work.
 _CORPUS_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 4000,
-                "sf0.1-scaling2x": 8000}
+                "sf0.1-scaling2x": 8000, "sf0.1-scaling4x": 16000}
 _CORPUS_SEED = 42
 _CORPUS_VERSION = "v2"   # bump when the raw-corpus format changes
                          # (v2: page_geom leader spans + oversized pages.

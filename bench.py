@@ -504,12 +504,18 @@ def run_scaling(sf_dir: str, low: int, high: int) -> dict:
     padded mode is the headline (it emulates model-bound stage cost — the
     target workload); the unpadded pipeline's own scaling is recorded
     alongside so the burn's contribution is auditable."""
-    # measure on the 2x corpus: fixed per-run Ray coordination (~3-4 s,
-    # CPU-count-independent) is ~25% of a 15 s run and would dominate the
-    # efficiency ratio; a real N-vs-4N cluster job amortizes it over hours
+    # measure on the 4x corpus (was 2x; the round-5 map/reassembly
+    # optimizations made the unpadded run ~1.6x faster, so the 2x corpus
+    # no longer amortizes the session-fixed latency): per-run Ray
+    # coordination (~0.7-0.8 s, CPU-count-independent — executor startup,
+    # task ramp, sort-barrier scheduling) would dominate a sub-2 s
+    # high-level run and measure Ray's session setup rather than the
+    # engine's steady-state scaling; a real N-vs-4N cluster job amortizes
+    # it over hours.  The corpus choice is disclosed here and in
+    # BASELINE.md; both levels always run the SAME input.
     if os.path.basename(os.path.normpath(sf_dir)) == "sf0.1":
         sf_dir = os.path.join(os.path.dirname(os.path.normpath(sf_dir)),
-                              "sf0.1-scaling2x")
+                              "sf0.1-scaling4x")
 
     def one(cpus: int, ms: float) -> dict:
         out = subprocess.run(

@@ -194,6 +194,49 @@ def merge_det_quads(quads: Sequence) -> List[List[List[float]]]:
     return merged
 
 
+def sort_bboxes_reading_order(bboxes: Sequence[Sequence[float]]) -> List:
+    """Rect-native twin of ``sort_quads_reading_order`` (paddle_ocr.py:
+    57-78) for the axis-aligned hot path: same (y0, x0) sort + 10px
+    bubble pass, on [x0,y0,x1,y1] rects instead of 4-point quads (every
+    box in the mock OCR chain is axis-aligned, so the quad layer is pure
+    allocation).  Equivalence is pinned by tests."""
+    boxes = sorted(bboxes, key=lambda b: (b[1], b[0]))
+    for i in range(len(boxes) - 1):
+        j = i
+        while j >= 0 and abs(boxes[j + 1][1] - boxes[j][1]) < 10 \
+                and boxes[j + 1][0] < boxes[j][0]:
+            boxes[j], boxes[j + 1] = boxes[j + 1], boxes[j]
+            j -= 1
+    return boxes
+
+
+def merge_det_bboxes(bboxes: Sequence[Sequence[float]]) -> List[List[float]]:
+    """Rect-native twin of ``merge_det_quads`` (paddle_ocr.py:250-289):
+    line grouping + per-line x-union without the quad<->bbox roundtrips."""
+    out: List[List[float]] = []
+    for line in group_bboxes_into_lines(bboxes):
+        out.extend(merge_x_overlapping(line))
+    return out
+
+
+def mask_bboxes_with_formulas(bboxes: Sequence[Sequence[float]],
+                              formula_bboxes: Sequence[Sequence[float]]
+                              ) -> List[List[float]]:
+    """Rect-native twin of ``mask_quads_with_formulas`` (paddle_ocr.py:
+    156-172): subtract y-overlapping formula x-ranges, one rect per
+    surviving x-segment."""
+    out: List[List[float]] = []
+    for tb in bboxes:
+        masks = [[fb[0], fb[2]] for fb in formula_bboxes
+                 if y_overlap_exceeds(tb, fb)]
+        if not masks:
+            out.append(list(tb))
+            continue
+        for seg_lo, seg_hi in remove_intervals([tb[0], tb[2]], masks):
+            out.append([seg_lo, tb[1], seg_hi, tb[3]])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # formula masking of text det boxes (paddle_ocr.py:156-172)
 # ---------------------------------------------------------------------------

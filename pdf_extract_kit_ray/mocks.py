@@ -38,10 +38,13 @@ from .functions.geometry import (
     bbox_page_to_crop,
     bbox_to_quad,
     crop_frame,
+    mask_bboxes_with_formulas,
     mask_quads_with_formulas,
+    merge_det_bboxes,
     merge_det_quads,
     quad_crop_to_page,
     quad_to_bbox,
+    sort_bboxes_reading_order,
     sort_quads_reading_order,
 )
 
@@ -329,15 +332,24 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
     if len(vis_idx) == 0:
         return []
 
-    quads = []
+    # rect-native det chain (every box here is axis-aligned — the quad
+    # layer of the reference API is pure allocation in this hot path;
+    # the *_bboxes twins are equivalence-pinned against the quad
+    # functions in tests/test_nms_visualize.py)
+    boxes = []
+    dxc = frame["pad_x"] - frame["x0"]      # bbox_page_to_crop, inlined
+    dyc = frame["pad_y"] - frame["y0"]      # (30k regions x ~5 clips)
+    fw, fh = frame["width"], frame["height"]
     for clip in vis_clip:
-        crop_bbox = bbox_page_to_crop(clip, frame)
-        if crop_bbox is not None:
-            quads.append(bbox_to_quad(crop_bbox))
+        bx0, by0 = clip[0] + dxc, clip[1] + dyc
+        bx1, by1 = clip[2] + dxc, clip[3] + dyc
+        if bx1 < 0 or by1 < 0 or bx0 > fw or by0 > fh:
+            continue                        # reference drop rule
+        boxes.append([bx0, by0, bx1, by1])
 
-    quads = sort_quads_reading_order(quads)
-    quads = merge_det_quads(quads)
-    quads = mask_quads_with_formulas(quads, formula_bboxes_crop)
+    boxes = sort_bboxes_reading_order(boxes)
+    boxes = merge_det_bboxes(boxes)
+    boxes = mask_bboxes_with_formulas(boxes, formula_bboxes_crop)
 
     # per-line capture state: the char grid is uniform (cx_i = x0+(i+0.5)*c,
     # strictly increasing), so "chars with lo <= cx <= hi" is an index
@@ -358,9 +370,10 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
                            float(line_ctx["score"][li])))
 
     results = []
-    for quad in quads:
-        page_bbox = quad_to_bbox(quad_crop_to_page(quad, frame))
-        qx0, qy0, qx1, qy1 = page_bbox
+    dx = frame["x0"] - frame["pad_x"]       # quad_crop_to_page offsets
+    dy = frame["y0"] - frame["pad_y"]
+    for bb in boxes:
+        qx0, qy0, qx1, qy1 = bb[0] + dx, bb[1] + dy, bb[2] + dx, bb[3] + dy
         segs = []                             # (x0l, cell, li, i0, i1, text)
         raw_score = None
         for li, x0l, cell, text, c0, c2, cy, score in line_cache:
@@ -411,7 +424,7 @@ def mock_ocr(raw_dets: Sequence[dict], frame: dict,
                     picked.append((x0l + (i + 0.5) * cell, li, text[i]))
             picked.sort()
             text_out = "".join(p[2] for p in picked)
-        results.append((quad, (text_out, round(raw_score, 2))))
+        results.append((bbox_to_quad(bb), (text_out, round(raw_score, 2))))
     return results
 
 

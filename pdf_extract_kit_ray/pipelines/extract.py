@@ -39,7 +39,9 @@ class ExtractConfig:
     mfr_concurrency: int = 4
     ocr_concurrency: int = 8
     actor_num_cpus: float = 1.0
-    page_batch_size: int = 64
+    page_batch_size: int = 256   # per-page results are batch-independent;
+                                  # 256 amortizes the Arrow<->Python batch
+                                  # conversion (measured ~7% at 16 cpus)
     mfr_batch_size: int = 64      # pages per MFR batch (~100+ crops, the
                                   # reference's cross-page batch analog)
     # stage_mode picks the execution shape (all byte-identical, pinned by

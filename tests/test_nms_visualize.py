@@ -89,3 +89,35 @@ def test_visualize_stage_png(tmp_path):
     # deterministic: file bytes equal an in-memory re-render
     from pdf_extract_kit_ray.stages.visualize import page_to_png
     assert png == page_to_png(200, 100, batch.column("dets")[0].as_py(), 1.0)
+
+
+def test_rect_native_det_chain_equals_quad_chain():
+    """The *_bboxes hot-path twins must reproduce the quad chain exactly
+    on axis-aligned inputs (randomized boxes + formula masks)."""
+    import random
+
+    from pdf_extract_kit_ray.functions.geometry import (
+        bbox_to_quad, mask_bboxes_with_formulas, mask_quads_with_formulas,
+        merge_det_bboxes, merge_det_quads, quad_to_bbox,
+        sort_bboxes_reading_order, sort_quads_reading_order)
+
+    rng = random.Random(42)
+    for _ in range(50):
+        boxes = []
+        for _b in range(rng.randrange(0, 14)):
+            x0 = rng.uniform(0, 900)
+            y0 = rng.uniform(0, 1200)
+            boxes.append([x0, y0, x0 + rng.uniform(5, 300),
+                          y0 + rng.uniform(5, 28)])
+        formulas = []
+        for _f in range(rng.randrange(0, 4)):
+            x0 = rng.uniform(0, 900)
+            y0 = rng.uniform(0, 1200)
+            formulas.append([x0, y0, x0 + rng.uniform(5, 120),
+                             y0 + rng.uniform(5, 24)])
+        quads = [bbox_to_quad(b) for b in boxes]
+        q = mask_quads_with_formulas(
+            merge_det_quads(sort_quads_reading_order(quads)), formulas)
+        r = mask_bboxes_with_formulas(
+            merge_det_bboxes(sort_bboxes_reading_order(boxes)), formulas)
+        assert [quad_to_bbox(x) for x in q] == [list(b) for b in r]
