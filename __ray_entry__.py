@@ -1103,7 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resize_longest_side": multimodal.resize_longest_side,
         "media_feature_neardup": multimodal.media_feature_neardup,
         "media_exact_dedup": multimodal.media_exact_dedup,
-        "media_kind_bytes": multimodal.media_kind_bytes,  # non-SQL (synthesized table)
+        "media_kind_bytes": multimodal.media_kind_bytes,
         "media_integrity_check": multimodal.media_integrity_check,  # non-SQL (blob parse)
         "ocr_preprocess_summary": multimodal.ocr_preprocess_summary,
     }
@@ -1222,6 +1222,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                          (SELECT CAST(sum(p) AS DOUBLE) FROM r100), 6)
                        AS stationary_prob
             FROM r100
+        """,
+        # storage-planning rollup: payload lengths only (octet_length),
+        # AVG denominator counts rows WITH a payload, NULLs reported apart
+        "media_kind_bytes": f"""
+            SELECT kind,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(count(*) - count(payload) AS BIGINT) AS n_null,
+                   CAST(sum(octet_length(payload)) AS BIGINT)
+                       AS total_bytes,
+                   round(CAST(sum(octet_length(payload)) AS DOUBLE)
+                         / count(payload), 6) AS mean_bytes
+            FROM read_parquet('{media_glob}')
+            GROUP BY kind
         """,
         # exact payload dedup: md5 of the uppercase-hex payload encoding
         # (the engine's fingerprint definition — DuckDB md5 is

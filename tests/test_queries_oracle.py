@@ -66,9 +66,9 @@ _SF001_QUERIES = {"extract_kind_counts", "table_sources",
                   # footer profile: the no-arg twin pins the sf0.01
                   # lineitem file path
                   "parquet_storage_profile",
-                  # media fingerprint dedup: the no-arg twin pins the
-                  # sf0.01 media table path
-                  "media_exact_dedup"}
+                  # media queries: the no-arg twins pin the sf0.01
+                  # media table path
+                  "media_exact_dedup", "media_kind_bytes"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
