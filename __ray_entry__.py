@@ -1057,7 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_key_overlap": relational.join_key_overlap,
         "join_overlap_hll": relational.join_overlap_hll,  # non-SQL sketch (set algebra)
         "part_triangles": relational.part_triangles,
-        "part_coreness": relational.part_coreness,  # non-SQL (iterative fixpoint)
+        "part_coreness": relational.part_coreness,
         "events_daily_pivot": streaming.events_daily_pivot,
         "heavy_hitter_users": streaming.heavy_hitter_users,
         "events_sliding_window": streaming.events_sliding_window,
@@ -1104,7 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_neardup": multimodal.media_feature_neardup,
         "media_exact_dedup": multimodal.media_exact_dedup,
         "media_kind_bytes": multimodal.media_kind_bytes,
-        "media_integrity_check": multimodal.media_integrity_check,  # non-SQL (blob parse)
+        "media_integrity_check": multimodal.media_integrity_check,
         "ocr_preprocess_summary": multimodal.ocr_preprocess_summary,
     }
 
@@ -1158,6 +1158,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                            FROM e JOIN r{i} p ON p.type = e.src
                            GROUP BY 1) agg ON agg.type = ty.type
             )""" for i in range(100))
+    # part_coreness: the H-index fixpoint replayed as a generated chained
+    # CTE (the markov/pagerank pattern).  One round = per-node H-index of
+    # neighbour h values (rank the joined h's descending, h' = count of
+    # ranks with h >= rank).  The iteration is monotone non-increasing and
+    # idempotent AT the fixpoint, so any round count >= the engine's
+    # convergence round yields exactly coreness; 48 rounds is 3x the
+    # worst observed convergence depth on these corpora (engine cap: 64).
+    coreness_iters = "".join(f""", h{i + 1} AS MATERIALIZED (
+                SELECT u AS part,
+                       CAST(coalesce(MAX(CASE WHEN rnk <= nh THEN rnk END),
+                                     0) AS BIGINT) AS h
+                FROM (SELECT e.u AS u, p.h AS nh,
+                             ROW_NUMBER() OVER (PARTITION BY e.u
+                                                ORDER BY p.h DESC) AS rnk
+                      FROM edges e JOIN h{i} p ON p.part = e.v)
+                GROUP BY u
+            )""" for i in range(48))
     sql = {
         # byte-level Shannon entropy: hex()-substr byte unnest + the same
         # -p*log2(p) micro-int term tree as the Ray kernel
@@ -1245,6 +1262,89 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM read_parquet('{media_glob}')
             GROUP BY 1
+        """,
+        # payload integrity audit: DuckDB v1.0.0 cannot slice BLOBs, but
+        # hex() of the whole payload + VARCHAR substring is a byte-exact
+        # bridge — byte i (0-based) is ('0x' || hx[2i+1 : 2i+2])::BIGINT.
+        # Flag semantics mirror the engine exactly: null rows only count
+        # n_null; bad-magic rows (incl. unknown kinds) skip header checks;
+        # too-short-for-header rows are size mismatches outright; header
+        # fields are little-endian vs the metadata columns.
+        "media_integrity_check": f"""
+            WITH m AS (
+                SELECT kind, payload IS NULL AS nullp,
+                       coalesce(octet_length(payload), 0) AS plen,
+                       coalesce(hex(payload), '') AS hx,
+                       width, height, n_frames, sample_rate, n_samples
+                FROM read_parquet('{media_glob}')
+            ), f AS (
+                SELECT kind, nullp,
+                    CASE WHEN nullp THEN FALSE
+                         WHEN kind = 'image'
+                             THEN substring(hx, 1, 8) <> '46494D47'
+                         WHEN kind = 'audio'
+                             THEN substring(hx, 1, 8) <> '46415544'
+                         WHEN kind = 'video'
+                             THEN substring(hx, 1, 8) <> '46564944'
+                         ELSE TRUE END AS bad_magic,
+                    plen < 4 + (CASE kind WHEN 'image' THEN 5
+                                WHEN 'audio' THEN 8 ELSE 6 END) AS short,
+                    ('0x' || lpad(substring(hx,  9, 2), 2, '0'))::BIGINT
+                        AS b4,
+                    ('0x' || lpad(substring(hx, 11, 2), 2, '0'))::BIGINT
+                        AS b5,
+                    ('0x' || lpad(substring(hx, 13, 2), 2, '0'))::BIGINT
+                        AS b6,
+                    ('0x' || lpad(substring(hx, 15, 2), 2, '0'))::BIGINT
+                        AS b7,
+                    ('0x' || lpad(substring(hx, 17, 2), 2, '0'))::BIGINT
+                        AS b8,
+                    ('0x' || lpad(substring(hx, 19, 2), 2, '0'))::BIGINT
+                        AS b9,
+                    ('0x' || lpad(substring(hx, 21, 2), 2, '0'))::BIGINT
+                        AS b10,
+                    ('0x' || lpad(substring(hx, 23, 2), 2, '0'))::BIGINT
+                        AS b11,
+                    plen, width, height, n_frames, sample_rate, n_samples
+                FROM m
+            ), g AS (
+                SELECT kind, nullp, bad_magic,
+                    CASE WHEN nullp OR bad_magic OR short THEN FALSE
+                         WHEN kind = 'image' THEN
+                              b4 + b5*256 <> width
+                              OR b6 + b7*256 <> height
+                         WHEN kind = 'audio' THEN
+                              b4 + b5*256 + b6*65536 + b7*16777216
+                                  <> sample_rate
+                              OR b8 + b9*256 + b10*65536 + b11*16777216
+                                  <> n_samples
+                         ELSE b4 + b5*256 <> width
+                              OR b6 + b7*256 <> height
+                              OR b8 + b9*256 <> n_frames
+                         END AS meta_bad,
+                    CASE WHEN nullp OR bad_magic THEN FALSE
+                         WHEN short THEN TRUE
+                         WHEN kind = 'image' THEN
+                              plen <> 9 + (b4 + b5*256) * (b6 + b7*256) * b8
+                         WHEN kind = 'audio' THEN
+                              plen <> 12 + (b8 + b9*256 + b10*65536
+                                            + b11*16777216) * 2
+                         ELSE plen <> 10 + (b4 + b5*256) * (b6 + b7*256)
+                                           * (b8 + b9*256)
+                         END AS size_bad
+                FROM f
+            )
+            SELECT kind,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CASE WHEN nullp THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null,
+                   CAST(sum(CASE WHEN bad_magic THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bad_magic,
+                   CAST(sum(CASE WHEN meta_bad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_meta_mismatch,
+                   CAST(sum(CASE WHEN size_bad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_size_mismatch
+            FROM g GROUP BY kind
         """,
         # Flagship extraction vs the MATERIALIZED GOLDEN TABLE (the
         # straight-line oracle's output, written at corpus generation):
@@ -5160,6 +5260,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) OVER (PARTITION BY community_id)
                        AS community_size
             FROM cc
+        """,
+        # k-core coreness via the same H-index iteration as the engine,
+        # unrolled as a generated 48-round chained CTE (idempotent past
+        # convergence, so fixed SQL rounds == the engine's early-exit
+        # fixpoint); degree = h0
+        "part_coreness": f"""
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), ed AS (
+                SELECT a.l_partkey AS a, b.l_partkey AS b
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), edges AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM ed
+                UNION ALL SELECT b AS u, a AS v FROM ed
+            ), h0 AS MATERIALIZED (
+                SELECT u AS part, CAST(count(*) AS BIGINT) AS h
+                FROM edges GROUP BY 1
+            ){coreness_iters}
+            SELECT CAST(d.part AS BIGINT) AS p_partkey,
+                   d.h AS degree, h48.h AS coreness
+            FROM h0 d JOIN h48 ON h48.part = d.part
         """,
         # Gini of per-customer spend; tie ranks don't matter (sum of
         # ranks over an equal-value run is fixed), float ops in the

@@ -432,8 +432,9 @@ def media_integrity_check(sf_dir: str) -> "ray.data.Dataset":
     (sources/media.py:52-85); a real deployment swaps the magic/header
     parsers for PNG/WAV/MP4 ones — the Ray-side shape (vectorized
     ``binary_slice`` + numpy header parse per batch, #kinds-sized
-    rollup) is identical.  Non-SQL (DuckDB v1.0.0 cannot slice BLOBs);
-    pinned by planted-corruption tests."""
+    rollup) is identical.  SQL twin: hex()-of-payload + VARCHAR
+    substring byte extraction (DuckDB v1.0.0 cannot slice BLOBs
+    directly); also pinned by planted-corruption tests."""
     from ray.data.aggregate import Sum
 
     MAGICS = {"image": b"FIMG", "audio": b"FAUD", "video": b"FVID"}

@@ -3885,9 +3885,12 @@ def part_coreness(sf_dir: str, min_count: int = 2,
     part_affinity_lift marginal rationale).  Convergence = exact integer
     checksum (sum of h, monotone), ``max_rounds`` a loud upper bound.
 
-    No SQL twin (iterative fixpoint); tests/test_part_coreness.py pins
-    exact equality against a single-node Batagelj-Zaversnik peeling
-    reference and a hand-computed clique+pendant graph."""
+    SQL twin: the same H-index iteration unrolled as a generated
+    48-round chained CTE (idempotent past the fixpoint, so fixed SQL
+    rounds equal the engine's early-exit result);
+    tests/test_part_coreness.py additionally pins exact equality
+    against a single-node Batagelj-Zaversnik peeling reference and a
+    hand-computed clique+pendant graph."""
     from ..functions.agg import _GOLDEN, _default_num_coarse
 
     nc = _default_num_coarse()
