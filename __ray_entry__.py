@@ -1055,7 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_report": streaming.late_event_report,
         "user_churn_labels": streaming.user_churn_labels,
         "join_key_overlap": relational.join_key_overlap,
-        "join_overlap_hll": relational.join_overlap_hll,  # non-SQL sketch (set algebra)
+        "join_overlap_hll": relational.join_overlap_hll,
         "part_triangles": relational.part_triangles,
         "part_coreness": relational.part_coreness,
         "events_daily_pivot": streaming.events_daily_pivot,
@@ -1089,11 +1089,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": streaming.user_event_sequences,
         "inter_event_gaps": streaming.inter_event_gaps,
         "distinct_users_by_type": streaming.distinct_users_by_type,
-        "hll_distinct_users": streaming.hll_distinct_users,        # non-SQL sketch
-        "hll_distinct_by_type": streaming.hll_distinct_by_type,    # non-SQL sketch
-        "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,  # non-SQL sketch
-        "ddsketch_quantiles_by_type": streaming.ddsketch_quantiles_by_type,  # non-SQL sketch
-        "cms_user_counts": streaming.cms_user_counts,     # non-SQL sketch (overcount-bound tested)
+        "hll_distinct_users": streaming.hll_distinct_users,
+        "hll_distinct_by_type": streaming.hll_distinct_by_type,
+        "ddsketch_value_quantiles": streaming.ddsketch_value_quantiles,
+        "ddsketch_quantiles_by_type": streaming.ddsketch_quantiles_by_type,
+        "cms_user_counts": streaming.cms_user_counts,
         "decayed_user_value": streaming.decayed_user_value,
         # --- multimodal (non-SQL: binary payload stages; rows-only checks) ---
         "media_decode_summary": multimodal.media_decode_summary,
@@ -1175,6 +1175,68 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                       FROM edges e JOIN h{i} p ON p.part = e.v)
                 GROUP BY u
             )""" for i in range(48))
+
+    # --- deterministic-sketch twin machinery -----------------------------
+    # The HLL / Count-Min sketches hash with splitmix64 (no RNG state), so
+    # their outputs are exactly reproducible in SQL: 64-bit wraparound
+    # multiply decomposes into 32-bit halves in HUGEINT, xor/shift act on
+    # BIGINT halves, and the HLL register-reciprocal sum is an EXACT
+    # integer in units of 2^-64 (matching sketches.HLL.estimate), leaving
+    # one float cast + one division — a fixed op tree both engines share
+    # bit-for-bit.
+    _T64 = "18446744073709551616"
+    _M32 = "4294967296"
+
+    def _xor64(a: str, b: str) -> str:
+        return (f"(xor(CAST(({a}) // {_M32} AS BIGINT), "
+                f"CAST(({b}) // {_M32} AS BIGINT))::HUGEINT * {_M32}"
+                f" + xor(CAST(({a}) % {_M32} AS BIGINT), "
+                f"CAST(({b}) % {_M32} AS BIGINT))::HUGEINT)")
+
+    def _mul64(x: str, c: int) -> str:
+        ch, cl = c >> 32, c & 0xFFFFFFFF
+        return (f"(((({x}) % {_M32}) * {cl} + (((({x}) // {_M32}) * {cl}"
+                f" + (({x}) % {_M32}) * {ch}) % {_M32}) * {_M32})"
+                f" % {_T64})")
+
+    def _sm64_ctes(tag: str, src: str) -> str:
+        """CTE chain applying splitmix64 to column x (HUGEINT in
+        [0, 2^64)), preserving all other columns; final CTE {tag}5."""
+        xs30 = _xor64("x", f"(x // {1 << 30})")
+        xs27 = _xor64("x", f"(x // {1 << 27})")
+        xs31 = _xor64("x", f"(x // {1 << 31})")
+        return f"""
+            , {tag}0 AS (SELECT * EXCLUDE (x),
+                         (x + 11400714819323198485) % {_T64} AS x
+                         FROM {src})
+            , {tag}1 AS (SELECT * EXCLUDE (x), {xs30} AS x FROM {tag}0)
+            , {tag}2 AS (SELECT * EXCLUDE (x),
+                         {_mul64('x', 0xBF58476D1CE4E5B9)} AS x
+                         FROM {tag}1)
+            , {tag}3 AS (SELECT * EXCLUDE (x), {xs27} AS x FROM {tag}2)
+            , {tag}4 AS (SELECT * EXCLUDE (x),
+                         {_mul64('x', 0x94D049BB133111EB)} AS x
+                         FROM {tag}3)
+            , {tag}5 AS (SELECT * EXCLUDE (x), {xs31} AS x FROM {tag}4)"""
+
+    _hll_pw = ",".join(f"({r}, {1 << (64 - r)}::HUGEINT)"
+                       for r in range(1, 54))
+    _hll_bl = ",".join(f"({b}, {1 << (b - 1)}::HUGEINT, {1 << b}::HUGEINT)"
+                       for b in range(1, 53))
+    _P52 = str(1 << 52)
+    # est expression over (zeros HUGEINT, S HUGEINT) — mirrors
+    # sketches.HLL.estimate's float op tree exactly
+    _hll_est = """CASE WHEN 0.7213 / (1 + 1.079 / CAST(4096 AS DOUBLE))
+                           * 4096 * 4096 * 18446744073709551616.0
+                           / CAST(S AS DOUBLE) <= 2.5 * 4096
+                           AND zeros > 0
+                       THEN 4096 * ln(CAST(4096 AS DOUBLE)
+                                      / CAST(zeros AS DOUBLE))
+                       ELSE 0.7213 / (1 + 1.079 / CAST(4096 AS DOUBLE))
+                            * 4096 * 4096 * 18446744073709551616.0
+                            / CAST(S AS DOUBLE) END"""
+    _cms_seeds = [0x243F6A8885A308D3, 0x13198A2E03707344,
+                  0xA4093822299F31D0, 0x082EFA98EC4E6C89]
     sql = {
         # byte-level Shannon entropy: hex()-substr byte unnest + the same
         # -p*log2(p) micro-int term tree as the Ray kernel
@@ -1345,6 +1407,263 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(sum(CASE WHEN size_bad THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_size_mismatch
             FROM g GROUP BY kind
+        """,
+        # HLL distinct users, replayed bit-exactly: splitmix64 chain over
+        # DISTINCT user_ids (register arrays only see value hashes, so
+        # hashing distincts is identical), bucket = top 12 bits, rank =
+        # 53 - bitlen(52-bit suffix) via an exact powers-table join, and
+        # the estimate op tree of sketches.HLL.estimate (integer S)
+        "hll_distinct_users": f"""
+            WITH src AS (SELECT CAST(user_id AS HUGEINT) AS x
+                         FROM (SELECT DISTINCT user_id FROM events
+                               WHERE user_id IS NOT NULL))
+            {_sm64_ctes('hs', 'src')}
+            , pw(r, v) AS (VALUES {_hll_pw})
+            , bitlen(bl, lo, hi) AS (VALUES {_hll_bl})
+            , reg AS (
+                SELECT x // {_P52} AS idx,
+                       MAX(CASE WHEN x % {_P52} = 0 THEN 53
+                                ELSE 53 - b.bl END) AS r
+                FROM hs5 LEFT JOIN bitlen b
+                    ON (x % {_P52}) >= b.lo AND (x % {_P52}) < b.hi
+                GROUP BY 1)
+            , st AS (
+                SELECT (4096 - count(*))::HUGEINT AS zeros,
+                       (4096 - count(*))::HUGEINT * {_T64}::HUGEINT
+                           + coalesce(sum(pw.v), 0::HUGEINT) AS S
+                FROM reg JOIN pw ON pw.r = reg.r)
+            SELECT {_hll_est} AS distinct_users_est,
+                   CAST(12 AS INTEGER) AS precision_p
+            FROM st
+        """,
+        # per-type HLL: same machinery with event_type carried through
+        # the hash chain and the register/estimate rollup grouped by it
+        "hll_distinct_by_type": f"""
+            WITH src AS (SELECT event_type, CAST(user_id AS HUGEINT) AS x
+                         FROM (SELECT DISTINCT event_type, user_id
+                               FROM events WHERE user_id IS NOT NULL))
+            {_sm64_ctes('ht', 'src')}
+            , pw(r, v) AS (VALUES {_hll_pw})
+            , bitlen(bl, lo, hi) AS (VALUES {_hll_bl})
+            , reg AS (
+                SELECT event_type, x // {_P52} AS idx,
+                       MAX(CASE WHEN x % {_P52} = 0 THEN 53
+                                ELSE 53 - b.bl END) AS r
+                FROM ht5 LEFT JOIN bitlen b
+                    ON (x % {_P52}) >= b.lo AND (x % {_P52}) < b.hi
+                GROUP BY 1, 2)
+            , st AS (
+                SELECT event_type,
+                       (4096 - count(*))::HUGEINT AS zeros,
+                       (4096 - count(*))::HUGEINT * {_T64}::HUGEINT
+                           + coalesce(sum(pw.v), 0::HUGEINT) AS S
+                FROM reg JOIN pw ON pw.r = reg.r
+                GROUP BY 1)
+            SELECT event_type, {_hll_est} AS distinct_users_est
+            FROM st
+        """,
+        # Count-Min point estimates: the d=4 counter rows are exact
+        # integer bucket histograms of splitmix64(user_id XOR seed_r)
+        # mod w — fully integer, so est = min over rows of the probe's
+        # bucket count reproduces the sketch with no float at all
+        "cms_user_counts": f"""
+            WITH seeds(r, s) AS (VALUES {', '.join(
+                f'({i}, {s}::HUGEINT)'
+                for i, s in enumerate(_cms_seeds))})
+            , ev AS (SELECT user_id FROM events
+                     WHERE user_id IS NOT NULL)
+            , esrc AS (SELECT r,
+                       {_xor64('CAST(user_id AS HUGEINT)', 's')} AS x
+                       FROM ev CROSS JOIN seeds)
+            {_sm64_ctes('ce', 'esrc')}
+            , evb AS (SELECT r, x % 2048 AS b,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM ce5 GROUP BY 1, 2)
+            , probes(pid) AS (VALUES {', '.join(f'({i})'
+                                                for i in range(20))})
+            , psrc AS (SELECT pid, r,
+                       {_xor64('CAST(pid AS HUGEINT)', 's')} AS x
+                       FROM probes CROSS JOIN seeds)
+            {_sm64_ctes('cp', 'psrc')}
+            , pb AS (SELECT pid, r, x % 2048 AS b FROM cp5)
+            SELECT CAST(pb.pid AS BIGINT) AS user_id,
+                   CAST(min(coalesce(evb.c, 0)) AS BIGINT) AS est_count,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_events
+            FROM pb LEFT JOIN evb ON evb.r = pb.r AND evb.b = pb.b
+            GROUP BY pb.pid
+        """,
+        # HLL set-algebra join profiler, bit-exact: per (pair, side)
+        # registers through one shared splitmix chain; union registers =
+        # per-bucket max over sides (identical to hashing the value
+        # union); inclusion-exclusion + containments in the engine's
+        # float op order, 6dp
+        "join_overlap_hll": f"""
+            WITH src AS (
+                SELECT 0 AS pid, 'a' AS side, CAST(k AS HUGEINT) AS x
+                FROM (SELECT DISTINCT o_custkey AS k FROM orders
+                      WHERE o_custkey IS NOT NULL)
+                UNION ALL
+                SELECT 0, 'b', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT c_custkey AS k FROM customer
+                      WHERE c_custkey IS NOT NULL)
+                UNION ALL
+                SELECT 1, 'a', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT l_partkey AS k FROM lineitem
+                      WHERE l_partkey IS NOT NULL)
+                UNION ALL
+                SELECT 1, 'b', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT p_partkey AS k FROM part
+                      WHERE p_partkey IS NOT NULL)
+                UNION ALL
+                SELECT 2, 'a', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem
+                      WHERE l_suppkey IS NOT NULL)
+                UNION ALL
+                SELECT 2, 'b', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT s_suppkey AS k FROM supplier
+                      WHERE s_suppkey IS NOT NULL)
+                UNION ALL
+                SELECT 3, 'a', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                      WHERE l_orderkey IS NOT NULL)
+                UNION ALL
+                SELECT 3, 'b', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT o_orderkey AS k FROM orders
+                      WHERE o_orderkey IS NOT NULL)
+                UNION ALL
+                SELECT 4, 'a', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT user_id AS k FROM events
+                      WHERE user_id IS NOT NULL)
+                UNION ALL
+                SELECT 4, 'b', CAST(k AS HUGEINT)
+                FROM (SELECT DISTINCT c_custkey AS k FROM customer
+                      WHERE c_custkey IS NOT NULL)
+            )
+            {_sm64_ctes('jo', 'src')}
+            , pw(r, v) AS (VALUES {_hll_pw})
+            , bitlen(bl, lo, hi) AS (VALUES {_hll_bl})
+            , reg AS (
+                SELECT pid, side, x // {_P52} AS idx,
+                       MAX(CASE WHEN x % {_P52} = 0 THEN 53
+                                ELSE 53 - b.bl END) AS r
+                FROM jo5 LEFT JOIN bitlen b
+                    ON (x % {_P52}) >= b.lo AND (x % {_P52}) < b.hi
+                GROUP BY 1, 2, 3)
+            , allreg AS (
+                SELECT pid, side, idx, r FROM reg
+                UNION ALL
+                SELECT pid, 'u', idx, MAX(r) FROM reg GROUP BY 1, 3)
+            , st AS (
+                SELECT pid, side,
+                       (4096 - count(*))::HUGEINT AS zeros,
+                       (4096 - count(*))::HUGEINT * {_T64}::HUGEINT
+                           + coalesce(sum(pw.v), 0::HUGEINT) AS S
+                FROM allreg JOIN pw ON pw.r = allreg.r
+                GROUP BY 1, 2)
+            , est AS (SELECT pid, side, {_hll_est} AS e FROM st)
+            , wide AS (
+                SELECT a.pid, a.e AS ea, b.e AS eb, u.e AS eu,
+                       greatest(a.e + b.e - u.e, 0.0) AS ei
+                FROM est a
+                JOIN est b ON b.pid = a.pid AND b.side = 'b'
+                JOIN est u ON u.pid = a.pid AND u.side = 'u'
+                WHERE a.side = 'a')
+            , names(pid, pair) AS (VALUES
+                (0, 'orders.o_custkey->customer.c_custkey'),
+                (1, 'lineitem.l_partkey->part.p_partkey'),
+                (2, 'lineitem.l_suppkey->supplier.s_suppkey'),
+                (3, 'lineitem.l_orderkey->orders.o_orderkey'),
+                (4, 'events.user_id->customer.c_custkey'))
+            SELECT n.pair AS pair,
+                   round(ea, 6) AS est_n_a, round(eb, 6) AS est_n_b,
+                   round(ei, 6) AS est_common,
+                   CASE WHEN ea > 0 THEN round(ei / ea, 6) END
+                       AS containment_a,
+                   CASE WHEN eb > 0 THEN round(ei / eb, 6) END
+                       AS containment_b,
+                   CASE WHEN eu > 0 THEN round(ei / eu, 6) END
+                       AS jaccard
+            FROM wide w JOIN names n ON n.pid = w.pid
+        """,
+        # DDSketch quantiles, bit-exact: bin key = ceil(ln(v)/ln(gamma))
+        # (numpy log / DuckDB ln verified bit-equal on this host across
+        # the corpus key range), quantile = first bin whose cumulative
+        # count (underflow-first) reaches rank ceil(q*n), representative
+        # gamma^k * 2/(gamma+1) in the engine's float op order
+        "ddsketch_value_quantiles": """
+            WITH v AS (SELECT value AS x FROM events
+                       WHERE value IS NOT NULL)
+            , n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS uf
+                    FROM v)
+            , bins AS (
+                SELECT CAST(ceil(ln(x) / ln((1 + 0.01) / (1 - 0.01)))
+                            AS BIGINT) AS k,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM v WHERE x > 0 GROUP BY 1)
+            , cum AS (
+                SELECT k, (SELECT uf FROM n)
+                          + SUM(c) OVER (ORDER BY k) AS running,
+                       power((1 + 0.01) / (1 - 0.01), k) * 2
+                           / ((1 + 0.01) / (1 - 0.01) + 1) AS rep
+                FROM bins)
+            , qs(lbl, q) AS (VALUES ('p50', 0.5), ('p90', 0.9),
+                                    ('p99', 0.99))
+            , picks AS (
+                SELECT lbl,
+                       CASE WHEN greatest(1, CAST(ceil(q * n.n) AS BIGINT))
+                                 <= n.uf THEN 0.0
+                            ELSE (SELECT min_by(rep, k) FROM cum
+                                  WHERE running >= greatest(1,
+                                      CAST(ceil(q * n.n) AS BIGINT)))
+                       END AS val
+                FROM qs CROSS JOIN n)
+            SELECT MAX(CASE WHEN lbl = 'p50' THEN val END) AS p50,
+                   MAX(CASE WHEN lbl = 'p90' THEN val END) AS p90,
+                   MAX(CASE WHEN lbl = 'p99' THEN val END) AS p99,
+                   (SELECT n FROM n) AS n
+            FROM picks
+        """,
+        # per-type DDSketch: same machinery grouped by event_type
+        "ddsketch_quantiles_by_type": """
+            WITH v AS (SELECT event_type, value AS x FROM events
+                       WHERE value IS NOT NULL)
+            , n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS uf
+                    FROM v GROUP BY 1)
+            , bins AS (
+                SELECT event_type,
+                       CAST(ceil(ln(x) / ln((1 + 0.01) / (1 - 0.01)))
+                            AS BIGINT) AS k,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM v WHERE x > 0 GROUP BY 1, 2)
+            , cum AS (
+                SELECT b.event_type, b.k,
+                       n.uf + SUM(b.c) OVER (PARTITION BY b.event_type
+                                             ORDER BY b.k) AS running,
+                       power((1 + 0.01) / (1 - 0.01), b.k) * 2
+                           / ((1 + 0.01) / (1 - 0.01) + 1) AS rep
+                FROM bins b JOIN n ON n.event_type = b.event_type)
+            , qs(lbl, q) AS (VALUES ('p50', 0.5), ('p90', 0.9),
+                                    ('p99', 0.99))
+            , picks AS (
+                SELECT n.event_type, qs.lbl,
+                       CASE WHEN greatest(1, CAST(ceil(qs.q * n.n)
+                                                  AS BIGINT)) <= n.uf
+                            THEN 0.0
+                            ELSE (SELECT min_by(rep, k) FROM cum
+                                  WHERE cum.event_type = n.event_type
+                                    AND running >= greatest(1,
+                                        CAST(ceil(qs.q * n.n) AS BIGINT)))
+                       END AS val
+                FROM n CROSS JOIN qs)
+            SELECT event_type,
+                   MAX(CASE WHEN lbl = 'p50' THEN val END) AS p50,
+                   MAX(CASE WHEN lbl = 'p90' THEN val END) AS p90,
+                   MAX(CASE WHEN lbl = 'p99' THEN val END) AS p99
+            FROM picks GROUP BY event_type
         """,
         # Flagship extraction vs the MATERIALIZED GOLDEN TABLE (the
         # straight-line oracle's output, written at corpus generation):

@@ -79,8 +79,17 @@ class HLL:
     def estimate(self) -> float:
         m = self.m
         alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
-        zeros = int((self.registers == 0).sum())
+        # register-reciprocal sum computed EXACTLY in integer units of
+        # 2^-64 (S = sum over registers of 2^(64-r), a Python bigint) so
+        # the only float roundings are the final cast + one division —
+        # a fixed op tree any engine (e.g. the DuckDB twin) reproduces
+        # bit-for-bit, unlike a float accumulation whose value depends
+        # on summation order.
+        counts = np.bincount(self.registers, minlength=65)
+        S = sum(int(c) << (64 - r)
+                for r, c in enumerate(counts.tolist()) if c)
+        est = alpha * m * m * 2.0 ** 64 / float(S)
+        zeros = int(counts[0])
         if est <= 2.5 * m and zeros:
             est = m * math.log(m / zeros)       # linear counting
         return float(est)
