@@ -953,7 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixture": curation.temperature_mixture,
         "props_value_stats": curation.props_value_stats,
         "incremental_dedup": curation.incremental_dedup,
-        "bloom_incremental_dedup": curation.bloom_incremental_dedup,  # non-SQL (bloom bitmap)
+        "bloom_incremental_dedup": curation.bloom_incremental_dedup,
         "gopher_quality_flags": curation.gopher_quality_flags,
         "curation_funnel": curation.curation_funnel,
         "filter_report": curation.filter_report,
@@ -1664,6 +1664,129 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    MAX(CASE WHEN lbl = 'p90' THEN val END) AS p90,
                    MAX(CASE WHEN lbl = 'p99' THEN val END) AS p99
             FROM picks GROUP BY event_type
+        """,
+        # column profiler, bit-exact: per-column HLL over md5 of the
+        # Arrow STRING RENDERING — mirrored per type: strftime %f pads
+        # microseconds to 6 digits like Arrow's timestamp cast, and
+        # integral doubles render bare ('27' not '27.0'); corpus values
+        # stay below the 1e16 threshold where Arrow switches to
+        # scientific notation.  Hash = first 16 md5 hex chars as uint64
+        # (no splitmix — matches table_profile's md5 path)
+        "table_profile": f"""
+            WITH src AS (
+                SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS s
+                FROM events WHERE event_id IS NOT NULL
+                UNION ALL
+                SELECT 'ts', strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                FROM events WHERE ts IS NOT NULL
+                UNION ALL
+                SELECT 'user_id', CAST(user_id AS VARCHAR)
+                FROM events WHERE user_id IS NOT NULL
+                UNION ALL
+                SELECT 'event_type', event_type
+                FROM events WHERE event_type IS NOT NULL
+                UNION ALL
+                SELECT 'value',
+                       CASE WHEN value = trunc(value)
+                            THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+                            ELSE CAST(value AS VARCHAR) END
+                FROM events WHERE value IS NOT NULL
+                UNION ALL
+                SELECT 'props', props
+                FROM events WHERE props IS NOT NULL)
+            , hv AS (
+                SELECT col,
+                       ('0x' || substring(h, 1, 8))::BIGINT::HUGEINT
+                           * {_M32}
+                       + ('0x' || substring(h, 9, 8))::BIGINT::HUGEINT
+                           AS x
+                FROM (SELECT DISTINCT col, md5(s) AS h FROM src))
+            , pw(r, v) AS (VALUES {_hll_pw})
+            , bitlen(bl, lo, hi) AS (VALUES {_hll_bl})
+            , reg AS (
+                SELECT col, x // {_P52} AS idx,
+                       MAX(CASE WHEN x % {_P52} = 0 THEN 53
+                                ELSE 53 - b.bl END) AS r
+                FROM hv LEFT JOIN bitlen b
+                    ON (x % {_P52}) >= b.lo AND (x % {_P52}) < b.hi
+                GROUP BY 1, 2)
+            , st AS (
+                SELECT col, (4096 - count(*))::HUGEINT AS zeros,
+                       (4096 - count(*))::HUGEINT * {_T64}::HUGEINT
+                           + coalesce(sum(pw.v), 0::HUGEINT) AS S
+                FROM reg JOIN pw ON pw.r = reg.r
+                GROUP BY 1)
+            , es AS (SELECT col, {_hll_est} AS est FROM st)
+            , counts AS (
+                SELECT c.col,
+                       (SELECT CAST(count(*) AS BIGINT) FROM events)
+                           AS n_rows,
+                       CASE c.col
+                           WHEN 'event_id' THEN
+                               (SELECT count(*) - count(event_id)
+                                FROM events)
+                           WHEN 'ts' THEN
+                               (SELECT count(*) - count(ts) FROM events)
+                           WHEN 'user_id' THEN
+                               (SELECT count(*) - count(user_id)
+                                FROM events)
+                           WHEN 'event_type' THEN
+                               (SELECT count(*) - count(event_type)
+                                FROM events)
+                           WHEN 'value' THEN
+                               (SELECT count(*) - count(value)
+                                FROM events)
+                           ELSE (SELECT count(*) - count(props)
+                                 FROM events)
+                       END AS n_nulls
+                FROM (VALUES ('event_id'), ('ts'), ('user_id'),
+                             ('event_type'), ('value'), ('props'))
+                     c(col))
+            SELECT counts.col AS "column", counts.n_rows,
+                   CAST(counts.n_nulls AS BIGINT) AS n_nulls,
+                   coalesce(round(es.est), 0.0) AS approx_distinct
+            FROM counts LEFT JOIN es ON es.col = counts.col
+        """,
+        # Bloom incremental dedup, bit-exact: the bitmap's set positions
+        # are the 4 big-endian 32-bit md5 words mod m of each ESTABLISHED
+        # (doc_id & mask == 0) fingerprint — replayed as a distinct
+        # position set; a new doc flags maybe_dup iff all 4 of its words'
+        # positions are present (false positives and all — the exact
+        # bitmap semantics, not an idealized exact dedup)
+        "bloom_incremental_dedup": f"""
+            WITH fp AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE {fp_expr} END AS fp
+                FROM documents)
+            , estpos AS (
+                SELECT DISTINCT ('0x' || substring(fp, 1, 8))::BIGINT
+                           % 1048576 AS p
+                FROM fp WHERE (doc_id & 7) = 0 AND fp IS NOT NULL
+                UNION
+                SELECT DISTINCT ('0x' || substring(fp, 9, 8))::BIGINT
+                           % 1048576
+                FROM fp WHERE (doc_id & 7) = 0 AND fp IS NOT NULL
+                UNION
+                SELECT DISTINCT ('0x' || substring(fp, 17, 8))::BIGINT
+                           % 1048576
+                FROM fp WHERE (doc_id & 7) = 0 AND fp IS NOT NULL
+                UNION
+                SELECT DISTINCT ('0x' || substring(fp, 25, 8))::BIGINT
+                           % 1048576
+                FROM fp WHERE (doc_id & 7) = 0 AND fp IS NOT NULL)
+            SELECT doc_id,
+                   CASE WHEN fp IS NULL THEN FALSE
+                        ELSE ('0x' || substring(fp, 1, 8))::BIGINT
+                                 % 1048576 IN (SELECT p FROM estpos)
+                         AND ('0x' || substring(fp, 9, 8))::BIGINT
+                                 % 1048576 IN (SELECT p FROM estpos)
+                         AND ('0x' || substring(fp, 17, 8))::BIGINT
+                                 % 1048576 IN (SELECT p FROM estpos)
+                         AND ('0x' || substring(fp, 25, 8))::BIGINT
+                                 % 1048576 IN (SELECT p FROM estpos)
+                   END AS maybe_dup
+            FROM fp WHERE (doc_id & 7) <> 0
         """,
         # Flagship extraction vs the MATERIALIZED GOLDEN TABLE (the
         # straight-line oracle's output, written at corpus generation):

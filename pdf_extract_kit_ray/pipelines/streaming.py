@@ -1869,7 +1869,9 @@ def table_profile(sf_dir: str, table: str = "events") -> "ray.data.Dataset":
 
     Distinct counts hash the column's STRING rendering via md5 (stable
     across engines/workers — never Python hash()); tolerance-tested
-    against exact distinct counts in the unit suite."""
+    against exact distinct counts in the unit suite, and replayed
+    bit-exactly by the DuckDB twin (per-type rendering mirrored:
+    %f-padded timestamps, bare integral doubles)."""
     from ..functions.sketches import HLL
     from .text import md5_hex
 
