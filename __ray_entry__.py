@@ -1163,8 +1163,10 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     # neighbour h values (rank the joined h's descending, h' = count of
     # ranks with h >= rank).  The iteration is monotone non-increasing and
     # idempotent AT the fixpoint, so any round count >= the engine's
-    # convergence round yields exactly coreness; 48 rounds is 3x the
-    # worst observed convergence depth on these corpora (engine cap: 64).
+    # convergence round yields exactly coreness; unroll the engine's own
+    # max_rounds bound (64) — the engine raises loudly past it, so the
+    # twin can never silently under-iterate relative to a result the
+    # engine actually returned.
     coreness_iters = "".join(f""", h{i + 1} AS MATERIALIZED (
                 SELECT u AS part,
                        CAST(coalesce(MAX(CASE WHEN rnk <= nh THEN rnk END),
@@ -1174,7 +1176,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                                 ORDER BY p.h DESC) AS rnk
                       FROM edges e JOIN h{i} p ON p.part = e.v)
                 GROUP BY u
-            )""" for i in range(48))
+            )""" for i in range(64))
 
     # --- deterministic-sketch twin machinery -----------------------------
     # The HLL / Count-Min sketches hash with splitmix64 (no RNG state), so
@@ -1435,6 +1437,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT {_hll_est} AS distinct_users_est,
                    CAST(12 AS INTEGER) AS precision_p
             FROM st
+            WHERE (SELECT count(*) FROM events) > 0
         """,
         # per-type HLL: same machinery with event_type carried through
         # the hash chain and the register/estimate rollup grouped by it
@@ -1490,6 +1493,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(min(coalesce(evb.c, 0)) AS BIGINT) AS est_count,
                    (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_events
             FROM pb LEFT JOIN evb ON evb.r = pb.r AND evb.b = pb.b
+            WHERE (SELECT count(*) FROM events) > 0
             GROUP BY pb.pid
         """,
         # HLL set-algebra join profiler, bit-exact: per (pair, side)
@@ -1624,6 +1628,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    MAX(CASE WHEN lbl = 'p99' THEN val END) AS p99,
                    (SELECT n FROM n) AS n
             FROM picks
+            WHERE (SELECT count(*) FROM events) > 0
         """,
         # per-type DDSketch: same machinery grouped by event_type
         "ddsketch_quantiles_by_type": """
@@ -1744,7 +1749,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      c(col))
             SELECT counts.col AS "column", counts.n_rows,
                    CAST(counts.n_nulls AS BIGINT) AS n_nulls,
-                   coalesce(round(es.est), 0.0) AS approx_distinct
+                   coalesce(floor(es.est + 0.5), 0.0) AS approx_distinct
             FROM counts LEFT JOIN es ON es.col = counts.col
         """,
         # Bloom incremental dedup, bit-exact: the bitmap's set positions
@@ -5704,7 +5709,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM cc
         """,
         # k-core coreness via the same H-index iteration as the engine,
-        # unrolled as a generated 48-round chained CTE (idempotent past
+        # unrolled as a generated 64-round (the engine's own max_rounds
+        # bound) chained CTE (idempotent past
         # convergence, so fixed SQL rounds == the engine's early-exit
         # fixpoint); degree = h0
         "part_coreness": f"""
@@ -5723,8 +5729,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 FROM edges GROUP BY 1
             ){coreness_iters}
             SELECT CAST(d.part AS BIGINT) AS p_partkey,
-                   d.h AS degree, h48.h AS coreness
-            FROM h0 d JOIN h48 ON h48.part = d.part
+                   d.h AS degree, h64.h AS coreness
+            FROM h0 d JOIN h64 ON h64.part = d.part
         """,
         # Gini of per-customer spend; tie ranks don't matter (sum of
         # ranks over an equal-value run is fixed), float ops in the

@@ -3886,7 +3886,7 @@ def part_coreness(sf_dir: str, min_count: int = 2,
     checksum (sum of h, monotone), ``max_rounds`` a loud upper bound.
 
     SQL twin: the same H-index iteration unrolled as a generated
-    48-round chained CTE (idempotent past the fixpoint, so fixed SQL
+    64-round (max_rounds) chained CTE (idempotent past the fixpoint, so SQL
     rounds equal the engine's early-exit result);
     tests/test_part_coreness.py additionally pins exact equality
     against a single-node Batagelj-Zaversnik peeling reference and a

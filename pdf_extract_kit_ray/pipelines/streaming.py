@@ -12,6 +12,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1910,7 +1912,11 @@ def table_profile(sf_dir: str, table: str = "events") -> "ray.data.Dataset":
                 group.column("partial_rows")).as_py() or 0)], pa.int64()),
             "n_nulls": pa.array([int(pc.sum(
                 group.column("partial_nulls")).as_py() or 0)], pa.int64()),
-            "approx_distinct": pa.array([round(h.estimate())],
+            # floor(est + 0.5), NOT Python round(): the estimate is
+            # non-negative, so this is the same half-up convention the
+            # SQL twin's floor(est + 0.5) uses — bare round() is
+            # banker's and would diverge on an exact .5 estimate
+            "approx_distinct": pa.array([math.floor(h.estimate() + 0.5)],
                                         pa.float64()),
         })
 

@@ -113,6 +113,12 @@ def main() -> int:
         only = (only & set(picked)) if only else set(picked)
         print(f"sampling {len(only)} of {len(names)} queries "
               f"(seed={args.seed})")
+        if not only:
+            # --only disjoint from the sampled slice: an empty set would
+            # read as "no filter" below and run the FULL registry — the
+            # opposite of the requested restriction.  Exit cleanly.
+            print(json.dumps({"failures": 0, "n": 0, "report": {}}))
+            return 0
 
     report = {}
     failures = 0

@@ -68,7 +68,8 @@ _SF001_QUERIES = {"extract_kind_counts", "table_sources",
                   "parquet_storage_profile",
                   # media queries: the no-arg twins pin the sf0.01
                   # media table path
-                  "media_exact_dedup", "media_kind_bytes"}
+                  "media_exact_dedup", "media_kind_bytes",
+                  "media_integrity_check"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
