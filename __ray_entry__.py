@@ -3624,9 +3624,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 WHERE l_shipdate >= DATE '1997-01-01'
                   AND l_shipdate < DATE '1997-04-01'
             )
-            SELECT round((100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END))
-                         / sum(rev_c), 6) AS promo_pct,
-                   sum(rev_c) / 100.0 AS total_revenue
+            -- engine contract: an empty window reports 0.0, not NULL
+            SELECT CASE WHEN coalesce(sum(rev_c), 0) = 0 THEN 0.0
+                        ELSE round((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                                     THEN rev_c ELSE 0 END))
+                                   / sum(rev_c), 6) END AS promo_pct,
+                   coalesce(sum(rev_c), 0) / 100.0 AS total_revenue
             FROM w
         """,
         "supplier_region_volume": """
@@ -3963,7 +3966,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 WHERE p_brand = 'Brand#12'
                 GROUP BY l_partkey
             )
-            SELECT sum(CAST(floor(l_extendedprice*100.0) AS BIGINT))
+            -- engine contract: no qualifying rows reports 0.0, not NULL
+            SELECT coalesce(sum(CAST(floor(l_extendedprice*100.0)
+                                     AS BIGINT)), 0)
                        / 100.0 / 7.0 AS avg_yearly,
                    count(*) AS n_rows
             FROM lineitem JOIN t ON lineitem.l_partkey = t.l_partkey

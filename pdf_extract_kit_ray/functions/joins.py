@@ -152,6 +152,23 @@ def broadcast_join(ds: "ray.data.Dataset", small: pa.Table,
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def dataset_to_table(ds: "ray.data.Dataset") -> pa.Table:
+    """Materialize a SMALL (bounded-by-contract) dataset into one Arrow
+    table, PRESERVING the schema when the result is empty.
+    ``Dataset.to_pandas()`` drops all columns on an empty result (the
+    documented Ray quirk), which turns a downstream ``broadcast_join``
+    into a KeyError on the join key; Arrow block refs keep their schema
+    even at zero rows."""
+    tables = [t for t in ray.get(ds.to_arrow_refs())]
+    if not tables:
+        schema = ds.schema()
+        if schema is None or not schema.names:
+            return pa.table({})
+        return pa.schema(list(zip(schema.names, schema.types))) \
+            .empty_table()
+    return pa.concat_tables(tables, promote_options="default")
+
+
 def make_lookup(keys, values) -> tuple:
     """Package a small key->value mapping for broadcast (``ray.put`` the
     result once, probe with :func:`lookup_np` in every task).  Keys become

@@ -449,11 +449,17 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             batch.schema.get_field_index("o_orderdate"), "o_orderdate",
             batch.column("o_orderdate").cast(pa.timestamp("us")))
 
-    return (agg.map_batches(finish, batch_format="pyarrow")
-               .sort(["revenue", "o_orderdate", "l_orderkey"],
-                     descending=[True, False, False])
-               .limit(n)
-               .map_batches(recast, batch_format="pyarrow"))
+    # typed empty seed: a window with no qualifying rows yields ZERO
+    # aggregate rows and Ray drops the schema entirely; the union pins it
+    seed = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                     "o_orderdate": pa.array([], pa.timestamp("us")),
+                     "revenue": pa.array([], pa.float64())})
+    return ray.data.from_arrow(seed).union(
+        agg.map_batches(finish, batch_format="pyarrow")
+           .sort(["revenue", "o_orderdate", "l_orderkey"],
+                 descending=[True, False, False])
+           .limit(n)
+           .map_batches(recast, batch_format="pyarrow"))
 
 
 def promo_revenue(sf_dir: str, lo: str = "1997-01-01",
@@ -902,10 +908,12 @@ def big_orders(sf_dir: str, qty_threshold: int = 300,
         return batch.filter(
             pc.greater(batch.column("qty_c"), qty_threshold * 100))
 
-    # bounded by the HAVING contract: only heavy-hitter orders survive
-    big = pa.Table.from_pandas(
-        totals.map_batches(having, batch_format="pyarrow").to_pandas(),
-        preserve_index=False)
+    # bounded by the HAVING contract: only heavy-hitter orders survive.
+    # dataset_to_table (NOT to_pandas): an empty HAVING result must keep
+    # its schema or the broadcast join KeyErrors on l_orderkey
+    from ..functions.joins import dataset_to_table
+    big = dataset_to_table(
+        totals.map_batches(having, batch_format="pyarrow"))
 
     orders = sized_read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -928,7 +936,16 @@ def big_orders(sf_dir: str, qty_threshold: int = 300,
                 pc.cast(batch.column("qty_c"), pa.float64(), safe=False), 100.0),
         })
 
-    return joined.map_batches(project, batch_format="pyarrow")
+    # typed empty seed: no order past the HAVING threshold yields zero
+    # rows and Ray drops the schema; the union pins it
+    seed = pa.table({"c_name": pa.array([], pa.string()),
+                     "c_custkey": pa.array([], pa.int64()),
+                     "o_orderkey": pa.array([], pa.int64()),
+                     "o_orderdate": pa.array([], pa.timestamp("us")),
+                     "o_totalprice": pa.array([], pa.float64()),
+                     "total_qty": pa.array([], pa.float64())})
+    return ray.data.from_arrow(seed).union(
+        joined.map_batches(project, batch_format="pyarrow"))
 
 
 def nation_trade_volume(sf_dir: str,
@@ -1377,7 +1394,14 @@ def product_type_profit(sf_dir: str, name_token: str = "red",
             "n_items": batch.column("n_items"),
         })
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # typed empty seed: a name filter matching no parts yields zero rows
+    # and Ray drops the schema; the union pins it
+    seed = pa.table({"supp_nation": pa.array([], pa.string()),
+                     "yr": pa.array([], pa.int64()),
+                     "profit": pa.array([], pa.float64()),
+                     "n_items": pa.array([], pa.int64())})
+    return ray.data.from_arrow(seed).union(
+        agg.map_batches(finish, batch_format="pyarrow"))
 
 
 def returned_item_revenue(sf_dir: str, lo: str = "1997-07-01",
@@ -2142,9 +2166,14 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90,
         g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
         return g.rename_columns(["o_orderpriority", "partial_n"])
 
-    return (joined.map_batches(late_partial, batch_format="pyarrow")
-                  .groupby("o_orderpriority")
-                  .aggregate(Sum("partial_n", alias_name="n_orders")))
+    # typed empty seed: no late orders -> zero aggregate rows and Ray
+    # drops the schema; the union pins it
+    seed = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                     "n_orders": pa.array([], pa.int64())})
+    return ray.data.from_arrow(seed).union(
+        joined.map_batches(late_partial, batch_format="pyarrow")
+              .groupby("o_orderpriority")
+              .aggregate(Sum("partial_n", alias_name="n_orders")))
 
 
 def users_only_first_half(sf_dir: str,
@@ -3107,10 +3136,24 @@ def min_cost_supplier(sf_dir: str, size: int = 13,
                         safe=False), 1000000.0),
         })
 
-    return (out.map_batches(finish, batch_format="pyarrow")
-               .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
-                     descending=[True, False, False, False])
-               .limit(100))
+    # typed empty seed: a region/size filter matching nothing yields zero
+    # rows and Ray's sort drops the schema entirely; the union pins it.
+    # The seed must wrap AFTER sort/limit (sort on an empty dataset
+    # loses the schema), and Ray's planner asserts on a union whose
+    # direct child is a Limit operator — the identity map in between
+    # sidesteps both quirks (the q3_shipping_priority shape).
+    seed = pa.table({"s_acctbal": pa.array([], pa.float64()),
+                     "s_name": pa.array([], pa.string()),
+                     "n_name": pa.array([], pa.string()),
+                     "p_partkey": pa.array([], pa.int64()),
+                     "p_name": pa.array([], pa.string()),
+                     "supply_cost": pa.array([], pa.float64())})
+    return ray.data.from_arrow(seed).union(
+        out.map_batches(finish, batch_format="pyarrow")
+           .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                 descending=[True, False, False, False])
+           .limit(100)
+           .map_batches(lambda b: b, batch_format="pyarrow"))
 
 
 def important_parts(sf_dir: str, nation: str = "NATION_7",
@@ -3341,8 +3384,12 @@ def excess_shipped_suppliers(sf_dir: str, prefix: str = "red ",
         return pa.table({"s_suppkey": batch.column("l_suppkey"),
                          "s_name": batch.column("s_name")})
 
-    return out.map_batches(finish, batch_format="pyarrow") \
-        .sort("s_suppkey")
+    # typed empty seed: no supplier past the excess threshold yields zero
+    # rows and Ray drops the schema; the union pins it
+    seed = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                     "s_name": pa.array([], pa.string())})
+    return ray.data.from_arrow(seed).union(
+        out.map_batches(finish, batch_format="pyarrow").sort("s_suppkey"))
 
 
 def part_pagerank(sf_dir: str, min_count: int = 2, iters: int = 3,
@@ -4504,10 +4551,16 @@ def shipmode_priority_counts(sf_dir: str, date_from: str = "1996-01-01",
                                                 ("low", "sum")])
         return g.rename_columns(["linestatus", "high", "low"])
 
-    return (joined.map_batches(partial, batch_format="pyarrow")
-                  .groupby("linestatus")
-                  .aggregate(Sum("high", alias_name="high_line_count"),
-                             Sum("low", alias_name="low_line_count")))
+    # typed empty seed: a ship window outside the data range yields zero
+    # rows and Ray drops the schema; the union pins it
+    seed = pa.table({"linestatus": pa.array([], pa.string()),
+                     "high_line_count": pa.array([], pa.int64()),
+                     "low_line_count": pa.array([], pa.int64())})
+    return ray.data.from_arrow(seed).union(
+        joined.map_batches(partial, batch_format="pyarrow")
+              .groupby("linestatus")
+              .aggregate(Sum("high", alias_name="high_line_count"),
+                         Sum("low", alias_name="low_line_count")))
 
 
 def target_encode_priority(sf_dir: str, m: float = 20.0) -> "ray.data.Dataset":

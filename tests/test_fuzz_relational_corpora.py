@@ -1,0 +1,247 @@
+"""Deterministic fuzz of the relational (TPC-H-shaped) query twins.
+
+Seeded generators build mini corpora full of the shapes the shipped
+corpora happen NOT to exercise — structural zeros in the
+returnflag x linestatus grid (the ADVICE-r4 chi2 class), a whale
+customer owning half the order book, customers without orders, an
+EMPTY co-purchase graph (no pair bought together twice), tied prices
+and quantities on filter boundaries, single-month revenue series —
+and every pure-relational SQL twin must still hash-match its DuckDB
+oracle.  This generalizes the advisor's "parity holds only because the
+corpus is benign" findings into a standing regression gate.
+
+Dates are midnight-aligned timestamps (the documented engine contract:
+integer-us day division must be exact).
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entrymod
+
+# every oracle-twinned query whose SQL reads ONLY the seven relational
+# views (no events/documents/embeddings, no pinned parquet paths)
+QUERIES = [
+    "big_orders", "brand_disjunction_revenue", "chi2_independence",
+    "customer_order_cadence", "customer_repeat_rate", "customer_rfm",
+    "customer_spend_gini", "customer_value_deciles",
+    "customers_without_orders", "daily_order_ship_coverage",
+    "daily_revenue_ma7", "excess_shipped_suppliers", "forecast_revenue",
+    "global_sales_opportunity", "holt_linear_forecast", "important_parts",
+    "integrity_report", "k_anonymity_report", "late_shipment_priority",
+    "market_share", "min_cost_supplier", "monthly_revenue_growth",
+    "nation_balance_ranks", "nation_trade_volume", "nation_year_rollup",
+    "numeric_correlations", "open_orders_timeline",
+    "order_count_distribution", "order_lines_histogram",
+    "order_priority_revenue", "order_spend_share", "orders_cube",
+    "orders_per_nation", "orders_star", "part_abc_classes",
+    "part_adamic_adar", "part_affinity_lift", "part_affinity_pairs",
+    "part_communities", "part_coreness", "part_frequent_triples",
+    "part_name_typo_pairs", "part_pagerank", "part_random_walks",
+    "part_skyline", "part_triangles", "peak_window_revenue",
+    "product_type_profit", "promo_revenue", "q1_pricing_summary",
+    "q3_shipping_priority", "returned_item_revenue", "seasonal_anomalies",
+    "seasonal_decompose", "ship_latency_percentiles",
+    "shipmode_priority_counts", "small_quantity_revenue",
+    "sole_late_supplier", "supplier_hhi_by_type",
+    "supplier_latency_trend", "supplier_part_variety",
+    "supplier_region_volume", "supplier_scorecard",
+    "target_encode_priority", "top_supplier", "woe_priority_returns",
+]
+
+_TABLES = ("region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem")
+
+_DAY = np.int64(86_400_000_000)
+_EPOCH_1995 = np.int64(9131) * _DAY      # days 1970-01-01 -> 1995-01-01
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_PTYPES = ["ECONOMY", "PROMO", "STANDARD"]
+# near-identical names on purpose: the typo-pair blocker must agree with
+# DuckDB levenshtein on these
+_PNAMES = ["steel blue part", "steel blu part", "steel blue part",
+           "cold widget", "cold widget", "cold widgets",
+           "large bolt", "large bolt ", "blue rod", "blue rod",
+           "aquamarine gear", "aqamarine gear"]
+
+
+def _ts(day_offsets: np.ndarray) -> pa.Array:
+    return pa.array(_EPOCH_1995 + day_offsets.astype(np.int64) * _DAY,
+                    pa.timestamp("us"))
+
+
+def _make_rel(tmpdir: str, seed: int) -> str:
+    d = os.path.join(tmpdir, f"rfuzz{seed}")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    dense = seed % 2 == 1                 # seed 1: dense; seed 2: sparse
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1, 2], pa.int32()),
+        "r_name": pa.array(["ASIA", "EUROPE", "AFRICA"], pa.string()),
+    }), os.path.join(d, "region.parquet"))
+    # region 2 has NO nations; nation 3 has no customers/suppliers
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(4)], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1, 1], pa.int32()),
+    }), os.path.join(d, "nation.parquet"))
+
+    n_cust = 12 if dense else 5
+    # duplicate quasi-identifier combos (k-anonymity), negative and zero
+    # balances, nation skew
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)],
+                           pa.string()),
+        "c_nationkey": pa.array(
+            [0] * (n_cust - 2) + [1, 2], pa.int32()),
+        "c_acctbal": pa.array(
+            np.r_[np.zeros(2), [-10.5], rng.randint(-500, 5000,
+                                                    n_cust - 3) / 1.0],
+            pa.float64()),
+        "c_mktsegment": pa.array(
+            [_SEGS[i % 2] for i in range(n_cust)], pa.string()),
+    }), os.path.join(d, "customer.parquet"))
+
+    n_supp = 4 if dense else 2
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)],
+                           pa.string()),
+        "s_nationkey": pa.array([0, 1] * (n_supp // 2), pa.int32()),
+        "s_acctbal": pa.array(rng.randint(-100, 1000, n_supp) / 1.0,
+                              pa.float64()),
+    }), os.path.join(d, "supplier.parquet"))
+
+    n_part = len(_PNAMES) if dense else 6
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": pa.array(_PNAMES[:n_part], pa.string()),
+        "p_brand": pa.array([f"Brand#{1 + i % 3}" for i in range(n_part)],
+                            pa.string()),
+        "p_type": pa.array([_PTYPES[i % len(_PTYPES)]
+                            for i in range(n_part)], pa.string()),
+        "p_size": pa.array((1 + (np.arange(n_part) % 5)).astype(np.int32),
+                           pa.int32()),
+        # exact ties in retailprice: skyline/deciles tie-breaks
+        "p_retailprice": pa.array(
+            (100 + 10 * (np.arange(n_part) % 4)) / 1.0, pa.float64()),
+    }), os.path.join(d, "part.parquet"))
+
+    n_ord = 60 if dense else 14
+    # whale: customer 0 owns half the order book; customers beyond
+    # n_cust-3 have no orders at all
+    cust = np.where(np.arange(n_ord) % 2 == 0, 0,
+                    rng.randint(0, max(1, n_cust - 3), n_ord))
+    if dense:
+        odays = rng.randint(0, 400, n_ord)      # ~13 months
+    else:
+        odays = rng.randint(0, 35, n_ord)       # barely 2 months
+    status = np.array(["F", "O", "P"])[
+        np.where(np.arange(n_ord) % 7 == 0, 2,
+                 (np.arange(n_ord) % 2))] if dense else \
+        np.array(["F"] * n_ord)
+    # tied totalprices on cent boundaries; one zero-ish order
+    tot = np.where(rng.rand(n_ord) < 0.3, 1000.00,
+                   rng.randint(1, 500000, n_ord) / 100.0)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderstatus": pa.array(status, pa.string()),
+        "o_totalprice": pa.array(tot, pa.float64()),
+        "o_orderdate": _ts(odays),
+        "o_orderpriority": pa.array(
+            [_PRIOS[i % len(_PRIOS)] for i in range(n_ord)], pa.string()),
+    }), os.path.join(d, "orders.parquet"))
+
+    rows = []
+    for ok in range(n_ord):
+        n_lines = 1 + (ok % 7)
+        for ln in range(n_lines):
+            if dense:
+                # planted co-purchase repeats: orders 0..9 all share the
+                # (0,1) part pair; elsewhere random
+                part_id = (ln % 2 if ok < 10
+                           else int(rng.randint(0, n_part)))
+                # STRUCTURAL ZERO: only A/F, R/F, N/O combos ever occur
+                rf, ls = [("A", "F"), ("R", "F"),
+                          ("N", "O")][int(rng.randint(0, 3))]
+            else:
+                # sparse: every order gets DISTINCT single parts -> no
+                # pair co-purchased twice -> EMPTY affinity graph
+                part_id = (ok * 7 + ln) % n_part
+                rf, ls = ("N", "O")
+            ship_lag = 0 if ok % 5 == 0 else int(rng.randint(1, 90))
+            rows.append((
+                ok, part_id, (0 if ok % 11 == 0
+                              else int(rng.randint(0, n_supp))),
+                ln + 1,
+                float([1.0, 24.0, 25.0, 50.0][int(rng.randint(0, 4))]),
+                float(rng.randint(100, 100000)) / 100.0,
+                float([0.0, 0.05, 0.06, 0.07, 0.1][
+                    int(rng.randint(0, 5))]),
+                float([0.0, 0.08][int(rng.randint(0, 2))]),
+                rf, ls,
+                int(odays[ok]) + ship_lag,
+            ))
+    arr = list(zip(*rows))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(arr[0], pa.int64()),
+        "l_partkey": pa.array(arr[1], pa.int64()),
+        "l_suppkey": pa.array(arr[2], pa.int64()),
+        "l_linenumber": pa.array(arr[3], pa.int32()),
+        "l_quantity": pa.array(arr[4], pa.float64()),
+        "l_extendedprice": pa.array(arr[5], pa.float64()),
+        "l_discount": pa.array(arr[6], pa.float64()),
+        "l_tax": pa.array(arr[7], pa.float64()),
+        "l_returnflag": pa.array(arr[8], pa.string()),
+        "l_linestatus": pa.array(arr[9], pa.string()),
+        "l_shipdate": _ts(np.array(arr[10])),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort",
+                          ignore_index=True)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize("name", QUERIES)
+def test_fuzz_relational_match_oracle(ray_session, tmp_path, seed, name):
+    import ray.data
+    sf = _make_rel(str(tmp_path), seed)
+    res = entrymod.queries()[name](sf)
+    if isinstance(res, ray.data.Dataset):
+        schema = res.schema()
+        res = res.to_pandas()
+        if len(res) == 0 and len(res.columns) == 0 \
+                and schema is not None and schema.names:
+            res = pa.schema(list(zip(schema.names, schema.types))) \
+                .empty_table().to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    oracle = con.execute(entrymod.oracle_sql()[name]).df()
+    a, b = _canon(pd.DataFrame(res)), _canon(oracle)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  obj=f"{name} seed={seed}")
