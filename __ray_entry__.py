@@ -1239,6 +1239,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                             / CAST(S AS DOUBLE) END"""
     _cms_seeds = [0x243F6A8885A308D3, 0x13198A2E03707344,
                   0xA4093822299F31D0, 0x082EFA98EC4E6C89]
+    # shared chunk model for the html twins: the synthetic page wraps
+    # text into 12-token <p> blocks; a block whose joined text strips
+    # (ASCII whitespace, matching Python str.strip on these corpora) to
+    # '' is dropped by the extractor, not kept
+    _html_chunks_cte = """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t,
+                       len(string_split(text, ' ')) AS n
+                FROM documents WHERE text IS NOT NULL AND text <> ''
+            ), idx AS (
+                SELECT doc_id, unnest(range(0, n, 12)) AS i FROM toks
+            ), ch AS (
+                SELECT idx.doc_id,
+                       trim(array_to_string(t[i + 1 : i + 12], ' '),
+                            ' ' || chr(9) || chr(10) || chr(13)
+                                || chr(12) || chr(11)) AS vis
+                FROM idx JOIN toks USING (doc_id)
+            ), agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(sum(CASE WHEN vis <> '' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS kept,
+                       CAST(sum(CASE WHEN vis <> '' THEN length(vis)
+                                     ELSE 0 END) AS BIGINT) AS vis_chars
+                FROM ch GROUP BY 1
+            )
+    """
     sql = {
         # byte-level Shannon entropy: hex()-substr byte unnest + the same
         # -p*log2(p) micro-int term tree as the Ray kernel
@@ -4036,28 +4062,35 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # closed forms of the synthetic-page round-trip (see pipelines/
         # web.py module docstring): main_text == text with every 12th
         # space -> newline, chrome is a fixed 8 leaf blocks per page
-        "html_main_content": """
-            SELECT doc_id,
-                   CASE WHEN text IS NULL OR text = '' THEN 0
-                        ELSE length(text) END AS main_chars,
-                   CASE WHEN text IS NULL OR text = '' THEN 0
-                        ELSE CAST(ceil(len(string_split(text, ' ')) / 12.0)
-                                  AS BIGINT) END AS kept_blocks,
-                   CAST(8 AS BIGINT) AS dropped_blocks
-            FROM documents
+        # closed form of the synth->extract round trip INCLUDING the
+        # whitespace-pathological chunks the fuzz corpora plant: a
+        # 12-token chunk whose joined text strips (ASCII ws) to '' is a
+        # DROPPED empty block, and main_chars counts the stripped chunk
+        # texts newline-joined — identical to extract_main_content
+        "html_main_content": _html_chunks_cte + """
+            SELECT d.doc_id,
+                   CAST(coalesce(a.vis_chars
+                                 + greatest(a.kept - 1, 0), 0) AS BIGINT)
+                       AS main_chars,
+                   CAST(coalesce(a.kept, 0) AS BIGINT) AS kept_blocks,
+                   CAST(8 + coalesce(a.n_chunks - a.kept, 0) AS BIGINT)
+                       AS dropped_blocks
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
-        "html_boilerplate_rate": """
+        "html_boilerplate_rate": _html_chunks_cte + """
+            , per_doc AS (
+                SELECT d.doc_id, d.source,
+                       coalesce(a.kept, 0) AS kept,
+                       8 + coalesce(a.n_chunks - a.kept, 0) AS dropped
+                FROM documents d LEFT JOIN agg a USING (doc_id))
             SELECT source,
-                   CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 0
-                       ELSE CAST(ceil(len(string_split(text, ' ')) / 12.0)
-                                 AS BIGINT) END) AS BIGINT) AS kept_blocks,
-                   8 * count(*) AS dropped_blocks,
-                   round(8.0 * count(*) /
-                         (sum(CASE WHEN text IS NULL OR text = '' THEN 0
-                              ELSE CAST(ceil(len(string_split(text, ' '))
-                                             / 12.0) AS BIGINT) END)
-                          + 8.0 * count(*)), 6) AS boilerplate_rate
-            FROM documents GROUP BY source
+                   CAST(sum(kept) AS BIGINT) AS kept_blocks,
+                   CAST(sum(dropped) AS BIGINT) AS dropped_blocks,
+                   round(CAST(sum(dropped) AS DOUBLE) /
+                         (CAST(sum(kept) AS DOUBLE)
+                          + CAST(sum(dropped) AS DOUBLE)), 6)
+                       AS boilerplate_rate
+            FROM per_doc GROUP BY source
         """,
         "doc_stats": f"""
             SELECT doc_id,
@@ -6471,14 +6504,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         """,
         # temperature-scaled mixture plan: pow on doubles both engines
         # (decayed_user_value precedent), all ratios snapped round6
-        "temperature_mixture": """
+        "temperature_mixture": f"""
             WITH d AS (
+                -- the SHARED tokens_expr, not a hand-rolled trim(text):
+                -- DuckDB trim strips only spaces, so edge-\\t/\\n text
+                -- would miscount by one token per ragged edge
                 SELECT source,
-                       CASE WHEN text IS NULL
-                                 OR trim(text) = '' THEN 0
-                            ELSE length(string_split_regex(trim(text),
-                                                           '\\s+'))
-                       END AS nt
+                       CASE WHEN text IS NULL THEN 0
+                            ELSE {tokens_expr} END AS nt
                 FROM documents
             ), s AS (
                 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

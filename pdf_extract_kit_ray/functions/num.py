@@ -16,10 +16,16 @@ def round6(x) -> pa.Array:
     the correctness driver hashes values bit-exactly.  Arrow's
     ``pc.round(x, ndigits=6)`` and Python's ``round`` both avoid the
     scale-multiply and can land one ulp away.
+
+    The rounded scale stays a DOUBLE end-to-end (as DuckDB's does): an
+    int64 roundtrip would be a bit-exact no-op below 2^53 but RAISES on
+    Arrow's checked int->float cast above it, where DuckDB happily
+    rounds (a double that large has no fractional part) — the regime
+    large variances/sums legitimately reach.
     """
-    micro = pc.cast(pc.round(pc.multiply(x, 1000000.0), ndigits=0,
-                             round_mode="half_towards_infinity"), pa.int64())
-    return pc.divide(pc.cast(micro, pa.float64()), 1000000.0)
+    micro = pc.round(pc.multiply(x, 1000000.0), ndigits=0,
+                     round_mode="half_towards_infinity")
+    return pc.divide(micro, 1000000.0)
 
 
 def round6_scalar(x: float) -> float:

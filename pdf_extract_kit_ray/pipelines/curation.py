@@ -240,7 +240,9 @@ def props_value_stats(sf_dir: str) -> "ray.data.Dataset":
                             columns=["props", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ext = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        # \s* not a literal space: the twin's json_extract_string parses
+        # real JSON, so the regex must accept any inter-token whitespace
+        ext = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>\d+)')
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
         micro = pc.cast(pc.round(pc.multiply(batch.column("value"), 1e6),
                                  ndigits=0,

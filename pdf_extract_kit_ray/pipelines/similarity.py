@@ -1165,11 +1165,18 @@ def embedding_dim_stats(sf_dir: str) -> "ray.data.Dataset":
     components before vectors hit an index.
 
     Exact-integer construction: every component snaps once to micro-units
-    (round6 micro convention, half-away), per-dim (sum, sumsq, min, max)
-    accumulate as int64 per batch and in the #dims-sized groupby, and the
+    (round6 micro convention, half-away); per-dim sums accumulate EXACTLY
+    at any corpus size via limb-split partials — the per-batch sum of
+    squares is computed as a Python bigint (squares decomposed a,b-wise
+    so no int64 product ever wraps) and shipped as three base-2^40 int64
+    limb columns whose tree-sums reconstruct the exact 128-bit total in
+    the finish (a naive int64 sumsq wraps silently at ~10^7 rows of
+    unit-scale embeddings; the fuzz suite's huge-magnitude vector caught
+    exactly that).  Components beyond |v| ~ 8.8e6 (2^43 micro) raise
+    OverflowError loudly, mirroring the user_value_twap convention.  The
     only doubles are the final division chains — mean = S/(n*1e6),
-    var = (n*SS - S^2)/n/n/1e12 (the n*SS product needs 128-bit at this
-    magnitude: Python bigints here, HUGEINT in the twin) — round6.
+    var = (n*SS - S^2)/n/n/1e12 (Python bigints here, HUGEINT in the
+    twin) — round6.
 
     Scale shape: pure map over the vector stream (the flat list values
     buffer is touched once, zero-copy, with vectorized position algebra
@@ -1181,11 +1188,16 @@ def embedding_dim_stats(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["embedding"])
 
+    _L = 1 << 40                     # limb base for the partial sums
+
     empty = pa.table({
         "dim": pa.array([], pa.int64()),
         "n": pa.array([], pa.int64()),
-        "s1": pa.array([], pa.int64()),
-        "s2": pa.array([], pa.int64()),
+        "s1l0": pa.array([], pa.int64()),
+        "s1l1": pa.array([], pa.int64()),
+        "q0": pa.array([], pa.int64()),
+        "q1": pa.array([], pa.int64()),
+        "q2": pa.array([], pa.int64()),
         "mn": pa.array([], pa.int64()),
         "mx": pa.array([], pa.int64()),
     })
@@ -1203,30 +1215,71 @@ def embedding_dim_stats(sf_dir: str) -> "ray.data.Dataset":
                                  ndigits=0,
                                  round_mode="half_towards_infinity"),
                         pa.int64()).to_numpy()
+        if len(col) > 1 << 18:       # keeps every limb sum below int64
+            raise OverflowError(
+                "embedding_dim_stats: batch too large for the exact "
+                "limb accumulator — lower batch_size")
+        am = np.abs(micro)
+        if am.max(initial=0) > 1 << 43:
+            raise OverflowError(
+                "embedding_dim_stats: |component| > ~8.8e6 exceeds the "
+                "exact-integer budget (2^43 micro-units); rescale the "
+                "embedding column first")
         # per-value dim index from the list offsets (ragged-safe)
         lens = pc.list_value_length(col).to_numpy().astype(np.int64)
         starts = np.repeat(np.r_[0, np.cumsum(lens)[:-1]], lens)
         dim = np.arange(len(micro), dtype=np.int64) - starts
-        sq = micro * micro           # |v| <= ~2^31 micro -> square fits
-        t = pa.table({"dim": pa.array(dim), "v": pa.array(micro),
-                      "sq": pa.array(sq)})
-        g = t.group_by("dim").aggregate([
-            ("v", "count"), ("v", "sum"), ("sq", "sum"),
-            ("v", "min"), ("v", "max")])
-        return g.rename_columns(["dim", "n", "s1", "s2", "mn", "mx"])
+        nd = int(dim.max()) + 1
+        # exact sum of squares with NO int64 wrap: m^2 = a^2*2^44
+        # + 2ab*2^23/2 ... split m = a*2^22 + b, accumulate the three
+        # int64-safe terms per dim, recombine as Python bigints
+        a, b = am >> 22, am & ((1 << 22) - 1)
+        acc = np.zeros((5, nd), np.int64)    # cnt, s1, t2, t1, t0
+        np.add.at(acc[0], dim, 1)
+        np.add.at(acc[1], dim, micro)
+        np.add.at(acc[2], dim, a * a)
+        np.add.at(acc[3], dim, a * b)
+        np.add.at(acc[4], dim, b * b)
+        mn = np.full(nd, np.iinfo(np.int64).max, np.int64)
+        mx = np.full(nd, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, dim, micro)
+        np.maximum.at(mx, dim, micro)
+        s2b = [(int(t2) << 44) + (int(t1) << 23) + int(t0)
+               for t2, t1, t0 in zip(acc[2], acc[3], acc[4])]
+        return pa.table({
+            "dim": pa.array(np.arange(nd, dtype=np.int64)),
+            "n": pa.array(acc[0]),
+            "s1l0": pa.array([int(s) % _L for s in acc[1]], pa.int64()),
+            "s1l1": pa.array([int(s) // _L for s in acc[1]], pa.int64()),
+            "q0": pa.array([s % _L for s in s2b], pa.int64()),
+            "q1": pa.array([(s >> 40) % _L for s in s2b], pa.int64()),
+            "q2": pa.array([s >> 80 for s in s2b], pa.int64()),
+            "mn": pa.array(mn),
+            "mx": pa.array(mx),
+        })
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
            .groupby("dim")
            .aggregate(Sum("n", alias_name="n"),
-                      Sum("s1", alias_name="s1"),
-                      Sum("s2", alias_name="s2"),
+                      Sum("s1l0", alias_name="s1l0"),
+                      Sum("s1l1", alias_name="s1l1"),
+                      Sum("q0", alias_name="q0"),
+                      Sum("q1", alias_name="q1"),
+                      Sum("q2", alias_name="q2"),
                       Min("mn", alias_name="mn"),
                       Max("mx", alias_name="mx")))
 
     def finish(batch: pa.Table) -> pa.Table:
         n = batch.column("n").to_numpy().astype(np.int64)
-        s1 = batch.column("s1").to_numpy().astype(np.int64)
-        s2 = batch.column("s2").to_numpy().astype(np.int64)
+        # exact 128-bit reconstructions from the limb tree-sums
+        s1 = [int(l0) + _L * int(l1)
+              for l0, l1 in zip(batch.column("s1l0").to_numpy(),
+                                batch.column("s1l1").to_numpy())]
+        s2 = [int(a0) + (int(a1) << 40) + (int(a2) << 80)
+              for a0, a1, a2 in zip(batch.column("q0").to_numpy(),
+                                    batch.column("q1").to_numpy(),
+                                    batch.column("q2").to_numpy())]
         mean = np.array([float(s) / (int(c) * 1e6)
                          for s, c in zip(s1, n)])
         # n*SS - S^2 exceeds int64 — exact Python bigints (dims-bounded)

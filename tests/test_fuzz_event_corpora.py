@@ -35,6 +35,19 @@ QUERIES = [
     "engaged_users_union", "hll_distinct_by_type", "user_first_last",
     "session_stats", "event_transitions", "event_order_audit",
     "user_cohort_values", "user_event_sequences", "inter_event_gaps",
+    # round-5 expansion: every remaining events-only twin
+    "cms_user_counts", "ddsketch_quantiles_by_type",
+    "ddsketch_value_quantiles", "decayed_user_value",
+    "event_cooccurrence_pairs", "event_markov_stationary",
+    "event_trigrams", "events_anomalous_hours", "events_autocorrelation",
+    "events_burstiness", "events_debounce_report", "events_entropy_rate",
+    "events_interpolate_grid", "events_scd2_intervals",
+    "heavy_hitter_users", "hll_distinct_users", "props_value_stats",
+    "rolling_median_value", "session_survival_curve", "table_profile",
+    "user_bursts", "user_event_entropy", "user_intersession_gaps",
+    "user_modal_event", "user_value_median", "user_value_twap",
+    "value_benford_deviation", "value_hour_mahalanobis",
+    "value_psi_by_type", "value_trimmed_stats",
 ]
 TYPES = ["click", "view", "purchase", "signup", "error"]
 

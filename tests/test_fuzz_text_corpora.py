@@ -28,7 +28,25 @@ QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
            "dsir_weights", "ngram_repetition", "source_divergence",
            "inverted_index", "epoch_plan", "curation_funnel", "filter_report",
            "zipf_slope", "quality_by_source", "doc_novelty",
-           "doc_sentence_stats", "term_frequency_spectrum", "url_density"]
+           "doc_sentence_stats", "term_frequency_spectrum", "url_density",
+           # round-5 expansion: every remaining documents-only twin
+           "bigram_perplexity", "bigram_pmi", "blocklist_filter",
+           "bloom_incremental_dedup", "bm25_topk", "contamination_check",
+           "curated_docs", "dedup_rate_report", "doc_byte_entropy",
+           "doc_fingerprints", "doc_hash_sample", "doc_length_outliers",
+           "doc_repetition", "domain_counts", "dup_clusters", "dup_spans",
+           "fim_pairs", "html_boilerplate_rate", "html_main_content",
+           "incremental_dedup", "leakage_safe_split", "mojibake_report",
+           "nb_quality_scores", "ngram_jaccard_pairs", "pii_redact",
+           "prefix_jaccard_pairs", "quality_percentile_filter",
+           "quality_quantile_normalize", "quality_weighted_sample",
+           "readability_scores", "sequence_pack",
+           "sorted_neighborhood_pairs", "source_char_class_profile",
+           "source_mixture", "source_simpson_diversity",
+           "span_corruption_pairs", "stratified_sample",
+           "temperature_mixture", "tfidf_top_terms", "tokenizer_fertility",
+           "train_val_split", "training_order", "unicode_script_profile",
+           "uniform_sample", "weighted_sample_topk"]
 
 _PIECES = [
     "word", "Word", "WORD", "w0rd", "123", "!!!", "a,b.c", "$x$",
