@@ -1032,7 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": similarity.label_centroids,
         "knn_classify": similarity.knn_classify,
         "semantic_dedup": similarity.semantic_dedup,  # non-SQL (kmeans clusters)
-        "embedding_quantize": similarity.embedding_quantize,  # non-SQL (binary codes)
+        "embedding_quantize": similarity.embedding_quantize,
         "ann_recall_report": similarity.ann_recall_report,  # non-SQL (self-eval of IVF vs exact)
         "embedding_outliers": similarity.embedding_outliers,
         "embedding_dim_stats": similarity.embedding_dim_stats,
@@ -6886,6 +6886,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                round(CAST(mn AS DOUBLE)/1000000.0, 6) AS min_v,
                round(CAST(mx AS DOUBLE)/1000000.0, 6) AS max_v
         FROM g
+    """
+    # int8 scalar quantization, bit-exact: global per-dim [min,max]
+    # ranges, q = clip(round_even((x-lo)/scale), 0, 255) (np.rint ==
+    # DuckDB round_even, both half-to-even), codes reassembled as a hex
+    # blob in dim order, and the mse as the engine computes it — squared
+    # residuals snapped to exact pico-int terms so the summation is
+    # order-free in both engines
+    sql["embedding_quantize"] = """
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), rng AS (
+            SELECT dim, min(x) AS lo,
+                   CASE WHEN (max(x) - min(x)) / 255.0 = 0 THEN 1.0
+                        ELSE (max(x) - min(x)) / 255.0 END AS scale
+            FROM e GROUP BY 1
+        ), q AS (
+            SELECT vec_id, e.dim, x, lo, scale,
+                   least(greatest(round_even((x - lo) / scale, 0), 0),
+                         255) AS qd
+            FROM e JOIN rng USING (dim)
+        ), r AS (
+            SELECT vec_id, dim, qd, x, qd * scale + lo AS recon FROM q
+        )
+        SELECT vec_id,
+               lower(string_agg(
+                   lpad(to_hex(CAST(qd AS BIGINT)), 2, '0'), ''
+                   ORDER BY dim)) AS codes,
+               round(CAST(sum(CAST(round_even(
+                         (x - recon) * (x - recon) * 1000000000000.0, 0)
+                     AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1000000000000.0), 6) AS mse
+        FROM r GROUP BY vec_id
     """
     # tokenizer fertility per source: the shared ws-token and BPE
     # pre-tokenizer contracts, exact int sums, one division per ratio

@@ -817,9 +817,12 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
     per-batch partials (two dim-length rows per BLOCK — the
     embedding_pca sufficient-statistics pattern; driver state O(dim));
     the ranges broadcast via ``ray.put``; pass 2 is a pure map emitting
-    (vec_id, code bytes, mse).  Codes are serialized as a binary column
-    (one dim-length byte string per vector) — the layout an index
-    builder mmaps directly."""
+    (vec_id, codes, mse).  Codes are serialized as a hex STRING column
+    (two chars per dim, dim order) — informationally identical to the
+    raw byte layout an index builder would mmap (unhex once at build
+    time), and value-hashable by the engine-vs-oracle gate, which
+    cannot canonicalize raw binary.  The mse sums exact pico-int
+    residual terms, so it is summation-order-free in both engines."""
     from ..functions.num import round6
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -841,7 +844,7 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
                                       batch_format="pyarrow").take_all()
             if len(r["lo"])]
     empty = pa.table({"vec_id": pa.array([], pa.int64()),
-                      "codes": pa.array([], pa.binary()),
+                      "codes": pa.array([], pa.string()),
                       "mse": pa.array([], pa.float64())})
     if not rows:
         return ray.data.from_arrow(empty)
@@ -859,16 +862,32 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
         codes = np.clip(np.rint((mat - qlo) / qscale), 0, 255) \
             .astype(np.uint8)
         recon = codes.astype(np.float64) * qscale + qlo
-        mse = ((mat - recon) ** 2).mean(axis=1)
-        code_bytes = codes.tobytes()
-        d = codes.shape[1]
-        offs = pa.array(np.arange(codes.shape[0] + 1, dtype=np.int32) * d,
-                        pa.int32())
+        # order-free mse: each squared residual snaps to pico-units
+        # (x1e12, rint) and sums as exact int64 — numpy's 8-accumulator
+        # axis reduction is otherwise unreproducible in SQL, and the
+        # snap costs <1e-12 absolute on a 6dp-reported metric.  Residual
+        # headroom: |residual| <= ~6e2 per dim keeps every term under
+        # 2^62/dims; beyond that fail loudly.
+        term = np.rint((mat - recon) ** 2 * 1e12)
+        if term.max(initial=0.0) > float(2 ** 62) / mat.shape[1]:
+            raise OverflowError(
+                "embedding_quantize: squared residual exceeds the exact "
+                "pico-unit budget; rescale the embedding column first")
+        msum = term.astype(np.int64).sum(axis=1)
+        mse = msum.astype(np.float64) / (mat.shape[1] * 1e12)
+        # vectorized hex encoding straight into an Arrow string buffer
+        hexd = np.frombuffer(b"0123456789abcdef", np.uint8)
+        chars = np.empty((codes.shape[0], codes.shape[1] * 2), np.uint8)
+        chars[:, 0::2] = hexd[codes >> 4]
+        chars[:, 1::2] = hexd[codes & 15]
+        d2 = codes.shape[1] * 2
+        offs = pa.array(np.arange(codes.shape[0] + 1,
+                                  dtype=np.int32) * d2, pa.int32())
         return pa.table({
             "vec_id": batch.column("vec_id"),
-            "codes": pa.BinaryArray.from_buffers(
-                pa.binary(), codes.shape[0], [None, offs.buffers()[1],
-                                              pa.py_buffer(code_bytes)]),
+            "codes": pa.StringArray.from_buffers(
+                codes.shape[0], offs.buffers()[1],
+                pa.py_buffer(chars.tobytes())),
             "mse": round6(pa.array(mse)),
         })
 

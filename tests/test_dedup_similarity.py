@@ -587,8 +587,9 @@ def test_embedding_quantize_bounds_and_roundtrip(ray_session):
     lo, hi = m32.min(axis=0), m32.max(axis=0)
     scale = (hi - lo) / 255.0
     scale[scale == 0] = 1.0
-    codes = np.frombuffer(b"".join(res["codes"]), dtype=np.uint8) \
-        .reshape(n, d).astype(np.float64)
+    codes = np.frombuffer(
+        b"".join(bytes.fromhex(c) for c in res["codes"]),
+        dtype=np.uint8).reshape(n, d).astype(np.float64)
     recon = codes * scale + lo
     err = np.abs(recon - m32)
     assert (err <= scale / 2 + 1e-12).all()

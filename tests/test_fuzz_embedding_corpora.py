@@ -21,8 +21,8 @@ import pytest
 import __ray_entry__ as entrymod
 
 QUERIES = ["ann_topk", "contrastive_pairs", "embedding_dim_stats",
-           "embedding_neardup", "embedding_outliers", "hybrid_rrf_topk",
-           "knn_classify", "label_centroids"]
+           "embedding_neardup", "embedding_outliers", "embedding_quantize",
+           "hybrid_rrf_topk", "knn_classify", "label_centroids"]
 
 _DIM = 64
 
