@@ -1015,8 +1015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cascade_report": dedup.dedup_cascade_report,  # non-SQL (LSH tier)
         "cross_source_overlap": dedup.cross_source_overlap,
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
-        "minhash_dedup": dedup.minhash_dedup,      # non-SQL (LSH)
-        "minhash_estimation_error": dedup.minhash_estimation_error,  # non-SQL (crc32 signature family; DuckDB has no crc32)
+        "minhash_dedup": dedup.minhash_dedup,
+        "minhash_estimation_error": dedup.minhash_estimation_error,
         "simhash_dedup": dedup.simhash_dedup,      # non-SQL
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
@@ -6893,6 +6893,141 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     # blob in dim order, and the mse as the engine computes it — squared
     # residuals snapped to exact pico-int terms so the summation is
     # order-free in both engines
+    # --- MinHash+LSH replayed bit-exactly in SQL -------------------------
+    # DuckDB has no crc32, so the twin RUNS one: a recursive CTE walks
+    # the utf8 bytes of every distinct shingle (and every 16-byte band
+    # chunk) against a generated 256-entry crc table.  Signatures are
+    # the same Mersenne universal family ((a*h + b) mod 2^61-1, low 32
+    # bits, min over shingles) with the engine's literal RandomState(1)
+    # (a, b) parameters; candidates are per-(band, band_hash) buckets
+    # paired (bucket-min rep, member) exactly like coarse_pairs; the
+    # zero-shingle sentinel h=0 and the both-empty Jaccard=1.0 edge are
+    # mirrored.  crc32 COLLISION behavior is replayed too (the twin
+    # hashes band chunks with the same crc32, not the raw tuple).
+    from pdf_extract_kit_ray.pipelines.dedup import _perm_params
+    _mh_a, _mh_b = _perm_params(64)
+    _mh_perms = ",".join(
+        f"({p}, {int(av)}::HUGEINT, {int(bv)}::HUGEINT)"
+        for p, (av, bv) in enumerate(zip(_mh_a, _mh_b)))
+    _crc_tab = []
+    for _i in range(256):
+        _c = _i
+        for _ in range(8):
+            _c = (0xEDB88320 ^ (_c >> 1)) if _c & 1 else _c >> 1
+        _crc_tab.append(_c)
+    _mh_crctab = ",".join(f"({i}, {v})" for i, v in enumerate(_crc_tab))
+    _h2 = lambda e: f"lpad(to_hex({e}), 2, '0')"
+    _le32 = (f"{_h2('v % 256')} || {_h2('(v // 256) % 256')} || "
+             f"{_h2('(v // 65536) % 256')} || "
+             f"{_h2('(v // 16777216) % 256')}")
+    _mh_common = f"""
+        WITH RECURSIVE crctab(i, cv) AS (VALUES {_mh_crctab}),
+        perms(p, pa, pb) AS (VALUES {_mh_perms}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                        ELSE list_distinct(list_transform(
+                            range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                   END AS s
+            FROM toks WHERE len(w) > 0
+        ), ds AS (
+            SELECT doc_id, unnest(s) AS t FROM sh
+        ), sin AS (
+            SELECT row_number() OVER (ORDER BY t) AS sid, t,
+                   hex(encode(t)) AS hx, octet_length(encode(t)) AS n
+            FROM (SELECT DISTINCT t FROM ds)
+        ), crc AS (
+            SELECT sid, hx, n, 0 AS pos, CAST(4294967295 AS BIGINT) AS c
+            FROM sin
+            UNION ALL
+            SELECT sid, hx, n, pos + 1, xor(t.cv, c // 256)
+            FROM crc JOIN crctab t
+              ON t.i = xor(c % 256,
+                           ('0x' || substring(hx, 2*pos + 1, 2))::BIGINT)
+            WHERE pos < n
+        ), sh_h AS (
+            SELECT sin.t, xor(crc.c, 4294967295) AS h
+            FROM crc JOIN sin USING (sid) WHERE crc.pos = crc.n
+        ), doc_h AS (
+            SELECT ds.doc_id, sh_h.h FROM ds JOIN sh_h ON sh_h.t = ds.t
+            UNION ALL
+            SELECT doc_id, 0 FROM toks WHERE len(w) = 0
+        ), hv AS (
+            SELECT h, p,
+                   CAST(((pa * h + pb) % 2305843009213693951)
+                        % 4294967296 AS BIGINT) AS v
+            FROM (SELECT DISTINCT h FROM doc_h) CROSS JOIN perms
+        ), sig AS (
+            SELECT d.doc_id, hv.p, min(hv.v) AS v
+            FROM doc_h d JOIN hv ON hv.h = d.h
+            GROUP BY 1, 2
+        ), chunk AS (
+            SELECT doc_id, p // 4 AS band_id,
+                   string_agg({_le32}, '' ORDER BY p) AS hx, 16 AS n
+            FROM sig GROUP BY 1, 2
+        ), bcrc AS (
+            SELECT doc_id, band_id, hx, n, 0 AS pos,
+                   CAST(4294967295 AS BIGINT) AS c
+            FROM chunk
+            UNION ALL
+            SELECT doc_id, band_id, hx, n, pos + 1, xor(t.cv, c // 256)
+            FROM bcrc JOIN crctab t
+              ON t.i = xor(c % 256,
+                           ('0x' || substring(hx, 2*pos + 1, 2))::BIGINT)
+            WHERE pos < n
+        ), bands AS (
+            SELECT doc_id, band_id, xor(c, 4294967295) AS band_hash
+            FROM bcrc WHERE pos = n
+        ), cand AS (
+            SELECT DISTINCT least(rep, doc_id) AS keep_id,
+                            greatest(rep, doc_id) AS dup_id
+            FROM (SELECT doc_id, band_id, band_hash,
+                         min(doc_id) OVER (PARTITION BY band_id,
+                                           band_hash) AS rep
+                  FROM bands)
+            WHERE doc_id <> rep
+        ), sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        inter AS (
+            SELECT c.keep_id, c.dup_id, count(ds2.t) AS i
+            FROM cand c
+            LEFT JOIN ds ON ds.doc_id = c.keep_id
+            LEFT JOIN ds ds2 ON ds2.doc_id = c.dup_id AND ds2.t = ds.t
+            GROUP BY 1, 2
+        ), jac AS (
+            SELECT keep_id, dup_id,
+                   CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0) = 0
+                        THEN 1.0
+                        ELSE round(CAST(i AS DOUBLE)
+                             / CAST(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                                    - i AS DOUBLE), 6) END AS jaccard
+            FROM inter
+            LEFT JOIN sz sa ON sa.doc_id = keep_id
+            LEFT JOIN sz sb ON sb.doc_id = dup_id
+        )"""
+    sql["minhash_dedup"] = _mh_common + """
+        SELECT keep_id, dup_id, jaccard FROM jac WHERE jaccard >= 0.5
+    """
+    sql["minhash_estimation_error"] = _mh_common + """
+        , est AS (
+            SELECT a.doc_id AS keep_id, b.doc_id AS dup_id,
+                   round(CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)
+                              AS DOUBLE) / 64.0, 6) AS est_jaccard
+            FROM sig a JOIN sig b ON b.p = a.p
+            JOIN cand c ON c.keep_id = a.doc_id AND c.dup_id = b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT est.keep_id, est.dup_id, est.est_jaccard,
+               jac.jaccard AS exact_jaccard,
+               round(abs(est.est_jaccard - jac.jaccard), 6) AS abs_err
+        FROM est JOIN jac ON jac.keep_id = est.keep_id
+                         AND jac.dup_id = est.dup_id
+    """
     sql["embedding_quantize"] = """
         WITH e AS (
             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,

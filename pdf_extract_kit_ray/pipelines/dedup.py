@@ -341,6 +341,13 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
     corpus text ships through exactly ONE hash shuffle, candidate pairs
     explode to per-doc membership rows, and a candidate-sized groupby
     computes exact Jaccard per pair — nothing materializes on the driver.
+
+    The DuckDB twin replays the WHOLE tier bit-exactly — including a
+    crc32 implementation as a recursive CTE over shingle bytes, the
+    Mersenne universal signature family with the engine's literal
+    permutation parameters, band-chunk crc bucketing (collisions and
+    all), and the bucket-min candidate pairing — so the hash gate pins
+    LSH candidates, not just the verified output shape.
     """
     from ..functions.pairs import verify_candidate_pairs
 
@@ -354,10 +361,14 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     def verify(keep_ids, dup_ids, texts_a, texts_b) -> pa.Table:
         """Exact Jaccard per complete pair (keep side aligned first)."""
+        from ..functions.num import round6_scalar
         ta, tb = texts_a.to_pylist(), texts_b.to_pylist()
         out_k, out_d, out_j = [], [], []
         for i in range(len(keep_ids)):
-            j = round(jaccard(ta[i], tb[i], shingle_k), 6)
+            # round6_scalar, not Python round(): the twin's round(x, 6)
+            # is the scale-multiply convention; Python's correctly-
+            # rounded decimal can land one ulp away
+            j = round6_scalar(jaccard(ta[i], tb[i], shingle_k))
             if j >= threshold:
                 out_k.append(keep_ids[i])
                 out_d.append(dup_ids[i])
@@ -1978,7 +1989,8 @@ def minhash_estimation_error(sf_dir: str, num_perm: int = 64,
     Scale shape: identical to minhash_dedup — ONE corpus-payload hash
     shuffle + candidate-sized coarse groupbys via
     ``functions.pairs.verify_candidate_pairs``; nothing reaches the
-    driver.  The signatures are recomputed from the pair payloads inside
+    driver.  SQL twin: the minhash_dedup crc32/signature replay plus a
+    per-pair component-match join over the signature table.  The signatures are recomputed from the pair payloads inside
     the verify kernel (deterministic — same hash family as the banding
     pass); the 100 TB variant ships struct(text, signature) payloads
     through the same primitive to avoid the recompute."""
@@ -1992,6 +2004,7 @@ def minhash_estimation_error(sf_dir: str, num_perm: int = 64,
     a_p, b_p = _perm_params(num_perm)
 
     def verify(keep_ids, dup_ids, texts_a, texts_b) -> pa.Table:
+        from ..functions.num import round6
         ta, tb = texts_a.to_pylist(), texts_b.to_pylist()
         est = np.empty(len(keep_ids), np.float64)
         exact = np.empty(len(keep_ids), np.float64)
@@ -2000,14 +2013,17 @@ def minhash_estimation_error(sf_dir: str, num_perm: int = 64,
             sb = minhash_signature(tb[i], a_p, b_p, shingle_k)
             est[i] = (sa == sb).mean()
             exact[i] = jaccard(ta[i], tb[i], shingle_k)
-        est, exact = est.round(6), exact.round(6)
+        # round6 (scale-multiply, twin-parity), not np.round (half-even
+        # correctly-rounded decimal — one ulp away on some ratios)
+        est_a = round6(pa.array(est, pa.float64()))
+        exact_a = round6(pa.array(exact, pa.float64()))
+        err_a = round6(pc.abs(pc.subtract(est_a, exact_a)))
         return pa.table({
             "keep_id": pa.array(keep_ids, pa.int64()),
             "dup_id": pa.array(dup_ids, pa.int64()),
-            "est_jaccard": pa.array(est, pa.float64()),
-            "exact_jaccard": pa.array(exact, pa.float64()),
-            "abs_err": pa.array(np.abs(est - exact).round(6),
-                                pa.float64()),
+            "est_jaccard": est_a,
+            "exact_jaccard": exact_a,
+            "abs_err": err_a,
         })
 
     return verify_candidate_pairs(

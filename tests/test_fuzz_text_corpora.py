@@ -46,7 +46,8 @@ QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
            "span_corruption_pairs", "stratified_sample",
            "temperature_mixture", "tfidf_top_terms", "tokenizer_fertility",
            "train_val_split", "training_order", "unicode_script_profile",
-           "uniform_sample", "weighted_sample_topk"]
+           "uniform_sample", "weighted_sample_topk",
+           "minhash_dedup", "minhash_estimation_error"]
 
 _PIECES = [
     "word", "Word", "WORD", "w0rd", "123", "!!!", "a,b.c", "$x$",
