@@ -1017,7 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_neardup": dedup.winnow_neardup,    # non-SQL (rolling hash)
         "minhash_dedup": dedup.minhash_dedup,
         "minhash_estimation_error": dedup.minhash_estimation_error,
-        "simhash_dedup": dedup.simhash_dedup,      # non-SQL
+        "simhash_dedup": dedup.simhash_dedup,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "contrastive_pairs": similarity.contrastive_pairs,
@@ -7027,6 +7027,92 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                round(abs(est.est_jaccard - jac.jaccard), 6) AS abs_err
         FROM est JOIN jac ON jac.keep_id = est.keep_id
                          AND jac.dup_id = est.dup_id
+    """
+    # SimHash, same replay strategy: crc32-CTE shingle hashes, the
+    # splitmix-style avalanche via _mul64/_xor64 chains, per-bit votes,
+    # 4x16-bit band candidate buckets, Hamming via per-half bit_count.
+    # The engine's oversized-bucket sub-banding path is pigeonhole-
+    # complete for distance <= 3, so plain within-bucket all-pairs is
+    # the same pair set at any bucket population.
+    _sx1 = _mul64('h', 0x9E3779B97F4A7C15)
+    _sx2 = _xor64(_sx1, f"({_sx1}) // {1 << 30}")
+    _sx3 = _mul64(_sx2, 0xBF58476D1CE4E5B9)
+    _sx4 = _xor64(_sx3, f"({_sx3}) // {1 << 27}")
+    sql["simhash_dedup"] = f"""
+        WITH RECURSIVE crctab(i, cv) AS (VALUES {_mh_crctab}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                        ELSE list_distinct(list_transform(
+                            range(1, len(w)),
+                            i -> w[i] || ' ' || w[i+1]))
+                   END AS s
+            FROM toks WHERE len(w) > 0
+        ), ds AS (SELECT doc_id, unnest(s) AS t FROM sh),
+        sin AS (SELECT row_number() OVER (ORDER BY t) AS sid, t,
+                       hex(encode(t)) AS hx, octet_length(encode(t)) AS n
+                FROM (SELECT DISTINCT t FROM ds)),
+        crc AS (
+            SELECT sid, hx, n, 0 AS pos, CAST(4294967295 AS BIGINT) AS c
+            FROM sin
+            UNION ALL
+            SELECT sid, hx, n, pos + 1, xor(t.cv, c // 256)
+            FROM crc JOIN crctab t
+              ON t.i = xor(c % 256,
+                           ('0x' || substring(hx, 2*pos + 1, 2))::BIGINT)
+            WHERE pos < n
+        ), sh_h AS (
+            SELECT sin.t, CAST(xor(crc.c, 4294967295) AS HUGEINT) AS h
+            FROM crc JOIN sin USING (sid) WHERE crc.pos = crc.n
+        ), mix AS (
+            SELECT h, {_sx4} AS x
+            FROM (SELECT DISTINCT h FROM sh_h)
+        ), bits AS (
+            SELECT m.h, u.i AS bit,
+                   CAST((m.x // power(2, u.i)::HUGEINT) % 2 AS BIGINT)
+                       AS b
+            FROM mix m, (SELECT unnest(range(64)) AS i) u
+        ), votes AS (
+            SELECT ds.doc_id, bits.bit, sum(2 * bits.b - 1) AS v
+            FROM ds JOIN sh_h ON sh_h.t = ds.t
+            JOIN bits ON bits.h = sh_h.h
+            GROUP BY 1, 2
+        ), sigs AS (
+            SELECT doc_id,
+                   coalesce(sum(CASE WHEN v > 0
+                                THEN power(2, bit)::HUGEINT END),
+                            0::HUGEINT) AS sig
+            FROM votes GROUP BY 1
+            UNION ALL
+            SELECT doc_id, 0::HUGEINT FROM toks WHERE len(w) = 0
+        ), bands AS (
+            SELECT doc_id, sig, u.b AS band_id,
+                   CAST((sig // power(2, 16 * u.b)::HUGEINT) % 65536
+                        AS BIGINT) AS band_hash
+            FROM sigs, (SELECT unnest(range(4)) AS b) u
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS keep_id, b.doc_id AS dup_id,
+                   a.sig AS sa, b.sig AS sb
+            FROM bands a JOIN bands b
+              ON b.band_id = a.band_id AND b.band_hash = a.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT keep_id, dup_id,
+               CAST(bit_count(xor(CAST(sa // {_M32} AS BIGINT),
+                                  CAST(sb // {_M32} AS BIGINT)))
+                    + bit_count(xor(CAST(sa % {_M32} AS BIGINT),
+                                    CAST(sb % {_M32} AS BIGINT)))
+                    AS INTEGER) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(CAST(sa // {_M32} AS BIGINT),
+                            CAST(sb // {_M32} AS BIGINT)))
+              + bit_count(xor(CAST(sa % {_M32} AS BIGINT),
+                              CAST(sb % {_M32} AS BIGINT))) <= 3
     """
     sql["embedding_quantize"] = """
         WITH e AS (

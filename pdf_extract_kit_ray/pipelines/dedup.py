@@ -478,7 +478,12 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
 
     ``max_hamming`` must be <= 3: both the outer 4x16-bit banding and the
     oversized-bucket 4x12-bit sub-banding are pigeonhole-complete only for
-    distance 3 — a larger radius would silently lose recall."""
+    distance 3 — a larger radius would silently lose recall.
+
+    SQL twin: the same crc32-CTE shingle hashes, avalanche mix, bit
+    votes, band buckets and per-half bit_count Hamming — pigeonhole
+    completeness makes plain within-bucket all-pairs the same pair set
+    the sub-banding path finds, at any bucket population."""
     if max_hamming > 3:
         raise ValueError(
             f"simhash_dedup supports max_hamming <= 3 (got {max_hamming}): "

@@ -47,7 +47,7 @@ QUERIES = ["doc_stats", "doc_token_counts", "top_terms", "exact_dedup",
            "temperature_mixture", "tfidf_top_terms", "tokenizer_fertility",
            "train_val_split", "training_order", "unicode_script_profile",
            "uniform_sample", "weighted_sample_topk",
-           "minhash_dedup", "minhash_estimation_error"]
+           "minhash_dedup", "minhash_estimation_error", "simhash_dedup"]
 
 _PIECES = [
     "word", "Word", "WORD", "w0rd", "123", "!!!", "a,b.c", "$x$",
