@@ -169,6 +169,17 @@ def dataset_to_table(ds: "ray.data.Dataset") -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
+def pin_schema(seed: pa.Table, ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Union a ZERO-ROW typed seed table in front of ``ds`` so the
+    pipeline keeps its schema even when the result is legitimately
+    empty (Ray drops the schema entirely on empty aggregates/sorts).
+    The seed must match the dataset's output schema field-for-field.
+    Quirk: when ``ds`` ends in a Limit operator, interpose an identity
+    ``map_batches`` first — Ray's planner asserts on a union whose
+    direct child is a Limit."""
+    return ray.data.from_arrow(seed).union(ds)
+
+
 def make_lookup(keys, values) -> tuple:
     """Package a small key->value mapping for broadcast (``ray.put`` the
     result once, probe with :func:`lookup_np` in every task).  Keys become

@@ -361,21 +361,21 @@ def minhash_dedup(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     def verify(keep_ids, dup_ids, texts_a, texts_b) -> pa.Table:
         """Exact Jaccard per complete pair (keep side aligned first)."""
-        from ..functions.num import round6_scalar
+        from ..functions.num import round6
         ta, tb = texts_a.to_pylist(), texts_b.to_pylist()
-        out_k, out_d, out_j = [], [], []
-        for i in range(len(keep_ids)):
-            # round6_scalar, not Python round(): the twin's round(x, 6)
-            # is the scale-multiply convention; Python's correctly-
-            # rounded decimal can land one ulp away
-            j = round6_scalar(jaccard(ta[i], tb[i], shingle_k))
-            if j >= threshold:
-                out_k.append(keep_ids[i])
-                out_d.append(dup_ids[i])
-                out_j.append(j)
-        return pa.table({"keep_id": pa.array(out_k, pa.int64()),
-                         "dup_id": pa.array(out_d, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+        raw = np.fromiter((jaccard(ta[i], tb[i], shingle_k)
+                           for i in range(len(keep_ids))),
+                          np.float64, count=len(keep_ids))
+        # ONE vectorized round6 over the batch (the scale-multiply twin
+        # convention — Python round() can land one ulp away), then a
+        # vectorized threshold filter: no per-pair Arrow scalar churn in
+        # the candidate-sized hot path
+        j = round6(pa.array(raw, pa.float64()))
+        keep = pc.greater_equal(j, threshold)
+        return pa.table({
+            "keep_id": pa.array(keep_ids, pa.int64()).filter(keep),
+            "dup_id": pa.array(dup_ids, pa.int64()).filter(keep),
+            "jaccard": j.filter(keep)})
 
     return verify_candidate_pairs(
         ds, cand, id_col="doc_id", payload_col="text",

@@ -1820,9 +1820,18 @@ def sole_late_supplier(sf_dir: str, late_days: int = 60, n: int = 20,
                          "s_name": batch.column("s_name"),
                          "numwait": batch.column("numwait")})
 
-    return (agg.map_batches(project, batch_format="pyarrow")
-               .sort(["numwait", "s_suppkey"], descending=[True, False])
-               .limit(n))
+    # typed empty seed (pin_schema): zero qualifying suppliers must keep
+    # the schema; identity map between limit and union (planner quirk)
+    from ..functions.joins import pin_schema
+    seed = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                     "s_name": pa.array([], pa.string()),
+                     "numwait": pa.array([], pa.int64())})
+    return pin_schema(
+        seed,
+        agg.map_batches(project, batch_format="pyarrow")
+           .sort(["numwait", "s_suppkey"], descending=[True, False])
+           .limit(n)
+           .map_batches(lambda b: b, batch_format="pyarrow"))
 
 
 def nation_balance_ranks(sf_dir: str) -> "ray.data.Dataset":
@@ -2490,7 +2499,14 @@ def part_affinity_pairs(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
     co-locates each basket and emits size-grouped triu pair partials
     (per-order cost quadratic in BASKET width, never corpus size); the
     final rollup is coarse-keyed on the combined pair."""
-    return _affinity_pair_counts(_affinity_exchange(sf_dir), min_count)
+    # typed empty seed (pin_schema): an order book with no repeated
+    # co-purchases yields a legitimately EMPTY graph — keep the schema
+    from ..functions.joins import pin_schema
+    seed = pa.table({"part_a": pa.array([], pa.int64()),
+                     "part_b": pa.array([], pa.int64()),
+                     "n_orders": pa.array([], pa.int64())})
+    return pin_schema(
+        seed, _affinity_pair_counts(_affinity_exchange(sf_dir), min_count))
 
 
 def part_affinity_lift(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
@@ -2556,7 +2572,13 @@ def part_affinity_lift(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
             "lift": round6(pa.array(val)),
         })
 
-    return pairs.map_batches(lift, batch_format="pyarrow")
+    from ..functions.joins import pin_schema
+    seed = pa.table({"part_a": pa.array([], pa.int64()),
+                     "part_b": pa.array([], pa.int64()),
+                     "n_orders": pa.array([], pa.int64()),
+                     "lift": pa.array([], pa.float64())})
+    return pin_schema(seed,
+                      pairs.map_batches(lift, batch_format="pyarrow"))
 
 
 def monthly_revenue_growth(sf_dir: str) -> "ray.data.Dataset":
@@ -2721,7 +2743,12 @@ def part_communities(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
                          "community_id": batch.column("cluster_id"),
                          "community_size": batch.column("cluster_size")})
 
-    return comp.map_batches(rename, batch_format="pyarrow")
+    from ..functions.joins import pin_schema
+    seed = pa.table({"part_id": pa.array([], pa.int64()),
+                     "community_id": pa.array([], pa.int64()),
+                     "community_size": pa.array([], pa.int64())})
+    return pin_schema(seed,
+                      comp.map_batches(rename, batch_format="pyarrow"))
 
 
 def value_mad_outliers(sf_dir: str, k: float = 5.0) -> "ray.data.Dataset":

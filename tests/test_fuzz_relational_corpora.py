@@ -164,7 +164,11 @@ def _make_rel(tmpdir: str, seed: int) -> str:
 
     rows = []
     for ok in range(n_ord):
-        n_lines = 1 + (ok % 7)
+        # sparse: exactly ONE line per order, so no part pair ever
+        # co-occurs and the co-purchase graph is genuinely EMPTY (the
+        # review caught the earlier multi-line version silently filling
+        # every pair bucket to min_count >= 2)
+        n_lines = 1 + (ok % 7) if dense else 1
         for ln in range(n_lines):
             if dense:
                 # planted co-purchase repeats: orders 0..9 all share the
